@@ -1,0 +1,23 @@
+"""s3logsbeat_spark — a PySpark-native fulltext-index + BM25 query engine.
+
+A from-scratch re-expression of mpucholblasco/s3logsbeat's capabilities
+(ingest/parse/checkpoint/ack semantics, see /root/reference) PLUS the
+fulltext-index + BM25 top-k query side the reference delegates to
+Elasticsearch. Everything here is built on public PySpark DataFrame /
+pandas-UDF APIs — no port of the reference's Go execution engine.
+
+Layout
+------
+- ``functions/``  : tokenizer (code-aware, vectorized), hashing/ids
+- ``plans/``      : the reference's parse-spec layer (regex + kind casts +
+                    sentinels + timestamp lift + error side-channel)
+- ``sources/``    : documents-table loader, SQS S3-event extraction analogue
+- ``operators/``  : postings build, varbyte codec, segments + checkpoints,
+                    skew-aware merge, BM25 + block-max WAND, dedup, ANN,
+                    text analysis, multimodal plumbing
+- ``streaming/``  : Structured Streaming ingest (poll-tick analogue)
+- ``oracle/``     : transparent O(N) pandas BM25 oracle for rank-identity
+- ``testing/``    : deterministic synthetic source-code corpus generator
+"""
+
+__version__ = "0.1.0"

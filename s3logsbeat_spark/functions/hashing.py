@@ -1,0 +1,59 @@
+"""Content hashing + deterministic doc-id assignment.
+
+The reference stamps every event with ``_id = hex(sha1(raw_line))`` so ES
+dedups redelivered events (``/root/reference/logparser/logparser.go:37-47``,
+``README.md:73-88``). Our ingest invariant (BASELINE.json input_hint) is the
+stronger ``sha256(content)`` per row, and doc ids must be deterministic
+under any partitioning / resume (SURVEY §7 hard part 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_sha(col: str | Column = "content") -> Column:
+    """sha256 hex digest of the content column (ingest invariant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), 256)
+
+
+def hash_doc_id(*key_cols: str) -> Column:
+    """Deterministic 60-bit doc id from the natural key (repo,path,commit).
+
+    Order-independent and partitioning-independent — the property the
+    reference gets from content-hash ``_id``s ("run N instances, no
+    coordination", README.md:33). Built from the first 15 hex chars
+    (60 bits) of sha256 over the concatenated key — always a non-negative
+    signed long. Birthday bound at 10^12 docs over 2^60 is ~35%, so at
+    true 10^12 scale either use the rank-based assigner below or widen
+    the id to decimal(38)/binary; at test scale collisions are
+    vanishing and the unit test asserts uniqueness.
+    """
+    concat = F.concat_ws("\x1f", *[F.col(c) for c in key_cols])
+    hex15 = F.substring(F.sha2(concat, 256), 1, 15)
+    return F.conv(hex15, 16, 10).cast("long")
+
+
+def assign_rank_doc_ids(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Dense deterministic ids = rank in sorted natural-key order.
+
+    Exact SURVEY §1.3 semantics ("doc_id from sorted (repo,path,commit)").
+    Implementation is a global sort → zip: fine for corpora that need
+    compact ids (e.g. bitset-friendly); at 10^12 scale prefer
+    ``hash_doc_id`` (no global sort barrier). Deterministic regardless of
+    input partitioning because the ordering key is the full natural key.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*[F.col(c) for c in key_cols])
+    return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+
+def with_ingest_columns(df: DataFrame, key_cols: tuple[str, ...] = ("repo", "path", "commit")) -> DataFrame:
+    """Stamp content_sha + doc_id (P7 analogue). Keeps existing doc_id."""
+    out = df.withColumn("content_sha", content_sha("content"))
+    if "doc_id" not in df.columns:
+        out = out.withColumn("doc_id", hash_doc_id(*key_cols))
+    return out

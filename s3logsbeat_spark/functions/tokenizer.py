@@ -1,0 +1,191 @@
+"""Code-aware tokenizer — the engine's analogue of the reference's per-line
+log parsers (``/root/reference/logparser/customlogparser.go:81-127``): where
+the reference turns a raw line into typed fields, we turn raw source-code
+``content`` into index terms.
+
+Semantics (deterministic, documented so the pandas oracle and DuckDB checks
+can reproduce them exactly):
+
+1. Raw tokens are ASCII identifiers: ``[A-Za-z_][A-Za-z0-9_]*``.
+2. Every raw token emits its lowercase form.
+3. A raw token that splits on snake_case (``_``) or camelCase boundaries
+   into >1 sub-tokens additionally emits each lowercase sub-token
+   (``getHttpResponse`` -> get, http, response + gethttpresponse).
+4. If the lowercase raw token is a keyword of the document's language,
+   a lang-tagged term ``{lang}:{token}`` is additionally emitted
+   (``py:def``) — the analogue of the reference's per-format field
+   enrichment (``pipeline/s3readerinformation.go:38-56``).
+5. ``doc_len`` = total number of emitted terms (BM25 length norm).
+
+Everything crosses the JVM<->Python boundary as Arrow batches (pandas UDF /
+mapInPandas); there is no row-at-a-time Spark UDF. Inside a batch we loop
+over *distinct raw tokens* with a per-worker memo table — on Zipfian code
+corpora the token vocabulary is tiny relative to token occurrences, so the
+Python work is O(vocab), not O(tokens).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+# camelCase boundaries: aB | ABc (acronym end) ; snake handled by '_' split
+CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
+
+KEYWORDS: dict[str, frozenset[str]] = {
+    "py": frozenset(
+        "def class return import from if else elif for while try except "
+        "with lambda yield pass raise assert global nonlocal in is not and "
+        "or none true false async await del finally continue break".split()
+    ),
+    "java": frozenset(
+        "public private protected static final void class interface extends "
+        "implements return new if else for while switch case break continue "
+        "try catch finally throw throws import package int long double float "
+        "boolean char byte short null true false this super abstract "
+        "synchronized volatile transient enum instanceof".split()
+    ),
+    "go": frozenset(
+        "func package import var const type struct interface map chan go "
+        "defer return if else for range switch case break continue select "
+        "fallthrough goto nil true false make new len cap append copy "
+        "panic recover error string int int64 uint64 float64 bool byte "
+        "rune".split()
+    ),
+    "js": frozenset(
+        "function var let const return if else for while switch case break "
+        "continue try catch finally throw new delete typeof instanceof in "
+        "of class extends super this null undefined true false async await "
+        "yield import export default".split()
+    ),
+    "c": frozenset(
+        "int long short char float double void unsigned signed struct union "
+        "enum typedef static extern const volatile register auto return if "
+        "else for while do switch case break continue goto sizeof "
+        "include define ifdef ifndef endif null".split()
+    ),
+}
+
+
+def split_subtokens(raw: str) -> list[str]:
+    """snake_case + camelCase split of one raw token; [] if no split."""
+    parts: list[str] = []
+    for chunk in raw.split("_"):
+        if not chunk:
+            continue
+        parts.extend(CAMEL_RE.split(chunk))
+    parts = [p for p in parts if p]
+    if len(parts) <= 1 and (not parts or parts[0] == raw):
+        return []
+    return parts
+
+
+class _TokenMemo:
+    """Per-worker memo: raw token -> tuple of emitted (untagged) terms."""
+
+    def __init__(self) -> None:
+        self._memo: dict[str, tuple[str, ...]] = {}
+
+    def terms_for(self, raw: str) -> tuple[str, ...]:
+        hit = self._memo.get(raw)
+        if hit is None:
+            low = raw.lower()
+            subs = split_subtokens(raw)
+            hit = (low, *[s.lower() for s in subs]) if subs else (low,)
+            if len(self._memo) < 1_000_000:  # bound worker memory
+                self._memo[raw] = hit
+        return hit
+
+
+_WORKER_MEMO = _TokenMemo()
+
+
+def tokenize_text(text: str, lang: str | None = None) -> list[tuple[str, int]]:
+    """Pure-Python single-doc tokenizer (oracle / golden-test path).
+
+    Returns sorted [(term, tf)]; the vectorized path must match exactly.
+    """
+    counts = _count_terms(text or "", lang, _TokenMemo())
+    return sorted(counts.items())
+
+
+def _count_terms(text: str, lang: str | None, memo: _TokenMemo) -> Counter:
+    counts: Counter = Counter()
+    kw = KEYWORDS.get(lang or "", frozenset())
+    for raw in TOKEN_RE.findall(text):
+        emitted = memo.terms_for(raw)
+        counts.update(emitted)
+        low = emitted[0]
+        if low in kw:
+            counts[f"{lang}:{low}"] += 1
+    return counts
+
+
+def doc_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """(id, text, lang) -> exploded postings rows (doc_id, term, tf, doc_len).
+
+    Implemented with ``mapInPandas`` so tokenization AND the per-doc TF
+    aggregation AND the explode all happen inside one Arrow batch — the
+    raw token stream never crosses a shuffle (SURVEY §2.5 'fully inside
+    the tokenize UDF to avoid one shuffle').
+    """
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+    src = df.select(*cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo = _WORKER_MEMO
+        for pdf in batches:
+            ids: list = []
+            terms: list[str] = []
+            tfs: list[int] = []
+            lens: list[int] = []
+            langs = pdf[lang_col] if lang_col else [None] * len(pdf)
+            for did, text, lang in zip(pdf[id_col], pdf[text_col], langs):
+                counts = _count_terms(text or "", lang, memo)
+                dl = sum(counts.values())
+                # empty docs emit no postings; doc-length stats are built
+                # separately so they still count toward N/avgdl
+                for t, c in counts.items():
+                    ids.append(did)
+                    terms.append(t)
+                    tfs.append(c)
+                    lens.append(dl)
+            yield pd.DataFrame(
+                {"doc_id": ids, "term": terms, "tf": tfs, "doc_len": lens}
+            )
+
+    return src.mapInPandas(gen, schema="doc_id long, term string, tf int, doc_len int")
+
+
+@F.pandas_udf(IntegerType())
+def doc_len_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
+    """Total emitted-term count per doc (includes lang-tagged terms)."""
+    memo = _WORKER_MEMO
+    out = []
+    for t, lg in zip(text, lang):
+        out.append(sum(_count_terms(t or "", lg, memo).values()))
+    return pd.Series(out, dtype="int32")
+
+
+def simple_tokens_col(text_col: str):
+    """Built-in-only tokenizer used for DuckDB-oracle-checked queries:
+    lowercase word tokens ``[a-z0-9_]+``. Stays fully JVM-side
+    (whole-stage codegen); the DuckDB oracle expresses the same thing as
+    ``regexp_extract_all(lower(text), '[a-z0-9_]+')``.
+    """
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")

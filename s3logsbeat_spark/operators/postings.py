@@ -1,0 +1,127 @@
+"""Posting-list construction + naive (DataFrame-only) BM25 top-k.
+
+This is SURVEY §7 M2 — the minimal end-to-end query slice. Everything here
+is built-in DataFrame ops (whole-stage codegen, map-side partial aggs,
+broadcast joins); the only Python is the Arrow-batched tokenizer.
+
+Scale notes (100 TB honesty):
+- ``build_postings`` produces (doc_id, term, tf, doc_len) with NO shuffle:
+  tokenize + per-doc TF + explode all happen inside one mapInPandas pass,
+  so the stage is embarrassingly parallel over input splits.
+- ``term_stats`` is one groupBy(term) — Spark's partial aggregation
+  combines map-side, so the shuffle carries one row per (partition, term),
+  not one per posting.
+- Query-side joins broadcast the (tiny) query-term df table.
+- BM25 constants k1=1.2 b=0.75 and the Lucene idf form
+  ln(1 + (N - df + .5)/(df + .5)) — same formula in the pandas oracle and
+  the DuckDB oracle_sql entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import doc_terms
+
+K1 = 1.2
+B = 0.75
+SCORE_NDIGITS = 9  # ordering rounds to 9 dp so float ulp noise can't flip ties
+
+
+def build_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """docs -> postings rows (doc_id, term, tf, doc_len). Narrow (no shuffle)."""
+    return doc_terms(docs, id_col=id_col, text_col=text_col, lang_col=lang_col)
+
+
+def doc_lengths(postings: DataFrame) -> DataFrame:
+    """(doc_id, doc_len) — one row per non-empty doc."""
+    return postings.groupBy("doc_id").agg(F.first("doc_len").alias("doc_len"))
+
+
+def corpus_stats(postings: DataFrame, n_docs: int) -> tuple[int, float]:
+    """(N, avgdl). N counts ALL docs (incl. empty: they have doc_len 0 and
+    emit no postings, so sum(tf over postings) / N is exact)."""
+    total = postings.agg(F.sum("tf").alias("s")).collect()[0]["s"] or 0
+    return n_docs, (float(total) / n_docs if n_docs else 0.0)
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df, cf) — document frequency + collection frequency."""
+    return postings.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def idf_col(n_docs: int):
+    """Lucene BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)) over a df column."""
+    return F.log(
+        1.0 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+
+
+def bm25_scores(
+    postings: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Per-doc BM25 scores for a term list. Returns (doc_id, score).
+
+    Plan shape: term-filter (pushed to the scan when postings are stored
+    sorted-by-term parquet) → broadcast-join the q-term df table → partial
+    agg → one shuffle on doc_id.
+    """
+    if not terms:  # empty query -> empty result with the right schema
+        return (
+            postings.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+        )
+    matched = postings.filter(F.col("term").isin(terms))
+    dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
+    q = dfs.withColumn("idf", idf_col(n_docs)).select("term", "idf")
+    denom = F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl))
+    contrib = F.col("idf") * (F.col("tf") * (K1 + 1.0)) / denom
+    return (
+        matched.join(F.broadcast(q), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k: score desc (rounded to 9 dp) then doc_id asc.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject — per-partition
+    heaps + a k-row driver merge, NOT a global sort. This is the plan that
+    survives a 100× scale-up.
+    """
+    return (
+        scored.withColumn("score", F.round(F.col("score"), SCORE_NDIGITS))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_naive(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    postings: DataFrame | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """One-shot query over raw docs (test/oracle path). Production path
+    precomputes postings+stats once (see operators.segments)."""
+    if postings is None:
+        postings = build_postings(docs).cache()
+    if n_docs is None:
+        n_docs = docs.count()
+    if avgdl is None:
+        _, avgdl = corpus_stats(postings, n_docs)
+    return topk(bm25_scores(postings, terms, n_docs, avgdl), k)

@@ -1,0 +1,52 @@
+"""Transparent O(N) pure-pandas/Python BM25 oracle (SURVEY §5 plan item c).
+
+Scores every doc with the same formula as the engine (k1=1.2, b=0.75,
+Lucene idf), tie-breaks identically (score rounded to 9 dp desc, doc_id
+asc). Used by pytest for rank-identity; intentionally naive and readable.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from ..functions.tokenizer import tokenize_text
+from ..operators.postings import B, K1, SCORE_NDIGITS
+
+
+class BM25Oracle:
+    def __init__(self, docs: list[dict], id_key="doc_id", text_key="content", lang_key="lang"):
+        self.tfs: dict[int, Counter] = {}
+        self.doc_len: dict[int, int] = {}
+        for d in docs:
+            c = Counter(dict(tokenize_text(d[text_key], d.get(lang_key))))
+            self.tfs[d[id_key]] = c
+            self.doc_len[d[id_key]] = sum(c.values())
+        self.n_docs = len(docs)
+        self.avgdl = (sum(self.doc_len.values()) / self.n_docs) if self.n_docs else 0.0
+        self.df: Counter = Counter()
+        for c in self.tfs.values():
+            self.df.update(c.keys())
+
+    def idf(self, term: str) -> float:
+        df = self.df.get(term, 0)
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def score(self, doc_id: int, terms: list[str]) -> float:
+        s = 0.0
+        dl = self.doc_len[doc_id]
+        for t in terms:
+            tf = self.tfs[doc_id].get(t, 0)
+            if tf == 0:
+                continue
+            s += self.idf(t) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+        return s
+
+    def topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """[(doc_id, score)] — only docs matching ≥1 term, engine tie-break."""
+        hits = []
+        for did in self.tfs:
+            if any(self.tfs[did].get(t) for t in terms):
+                hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

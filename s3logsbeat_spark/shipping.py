@@ -1,0 +1,43 @@
+"""Ship this package to executor Python workers.
+
+On a cluster the job runs ``spark-submit --py-files s3logsbeat_spark.zip``.
+When the library is used from a plain SparkSession (driver smoke checks,
+notebooks), executor workers would not find the module — cloudpickle
+serializes our pandas-UDF functions *by reference* to the module name.
+``ensure_shipped`` zips the package once and registers it via
+``SparkContext.addPyFile`` — a no-op when already shipped or when the
+module is importable on workers anyway (same-host local mode with the
+repo on PYTHONPATH).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"s3logsbeat_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)

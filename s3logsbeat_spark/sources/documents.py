@@ -1,0 +1,58 @@
+"""Documents-table source.
+
+Canonical input shape (BASELINE.json input_hint): an Iceberg/parquet table
+``documents(repo, path, commit, lang, content)``. The sandbox has no Iceberg
+jars, so the loader is format-pluggable: parquet by default, Iceberg behind
+an import-try (same DataFrame downstream either way — the engine only sees
+the canonical schema). This is the Spark-side replacement for the
+reference's S3 discovery + download + gunzip stages
+(``/root/reference/aws/s3reader.go:39-94``, ``input/s3/input.go:55-73``):
+the table snapshot IS the work list, and codec/pruning are native.
+
+The driver's synthetic ``documents.parquet`` has a different column set
+(doc_id, text, lang, source, n_chars) — ``load_documents`` maps it onto the
+canonical schema per FIXTURES.md (text->content, source->repo, path derived).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CANONICAL_COLS = ("repo", "path", "commit", "lang", "content")
+
+
+def load_documents(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Load a documents table and normalize to the canonical schema.
+
+    Accepts: a parquet file/dir, an sf dir containing documents.parquet,
+    or (when Iceberg is on the classpath) a catalog table name.
+    """
+    df = _read_any(spark, path_or_table)
+    return normalize_documents(df)
+
+
+def _read_any(spark: SparkSession, src: str) -> DataFrame:
+    if src.endswith(".parquet") or "/" in src:
+        p = src if src.endswith(".parquet") else f"{src.rstrip('/')}/documents.parquet"
+        return spark.read.parquet(p)
+    try:  # Iceberg catalog table (cluster path; jars absent in sandbox)
+        return spark.read.format("iceberg").load(src)
+    except Exception:
+        return spark.read.table(src)
+
+
+def normalize_documents(df: DataFrame) -> DataFrame:
+    """Map driver-testdata columns onto the canonical schema; idempotent."""
+    cols = set(df.columns)
+    if {"text", "source"} <= cols and "content" not in cols:
+        df = (
+            df.withColumnRenamed("text", "content")
+            .withColumnRenamed("source", "repo")
+            .withColumn("path", F.concat(F.lit("doc/"), F.col("doc_id").cast("string")))
+            .withColumn("commit", F.substring(F.sha2(F.col("content"), 256), 1, 40))
+        )
+    for c in CANONICAL_COLS:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    return df

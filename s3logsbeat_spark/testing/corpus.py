@@ -1,0 +1,124 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1).
+
+Generates ``(repo, path, commit, lang, content, content_sha)`` rows with:
+Zipfian repo sizes (partition skew), Zipfian keyword frequencies (hot terms
+like ``return``/``int``/``def`` to exercise skew splitting), camelCase +
+snake_case identifiers, comments, string literals, plus the edge cases the
+reference's golden tests exercise (empty content, comment-only files,
+unicode identifiers, one very large file, duplicate (repo,path) at
+different commits, URL-encoded-looking strings).
+
+Pure-Python + seeded ``random.Random`` → byte-identical across runs and
+machines; the precomputed ``content_sha`` is the per-row ingest invariant
+the tests verify against Spark's ``sha2(content, 256)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+LANGS = ["java", "py", "go", "js", "c"]
+LANG_W = [0.3, 0.25, 0.15, 0.2, 0.1]
+EXT = {"java": ".java", "py": ".py", "go": ".go", "js": ".js", "c": ".c"}
+
+_HOT = ["return", "int", "def", "the", "i", "value", "data", "result", "x"]
+_IDENT_PARTS = [
+    "get", "set", "http", "response", "request", "parse", "token", "index",
+    "build", "merge", "query", "score", "doc", "term", "block", "max",
+    "count", "hash", "buffer", "stream", "read", "write", "node", "list",
+]
+_UNICODE_IDS = ["café_handler", "naïveParser", "übungMax"]
+
+_KW_LINE = {
+    "py": "def {f}({a}):\n    return {b} + {c}\n",
+    "java": "public static int {f}(int {a}) {{ return {b} + {c}; }}\n",
+    "go": "func {f}({a} int) int {{ return {b} + {c} }}\n",
+    "js": "function {f}({a}) {{ return {b} + {c}; }}\n",
+    "c": "int {f}(int {a}) {{ return {b} + {c}; }}\n",
+}
+_COMMENT = {"py": "#", "java": "//", "go": "//", "js": "//", "c": "//"}
+
+
+def _ident(rng: random.Random) -> str:
+    parts = rng.sample(_IDENT_PARTS, k=rng.randint(1, 3))
+    if rng.random() < 0.5:  # snake_case
+        return "_".join(parts)
+    return parts[0] + "".join(p.capitalize() for p in parts[1:])  # camelCase
+
+
+def _zipf_choice(rng: random.Random, items: list[str]) -> str:
+    # P(rank r) ∝ 1/r — guarantees hot head terms
+    n = len(items)
+    weights = [1.0 / (r + 1) for r in range(n)]
+    return rng.choices(items, weights=weights, k=1)[0]
+
+
+def _content(rng: random.Random, lang: str, n_lines: int) -> str:
+    out: list[str] = []
+    cm = _COMMENT[lang]
+    for _ in range(n_lines):
+        roll = rng.random()
+        if roll < 0.15:
+            out.append(f"{cm} {' '.join(_zipf_choice(rng, _HOT) for _ in range(rng.randint(2, 6)))}\n")
+        elif roll < 0.25:
+            out.append(f's = "{_zipf_choice(rng, _HOT)} literal %20%27";\n')
+        elif roll < 0.55:
+            out.append(
+                _KW_LINE[lang].format(
+                    f=_ident(rng), a=_ident(rng), b=_zipf_choice(rng, _HOT), c=_ident(rng)
+                )
+            )
+        else:
+            out.append(f"{_ident(rng)} = {_zipf_choice(rng, _HOT)}\n")
+    return "".join(out)
+
+
+def generate_corpus(n_docs: int = 200, seed: int = 42, n_repos: int = 12) -> list[dict]:
+    """Deterministic corpus; rows sorted by (repo, path, commit)."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for i in range(n_docs):
+        # Zipfian repo assignment → skewed repo sizes
+        repo = f"org/proj{int(len(_HOT) * rng.random() ** 2 * n_repos / len(_HOT)) % n_repos}"
+        lang = rng.choices(LANGS, weights=LANG_W, k=1)[0]
+        path = f"src/{_ident(rng)}/{_ident(rng)}{EXT[lang]}"
+        commit = hashlib.sha1(f"{repo}/{path}/{i}".encode()).hexdigest()
+        content = _content(rng, lang, rng.randint(20, 80))
+        rows.append(_row(repo, path, commit, lang, content))
+
+    rng2 = random.Random(seed + 1)
+    # Edge cases (FIXTURES.md F1)
+    rows.append(_row("org/edge", "empty.py", "0" * 40, "py", ""))
+    rows.append(_row("org/edge", "comments_only.c", "1" * 40, "c", "// just a comment\n// another # one\n"))
+    rows.append(_row("org/edge", "unicode.py", "2" * 40, "py", "\n".join(f"{u} = 1" for u in _UNICODE_IDS)))
+    rows.append(_row("org/edge", "big.java", "3" * 40, "java", _content(rng2, "java", 2000)))
+    dup = _content(rng2, "go", 30)
+    rows.append(_row("org/edge", "dup.go", "4" * 40, "go", dup))
+    rows.append(_row("org/edge", "dup.go", "5" * 40, "go", dup + "// v2\n"))
+    rows.append(_row("org/edge", "urlenc.js", "6" * 40, "js", 'u = "%20%27%2F" // attack%3Cscript%3E\n'))
+    rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+    return rows
+
+
+def _row(repo: str, path: str, commit: str, lang: str, content: str) -> dict:
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "content_sha": hashlib.sha256(content.encode()).hexdigest(),
+    }
+
+
+REFERENCE_QUERIES: list[dict] = [
+    # FIXTURES.md F2 mix — terms are post-tokenization forms
+    {"query_id": 0, "terms": ["return"], "k": 10},           # singleton hot
+    {"query_id": 1, "terms": ["gethttpresponse"], "k": 10},  # rare compound
+    {"query_id": 2, "terms": ["return", "übungmax"], "k": 10},  # hot+rare (WAND skip)
+    {"query_id": 3, "terms": ["zzz_not_in_corpus"], "k": 10},   # absent → empty
+    {"query_id": 4, "terms": ["py:def"], "k": 10},           # lang-tagged
+    {"query_id": 5, "terms": ["literal"], "k": 5},           # tie-inducing (same tf/len pattern)
+    {"query_id": 6, "terms": ["get", "http", "response", "parse"], "k": 10},  # 4-term
+]

@@ -1,0 +1,27 @@
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.session import get_spark
+from s3logsbeat_spark.testing.corpus import generate_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    sp = get_spark("tests", cores=8, shuffle_partitions=8)
+    yield sp
+
+
+@pytest.fixture(scope="session")
+def corpus_rows():
+    return generate_corpus(n_docs=200, seed=42)
+
+
+@pytest.fixture(scope="session")
+def corpus_df(spark, corpus_rows):
+    from s3logsbeat_spark.functions.hashing import with_ingest_columns
+
+    df = spark.createDataFrame(corpus_rows).drop("content_sha")
+    return with_ingest_columns(df).cache()

@@ -1,0 +1,79 @@
+"""End-to-end: build index over the synthetic corpus, run the reference
+query set, assert rank-identical top-k (docIDs + scores, atol 1e-9) vs the
+pure-pandas oracle (SURVEY §5 plan item c)."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.postings import (
+    bm25_topk_naive,
+    build_postings,
+    corpus_stats,
+)
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+from s3logsbeat_spark.testing.corpus import REFERENCE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def indexed(spark, corpus_df):
+    postings = build_postings(corpus_df).cache()
+    n = corpus_df.count()
+    _, avgdl = corpus_stats(postings, n)
+    return postings, n, avgdl
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+def test_ingest_sha_invariant(spark, corpus_rows, corpus_df):
+    """Per-row sha256(content) equality vs the generator's precomputed hash
+    (BASELINE.json input_hint invariant)."""
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["content_sha"]
+        for r in corpus_df.select("repo", "path", "commit", "content_sha").collect()
+    }
+    assert len(got) == len(corpus_rows)
+    for r in corpus_rows:
+        assert got[(r["repo"], r["path"], r["commit"])] == r["content_sha"]
+
+
+def test_doc_ids_partitioning_independent(spark, corpus_df):
+    a = sorted(r["doc_id"] for r in corpus_df.select("doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in corpus_df.repartition(17).select("doc_id").collect()
+    )
+    assert a == b
+    assert len(set(a)) == len(a)  # no collisions at test scale
+
+
+@pytest.mark.parametrize("q", REFERENCE_QUERIES, ids=lambda q: f"q{q['query_id']}")
+def test_rank_identity_vs_oracle(q, corpus_df, indexed, oracle):
+    postings, n, avgdl = indexed
+    got = bm25_topk_naive(
+        corpus_df, q["terms"], q["k"], postings=postings, n_docs=n, avgdl=avgdl
+    ).collect()
+    want = oracle.topk(q["terms"], q["k"])
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert abs(r["score"] - s) < 1e-9
+
+
+def test_absent_term_empty(corpus_df, indexed):
+    postings, n, avgdl = indexed
+    assert (
+        bm25_topk_naive(
+            corpus_df, ["zzz_not_in_corpus"], 10, postings=postings, n_docs=n, avgdl=avgdl
+        ).count()
+        == 0
+    )
+
+
+def test_stats(indexed, oracle):
+    _, n, avgdl = indexed
+    assert n == oracle.n_docs
+    assert abs(avgdl - oracle.avgdl) < 1e-9

@@ -1,0 +1,70 @@
+"""Replicates the driver's correctness gate locally: run every
+``__spark_entry__.queries()`` entry at sf0.01 AND its ``oracle_sql()``
+via DuckDB, compare row count + (sorted-by-name) column set + exact
+multiset of values. Stricter than the driver (exact float equality after
+the queries' own rounding)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _rows_to_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_vs_duckdb(spark, duck, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    sdf = q(spark, SF)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if sql is None:
+        assert len(srows) >= 0  # rows-only check (driver's weak path)
+        return
+    drel = duck.sql(sql)
+    drows = drel.fetchall()
+    dcols = [c for c in drel.columns]
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sm = _rows_to_multiset([[r[c] for c in scols] for r in srows], scols)
+    dm = _rows_to_multiset(drows, dcols)
+    if sm != dm:
+        diff = [(a, b) for a, b in zip(sm, dm) if a != b][:5]
+        raise AssertionError(f"{name}: value mismatch, first diffs {diff}")
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "doc_id" in df.columns and "score" in df.columns

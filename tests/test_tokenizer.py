@@ -1,0 +1,81 @@
+"""Tokenizer golden tests — the analogue of the reference's per-parser
+golden tests (/root/reference/logparser/s3alblogparser_test.go etc.):
+exact term/tf equality on hand-written snippets."""
+
+from __future__ import annotations
+
+from s3logsbeat_spark.functions.tokenizer import (
+    doc_terms,
+    split_subtokens,
+    tokenize_text,
+)
+
+
+def test_split_subtokens():
+    assert split_subtokens("getHttpResponse") == ["get", "Http", "Response"]
+    assert split_subtokens("snake_case_name") == ["snake", "case", "name"]
+    assert split_subtokens("HTTPServer") == ["HTTP", "Server"]
+    assert split_subtokens("simple") == []
+    assert split_subtokens("x") == []
+    assert split_subtokens("_private_var") == ["private", "var"]
+    assert split_subtokens("parseJSON2xml") == ["parse", "JSON2xml"]
+
+
+def test_golden_python_snippet():
+    text = "def getHttpResponse(req):\n    return req.value\n"
+    got = dict(tokenize_text(text, "py"))
+    assert got == {
+        "def": 1,
+        "py:def": 1,
+        "gethttpresponse": 1,
+        "get": 1,
+        "http": 1,
+        "response": 1,
+        "req": 2,
+        "return": 1,
+        "py:return": 1,
+        "value": 1,
+    }
+
+
+def test_golden_java_snippet():
+    text = "public static int maxCount = 0; // the maxCount counter"
+    got = dict(tokenize_text(text, "java"))
+    assert got["java:public"] == 1 and got["java:static"] == 1 and got["java:int"] == 1
+    assert got["maxcount"] == 2 and got["max"] == 2 and got["count"] == 2
+    assert got["the"] == 1 and got["counter"] == 1
+
+
+def test_empty_and_nonascii():
+    assert tokenize_text("", "py") == []
+    assert tokenize_text(None, "py") == []
+    # unicode identifiers: ASCII identifier fragments are still captured
+    got = dict(tokenize_text("café_handler = 1", "py"))
+    assert "handler" in got  # 'caf' + é breaks the token; 'handler' survives
+    # no lang -> no lang tags
+    assert "py:def" not in dict(tokenize_text("def f():", None))
+
+
+def test_unknown_lang_no_tags():
+    got = dict(tokenize_text("def f(): return 1", "rust"))
+    assert not any(k.startswith("rust:") for k in got)
+
+
+def test_doc_terms_matches_pure_python(spark, corpus_rows):
+    """Vectorized Spark path == pure-Python oracle path, term-for-term."""
+    sub = corpus_rows[:40]
+    df = spark.createDataFrame(
+        [(i, r["content"], r["lang"]) for i, r in enumerate(sub)],
+        "doc_id long, content string, lang string",
+    )
+    got = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in doc_terms(df).collect()
+    }
+    want = {}
+    for i, r in enumerate(sub):
+        toks = tokenize_text(r["content"], r["lang"])
+        dl = sum(tf for _, tf in toks)
+        for t, tf in toks:
+            want[(i, t)] = (tf, dl)
+    assert got == want
