@@ -133,6 +133,32 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL engine path: build compressed segments (delta+varbyte,
+    block-max metadata, per-bucket checkpoints), query with Block-Max
+    WAND. On the driver's word-soup corpus the code-aware tokenizer
+    degenerates to plain lowercase word tokens, so the DuckDB BM25 CTE is
+    an exact oracle for the full pipeline.
+    """
+    import hashlib
+    import tempfile
+
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+    from s3logsbeat_spark.operators.wand import IndexReader
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/s3lb_index_{tag}"
+    cfg = IndexConfig(out_dir=out, n_buckets=8, hot_df_threshold=20_000)
+    build_index(docs, cfg)  # resumable: no-op when the manifest is complete
+    rdr = IndexReader(spark, out)
+    top = rdr.query(BM25_TERMS, BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 analogue: per-row sha256 content id (the ingest invariant)."""
     return _docs(spark, sf_dir).select(
@@ -146,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "df_stats": q_df_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_wand": q_bm25_wand,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -194,6 +221,15 @@ ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 
+_BM25_WAND_SQL = _BM25_SQL.replace(
+    # the code-aware tokenizer's raw-token regex (identifiers can't start
+    # with a digit); camel/snake splits and lang tags are no-ops on the
+    # lowercase word-soup corpus, so this CTE is an exact oracle
+    "regexp_extract_all(lower(text), '[a-z0-9_]+')",
+    "regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')",
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_freq": f"""
@@ -217,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY term
         """,
         "bm25_topk": _BM25_SQL,
+        "bm25_wand": _BM25_WAND_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

@@ -1,0 +1,150 @@
+"""Delta + varbyte posting-list codec with block-max metadata.
+
+The compressed-segment layer our engine adds where the reference delegates
+to Lucene (SURVEY §2.5 "posting-list build"). Pure numpy, fully
+vectorized — this code runs inside ``applyInPandas`` workers, so per-value
+Python loops are banned.
+
+Layout per (term, salt) posting list:
+- ``docs``  : varbyte(delta(doc_ids))           (doc_ids strictly ascending)
+- ``tfs``   : varbyte(tfs)
+- ``dls``   : varbyte(doc_lens)                 (kept inline so scoring
+              needs no doc-length join — the segment is self-contained)
+- ``blocks``: per 128 docs: (last_doc, max_tf, min_dl, doc_off, tf_off,
+              dl_off, cnt) — byte offsets let a reader skip straight to a
+              block; (max_tf, min_dl) give the BM25 score upper bound for
+              block-max WAND (score is monotone ↑ in tf, ↓ in dl).
+
+Block independence: the first delta of each block is relative to the
+PREVIOUS BLOCK's last_doc (for block 0: relative to 0), so any block can
+be decoded knowing only the metadata row before it.
+
+Varbyte: little-endian 7-bit groups, high bit = continuation (classic
+Lucene/protobuf VInt).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 128
+
+_THRESH = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+
+def varbyte_encode(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 values -> (bytes uint8 array, per-value byte counts)."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = v.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # bytes needed per value: 1 + count of thresholds <= v
+    nb = 1 + (v[:, None] >= _THRESH[None, :]).sum(axis=1).astype(np.int64)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    for shift in range(10):
+        mask = nb > shift
+        if not mask.any():
+            break
+        byte = ((v[mask] >> np.uint64(7 * shift)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 > shift).astype(np.uint8) << 7
+        out[starts[mask] + shift] = byte | cont
+    return out, nb
+
+
+def varbyte_decode(buf: np.ndarray, offset: int = 0, count: int | None = None) -> np.ndarray:
+    """Decode `count` values starting at byte `offset` (None = all)."""
+    b = np.asarray(buf, dtype=np.uint8)[offset:]
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    if count is not None:
+        # truncate to exactly `count` values
+        end_idx = np.flatnonzero(is_end)
+        b = b[: end_idx[count - 1] + 1] if count > 0 else b[:0]
+        if count == 0:
+            return np.empty(0, dtype=np.uint64)
+        is_end = is_end[: b.size]
+    # value index per byte = #values ended strictly before this byte
+    val_idx = np.concatenate(([0], np.cumsum(is_end)[:-1]))
+    starts = np.concatenate(([0], np.flatnonzero(is_end)[:-1] + 1))
+    pos = np.arange(b.size, dtype=np.int64) - starts[val_idx]
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+    nvals = int(is_end.sum())
+    out = np.zeros(nvals, dtype=np.uint64)
+    np.add.at(out, val_idx, contrib)
+    return out
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> dict:
+    """Sorted doc_ids + aligned tfs/doc_lens -> segment-row payload dict."""
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    n = doc_ids.shape[0]
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = doc_ids[0]
+        np.subtract(
+            doc_ids[1:].view(np.uint64), doc_ids[:-1].view(np.uint64), out=deltas[1:]
+        )
+    doc_b, doc_nb = varbyte_encode(deltas)
+    tf_b, tf_nb = varbyte_encode(tfs.astype(np.uint64))
+    dl_b, dl_nb = varbyte_encode(dls.astype(np.uint64))
+
+    doc_ends = np.cumsum(doc_nb)
+    tf_ends = np.cumsum(tf_nb)
+    dl_ends = np.cumsum(dl_nb)
+    blocks = []
+    for s in range(0, n, BLOCK):
+        e = min(s + BLOCK, n)
+        blocks.append(
+            {
+                "last_doc": int(doc_ids[e - 1]),
+                "max_tf": int(tfs[s:e].max()),
+                "min_dl": int(dls[s:e].min()),
+                "doc_off": int(doc_ends[s - 1]) if s else 0,
+                "tf_off": int(tf_ends[s - 1]) if s else 0,
+                "dl_off": int(dl_ends[s - 1]) if s else 0,
+                "cnt": int(e - s),
+            }
+        )
+    return {
+        "df": n,
+        "cf": int(tfs.sum()),
+        "docs": doc_b.tobytes(),
+        "tfs": tf_b.tobytes(),
+        "dls": dl_b.tobytes(),
+        "blocks": blocks,
+    }
+
+
+def decode_posting_list(payload: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode: (doc_ids int64, tfs int64, dls int64)."""
+    doc_b = np.frombuffer(payload["docs"], dtype=np.uint8)
+    deltas = varbyte_decode(doc_b)
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    tfs = varbyte_decode(np.frombuffer(payload["tfs"], dtype=np.uint8)).astype(np.int64)
+    dls = varbyte_decode(np.frombuffer(payload["dls"], dtype=np.uint8)).astype(np.int64)
+    return doc_ids, tfs, dls
+
+
+def decode_block(payload: dict, block_idx: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single block independently (the WAND skip path)."""
+    blocks = payload["blocks"]
+    b = blocks[block_idx]
+    prev_last = blocks[block_idx - 1]["last_doc"] if block_idx else 0
+    doc_b = np.frombuffer(payload["docs"], dtype=np.uint8)
+    deltas = varbyte_decode(doc_b, offset=b["doc_off"], count=b["cnt"]).astype(np.int64)
+    deltas[0] += prev_last
+    doc_ids = np.cumsum(deltas)
+    tfs = varbyte_decode(
+        np.frombuffer(payload["tfs"], dtype=np.uint8), offset=b["tf_off"], count=b["cnt"]
+    ).astype(np.int64)
+    dls = varbyte_decode(
+        np.frombuffer(payload["dls"], dtype=np.uint8), offset=b["dl_off"], count=b["cnt"]
+    ).astype(np.int64)
+    return doc_ids, tfs, dls

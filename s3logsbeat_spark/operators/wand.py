@@ -1,0 +1,326 @@
+"""Top-k BM25 query execution over compressed segments: an exact
+vectorized TAAT kernel and a Block-Max WAND kernel (Ding & Suel's
+block-max pruning), plus the distributed per-bucket executor.
+
+Correctness contract (tested): both kernels and the distributed path are
+rank-identical to the pure-pandas oracle — ordering by
+(round(score, 9) desc, doc_id asc).
+
+Scale shape:
+- Segments are doc-hash bucketed, so every doc's postings live in one
+  bucket → per-bucket top-k is exact and the global answer is a k-row
+  merge per bucket (TakeOrderedAndProject-style, no global shuffle).
+- The segment scan is term-pruned (parquet min/max on the sorted term
+  column) — a query touches only its own terms' bytes.
+- WAND pruning uses per-block (max_tf, min_dl) upper bounds; an epsilon
+  guard keeps pruning safe under the 9-dp rounding used for tie-breaks.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .codec import decode_block, decode_posting_list
+from .postings import B, K1, SCORE_NDIGITS
+from .segments import load_segments, summarize_index
+
+_EPS = 1e-9
+
+
+def bm25_idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _contrib(tf, dl, idf: float, avgdl: float):
+    return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+class PostingList:
+    """One (term, salt) compressed sub-list + its scoring context."""
+
+    __slots__ = ("payload", "idf", "avgdl", "blocks", "last_docs", "ubs")
+
+    def __init__(self, payload: dict, idf: float, avgdl: float):
+        self.payload = payload
+        self.idf = idf
+        self.avgdl = avgdl
+        self.blocks = payload["blocks"]
+        self.last_docs = np.array([b["last_doc"] for b in self.blocks], dtype=np.int64)
+        # per-block score upper bound: max_tf with min_dl maximizes BM25
+        self.ubs = np.array(
+            [_contrib(b["max_tf"], b["min_dl"], idf, avgdl) for b in self.blocks]
+        )
+
+    def decode_all(self):
+        return decode_posting_list(self.payload)
+
+
+def score_exact_taat(lists: list[PostingList], k: int) -> list[tuple[int, float]]:
+    """Exact term-at-a-time scoring, fully vectorized (no pruning).
+
+    O(total postings) with numpy throughput — the per-bucket workhorse;
+    also the cross-check for the WAND kernel.
+    """
+    ids_all, contrib_all = [], []
+    for pl in lists:
+        d, t, l = pl.decode_all()
+        ids_all.append(d)
+        contrib_all.append(_contrib(t.astype(np.float64), l.astype(np.float64), pl.idf, pl.avgdl))
+    if not ids_all:
+        return []
+    ids = np.concatenate(ids_all)
+    contribs = np.concatenate(contrib_all)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    scores = np.zeros(uniq.shape[0])
+    np.add.at(scores, inv, contribs)
+    scores = np.round(scores, SCORE_NDIGITS)
+    if uniq.shape[0] > 4 * k:
+        # preselect ~4k candidates by score alone (argpartition is O(n)),
+        # keeping everything that could still tie into the top-k...
+        cut = np.argpartition(-scores, min(4 * k, uniq.shape[0] - 1))[: 4 * k + 1]
+        kth = np.sort(-scores[cut])[k - 1]
+        keep = np.flatnonzero(-scores <= kth)  # all docs scoring >= k-th best
+        uniq, scores = uniq[keep], scores[keep]
+    order = np.lexsort((uniq, -scores))
+    return [(int(uniq[i]), float(scores[i])) for i in order[:k]]
+
+
+class _Cursor:
+    """Doc-at-a-time cursor over one PostingList with block skipping."""
+
+    __slots__ = ("pl", "bi", "docs", "tfs", "dls", "pos", "exhausted")
+
+    def __init__(self, pl: PostingList):
+        self.pl = pl
+        self.bi = -1
+        self.exhausted = not pl.blocks
+        self.docs = self.tfs = self.dls = None
+        self.pos = 0
+        if not self.exhausted:
+            self._load_block(0)
+
+    def _load_block(self, bi: int):
+        self.bi = bi
+        self.docs, self.tfs, self.dls = decode_block(self.pl.payload, bi)
+        self.pos = 0
+
+    def cur_doc(self) -> int:
+        return int(self.docs[self.pos])
+
+    def block_ub(self) -> float:
+        return float(self.pl.ubs[self.bi])
+
+    def block_last(self) -> int:
+        return int(self.pl.last_docs[self.bi])
+
+    def advance_to(self, target: int) -> None:
+        """Move to first doc >= target (galloping: block index first)."""
+        if self.exhausted:
+            return
+        if self.pl.last_docs[self.bi] < target:
+            nbi = int(np.searchsorted(self.pl.last_docs, target, side="left"))
+            if nbi >= len(self.pl.blocks):
+                self.exhausted = True
+                return
+            self._load_block(nbi)
+        p = int(np.searchsorted(self.docs[self.pos :], target, side="left")) + self.pos
+        if p >= self.docs.shape[0]:  # target > all in block but <= last_doc impossible
+            self.exhausted = True
+            return
+        self.pos = p
+
+    def advance_past_block(self) -> None:
+        """Jump to the first doc of the next block (block-max skip)."""
+        if self.bi + 1 >= len(self.pl.blocks):
+            self.exhausted = True
+            return
+        self._load_block(self.bi + 1)
+
+    def score_and_next(self) -> float:
+        s = _contrib(float(self.tfs[self.pos]), float(self.dls[self.pos]), self.pl.idf, self.pl.avgdl)
+        self.pos += 1
+        if self.pos >= self.docs.shape[0]:
+            if self.bi + 1 < len(self.pl.blocks):
+                self._load_block(self.bi + 1)
+            else:
+                self.exhausted = True
+        return s
+
+
+def wand_topk(
+    lists: list[PostingList], k: int, stats: dict | None = None
+) -> list[tuple[int, float]]:
+    """Block-Max WAND top-k (disjunctive BM25).
+
+    Classic two-level pruning: term-level UBs pick the pivot; the pivot
+    is then re-checked against the *current blocks'* UBs, and on failure
+    cursors jump whole blocks. ``stats`` (optional dict) accumulates
+    ``docs_scored`` / ``blocks_skipped`` so tests can assert pruning
+    actually happens.
+    """
+    cursors = [_Cursor(pl) for pl in lists if pl.blocks]
+    cursors = [c for c in cursors if not c.exhausted]
+    term_ub = {id(c): float(c.pl.ubs.max()) for c in cursors}
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of the k best
+    st = stats if stats is not None else {}
+    st.setdefault("docs_scored", 0)
+    st.setdefault("blocks_skipped", 0)
+
+    while cursors:
+        cursors.sort(key=lambda c: c.cur_doc())
+        th = heap[0][0] if len(heap) >= k else -math.inf
+        # --- pivot: smallest prefix whose term-level UB sum can beat theta ---
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(cursors):
+            acc += term_ub[id(c)]
+            if acc > th + _EPS:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # even the full UB sum cannot beat theta -> done
+        pivot_doc = cursors[pivot_idx].cur_doc()
+
+        if cursors[0].cur_doc() == pivot_doc:
+            # all cursors at pivot_doc (sorted + first==pivot); include any
+            # later cursors that also sit exactly on pivot_doc
+            aligned = [c for c in cursors if c.cur_doc() == pivot_doc]
+            # --- block-max recheck: current blocks' UBs, not term UBs ---
+            bub = sum(c.block_ub() for c in aligned)
+            if len(heap) >= k and bub <= th + _EPS:
+                # skip to just past the shallowest aligned block boundary —
+                # capped at the first non-aligned cursor's doc, because from
+                # there on that list's UB joins the sum (Ding & Suel's
+                # GetNewCandidate)
+                target = max(pivot_doc + 1, min(c.block_last() for c in aligned) + 1)
+                beyond = [c.cur_doc() for c in cursors if c.cur_doc() > pivot_doc]
+                if beyond:
+                    target = min(target, min(beyond))
+                for c in aligned:
+                    c.advance_to(target)
+                st["blocks_skipped"] += 1
+            else:
+                s = 0.0
+                for c in aligned:
+                    s += c.score_and_next()
+                st["docs_scored"] += 1
+                key = (round(s, SCORE_NDIGITS), -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, key)
+                elif key > heap[0]:
+                    heapq.heapreplace(heap, key)
+            cursors = [c for c in cursors if not c.exhausted]
+        else:
+            # advance the lists before the pivot up to pivot_doc
+            for c in cursors[:pivot_idx]:
+                c.advance_to(pivot_doc)
+            cursors = [c for c in cursors if not c.exhausted]
+
+    out = sorted(heap, key=lambda x: (-x[0], -x[1]))
+    return [(-d, s) for s, d in out]
+
+
+# ----------------------------------------------------------- index reader --
+
+class IndexReader:
+    """Query executor over a built index directory."""
+
+    def __init__(self, spark: SparkSession, out_dir: str, merged: bool = False):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.summary = summarize_index(out_dir)
+        self.n_docs = self.summary["n_docs"]
+        self.avgdl = self.summary["avgdl"]
+        self._merged = merged
+
+    def _segment_rows(self, terms: list[str]) -> DataFrame:
+        return load_segments(self.spark, self.out_dir, terms)
+
+    def query(
+        self,
+        terms: list[str],
+        k: int = 10,
+        distributed: bool | None = None,
+        use_wand: bool = True,
+        driver_bytes_limit: int = 256 << 20,
+    ) -> list[tuple[int, float]]:
+        """Top-k BM25. Driver kernel when the pruned postings fit in
+        ``driver_bytes_limit``; otherwise a per-bucket distributed pass
+        with a k-row merge (buckets partition docs, so per-bucket top-k
+        is exact)."""
+        if not terms:
+            return []
+        rows_df = self._segment_rows(terms)
+        # exact global df per term: sum over (bucket, salt) sub-lists
+        dfs = {
+            r["term"]: r["s"]
+            for r in rows_df.groupBy("term").agg(F.sum("df").alias("s")).collect()
+        }
+        if not dfs:
+            return []
+        idf = {t: bm25_idf(self.n_docs, int(d)) for t, d in dfs.items()}
+        if distributed is None:
+            nbytes = rows_df.agg(
+                F.sum(F.length("docs") + F.length("tfs") + F.length("dls"))
+            ).collect()[0][0]
+            distributed = (nbytes or 0) > driver_bytes_limit
+        if not distributed:
+            lists = [
+                _row_to_plist(r, idf[r["term"]], self.avgdl)
+                for r in rows_df.collect()
+            ]
+            kern = wand_topk if use_wand else score_exact_taat
+            return kern(lists, k)
+        return self._query_distributed(rows_df, idf, k, use_wand)
+
+    def _query_distributed(self, rows_df, idf: dict, k: int, use_wand: bool):
+        import pandas as pd
+
+        avgdl = self.avgdl
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            lists = [
+                _row_to_plist(row, idf[row["term"]], avgdl)
+                for _, row in pdf.iterrows()
+            ]
+            kern = wand_topk if use_wand else score_exact_taat
+            top = kern(lists, k)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(self.spark)
+        per_b = rows_df.groupBy("bucket").applyInPandas(
+            per_bucket, schema="doc_id long, score double"
+        )
+        rows = (
+            per_b.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .collect()
+        )
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+
+def _row_to_plist(row, idf: float, avgdl: float) -> PostingList:
+    blocks = [
+        {
+            "last_doc": b["last_doc"], "max_tf": b["max_tf"], "min_dl": b["min_dl"],
+            "doc_off": b["doc_off"], "tf_off": b["tf_off"], "dl_off": b["dl_off"],
+            "cnt": b["cnt"],
+        }
+        for b in row["blocks"]
+    ]
+    payload = {
+        "docs": bytes(row["docs"]),
+        "tfs": bytes(row["tfs"]),
+        "dls": bytes(row["dls"]),
+        "blocks": blocks,
+    }
+    return PostingList(payload, idf, avgdl)

@@ -1,0 +1,86 @@
+"""Property tests for the delta+varbyte codec (FIXTURES.md F4)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from s3logsbeat_spark.operators.codec import (
+    BLOCK,
+    decode_block,
+    decode_posting_list,
+    encode_posting_list,
+    varbyte_decode,
+    varbyte_encode,
+)
+
+vals_st = st.lists(
+    st.integers(min_value=0, max_value=2**62 - 1), min_size=0, max_size=500
+)
+
+
+@given(vals_st)
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    buf, nb = varbyte_encode(arr)
+    out = varbyte_decode(buf)
+    assert out.tolist() == vals
+    assert nb.sum() == buf.size
+
+
+def test_varbyte_boundaries():
+    # 2^7 / 2^14 / 2^21 boundary gaps (FIXTURES F4)
+    vals = [0, 1, 127, 128, 16383, 16384, 2097151, 2097152, 2**62 - 1]
+    arr = np.array(vals, dtype=np.uint64)
+    buf, nb = varbyte_encode(arr)
+    assert nb.tolist() == [1, 1, 1, 2, 2, 3, 3, 4, 9]
+    assert varbyte_decode(buf).tolist() == vals
+
+
+docids_st = st.lists(
+    st.integers(min_value=0, max_value=2**50), min_size=1, max_size=700, unique=True
+).map(sorted)
+
+
+@given(
+    docids_st,
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=100, deadline=None)
+def test_posting_roundtrip(doc_ids, rng):
+    n = len(doc_ids)
+    tfs = np.array([rng.randint(1, 1000) for _ in range(n)], dtype=np.int64)
+    dls = np.array([rng.randint(1, 100000) for _ in range(n)], dtype=np.int64)
+    ids = np.array(doc_ids, dtype=np.int64)
+    p = encode_posting_list(ids, tfs, dls)
+    d, t, l = decode_posting_list(p)
+    assert d.tolist() == doc_ids
+    assert t.tolist() == tfs.tolist()
+    assert l.tolist() == dls.tolist()
+    # block metadata recomputed == stored
+    assert len(p["blocks"]) == (n + BLOCK - 1) // BLOCK
+    for j, b in enumerate(p["blocks"]):
+        s, e = j * BLOCK, min((j + 1) * BLOCK, n)
+        assert b["last_doc"] == doc_ids[e - 1]
+        assert b["max_tf"] == tfs[s:e].max()
+        assert b["min_dl"] == dls[s:e].min()
+        assert b["cnt"] == e - s
+        # independent block decode == slice of full decode
+        bd, bt, bl = decode_block(p, j)
+        assert bd.tolist() == doc_ids[s:e]
+        assert bt.tolist() == tfs[s:e].tolist()
+        assert bl.tolist() == dls[s:e].tolist()
+
+
+def test_singleton_and_dense_run():
+    for ids in ([5], list(range(1000, 1400))):
+        arr = np.array(ids, dtype=np.int64)
+        ones = np.ones(len(ids), dtype=np.int64)
+        p = encode_posting_list(arr, ones, ones * 7)
+        d, t, l = decode_posting_list(p)
+        assert d.tolist() == ids
+        # dense run compresses to ~1 byte/doc
+        if len(ids) > 1:
+            assert len(p["docs"]) <= len(ids) + 2

@@ -1,0 +1,216 @@
+"""Segment build + Block-Max WAND query integration tests, plus a
+spark-free kernel fuzz (WAND == exact TAAT on random posting lists)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from s3logsbeat_spark.operators.codec import encode_posting_list
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    merge_segments,
+    read_manifest,
+)
+from s3logsbeat_spark.operators.wand import (
+    IndexReader,
+    PostingList,
+    bm25_idf,
+    score_exact_taat,
+    wand_topk,
+)
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+from s3logsbeat_spark.testing.corpus import REFERENCE_QUERIES
+
+# ------------------------------------------------------- kernel-level fuzz --
+
+
+def _mk_lists(rng, n_terms, n_docs_universe, avgdl=50.0, n_corpus=1000):
+    lists = []
+    for _t in range(n_terms):
+        n = rng.randint(1, 400)
+        ids = np.array(sorted(rng.sample(range(n_docs_universe), n)), dtype=np.int64)
+        tfs = np.array([rng.randint(1, 20) for _ in range(n)], dtype=np.int64)
+        dls = np.array([rng.randint(5, 200) for _ in range(n)], dtype=np.int64)
+        payload = encode_posting_list(ids, tfs, dls)
+        idf = bm25_idf(n_corpus, n)
+        lists.append(PostingList(payload, idf, avgdl))
+    return lists
+
+
+@given(st.randoms(use_true_random=False), st.integers(1, 5), st.integers(1, 20))
+@settings(max_examples=60, deadline=None)
+def test_wand_equals_taat_fuzz(rng, n_terms, k):
+    lists = _mk_lists(rng, n_terms, n_docs_universe=2000)
+    exact = score_exact_taat(lists, k)
+    pruned = wand_topk(lists, k)
+    assert pruned == exact
+
+
+def test_wand_prunes_blocks():
+    """hot+rare conjunction: the hot list's blocks must actually be skipped."""
+    import random
+
+    rng = random.Random(7)
+    hot_ids = np.arange(0, 100_000, 2, dtype=np.int64)  # 50k docs
+    hot = encode_posting_list(
+        hot_ids,
+        np.ones(hot_ids.size, dtype=np.int64),
+        np.full(hot_ids.size, 100, dtype=np.int64),
+    )
+    rare_ids = np.array(sorted(rng.sample(range(0, 100_000, 2), 20)), dtype=np.int64)
+    rare = encode_posting_list(
+        rare_ids,
+        np.full(rare_ids.size, 5, dtype=np.int64),
+        np.full(rare_ids.size, 100, dtype=np.int64),
+    )
+    n_corpus = 120_000
+    lists = [
+        PostingList(hot, bm25_idf(n_corpus, hot_ids.size), 100.0),
+        PostingList(rare, bm25_idf(n_corpus, rare_ids.size), 100.0),
+    ]
+    stats: dict = {}
+    pruned = wand_topk(lists, 10, stats=stats)
+    exact = score_exact_taat(lists, 10)
+    assert pruned == exact
+    # term-level pruning: only the ~20 rare-doc candidates get scored,
+    # not the 50k hot postings
+    assert stats["docs_scored"] <= rare_ids.size + 10, stats
+
+
+def test_wand_block_skip_path():
+    """Single skewed-tf list: blocks whose max_tf UB can't beat theta are
+    skipped via the block-max recheck (blocks_skipped increments)."""
+    n = 100_000
+    ids = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[::1000] = 50  # one heavy doc per ~8 blocks
+    dls = np.full(n, 100, dtype=np.int64)
+    p = encode_posting_list(ids, tfs, dls)
+    lists = [PostingList(p, bm25_idf(n + 1000, n), 100.0)]
+    stats: dict = {}
+    pruned = wand_topk(lists, 10, stats=stats)
+    exact = score_exact_taat(lists, 10)
+    assert pruned == exact
+    # heap fills with ten tf=50 docs, theta reaches the term UB, WAND
+    # terminates after touching only the first ~9k docs: low-UB blocks
+    # skip via the block recheck, then the pivot test ends the scan
+    assert stats["blocks_skipped"] > 20, stats
+    assert stats["docs_scored"] < 2000, stats
+
+
+# ---------------------------------------------------- spark-level pipeline --
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("index"))
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10)
+    summary = build_index(corpus_df, cfg)
+    return out, cfg, summary
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+def test_manifest_metrics(built, corpus_df, oracle):
+    out, cfg, summary = built
+    assert summary["buckets"] == 4
+    assert summary["n_docs"] == corpus_df.count()
+    assert abs(summary["avgdl"] - oracle.avgdl) < 1e-9
+    for m in read_manifest(out):
+        assert m["status"] == "done"
+        assert m["postings_emitted"] > 0 and m["blocks_written"] > 0
+
+
+@pytest.mark.parametrize("q", REFERENCE_QUERIES, ids=lambda q: f"q{q['query_id']}")
+def test_segment_query_rank_identity(q, spark, built, oracle):
+    out, _, _ = built
+    rdr = IndexReader(spark, out)
+    got = rdr.query(q["terms"], q["k"])
+    want = oracle.topk(q["terms"], q["k"])
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_distributed_equals_driver(spark, built):
+    out, _, _ = built
+    rdr = IndexReader(spark, out)
+    for terms in (["return"], ["get", "http", "response", "parse"]):
+        a = rdr.query(terms, 10, distributed=False)
+        b = rdr.query(terms, 10, distributed=True)
+        assert a == b
+
+
+def test_resume_byte_identical(spark, corpus_df, tmp_path_factory, built):
+    """Kill-after-partial-build analogue: build only buckets {0,1} (by
+    pre-committing fake manifests for 2,3), then delete the fakes and
+    re-run — final segments byte-identical to a clean one-shot build."""
+    import os
+
+    out_full, _, _ = built
+    out = str(tmp_path_factory.mktemp("resume"))
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10)
+    # phase 1: pretend buckets 2 and 3 are done so only 0,1 build
+    os.makedirs(f"{out}/manifest", exist_ok=True)
+    for b in (2, 3):
+        with open(f"{out}/manifest/bucket-{b}.json", "w") as f:
+            f.write('{"bucket": %d, "status": "done", "docs_tokenized": 0, '
+                    '"doc_len_total": 0, "postings_emitted": 0, '
+                    '"blocks_written": 0, "terms": 0, "segment_id": "fake"}' % b)
+    build_index(corpus_df, cfg)
+    # phase 2: "redelivery" — drop the fake acks, resume
+    for b in (2, 3):
+        os.remove(f"{out}/manifest/bucket-{b}.json")
+    build_index(corpus_df, cfg)
+
+    a = _segment_fingerprint(spark, out)
+    b = _segment_fingerprint(spark, out_full)
+    assert a == b
+
+
+def _segment_fingerprint(spark, out):
+    df = spark.read.parquet(f"{out}/segments")
+    rows = df.select("bucket", "term", "salt", "df", "cf", "docs", "tfs", "dls").collect()
+    return sorted(
+        (r["bucket"], r["term"], r["salt"], r["df"], r["cf"],
+         bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]))
+        for r in rows
+    )
+
+
+def test_merge_idempotent_and_rank_identical(spark, built, oracle, tmp_path_factory):
+    out, _, _ = built
+    mdir = merge_segments(spark, out)
+    mdir2 = merge_segments(spark, out)  # idempotent re-run
+    assert mdir == mdir2
+    merged = spark.read.parquet(mdir)
+    # one row per (term) for mergeable terms
+    dup = merged.groupBy("term", "salt").count().filter("count > 1").count()
+    assert dup == 0
+    # querying the merged layout must give identical answers
+    from s3logsbeat_spark.operators.wand import _row_to_plist, bm25_idf, wand_topk
+
+    rdr = IndexReader(spark, out)
+    for q in REFERENCE_QUERIES:
+        rows = merged.filter(merged.term.isin(q["terms"])).collect()
+        if not rows:
+            assert oracle.topk(q["terms"], q["k"]) == []
+            continue
+        dfs: dict = {}
+        for r in rows:
+            dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+        lists = [
+            _row_to_plist(r, bm25_idf(rdr.n_docs, dfs[r["term"]]), rdr.avgdl)
+            for r in rows
+        ]
+        got = wand_topk(lists, q["k"])
+        want = oracle.topk(q["terms"], q["k"])
+        assert [d for d, _ in got] == [d for d, _ in want]
