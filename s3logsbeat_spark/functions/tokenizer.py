@@ -133,6 +133,7 @@ def doc_terms(
     id_col: str = "doc_id",
     text_col: str = "content",
     lang_col: str | None = "lang",
+    doc_markers: bool = False,
 ) -> DataFrame:
     """(id, text, lang) -> exploded postings rows (doc_id, term, tf, doc_len).
 
@@ -140,6 +141,11 @@ def doc_terms(
     aggregation AND the explode all happen inside one Arrow batch — the
     raw token stream never crosses a shuffle (SURVEY §2.5 'fully inside
     the tokenize UDF to avoid one shuffle').
+
+    ``doc_markers=True`` additionally emits one (doc_id, term=NULL, tf=0,
+    doc_len) row per input doc — including empty docs — so doc counts and
+    length stats come out of the SAME single pass over the raw content
+    (the raw table is never scanned twice).
     """
     from ..shipping import ensure_shipped
 
@@ -151,15 +157,19 @@ def doc_terms(
         memo = _WORKER_MEMO
         for pdf in batches:
             ids: list = []
-            terms: list[str] = []
+            terms: list[str | None] = []
             tfs: list[int] = []
             lens: list[int] = []
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             for did, text, lang in zip(pdf[id_col], pdf[text_col], langs):
                 counts = _count_terms(text or "", lang, memo)
                 dl = sum(counts.values())
-                # empty docs emit no postings; doc-length stats are built
-                # separately so they still count toward N/avgdl
+                if doc_markers:
+                    ids.append(did)
+                    terms.append(None)
+                    tfs.append(0)
+                    lens.append(dl)
+                # empty docs emit no posting rows (only a marker)
                 for t, c in counts.items():
                     ids.append(did)
                     terms.append(t)

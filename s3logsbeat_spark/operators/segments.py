@@ -39,7 +39,6 @@ Scale design:
 from __future__ import annotations
 
 import json
-import math
 import os
 from dataclasses import dataclass
 
@@ -49,7 +48,6 @@ from pyspark.sql import functions as F
 
 from ..shipping import ensure_shipped
 from .codec import encode_posting_list
-from .postings import build_postings
 
 SEGMENT_SCHEMA = (
     "bucket int, term string, salt int, df long, cf long, n_blocks int, "
@@ -65,6 +63,17 @@ class IndexConfig:
     n_buckets: int = 16
     hot_df_threshold: int = 50_000  # per-salt target posting-list length
     segment_version: str = "v1"
+    # Offset added to every bucket id — lets streaming micro-batches (or
+    # any later ingest generation) append their own disjoint bucket range
+    # without touching existing segments (streaming/ingest.py).
+    bucket_offset: int = 0
+    # Tokenize-stage parallelism floor. A small parquet input arrives as
+    # one split, which would serialize the (CPU-bound) tokenizer no matter
+    # how many cores the cluster has; at real scale the table has far more
+    # splits than cores and the floor never triggers (repartitioning raw
+    # content is a full shuffle — only worth it when the scan is narrower
+    # than the cluster). None = defaultParallelism.
+    min_input_partitions: int | None = None
 
 
 def _manifest_dir(out: str) -> str:
@@ -149,34 +158,62 @@ def build_index(
     spark = docs.sparkSession
     ensure_shipped(spark)
     nb = cfg.n_buckets
+    off = cfg.bucket_offset
     done = {m["bucket"] for m in read_manifest(cfg.out_dir) if m.get("status") == "done"}
-    todo = sorted(set(range(nb)) - done)
+    todo = sorted(set(range(off, off + nb)) - done)
     if not todo:
         return summarize_index(cfg.out_dir)
 
-    bucket_col = F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int")
+    bucket_col = (
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)).cast("int") + F.lit(off)
+    ).cast("int")
     work = docs.withColumn("bucket", bucket_col)
     if done:
         work = work.filter(F.col("bucket").isin(todo))
 
-    # per-bucket doc counts BEFORE tokenize (empty docs count toward N/avgdl)
-    bucket_docs = {
-        r["bucket"]: r["n"]
-        for r in work.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
+    min_parts = cfg.min_input_partitions or spark.sparkContext.defaultParallelism
+    if work.rdd.getNumPartitions() < min_parts:
+        work = work.repartition(min_parts)
 
-    postings = build_postings(work, id_col=id_col, text_col=text_col, lang_col=lang_col)
-    postings = postings.withColumn(
-        "bucket", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb)).cast("int")
+    # ONE pass over raw content: doc_markers=True makes the tokenizer also
+    # emit a (doc_id, term=NULL) row per doc (empty docs included), so doc
+    # counts, length stats, skew stats and the encode stage all feed off
+    # this single persisted mapInPandas output — the raw table is scanned
+    # exactly once.
+    from ..functions.tokenizer import doc_terms
+
+    tokenized = doc_terms(
+        work, id_col=id_col, text_col=text_col, lang_col=lang_col, doc_markers=True
+    ).withColumn(
+        "bucket",
+        (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb)).cast("int") + F.lit(off)).cast("int"),
     )
+    from pyspark import StorageLevel
 
-    # --- skew pass: exact per-(bucket, term) df (map-side combined). The
-    # salt decision must depend ONLY on the bucket's own data so a resumed
-    # run (different bucket subset) makes identical choices — that is what
-    # keeps re-builds byte-identical (tested in test_resume_byte_identical).
+    tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ONE stats agg over the tokenized stream serves both doc counts
+    # (marker rows, term NULL) and skew detection (per-(bucket,term) df) —
+    # map-side combined, output is only |buckets| x |vocab| rows.
+    stats = (
+        tokenized.groupBy("bucket", "term")
+        .agg(F.count("*").alias("bdf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bucket_docs = {
+        r["bucket"]: r["bdf"]
+        for r in stats.filter(F.col("term").isNull()).collect()
+    }
+    postings = tokenized.filter(F.col("term").isNotNull())
+
+    # --- skew split: the salt decision depends ONLY on the bucket's own
+    # data so a resumed run (different bucket subset) makes identical
+    # choices — that keeps re-builds byte-identical
+    # (test_resume_byte_identical).
     per_salt = cfg.hot_df_threshold
-    dfs = postings.groupBy("bucket", "term").agg(F.count("*").alias("bdf"))
-    hot = dfs.filter(F.col("bdf") > per_salt).withColumn(
+    hot = stats.filter(
+        F.col("term").isNotNull() & (F.col("bdf") > per_salt)
+    ).withColumn(
         "n_salts",
         F.ceil(F.col("bdf") / F.lit(per_salt)).cast("int"),
     ).select("bucket", "term", "n_salts")
@@ -202,6 +239,8 @@ def build_index(
         .partitionBy("bucket")
         .parquet(_segments_dir(cfg.out_dir))
     )
+    tokenized.unpersist()
+    stats.unpersist()
 
     # --- read-back ack (the reference acks only after publish succeeds) ---
     written = spark.read.parquet(_segments_dir(cfg.out_dir)).filter(

@@ -1,0 +1,203 @@
+"""Predefined parser registry — the P10 analogue of
+``/root/reference/logparser/logparser.go:20-34``.
+
+Specs are written from the PUBLIC AWS log-format documentation (ALB/ELB
+access logs, CloudFront standard logs, WAF JSON logs); kind choices mirror
+the reference's per-parser kind maps for parity (uint16 ports, float64
+timings, int16 status codes, int64 byte counts, URL-decoded request URL,
+``-``/``-1`` empty sentinels — ``s3alblogparser.go:9-31``,
+``s3elblogparser.go:9-33``, ``s3cloudfrontlogparser.go:9-34``, WAF
+``s3waflogparser.go:3-6``). The regexes are our own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .parsespec import ParseSpec
+
+_Q = r'"(?P<%s>[^"]*)"'
+
+ALB_SPEC = ParseSpec(
+    name="alb",
+    pattern=(
+        r"^(?P<type>[^ ]+) (?P<timestamp>[^ ]+) (?P<elb>[^ ]+)"
+        r" (?P<client_ip>[^ :]+):?(?P<client_port>\d+)?"
+        r" (?:(?P<target_ip>[^ :]+):?(?P<target_port>\d+)?)"
+        r" (?P<request_processing_time>[^ ]+) (?P<target_processing_time>[^ ]+)"
+        r" (?P<response_processing_time>[^ ]+) (?P<elb_status_code>[^ ]+)"
+        r" (?P<target_status_code>[^ ]+) (?P<received_bytes>[^ ]+)"
+        r" (?P<sent_bytes>[^ ]+)"
+        r' "(?P<request_method>[^ "]+) (?P<request_url>[^ "]+) (?P<request_proto>[^"]*)"'
+        r" " + (_Q % "user_agent") + r" (?P<ssl_cipher>[^ ]+) (?P<ssl_protocol>[^ ]+)"
+        r"(?: (?P<target_group_arn>[^ ]+))?(?: " + (_Q % "trace_id") + r")?"
+        r"(?: " + (_Q % "domain_name") + r")?(?: " + (_Q % "chosen_cert_arn") + r")?"
+        r"(?: (?P<matched_rule_priority>[^ ]+))?(?: (?P<request_creation_time>[^ ]+))?"
+        r"(?: " + (_Q % "actions_executed") + r")?(?: " + (_Q % "redirect_url") + r")?"
+        r"(?: " + (_Q % "error_reason") + r")?.*$"
+    ),
+    kinds={
+        "timestamp": "timeiso8601",
+        "client_port": "uint16",
+        "target_port": "uint16",
+        "request_processing_time": "float64",
+        "target_processing_time": "float64",
+        "response_processing_time": "float64",
+        "elb_status_code": "int16",
+        "target_status_code": "int16",
+        "received_bytes": "int64",
+        "sent_bytes": "int64",
+        "request_url": "urlencoded",
+        "matched_rule_priority": "int16",
+        "request_creation_time": "timeiso8601",
+    },
+    empty_values={
+        "target_ip": "-",
+        "request_processing_time": "-1",
+        "target_processing_time": "-1",
+        "response_processing_time": "-1",
+        "target_status_code": "-",
+        "ssl_cipher": "-",
+        "ssl_protocol": "-",
+        "user_agent": "-",
+        "redirect_url": "-",
+        "error_reason": "-",
+        "domain_name": "-",
+        "chosen_cert_arn": "-",
+        "matched_rule_priority": "-",
+        "actions_executed": "-",
+    },
+    timestamp_field="timestamp",
+)
+
+ELB_SPEC = ParseSpec(
+    name="elb",
+    pattern=(
+        r"^(?P<timestamp>[^ ]+) (?P<elb>[^ ]+)"
+        r" (?P<client_ip>[^ :]+):(?P<client_port>\d+)"
+        r" (?:(?P<backend_ip>[^ :]+):?(?P<backend_port>\d+)?)"
+        r" (?P<request_processing_time>[^ ]+) (?P<backend_processing_time>[^ ]+)"
+        r" (?P<response_processing_time>[^ ]+) (?P<elb_status_code>[^ ]+)"
+        r" (?P<backend_status_code>[^ ]+) (?P<received_bytes>[^ ]+)"
+        r" (?P<sent_bytes>[^ ]+)"
+        r' "(?P<request_method>[^ "]+) (?P<request_url>[^ "]+) (?P<request_proto>[^"]*)"'
+        r"(?: " + (_Q % "user_agent") + r")?(?: (?P<ssl_cipher>[^ ]+))?"
+        r"(?: (?P<ssl_protocol>[^ ]+))?.*$"
+    ),
+    kinds={
+        "timestamp": "timeiso8601",
+        "client_port": "uint16",
+        "backend_port": "uint16",
+        "request_processing_time": "float64",
+        "backend_processing_time": "float64",
+        "response_processing_time": "float64",
+        "elb_status_code": "int16",
+        "backend_status_code": "int16",
+        "received_bytes": "int64",
+        "sent_bytes": "int64",
+        "request_url": "urlencoded",
+    },
+    empty_values={
+        "backend_ip": "-",
+        "request_processing_time": "-1",
+        "backend_processing_time": "-1",
+        "response_processing_time": "-1",
+        "ssl_cipher": "-",
+        "ssl_protocol": "-",
+        "user_agent": "-",
+    },
+    timestamp_field="timestamp",
+)
+
+CLOUDFRONT_SPEC = ParseSpec(
+    name="cloudfront",
+    pattern=(
+        r"^(?P<ts>\d{4}-\d{2}-\d{2}\t\d{2}:\d{2}:\d{2})\t(?P<x_edge_location>[^\t]+)"
+        r"\t(?P<sc_bytes>[^\t]+)\t(?P<c_ip>[^\t]+)\t(?P<cs_method>[^\t]+)"
+        r"\t(?P<cs_host>[^\t]+)\t(?P<cs_uri_stem>[^\t]+)\t(?P<sc_status>[^\t]+)"
+        r"\t(?P<cs_referer>[^\t]+)\t(?P<cs_user_agent>[^\t]+)\t(?P<cs_uri_query>[^\t]+)"
+        r"\t(?P<cs_cookie>[^\t]+)\t(?P<x_edge_result_type>[^\t]+)"
+        r"\t(?P<x_edge_request_id>[^\t]+)\t(?P<x_host_header>[^\t]+)"
+        r"\t(?P<cs_protocol>[^\t]+)\t(?P<cs_bytes>[^\t]+)\t(?P<time_taken>[^\t]+)"
+        r"(?:\t.*)?$"
+    ),
+    kinds={
+        "ts": "time:2006-01-02\t15:04:05",
+        "sc_bytes": "int64",
+        "sc_status": "int16",
+        "cs_bytes": "int64",
+        "time_taken": "float64",
+        "cs_uri_stem": "deepurlencoded",
+        "cs_uri_query": "deepurlencoded",
+        "cs_user_agent": "deepurlencoded",
+    },
+    empty_values={
+        "cs_referer": "-",
+        "cs_cookie": "-",
+        "cs_uri_query": "-",
+        "cs_bytes": "-",
+        "time_taken": "-",
+        "sc_status": "000",
+    },
+    timestamp_field="ts",
+    ignore_line_re=r"^#",
+)
+
+FORMATS: dict[str, ParseSpec] = {
+    "alb": ALB_SPEC,
+    "elb": ELB_SPEC,
+    "cloudfront": CLOUDFRONT_SPEC,
+}
+
+
+def json_parse_lines(
+    lines: DataFrame,
+    schema: StructType | str,
+    timestamp_field: str | None = None,
+    timestamp_kind: str = "timeunixmilliseconds",
+    line_col: str = "value",
+) -> DataFrame:
+    """The JSON/WAF parser (P6; ``jsonlogparser.go:52-115``,
+    ``s3waflogparser.go:3-6``): per-line from_json against a declared
+    schema (int64 preservation comes free from declared LongType), invalid
+    JSON -> _error side channel, unix-millis (or ISO) timestamp lifted to
+    ``@timestamp``.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    from .kinds import kind_cast
+
+    line = F.col(line_col)
+    df = lines.filter(F.length(F.rtrim(line)) > 0)
+    # PERMISSIVE from_json yields an all-null row (not NULL) on bad JSON;
+    # a corrupt-record column makes the failure observable per line
+    if isinstance(schema, str):
+        schema_c = schema + ", _corrupt string"
+    else:
+        schema_c = StructType(list(schema.fields) + [StructField("_corrupt", StringType())])
+    parsed = F.from_json(line, schema_c, {"columnNameOfCorruptRecord": "_corrupt"})
+    err = F.when(parsed["_corrupt"].isNotNull(), F.lit("invalid JSON line"))
+    out = df.select(
+        line.alias("_raw"),
+        F.sha2(line, 256).alias("_id"),
+        err.alias("_error"),
+        F.when(err.isNull(), parsed).alias("_j"),
+    )
+    out = out.select("_raw", "_id", "_error", "_j.*").drop("_corrupt")
+    if timestamp_field:
+        raw_ts = F.col(timestamp_field).cast("string")
+        typed, invalid = kind_cast(raw_ts, timestamp_kind)
+        out = (
+            out.withColumn("@timestamp", typed)
+            .withColumn(
+                "_error",
+                F.coalesce(
+                    F.col("_error"),
+                    F.when(invalid, F.lit(f"cannot parse timestamp field {timestamp_field}")),
+                ),
+            )
+            .drop(timestamp_field)
+        )
+    return out

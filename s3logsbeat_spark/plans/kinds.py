@@ -1,0 +1,103 @@
+"""The reference's "kind" type system re-expressed as Spark casts with
+explicit validity predicates.
+
+Reference: ``/root/reference/logparser/kind.go:12-39`` (kind declarations)
+and ``kind.go:197-405`` (parse dispatch). Crucial semantic difference from
+bare Spark casts (SURVEY §2.2 P4): in the reference a cast failure rejects
+the WHOLE line (routed to the error handler, ``customlogparser.go:107-113``)
+— Spark's ``cast`` silently yields NULL. Every kind therefore contributes
+(typed_expr, invalid_predicate); the parse layer ORs the invalid
+predicates into the per-line ``_error`` side channel.
+
+Go-layout timestamps (``kind.go:182-188``): translated to JDK patterns via
+``go_layout_to_jdk`` (e.g. CloudFront's ``2006-01-02\t15:04:05``,
+``s3cloudfrontlogparser.go:11``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INT_BOUNDS = {
+    "int8": (-(2**7), 2**7 - 1),
+    "int16": (-(2**15), 2**15 - 1),
+    "int32": (-(2**31), 2**31 - 1),
+    "int64": (-(2**63), 2**63 - 1),
+    "uint8": (0, 2**8 - 1),
+    "uint16": (0, 2**16 - 1),
+    "uint32": (0, 2**32 - 1),
+    "uint64": (0, 2**63 - 1),  # clamped to signed-long range (doc'd in SURVEY §1.2)
+}
+_INT_SPARK_TYPE = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "uint8": "smallint", "uint16": "int", "uint32": "bigint", "uint64": "bigint",
+}
+
+_GO_TO_JDK = [
+    ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
+    ("04", "mm"), ("05", "ss"), (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"), (".000", ".SSS"), ("Z07:00", "XXX"),
+    ("-07:00", "XXX"), ("MST", "zzz"), ("Jan", "MMM"), ("Mon", "EEE"),
+]
+
+
+def go_layout_to_jdk(layout: str) -> str:
+    """Translate a Go reference-time layout to a JDK datetime pattern.
+
+    Covers the component vocabulary the predefined parsers use; unknown
+    literal text passes through quoted when it contains letters.
+    """
+    out = layout
+    for go, jdk in _GO_TO_JDK:
+        out = out.replace(go, jdk)
+    return out
+
+
+def kind_cast(raw: Column, kind: str) -> tuple[Column, Column]:
+    """(typed_column, invalid_predicate) for one field.
+
+    ``invalid_predicate`` is True when the raw (non-null) string cannot be
+    parsed as ``kind`` — the caller rejects the whole line (reference
+    semantics), it never silently NULLs.
+    """
+    present = raw.isNotNull()
+    if kind == "bool":
+        low = F.lower(raw)
+        # strconv.ParseBool accepts 1/t/T/TRUE/true/True/0/f/F/FALSE/false/False
+        ok = low.isin("1", "t", "true", "0", "f", "false")
+        typed = F.when(low.isin("1", "t", "true"), F.lit(True)).when(
+            low.isin("0", "f", "false"), F.lit(False)
+        )
+        return typed, present & ~ok
+    if kind in _INT_BOUNDS:
+        lo, hi = _INT_BOUNDS[kind]
+        # length-bounded so the decimal(20,0) cast can't overflow (ANSI
+        # mode throws instead of NULLing — rejection must stay per-line)
+        is_int = raw.rlike(r"^[+-]?[0-9]{1,19}$")
+        v = F.when(is_int, raw.cast("decimal(20,0)"))
+        in_range = (v >= lo) & (v <= hi)
+        typed = F.when(is_int & in_range, v.cast(_INT_SPARK_TYPE[kind]))
+        return typed, present & ~(is_int & F.coalesce(in_range, F.lit(False)))
+    if kind in ("float32", "float64"):
+        t = "float" if kind == "float32" else "double"
+        v = raw.try_cast(t)
+        return v, present & v.isNull()
+    if kind == "string":
+        return raw, F.lit(False)
+    if kind == "timeiso8601":
+        v = F.try_to_timestamp(raw)
+        return v, present & v.isNull()
+    if kind == "timeunixmilliseconds":
+        ms = F.when(raw.rlike(r"^[0-9]{1,17}(\.[0-9]+)?$"), raw.cast("double"))
+        v = F.timestamp_millis(ms.cast("long"))
+        return v, present & v.isNull()
+    if kind.startswith("time:"):
+        pat = go_layout_to_jdk(kind[5:])
+        v = F.try_to_timestamp(raw, F.lit(pat))
+        return v, present & v.isNull()
+    if kind in ("urlencoded", "deepurlencoded"):
+        # handled by the parse layer with an Arrow-batched UDF (Go's
+        # QueryUnescape can fail -> line rejected); kind_cast only types it
+        return raw, F.lit(False)
+    raise ValueError(f"unknown kind: {kind}")

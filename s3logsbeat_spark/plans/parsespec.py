@@ -1,0 +1,160 @@
+"""Generic declarative parse layer: one (regex, kinds, sentinels,
+timestamp) spec drives the whole P1–P11 pipeline of the reference
+(``/root/reference/logparser/customlogparser.go:81-127``) as Spark
+expressions:
+
+P1 regex extract      -> regexp_extract per named group (JVM, codegen)
+P2 line-ignore filter -> filter(~rlike) + blank-line skip
+P3 empty-value nulling-> when(raw == sentinel, NULL)
+P4 typed cast         -> kinds.kind_cast with explicit rejection predicate
+P5 timestamp lift     -> '@timestamp' column + payload field dropped
+P7 sha content id     -> sha2(line, 256) AS _id  (reference: sha1 hex)
+P11 error side channel-> '_error' column; error lines KEPT (split off by
+                         the caller), never silently dropped
+
+The reference's per-object key-regex enrichment (P8,
+``pipeline/s3readerinformation.go:38-56``) is ``enrich_from_path``.
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.parse
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from .kinds import kind_cast
+
+
+@dataclass
+class ParseSpec:
+    name: str
+    pattern: str                         # named-group regex (whole line)
+    kinds: dict[str, str] = field(default_factory=dict)       # field -> kind
+    empty_values: dict[str, str] = field(default_factory=dict)  # field -> sentinel
+    timestamp_field: str | None = None
+    timestamp_kind: str = "timeiso8601"
+    ignore_line_re: str | None = None    # e.g. CloudFront '^#'
+
+    def group_names(self) -> list[str]:
+        return [g for g in re.compile(self.pattern).groupindex]
+
+
+def _url_unescape_udf(deep: bool):
+    @F.pandas_udf(StringType())
+    def unescape(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                prev, cur = v, _unquote_strict(v)
+                if deep:
+                    while cur != prev:
+                        prev, cur = cur, _unquote_strict(cur)
+                return cur
+            except ValueError:
+                return None  # signals rejection; raw was non-null
+
+        return s.map(one)
+
+    return unescape
+
+
+def _unquote_strict(v: str) -> str:
+    # Go's url.QueryUnescape errors on malformed %-escapes; urllib silently
+    # passes them through — re-impose strictness
+    if re.search(r"%(?![0-9A-Fa-f]{2})", v):
+        raise ValueError("invalid URL escape")
+    return urllib.parse.unquote(v)
+
+
+def parse_lines(lines: DataFrame, spec: ParseSpec, line_col: str = "value") -> DataFrame:
+    """Lines -> typed rows + ``_error`` side channel.
+
+    Output: one row per non-ignored line; ``_error`` NULL for good rows,
+    else a message (the reference's ``eh(line, err)``); typed fields are
+    NULL on error rows. ``_raw`` keeps the original line, ``_id`` its
+    sha256 (P7). Callers split with ``.filter("_error is null")`` and count
+    errors via ``observe``/agg — errors never abort the job (reference:
+    only reader I/O errors abort, ``customlogparser.go:90-92``).
+    """
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(lines.sparkSession)  # URL-decode UDF runs on workers
+    line = F.col(line_col)
+    df = lines.filter(F.length(F.rtrim(line)) > 0)  # blank-line skip (S9)
+    if spec.ignore_line_re:
+        df = df.filter(~line.rlike(spec.ignore_line_re))
+
+    # Specs use Python (?P<name>...) syntax; the JVM regex engine gets
+    # plain positional groups (Java group names reject underscores), and
+    # fields resolve by position via Python's groupindex.
+    jvm_pattern = re.sub(r"\(\?P<[^>]+>", "(", spec.pattern)
+    matches = line.rlike(jvm_pattern)
+    groups = spec.group_names()
+    idx = dict(re.compile(spec.pattern).groupindex)
+
+    errors: list[Column] = [
+        F.when(~matches, F.lit(f"line does not match {spec.name} pattern"))
+    ]
+    typed_cols: dict[str, Column] = {}
+    for g in groups:
+        raw = F.when(matches, F.regexp_extract(line, jvm_pattern, idx[g]))
+        raw = F.when(raw == "", F.lit(None)).otherwise(raw)  # unmatched/empty group dropped
+        sentinel = spec.empty_values.get(g)
+        if sentinel is not None:
+            raw = F.when(raw == sentinel, F.lit(None)).otherwise(raw)
+        kind = spec.kinds.get(g, "string")
+        if kind in ("urlencoded", "deepurlencoded"):
+            decoded = _url_unescape_udf(deep=(kind == "deepurlencoded"))(raw)
+            errors.append(
+                F.when(
+                    raw.isNotNull() & decoded.isNull(),
+                    F.lit(f"invalid URL escape in field {g}"),
+                )
+            )
+            typed_cols[g] = decoded
+        else:
+            typed, invalid = kind_cast(raw, kind)
+            errors.append(F.when(invalid, F.lit(f"cannot parse field {g} as {kind}")))
+            typed_cols[g] = typed
+
+    err = F.coalesce(*errors) if len(errors) > 1 else errors[0]
+    out = df.select(
+        line.alias("_raw"),
+        F.sha2(line, 256).alias("_id"),
+        err.alias("_error"),
+        *[
+            F.when(err.isNull(), c).alias(g)  # reject whole line on any error
+            for g, c in typed_cols.items()
+        ],
+    )
+    if spec.timestamp_field:
+        ts_field = spec.timestamp_field
+        if ts_field in typed_cols:
+            out = out.withColumn("@timestamp", F.col(ts_field)).drop(ts_field)  # P5 lift
+    return out
+
+
+def split_errors(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good_rows, error_rows) — the P11 split."""
+    return parsed.filter("_error is null").drop("_error"), parsed.filter(
+        "_error is not null"
+    ).select("_raw", "_error")
+
+
+def enrich_from_path(df: DataFrame, key_regex: str, path_col: str = "path") -> DataFrame:
+    """P8: named-group regex over the object key/path, merged into every
+    row. Constant per file, so Catalyst computes it from the (already
+    present) path column without any extra IO."""
+    idx = dict(re.compile(key_regex).groupindex)
+    jvm_pattern = re.sub(r"\(\?P<[^>]+>", "(", key_regex)
+    out = df
+    for g, i in idx.items():
+        v = F.regexp_extract(F.col(path_col), jvm_pattern, i)
+        out = out.withColumn(g, F.when(v == "", F.lit(None)).otherwise(v))
+    return out

@@ -37,10 +37,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Tokenization is ~100x more CPU per input byte than a typical
+        # columnar scan; the 128MB default split packs a whole small corpus
+        # into a handful of tasks and serializes the CPU-bound stage.
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill on tmpfs when available: the sandbox's /tmp is one
+    # spinning-ish disk, which serializes shuffle IO and masks CPU scaling.
+    # On a real cluster spark.local.dir is per-node NVMe — tmpfs is the
+    # local-mode equivalent. Harmless to omit (falls back to default).
+    if os.path.isdir("/dev/shm"):
+        local_dir = f"/dev/shm/spark-local-{os.getuid()}"
+        os.makedirs(local_dir, exist_ok=True)
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,65 @@
+"""S3-event notification extraction — the S6 analogue
+(``/root/reference/aws/sqsmessages3event.go:42-63``).
+
+The reference JSON-decodes each SQS message body, keeps records with
+``eventSource == "aws:s3"`` and ``eventName`` starting ``ObjectCreated:``,
+URL-unescapes the object key, and flat-maps Records into S3Object work
+items. Same dataflow here, declaratively: from_json -> explode(Records)
+-> filter -> url_decode. Works identically over a batch DataFrame of
+message bodies or a streaming one (readStream source) — the Spark plan is
+the same; only the source differs (the reference needs two different
+worker pools for that, ``pipeline/sqsconsumer.go`` vs ``s3lister.go``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+S3_EVENT_SCHEMA = (
+    "Records array<struct<"
+    "eventSource string, eventName string, "
+    "s3 struct<bucket struct<name string>, object struct<key string, size bigint>>"
+    ">>"
+)
+
+
+def extract_new_objects(messages: DataFrame, body_col: str = "body") -> DataFrame:
+    """SQS message bodies -> (bucket, key, size) rows for created objects.
+
+    Invalid JSON bodies and non-S3/non-ObjectCreated records are dropped,
+    matching the reference's behavior (it logs and skips,
+    ``sqsmessages3event_test.go`` invalid-body cases).
+    """
+    parsed = messages.select(
+        F.col(body_col).alias("_body"),
+        F.from_json(F.col(body_col), S3_EVENT_SCHEMA).alias("j"),
+    )
+    recs = parsed.select(F.explode_outer("j.Records").alias("r")).filter(
+        (F.col("r.eventSource") == "aws:s3")
+        & F.col("r.eventName").startswith("ObjectCreated:")
+    )
+    return recs.select(
+        F.col("r.s3.bucket.name").alias("bucket"),
+        # S3 keys arrive URL-encoded in event notifications ('+' for space)
+        F.url_decode(F.regexp_replace(F.col("r.s3.object.key"), r"\+", "%20")).alias("key"),
+        F.col("r.s3.object.size").alias("size"),
+    )
+
+
+def filter_time_range(
+    objects: DataFrame,
+    since=None,
+    to=None,
+    ts_col: str = "last_modified",
+) -> DataFrame:
+    """The S7 analogue (``pipeline/s3lister.go:70-83``): keep
+    since < LastModified < to. On a real lake this predicate prunes
+    partitions/snapshots before any download happens — the pushdown the
+    reference hand-implements."""
+    out = objects
+    if since is not None:
+        out = out.filter(F.col(ts_col) > F.lit(since))
+    if to is not None:
+        out = out.filter(F.col(ts_col) < F.lit(to))
+    return out

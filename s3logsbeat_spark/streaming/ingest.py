@@ -1,0 +1,105 @@
+"""Streaming ingest — the E1 daemon path re-expressed as Structured
+Streaming (``/root/reference/beater/s3logsbeat.go:39-180``).
+
+The reference's topology (SQS poll -> extract S3 objects -> download ->
+parse -> publish -> ack/delete) maps to:
+
+- poll tick        -> file-source ``readStream`` with ``maxFilesPerTrigger``
+                      (the X1 bounded-channel backpressure analogue: at most
+                      N new objects per micro-batch)
+- download+gunzip  -> ``spark.readStream.text`` (codec by extension)
+- parse            -> ``plans.parse_lines`` (identical plan as batch)
+- publish          -> ``foreachBatch`` sink (parquet/console/index append)
+- ack/delete       -> checkpointLocation: a micro-batch that fails is
+                      replayed; committed batches are never re-read —
+                      exactly the at-least-once + idempotent-write
+                      contract the reference builds by hand with SQS
+                      visibility timeouts + content-hash ids
+                      (``README.md:63-88``)
+
+``stream_index_append`` incrementally extends the inverted index: each
+micro-batch is tokenized and its postings appended as new bucket-suffixed
+segment rows; readers merge sub-lists per term natively, so appends never
+rewrite existing segments (Lucene-style segment accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from ..plans.parsespec import ParseSpec, parse_lines, split_errors
+
+
+def stream_parse_files(
+    spark: SparkSession,
+    path: str,
+    spec: ParseSpec,
+    max_files_per_trigger: int = 10,
+) -> DataFrame:
+    """readStream.text(path) -> parsed typed stream with _error channel."""
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return parse_lines(lines, spec)
+
+
+def start_to_parquet(
+    parsed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    error_dir: str | None = None,
+) -> StreamingQuery:
+    """Publish sink (K1): good rows to parquet, error rows to a side sink
+    (P11). foreachBatch gives one atomic commit per micro-batch."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        good, errs = split_errors(batch_df.persist())
+        good.write.mode("append").parquet(out_dir)
+        if error_dir is not None:
+            errs.write.mode("append").parquet(error_dir)
+        batch_df.unpersist()
+
+    return (
+        parsed.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def stream_index_append(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+) -> StreamingQuery:
+    """Incremental index build over a stream of documents.
+
+    Each micro-batch becomes its own segment generation: bucket ids are
+    offset by (epoch+1) * n_buckets, so batch segments never collide with
+    existing ones and the write stays append-only + idempotent per epoch
+    (a replayed epoch overwrites exactly its own bucket range via dynamic
+    partition overwrite). The query side reads sub-lists per term across
+    all generations transparently.
+    """
+    from ..operators.segments import IndexConfig, build_index
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cfg = IndexConfig(
+            out_dir=out_dir,
+            n_buckets=n_buckets,
+            segment_version=f"e{epoch_id}",
+            bucket_offset=(int(epoch_id) + 1) * n_buckets,
+        )
+        build_index(batch_df, cfg)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -1,0 +1,218 @@
+"""Golden tests for the parse-parity layer — modeled on the reference's
+per-parser golden tests (``logparser/s3alblogparser_test.go`` etc.):
+exact field/type/timestamp equality plus error-line routing. Sample lines
+composed from the public AWS log-format documentation.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from s3logsbeat_spark.plans.formats import (
+    ALB_SPEC,
+    CLOUDFRONT_SPEC,
+    ELB_SPEC,
+    json_parse_lines,
+)
+from s3logsbeat_spark.plans.kinds import go_layout_to_jdk, kind_cast
+from s3logsbeat_spark.plans.parsespec import (
+    ParseSpec,
+    enrich_from_path,
+    parse_lines,
+    split_errors,
+)
+
+UTC = datetime.timezone.utc
+
+ALB_LINE = (
+    'https 2018-07-02T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+    '192.168.131.39:2817 10.0.0.1:80 0.086 0.048 0.037 200 200 34 366 '
+    '"GET https://www.example.com:443/search?q=a%20b HTTP/1.1" '
+    '"curl/7.46.0" ECDHE-RSA-AES128-GCM-SHA256 TLSv1.2 '
+    'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+    '"Root=1-58337281-1d84f3d73c47ec4e58577259" "www.example.com" '
+    '"arn:aws:acm:us-east-2:123456789012:certificate/12345678-1234-1234-1234-123456789012" '
+    '0 2018-07-02T22:22:48.364000Z "forward" "-" "-"'
+)
+
+ALB_EMPTYVALS_LINE = (
+    'http 2018-11-30T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+    '192.168.131.39:2817 - -1 -1 -1 503 - 34 366 '
+    '"GET http://www.example.com:80/ HTTP/1.1" "-" - - '
+    'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+    '"Root=1-58337364-23a8c76965a2ef7629b185e3" "-" "-" '
+    '0 2018-11-30T22:22:48.364000Z "forward" "-" "-"'
+)
+
+ELB_LINE = (
+    '2015-05-13T23:39:43.945958Z my-loadbalancer 192.168.131.39:2817 '
+    '10.0.0.1:80 0.000073 0.001048 0.000057 200 200 0 29 '
+    '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.38.0" - -'
+)
+
+CF_HEADER1 = "#Version: 1.0"
+CF_HEADER2 = (
+    "#Fields: date time x-edge-location sc-bytes c-ip cs-method cs(Host) "
+    "cs-uri-stem sc-status cs(Referer) cs(User-Agent) cs-uri-query cs(Cookie) "
+    "x-edge-result-type x-edge-request-id x-host-header cs-protocol cs-bytes time-taken"
+)
+CF_LINE = (
+    "2014-05-23\t01:13:11\tFRA2\t182\t192.0.2.10\tGET\td111111abcdef8.cloudfront.net"
+    "\t/view/my/file.html\t200\twww.displaymyfiles.com\tMozilla/4.0%2520(compatible;)"
+    "\t-\tzip=98101\tRefreshHit\tMRVMF7KydIvxMWfJIglgwHQwZsbG2IhRJ07sn9AkKUFSHS9EXAMPLE=="
+    "\td111111abcdef8.cloudfront.net\thttp\t-\t0.001"
+)
+
+
+@pytest.fixture()
+def lines_df(spark):
+    def mk(*lines):
+        return spark.createDataFrame([(l,) for l in lines], "value string")
+
+    return mk
+
+
+def _one_good(spark, df_lines, spec):
+    parsed = parse_lines(df_lines, spec)
+    good, errs = split_errors(parsed)
+    grows = good.collect()
+    erows = errs.collect()
+    assert erows == [], [e["_error"] for e in erows]
+    assert len(grows) == 1
+    return grows[0].asDict()
+
+
+def test_alb_golden(spark, lines_df):
+    r = _one_good(spark, lines_df(ALB_LINE), ALB_SPEC)
+    assert r["@timestamp"] == datetime.datetime(2018, 7, 2, 22, 23, 0, 186641)
+    assert r["type"] == "https"
+    assert r["client_ip"] == "192.168.131.39" and r["client_port"] == 2817
+    assert r["target_ip"] == "10.0.0.1" and r["target_port"] == 80
+    assert isinstance(r["request_processing_time"], float)
+    assert r["request_processing_time"] == 0.086
+    assert r["elb_status_code"] == 200 and r["target_status_code"] == 200
+    assert r["received_bytes"] == 34 and r["sent_bytes"] == 366
+    # URL-decoded request url (the %20)
+    assert r["request_url"] == "https://www.example.com:443/search?q=a b"
+    assert r["user_agent"] == "curl/7.46.0"
+    assert r["matched_rule_priority"] == 0
+    assert r["request_creation_time"] == datetime.datetime(2018, 7, 2, 22, 22, 48, 364000)
+    assert r["actions_executed"] == "forward"
+    assert r["redirect_url"] is None and r["error_reason"] is None
+
+
+def test_alb_empty_values(spark, lines_df):
+    r = _one_good(spark, lines_df(ALB_EMPTYVALS_LINE), ALB_SPEC)
+    # '-'/-1 sentinels become omitted fields (NULL), not parse errors
+    assert r["target_ip"] is None and r["target_port"] is None
+    assert r["request_processing_time"] is None
+    assert r["target_processing_time"] is None
+    assert r["target_status_code"] is None
+    assert r["ssl_cipher"] is None and r["ssl_protocol"] is None
+    assert r["user_agent"] is None
+    assert r["elb_status_code"] == 503
+
+
+def test_alb_error_lines(spark, lines_df):
+    bad_ts = ALB_LINE.replace("2018-07-02T22:23:00.186641Z", "not-a-time", 1)
+    garbage = "complete garbage that matches nothing"
+    parsed = parse_lines(lines_df(bad_ts, garbage, ALB_LINE), ALB_SPEC)
+    good, errs = split_errors(parsed)
+    assert good.count() == 1
+    e = {r["_raw"]: r["_error"] for r in errs.collect()}
+    assert "cannot parse field timestamp" in e[bad_ts]
+    assert "does not match" in e[garbage]
+
+
+def test_elb_golden(spark, lines_df):
+    r = _one_good(spark, lines_df(ELB_LINE), ELB_SPEC)
+    assert r["@timestamp"] == datetime.datetime(2015, 5, 13, 23, 39, 43, 945958)
+    assert r["backend_ip"] == "10.0.0.1" and r["backend_port"] == 80
+    assert r["backend_processing_time"] == 0.001048
+    assert r["received_bytes"] == 0 and r["sent_bytes"] == 29
+    assert r["ssl_cipher"] is None and r["ssl_protocol"] is None
+
+
+def test_cloudfront_headers_ignored_and_golden(spark, lines_df):
+    parsed = parse_lines(lines_df(CF_HEADER1, CF_HEADER2, CF_LINE), CLOUDFRONT_SPEC)
+    good, errs = split_errors(parsed)
+    assert errs.count() == 0
+    rows = good.collect()
+    assert len(rows) == 1  # header lines ignored (P2)
+    r = rows[0].asDict()
+    assert r["@timestamp"] == datetime.datetime(2014, 5, 23, 1, 13, 11)
+    assert r["sc_bytes"] == 182 and r["sc_status"] == 200
+    assert r["time_taken"] == 0.001
+    # deep URL decode: %2520 -> %20 -> ' '
+    assert r["cs_user_agent"] == "Mozilla/4.0 (compatible;)"
+    assert r["cs_uri_query"] is None  # '-' sentinel
+    assert r["cs_bytes"] is None  # '-' sentinel on an int field
+
+
+def test_json_parser(spark, lines_df):
+    schema = (
+        "timestamp string, action string, httpRequest struct<clientIp:string,"
+        "country:string, headers:array<struct<name:string,value:string>>>, "
+        "responseCodeSent bigint"
+    )
+    good_line = (
+        '{"timestamp": 1576280412771, "action": "ALLOW", '
+        '"httpRequest": {"clientIp": "192.0.2.1", "country": "AU", '
+        '"headers": [{"name": "Host", "value": "example.com"}]}, '
+        '"responseCodeSent": 200}'
+    )
+    bad_line = "{this is not json"
+    out = json_parse_lines(
+        lines_df(good_line, bad_line), schema, timestamp_field="timestamp"
+    )
+    good, errs = out.filter("_error is null"), out.filter("_error is not null")
+    r = good.collect()[0].asDict()
+    assert r["action"] == "ALLOW"
+    assert r["httpRequest"]["clientIp"] == "192.0.2.1"
+    assert r["httpRequest"]["headers"][0]["name"] == "Host"
+    assert r["responseCodeSent"] == 200  # int64 preserved
+    assert r["@timestamp"] == datetime.datetime(2019, 12, 13, 23, 40, 12, 771000)
+    assert errs.count() == 1
+
+
+def test_sha256_id_golden(spark, lines_df):
+    import hashlib
+
+    parsed = parse_lines(lines_df(ELB_LINE), ELB_SPEC)
+    r = parsed.collect()[0]
+    assert r["_id"] == hashlib.sha256(ELB_LINE.encode()).hexdigest()
+
+
+def test_enrich_from_path(spark):
+    df = spark.createDataFrame(
+        [("AWSLogs/123/elasticloadbalancing/us-east-1/2024/01/02/file.log", 1)],
+        "path string, x int",
+    )
+    out = enrich_from_path(
+        df, r"AWSLogs/(?P<account>\d+)/\w+/(?P<region>[\w-]+)/"
+    ).collect()[0]
+    assert out["account"] == "123" and out["region"] == "us-east-1"
+
+
+def test_kind_bounds(spark):
+    """The kind cast table — analogue of kind_test.go's failure table."""
+    df = spark.createDataFrame(
+        [("300",), ("65536",), ("-1",), ("12",), ("abc",), (None,)], "v string"
+    )
+    from pyspark.sql import functions as F
+
+    typed, invalid = kind_cast(F.col("v"), "uint8")
+    rows = df.select(F.col("v"), typed.alias("t"), invalid.alias("bad")).collect()
+    got = {r["v"]: (r["t"], r["bad"]) for r in rows}
+    assert got["12"] == (12, False)
+    assert got["300"][1] is True     # > uint8 max
+    assert got["-1"][1] is True      # negative
+    assert got["abc"][1] is True
+    assert got[None] == (None, False)  # absent field is not an error
+
+
+def test_go_layout_to_jdk():
+    assert go_layout_to_jdk("2006-01-02\t15:04:05") == "yyyy-MM-dd\tHH:mm:ss"
+    assert go_layout_to_jdk("2006-01-02T15:04:05.000Z07:00") == "yyyy-MM-ddTHH:mm:ss.SSSXXX"

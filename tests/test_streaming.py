@@ -1,0 +1,131 @@
+"""Streaming ingest tests: S3-event extraction (S6), streaming parse ->
+parquet sink with checkpoint/replay semantics, incremental index append."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from s3logsbeat_spark.sources.s3events import extract_new_objects, filter_time_range
+
+
+def test_extract_new_objects(spark):
+    bodies = [
+        json.dumps(
+            {
+                "Records": [
+                    {
+                        "eventSource": "aws:s3",
+                        "eventName": "ObjectCreated:Put",
+                        "s3": {
+                            "bucket": {"name": "b1"},
+                            "object": {"key": "logs/file+name%3D1.gz", "size": 123},
+                        },
+                    },
+                    {
+                        "eventSource": "aws:s3",
+                        "eventName": "ObjectRemoved:Delete",
+                        "s3": {"bucket": {"name": "b1"}, "object": {"key": "x", "size": 1}},
+                    },
+                    {
+                        "eventSource": "aws:sns",
+                        "eventName": "ObjectCreated:Put",
+                        "s3": {"bucket": {"name": "b1"}, "object": {"key": "y", "size": 1}},
+                    },
+                ]
+            }
+        ),
+        "not json at all",
+        json.dumps({"Records": []}),
+    ]
+    df = spark.createDataFrame([(b,) for b in bodies], "body string")
+    rows = extract_new_objects(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["bucket"] == "b1"
+    assert rows[0]["key"] == "logs/file name=1.gz"  # '+' and %3D decoded
+    assert rows[0]["size"] == 123
+
+
+def test_filter_time_range(spark):
+    import datetime
+
+    df = spark.createDataFrame(
+        [(f"k{i}", datetime.datetime(2024, 1, i + 1)) for i in range(5)],
+        "key string, last_modified timestamp",
+    )
+    out = filter_time_range(
+        df, since=datetime.datetime(2024, 1, 2), to=datetime.datetime(2024, 1, 5)
+    ).collect()
+    assert sorted(r["key"] for r in out) == ["k2", "k3"]
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    from tests.test_parsespec import ELB_LINE
+
+    (d / "one.log").write_text(ELB_LINE + "\n" + "garbage line\n")
+    return str(d)
+
+
+def test_stream_parse_to_parquet(spark, log_dir, tmp_path):
+    from s3logsbeat_spark.plans.formats import ELB_SPEC
+    from s3logsbeat_spark.streaming.ingest import start_to_parquet, stream_parse_files
+
+    out = str(tmp_path / "out")
+    errs = str(tmp_path / "errs")
+    ckpt = str(tmp_path / "ckpt")
+    parsed = stream_parse_files(spark, log_dir, ELB_SPEC, max_files_per_trigger=1)
+    q = start_to_parquet(parsed, out, ckpt, error_dir=errs)
+    q.processAllAvailable()
+    q.stop()
+    good = spark.read.parquet(out)
+    assert good.count() == 1
+    assert good.collect()[0]["elb_status_code"] == 200
+    assert spark.read.parquet(errs).count() == 1
+
+    # restart with same checkpoint: committed files are NOT re-read
+    parsed2 = stream_parse_files(spark, log_dir, ELB_SPEC)
+    q2 = start_to_parquet(parsed2, out, ckpt, error_dir=errs)
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == 1  # no duplicates
+
+
+def test_stream_index_append(spark, corpus_rows, tmp_path):
+    from s3logsbeat_spark.functions.hashing import with_ingest_columns
+    from s3logsbeat_spark.operators.wand import IndexReader
+    from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+    from s3logsbeat_spark.streaming.ingest import stream_index_append
+
+    # two "arrival waves" of documents as parquet files
+    src = tmp_path / "docs"
+    src.mkdir()
+    half = len(corpus_rows) // 2
+    df_all = with_ingest_columns(
+        spark.createDataFrame(corpus_rows).drop("content_sha")
+    ).select("doc_id", "repo", "path", "commit", "lang", "content")
+    df_all.filter(df_all.doc_id % 2 == 0).coalesce(1).write.parquet(str(src / "w1"))
+    df_all.filter(df_all.doc_id % 2 == 1).coalesce(1).write.parquet(str(src / "w2"))
+
+    stream = (
+        spark.readStream.schema(df_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = str(tmp_path / "sindex")
+    q = stream_index_append(stream, out, str(tmp_path / "sckpt"), n_buckets=4)
+    q.processAllAvailable()
+    q.stop()
+
+    rdr = IndexReader(spark, out)
+    rows = [r.asDict() for r in df_all.select("doc_id", "content", "lang").collect()]
+    oracle = BM25Oracle(rows)
+    got = rdr.query(["return"], 10)
+    want = oracle.topk(["return"], 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
