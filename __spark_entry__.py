@@ -166,6 +166,84 @@ def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 affine hashes over md5'd 3-gram shingles) —
+    fully JVM-side; exploded to (doc_id, h_idx, minhash) for the oracle."""
+    from s3logsbeat_spark.operators.dedup import minhash_signatures, shingles_col
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    sigs = minhash_signatures(docs, n_hashes=16)
+    nonempty = docs.filter(F.size(shingles_col("content")) > 0).select("doc_id")
+    return (
+        sigs.join(nonempty, "doc_id")
+        .select("doc_id", F.posexplode("sig").alias("h_idx", "minhash"))
+        .select("doc_id", F.col("h_idx").cast("int").alias("h_idx"), "minhash")
+    )
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via the shingle inverted index."""
+    from s3logsbeat_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return ngram_jaccard_pairs(docs, threshold=0.05, max_posting=10**9)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s3logsbeat_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir), text_col="text")
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s3logsbeat_spark.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir), text_col="text")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s3logsbeat_spark.operators.textstats import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir), text_col="text")
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 around vec_id=0 (JVM zip_with/aggregate)."""
+    from s3logsbeat_spark.operators.similarity import cosine_topk_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk_exact(emb, list(q), k=10)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events table (the batch twin
+    of the streaming windowed agg)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 analogue on the events table: JSON props extraction + agg."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_freq": q_term_freq,
@@ -176,6 +254,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
+        "minhash_sig": q_minhash_sig,
+        "dedup_jaccard": q_dedup_jaccard,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "ann_cosine": q_ann_cosine,
+        "events_hourly": q_events_hourly,
+        "events_json": q_events_json,
     }
 
 
@@ -230,6 +316,148 @@ _BM25_WAND_SQL = _BM25_SQL.replace(
 )
 
 
+def _shingle_cte() -> str:
+    """DuckDB CTE: distinct 3-gram token shingles per doc (twin of
+    s3logsbeat_spark.operators.dedup.shingles_col)."""
+    return """
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3 THEN
+             [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+           WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           ELSE []::VARCHAR[] END
+         ) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+        FROM documents)
+)"""
+
+
+def _minhash_sql() -> str:
+    from s3logsbeat_spark.operators.dedup import _P, _hash_params
+
+    params = _hash_params(16)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    return f"""
+WITH {_shingle_cte()},
+hs AS (
+  SELECT doc_id, [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS hl
+  FROM sh WHERE len(shingles) > 0
+),
+params(h_idx, a, b) AS (VALUES {values})
+SELECT doc_id, h_idx::INT AS h_idx,
+       list_min([(h * a + b) % {_P} for h in hl]) AS minhash
+FROM hs CROSS JOIN params
+"""
+
+
+_JACCARD_SQL = f"""
+WITH {_shingle_cte()},
+e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, l.n AS na, r.n AS nb, count(*) AS common
+  FROM e l JOIN e r ON l.s = r.s AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, round(common::DOUBLE / (na + nb - common), 6) AS jaccard
+FROM pairs WHERE round(common::DOUBLE / (na + nb - common), 6) >= 0.05
+"""
+
+
+def _lang_id_sql() -> str:
+    from s3logsbeat_spark.operators.textstats import LANG_MARKERS
+
+    score = {
+        lang: "len(list_filter(toks, t -> t IN ({})))".format(
+            ", ".join(f"'{m}'" for m in ms)
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    # mirror the engine's fold: alphabetical order, strictly-greater wins
+    best, best_n = "'und'", "0"
+    for lang in langs:
+        s = score[lang]
+        best = f"CASE WHEN {s} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"CASE WHEN {s} > {best_n} THEN {s} ELSE {best_n} END"
+    return f"""
+SELECT doc_id, {best} AS lang_guess, ({best_n})::BIGINT AS lang_score
+FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+      FROM documents)
+"""
+
+
+def _quality_sql() -> str:
+    from s3logsbeat_spark.operators.textstats import STOPWORDS
+
+    stopset = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         greatest(length(text), 1)::DOUBLE AS n,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n AS alpha,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / n AS digit,
+    length(regexp_replace(text, '[^ \t\n]', '', 'g')) / n AS space,
+    len(list_filter(toks, t -> t IN ({stopset})))
+      / greatest(len(toks), 1)::DOUBLE AS stop,
+    list_reduce(list_prepend(0.0, [length(t)::DOUBLE for t in toks]), (a, x) -> a + x)
+      / greatest(len(toks), 1)::DOUBLE AS mean_tok
+  FROM base
+)
+SELECT doc_id,
+       round(alpha, 6) AS alpha_ratio,
+       round(digit, 6) AS digit_ratio,
+       round(space, 6) AS space_ratio,
+       round(stop, 6) AS stopword_ratio,
+       round(mean_tok, 6) AS mean_token_len,
+       round(least(1.0, alpha*0.5 + stop*0.3 + least(mean_tok/10.0, 1.0)*0.2), 6) AS quality
+FROM r
+"""
+
+
+def _fingerprint_sql() -> str:
+    from s3logsbeat_spark.operators.textstats import FP_B, FP_P
+
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::HUGEINT,
+           [('0x' || substr(md5(t), 1, 8))::BIGINT::HUGEINT
+            for t in regexp_extract_all(lower(text), '[a-z0-9_]+')]),
+         (acc, h) -> (acc * {FP_B} + h) % {FP_P}
+       )::BIGINT AS fingerprint,
+       len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+_ANN_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
+FROM embeddings
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+_EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_EVENTS_JSON_SQL = """
+SELECT event_type,
+       count(json_extract(props, '$.k'))::BIGINT AS n_with_k,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k
+FROM events GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "term_freq": f"""
@@ -266,6 +494,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "sha_invariant": "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+        "minhash_sig": _minhash_sql(),
+        "dedup_jaccard": _JACCARD_SQL,
+        "lang_id": _lang_id_sql(),
+        "quality": _quality_sql(),
+        "fingerprint": _fingerprint_sql(),
+        "ann_cosine": _ANN_SQL,
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_json": _EVENTS_JSON_SQL,
     }
 
 

@@ -1,0 +1,299 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash (64-bit, Hamming-ball buckets), n-gram Jaccard (inverted
+shingle index with count-filter), embedding-cosine near-dup (sign-LSH
+buckets; see similarity.py).
+
+Scale notes:
+- All shingle/minhash math stays JVM-side (regexp_extract_all, transform,
+  aggregate, array_min — whole-stage codegen): no Python in the hot path
+  except SimHash's numpy bit-fold.
+- Candidate generation is always bucket-local (LSH band buckets or
+  shared-shingle postings): the only cross-doc joins are equi-joins on
+  bucket keys, never a cross join. Hot buckets are bounded by
+  ``max_bucket`` (dropped + logged via the returned metrics — a stop-word
+  shingle bucket would otherwise quadratically explode).
+- The shingle hash is md5-prefix based (not xxhash64) so every step has
+  an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic affine minhash params over a Mersenne prime. The shingle
+# hash h is < 2^32 and a,b < 2^30, so h*a + b < 2^62 + 2^30 — stays inside
+# a signed long (ANSI overflow-safe) with the identical math in DuckDB.
+_P = (1 << 61) - 1
+_AB_MAX = 1 << 30
+
+
+def _hash_params(n: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [(rng.randrange(1, _AB_MAX), rng.randrange(0, _AB_MAX)) for _ in range(n)]
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+
+
+def shingles_col(text_col: str, k: int = 3) -> Column:
+    """Distinct token k-grams, JVM-side (transform over a sequence)."""
+    toks = tokens_col(text_col)
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            ),
+        ).otherwise(
+            F.when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    )
+
+
+def shingle_hash(s: Column) -> Column:
+    """Stable 32-bit-ish hash with an exact DuckDB twin:
+    conv(substr(md5(x),1,8),16,10)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, content_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """K8 analogue: identical content -> one keeper (min id) + dup count."""
+    return (
+        df.groupBy(F.sha2(F.col(content_col), 256).alias("content_sha"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, sig array<long>[n_hashes]) — min over shingles of
+    (a_i * h + b_i) mod P. Entirely JVM expressions."""
+    params = _hash_params(n_hashes)
+    sh = shingles_col(content_col, shingle_k)
+    hs = F.transform(sh, lambda s: shingle_hash(s))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
+            )
+            for a, b in params
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join, emit candidate pairs
+    (a < b). Bucket key = (band index, band slice) — only docs sharing a
+    full band collide. Buckets over ``max_bucket`` docs are dropped
+    (degenerate content; logged by the caller via count)."""
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(",", *[
+                            F.col("sig")[b * rows + r].cast("string") for r in range(rows)
+                        ]).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("n"))
+    ok = sizes.filter(F.col("n") <= max_bucket).select("band", "bkey")
+    b2 = banded.join(ok, ["band", "bkey"])  # left_semi on surviving buckets
+    l = b2.alias("l")
+    r = b2.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    rows: int = 4,
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full MinHash near-dup pipeline: LSH candidates -> exact Jaccard
+    verification on shingle sets -> pairs with jaccard >= threshold."""
+    sigs = minhash_signatures(df, content_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles_col(content_col, shingle_k).alias("sh")
+    )
+    j = (
+        cands.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha_"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb_"), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sha_", "shb_"))
+                / F.size(F.array_union("sha_", "shb_")),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("a", "b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 2000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup via a shingle inverted index:
+    explode distinct shingles -> self-join on shingle (count common) ->
+    jaccard = common / (|A| + |B| - common). Postings longer than
+    ``max_posting`` (stop-shingles) are dropped from candidate generation
+    — at threshold t, a pair sharing ONLY ultra-common shingles can't
+    reach t unless the docs are near-duplicates of the stop-shingle
+    itself (classic prefix-filter justification)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles_col(content_col, shingle_k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    posts = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    sizes = posts.groupBy("s").agg(F.count("*").alias("pn"))
+    posts = posts.join(sizes.filter(F.col("pn") <= max_posting).select("s"), "s")
+    l = posts.alias("l")
+    r = posts.alias("r")
+    common = (
+        l.join(r, (F.col("l.s") == F.col("r.s")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.n_sh").alias("na"),
+            F.col("r.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash64(
+    df: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc (tf-weighted token hashes, numpy bit-fold
+    in one Arrow pass). Near-dup candidates = equal values on any of the
+    4 16-bit Hamming bands (finds all pairs within Hamming distance 3)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(content_col).alias("c"))
+
+    def gen(batches):
+        import re
+
+        tok_re = re.compile(r"[a-z0-9_]+")
+        memo: dict[str, int] = {}
+
+        def th(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                if len(memo) < 1_000_000:
+                    memo[t] = v
+            return v
+
+        for pdf in batches:
+            out_ids, out_sh = [], []
+            for did, text in zip(pdf["doc_id"], pdf["c"]):
+                toks = tok_re.findall((text or "").lower())
+                if not toks:
+                    out_ids.append(did)
+                    out_sh.append(0)
+                    continue
+                from collections import Counter
+
+                acc = np.zeros(64, dtype=np.int64)
+                for t, w in Counter(toks).items():
+                    h = th(t)
+                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                    acc += np.where(bits.astype(bool), w, -w)
+                sh = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out_ids.append(did)
+                out_sh.append(sh - (1 << 64) if sh >= 1 << 63 else sh)  # to signed
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sh})
+
+    return src.mapInPandas(gen, schema="doc_id long, simhash long")
+
+
+def simhash_candidate_pairs(sims: DataFrame, bands: int = 4) -> DataFrame:
+    """Docs equal on >=1 of `bands` 16-bit slices -> candidate pairs."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sims.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .distinct()
+    )

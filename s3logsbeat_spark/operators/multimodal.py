@@ -1,0 +1,180 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The Spark-side machinery (schema, partition-size control, Arrow batch
+shape, UDF signatures) is real and tested; the actual decode step is a
+deterministic fake behind ``FAKE_DECODERS`` because the sandbox has no
+image/audio libraries — swap in PIL/torchaudio on a real cluster by
+registering a decoder (clearly marked NotImplementedError otherwise).
+
+Scale notes: binary payloads dominate row size, so the operators set
+their own Arrow batch budget (rows per batch chosen from a byte budget,
+not a row count) and never collect payloads to the driver. Feature
+extraction emits fixed-size float arrays, so downstream joins/ANN reuse
+similarity.py unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, mime string, payload binary, "
+    "width int, height int, duration_ms int"
+)
+
+
+def _fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a real image decode: sha-seeded pixels
+    of the declared (height, width, 3) shape."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    h, w = int(meta.get("height") or 8), int(meta.get("width") or 8)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _fake_audio_decode(payload: bytes, meta: dict) -> np.ndarray:
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    n = max(int(meta.get("duration_ms") or 100) * 16, 16)  # 16 samples/ms
+    return (rng.randn(n)).astype(np.float32)
+
+
+FAKE_DECODERS: dict[str, Callable[[bytes, dict], np.ndarray]] = {
+    "image": _fake_image_decode,
+    "audio": _fake_audio_decode,
+}
+
+
+def get_decoder(kind: str) -> Callable[[bytes, dict], np.ndarray]:
+    try:  # real decoders when the libs exist (not in this container)
+        if kind == "image":
+            import PIL  # noqa: F401
+
+            raise NotImplementedError("wire PIL decode here on a real cluster")
+    except ImportError:
+        pass
+    dec = FAKE_DECODERS.get(kind)
+    if dec is None:
+        raise NotImplementedError(f"no decoder for media kind {kind!r}")
+    return dec
+
+
+def _batched(batches: Iterator[pd.DataFrame], byte_budget: int) -> Iterator[pd.DataFrame]:
+    """Re-batch by payload bytes so one Arrow batch never exceeds the
+    budget (binary rows can be MBs each — row-count batching would OOM)."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        sizes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+        acc, start = 0, 0
+        for i, s in enumerate(sizes):
+            acc += int(s)
+            if acc >= byte_budget and i > start:
+                yield pdf.iloc[start:i]
+                start, acc = i, int(s)
+        yield pdf.iloc[start:]
+
+
+def extract_features(
+    media: DataFrame,
+    kind: str = "image",
+    dim: int = 16,
+    byte_budget: int = 64 << 20,
+) -> DataFrame:
+    """binary payload -> fixed-size feature vector (mean-pooled patches
+    for images, banded energies for audio) — the shape a real
+    embed-and-index pipeline needs. (media_id, feature array<float>)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    dec = get_decoder(kind)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _batched(batches, byte_budget):
+            ids, feats = [], []
+            for _, row in pdf.iterrows():
+                arr = dec(row["payload"], row)
+                flat = arr.astype(np.float64).ravel()
+                # mean-pool into `dim` equal bands (works for any modality)
+                pads = (-len(flat)) % dim
+                if pads:
+                    flat = np.pad(flat, (0, pads))
+                feat = flat.reshape(dim, -1).mean(axis=1).astype(np.float32)
+                ids.append(row["media_id"])
+                feats.append(feat.tolist())
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return media.mapInPandas(gen, schema="media_id long, feature array<float>")
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 4, out_h: int = 4, byte_budget: int = 64 << 20
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-emit binary (raw RGB) with
+    updated metadata. Exercises binary-in/binary-out plumbing."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+    dec = get_decoder("image")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _batched(batches, byte_budget):
+            out = {"media_id": [], "payload": [], "width": [], "height": []}
+            for _, row in pdf.iterrows():
+                img = dec(row["payload"], row)
+                ys = (np.arange(out_h) * img.shape[0] // out_h).astype(int)
+                xs = (np.arange(out_w) * img.shape[1] // out_w).astype(int)
+                small = img[np.ix_(ys, xs)]
+                out["media_id"].append(row["media_id"])
+                out["payload"].append(small.tobytes())
+                out["width"].append(out_w)
+                out["height"].append(out_h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        gen, schema="media_id long, payload binary, width int, height int"
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, byte_budget: int = 64 << 20
+) -> DataFrame:
+    """Video frame sampling: one row per sampled timestamp (the decode is
+    the audio fake reinterpreted as a frame stream — plumbing-only)."""
+    from ..shipping import ensure_shipped
+
+    ensure_shipped(media.sparkSession)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _batched(batches, byte_budget):
+            out = {"media_id": [], "ts_ms": [], "frame_sha": []}
+            for _, row in pdf.iterrows():
+                dur = int(row["duration_ms"] or 0)
+                for ts in range(0, max(dur, 1), every_ms):
+                    h = hashlib.sha256(
+                        (row["payload"] or b"") + ts.to_bytes(8, "big")
+                    ).hexdigest()
+                    out["media_id"].append(row["media_id"])
+                    out["ts_ms"].append(ts)
+                    out["frame_sha"].append(h)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(gen, schema="media_id long, ts_ms int, frame_sha string")
+
+
+def synthetic_media(spark, n: int = 32, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table for tests/benchmarks."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * (4 + i % 5)
+        rows.append(
+            (i, kind, f"{kind}/fake", bytearray(payload), 8 + i % 8, 8, 1000 * (1 + i % 3))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk_exact``: brute-force cosine top-k, two implementations:
+  (a) JVM-only (zip_with + aggregate — DuckDB-oracle-matchable), used for
+  correctness checks; (b) numpy matmul over Arrow batches (mapInPandas)
+  — the throughput path: queries broadcast as a (q, d) matrix, each
+  batch does one BLAS GEMM, per-partition top-k heaps, global k-row
+  merge (TakeOrderedAndProject shape, no full sort).
+- ``lsh_ann_topk``: sign-LSH (random hyperplanes) bucketed ANN — the
+  scale path: vectors land in 2^n_planes buckets; queries probe their
+  own bucket (+ optional multi-probe neighbors at Hamming distance 1)
+  and rerank exactly within the probed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _cos_jvm(vec_col, qlit) -> "F.Column":
+    dot = F.aggregate(
+        F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n1 = F.sqrt(
+        F.aggregate(
+            vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    n2 = F.sqrt(
+        F.aggregate(qlit, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (n1 * n2)
+
+
+def cosine_topk_exact(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JVM-only brute force: (vec_id, score) top-k, score rounded 6dp,
+    tie-break vec_id asc. orderBy+limit compiles to per-partition heaps."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_cos_jvm(F.col(vec_col), qlit), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def cosine_topk_numpy(
+    emb: DataFrame,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, float]]]:
+    """GEMM path: per-Arrow-batch ``scores = batch_matrix @ Q.T``; heaps
+    per partition; k-row global merge on the driver. Returns per-query
+    [(vec_id, score)] lists."""
+    from ..shipping import ensure_shipped
+
+    spark = emb.sparkSession
+    ensure_shipped(spark)
+    Q = np.asarray(query_vecs, dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    nq = Qn.shape[0]
+    bc = spark.sparkContext.broadcast(Qn)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            S = M @ bc.value.T  # (batch, nq)
+            ids = pdf[id_col].to_numpy()
+            out = {"qid": [], "vec_id": [], "score": []}
+            kk = min(k, S.shape[0])
+            for q in range(S.shape[1]):
+                part = np.argpartition(-S[:, q], kk - 1)[:kk]
+                for i in part:
+                    out["qid"].append(q)
+                    out["vec_id"].append(int(ids[i]))
+                    out["score"].append(round(float(S[i, q]), 6))
+            yield pd.DataFrame(out)
+
+    parts = emb.select(id_col, vec_col).mapInPandas(
+        gen, schema="qid int, vec_id long, score double"
+    )
+    rows = (
+        parts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("score").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    res: list[list[tuple[int, float]]] = [[] for _ in range(nq)]
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rn"])):
+        res[r["qid"]].append((r["vec_id"], r["score"]))
+    return res
+
+
+def hyperplane_bucket(vec_col, planes: np.ndarray):
+    """Sign-LSH bucket id as a JVM expression: sum over planes of
+    (dot >= 0) << i. Planes arrive as literals (few x dim doubles)."""
+    b = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, bb: a.cast("double") * bb,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        b = b + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return b
+
+
+def random_planes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Bucketed ANN: scan only the query's LSH bucket (+ Hamming-1
+    neighbors when multiprobe). At scale the table is WRITTEN partitioned
+    by bucket, so the probe is a partition-pruned read, not a filter."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    pl = planes if planes is not None else random_planes(n_planes, q.shape[0])
+    qb = int(sum((1 << i) for i, p in enumerate(pl) if float(p @ q) >= 0))
+    probes = [qb] + ([qb ^ (1 << i) for i in range(len(pl))] if multiprobe else [])
+    bucketed = emb.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), pl))
+    cand = bucketed.filter(F.col("_bucket").isin(probes))
+    return cosine_topk_exact(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,133 @@
+"""Text-analysis operators: language ID (marker-word heuristic), quality
+scoring (length/punct/stopword ratios), token counting (whitespace +
+word-regex), document fingerprinting (rolling polynomial hash).
+
+All JVM expressions (regexp_extract_all / aggregate / size) — no Python
+on any path — so every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker profiles; argmax with alphabetical tie-break.
+# (The driver corpus's lang labels are synthetic word-soup, so this is a
+# rule-based classifier, not a label-recovery claim.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "es": ["el", "la", "que", "de_es", "los"],
+    "fr": ["le", "la_fr", "et", "les", "des"],
+    "zh": ["zh_a", "zh_b", "zh_c", "zh_d", "zh_e"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "it", "that", "for"]
+
+FP_P = (1 << 61) - 1
+FP_B = 1_000_003
+
+
+def tokens_col(text_col: str) -> Column:
+    return F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    toks = tokens_col(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "content", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_guess, lang_score): argmax marker count, ties -> the
+    alphabetically-first language, zero markers -> 'und'."""
+    scores = lang_scores(text_col)
+    langs = sorted(scores)  # alphabetical tie-break via iteration order
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang in langs:
+        cond = scores[lang] > best_n
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_n = F.when(cond, scores[lang]).otherwise(best_n)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        best.alias("lang_guess"),
+        best_n.cast("long").alias("lang_score"),
+    )
+
+
+def quality_scores(
+    df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Ratios used by web-scale corpus filters (all rounded to 6 dp):
+    alpha_ratio, digit_ratio, space_ratio, stopword_ratio, mean token
+    length, plus a composite quality in [0,1]."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    toks = tokens_col(text_col)
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / n
+    digit = F.length(F.regexp_replace(t, "[^0-9]", "")) / n
+    space = F.length(F.regexp_replace(t, r"[^ \t\n]", "")) / n
+    stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / n_toks
+    mean_tok = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / n_toks
+    quality = F.least(
+        F.lit(1.0),
+        alpha * 0.5 + stop * 0.3 + F.least(mean_tok / F.lit(10.0), F.lit(1.0)) * 0.2,
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(digit, 6).alias("digit_ratio"),
+        F.round(space, 6).alias("space_ratio"),
+        F.round(stop, 6).alias("stopword_ratio"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive rolling hash over tokens:
+    fp = fold(tokens, 0, (acc, t) -> (acc * B + h(t)) mod P) with
+    h(t) = md5-prefix. Shift-invariant docs get distinct fingerprints
+    (unlike bag-of-words hashes); exact DuckDB twin via list_reduce."""
+    toks = tokens_col(text_col)
+    th = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    # acc*B can reach ~2^81: widen to decimal(38,0) for the multiply (ANSI
+    # overflow-safe), reduce mod P back into a long. DuckDB twin: HUGEINT.
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            (acc.cast("decimal(38,0)") * F.lit(FP_B) + th(t)) % F.lit(FP_P)
+        ).cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        fp.alias("fingerprint"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Whitespace tokens, word tokens, and a BPE-ish subword count
+    (word-regex pieces + digit runs + punctuation runs — the usual cheap
+    proxy for tokenizer-budget estimates)."""
+    t = F.col(text_col)
+    bpeish = F.expr(
+        f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]+', 0)"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("n_ws_tokens"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_word_tokens"),
+        F.size(bpeish).cast("long").alias("n_bpeish_tokens"),
+    )

@@ -1,0 +1,115 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard —
+verified against a transparent pure-Python Jaccard oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_candidate_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep dark forest to find some food for the long cold winter"
+)
+
+
+@pytest.fixture(scope="module")
+def near_df(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("quick", "swift")),         # near dup of 0
+        (3, BASE.replace("winter", "summer season")),# near dup of 0
+        (4, "completely different text about spark query engines and "
+            "columnar execution with vectorized operators everywhere"),
+        (5, "another unrelated document mentioning inverted indexes "
+            "posting lists compression and ranking functions"),
+        (6, ""),                                      # empty
+        (7, "tiny"),                                  # < shingle size
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def _py_shingles(text, k=3):
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def _py_jaccard(a, b, k=3):
+    sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+    return len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+
+
+def test_exact_dedup(near_df):
+    rows = {r["keeper_id"]: r["dup_count"] for r in exact_dedup(near_df).collect()}
+    assert rows[0] == 2       # docs 0 and 1 collapse
+    assert rows[2] == 1
+
+
+def test_minhash_lsh_finds_near_dups(near_df, corpus_rows):
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(near_df, threshold=0.5).collect()
+    }
+    texts = {r["doc_id"]: r["content"] for r in near_df.collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and (0, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+    # verified jaccard values are EXACT (vs python oracle)
+    for (a, b), j in pairs.items():
+        assert abs(j - round(_py_jaccard(texts[a], texts[b]), 6)) < 1e-9
+
+
+def test_lsh_no_candidates_for_disjoint(spark):
+    rows = [(i, f"totally unique document number {i} with words w{i} x{i} y{i} z{i}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    sigs = minhash_signatures(df)
+    # identical band signatures are unlikely across disjoint shingle sets
+    pairs = lsh_candidate_pairs(sigs).collect()
+    assert len(pairs) <= 1
+
+
+def test_ngram_jaccard_exact(near_df):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(near_df, threshold=0.4).collect()
+    }
+    texts = {r["doc_id"]: r["content"] for r in near_df.collect()}
+    # oracle: all pairs with true jaccard >= 0.4 are present w/ exact value
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        j = _py_jaccard(texts[a], texts[b])
+        if j >= 0.4:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_simhash_near_dups(near_df):
+    sims = simhash64(near_df)
+    vals = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    assert vals[0] == vals[1]  # identical docs -> identical simhash
+    # hamming distance between near dups is small
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(vals[0], vals[2]) <= 8
+    assert ham(vals[0], vals[4]) > 12  # unrelated docs far apart
+    cands = {(r["a"], r["b"]) for r in simhash_candidate_pairs(sims).collect()}
+    assert (0, 1) in cands

@@ -1,0 +1,77 @@
+"""Text-analysis operator tests (pure-Python oracles)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from s3logsbeat_spark.operators.textstats import (
+    FP_B,
+    FP_P,
+    STOPWORDS,
+    doc_fingerprint,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_lang_id_rules(spark):
+    df = _df(
+        spark,
+        [
+            (0, "the cat and the dog of the house is to blame"),
+            (1, "der hund und die katze ist das beste"),
+            (2, "nothing matching any marker words here"),
+            (3, "the der the der"),  # tie 2-2 -> alphabetical: de
+        ],
+    )
+    got = {r["doc_id"]: (r["lang_guess"], r["lang_score"]) for r in lang_id(df).collect()}
+    assert got[0] == ("en", 7)
+    assert got[1] == ("de", 5)
+    assert got[2] == ("und", 0)
+    assert got[3] == ("de", 2)
+
+
+def test_quality_scores(spark):
+    text = "the quick brown fox 123!!"
+    df = _df(spark, [(0, text)])
+    r = quality_scores(df).collect()[0]
+    n = len(text)
+    assert abs(r["alpha_ratio"] - round(sum(c.isalpha() for c in text) / n, 6)) < 1e-9
+    assert abs(r["digit_ratio"] - round(3 / n, 6)) < 1e-9
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    stop = sum(t in STOPWORDS for t in toks) / len(toks)
+    assert abs(r["stopword_ratio"] - round(stop, 6)) < 1e-9
+    assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_fingerprint_rolling_hash(spark):
+    df = _df(spark, [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma"), (3, "")])
+    got = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(df).collect()}
+
+    def py_fp(text):
+        acc = 0
+        for t in re.findall(r"[a-z0-9_]+", text.lower()):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            acc = (acc * FP_B + h) % FP_P
+        return acc
+
+    assert got[0] == py_fp("alpha beta gamma")
+    assert got[0] != got[1]  # order-sensitive
+    assert got[0] == got[2]  # deterministic
+    assert got[3] == 0
+
+
+def test_token_counts(spark):
+    df = _df(spark, [(0, "Hello  world, x2 + y_3 = 42!")])
+    r = token_counts(df).collect()[0]
+    assert r["n_ws_tokens"] == 7
+    assert r["n_word_tokens"] == len(re.findall(r"[a-z0-9_]+", "hello  world, x2 + y_3 = 42!".lower()))
+    assert r["n_bpeish_tokens"] == len(
+        re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+", "Hello  world, x2 + y_3 = 42!")
+    )
