@@ -256,19 +256,19 @@ class IndexReader:
         if not terms:
             return []
         rows_df = self._segment_rows(terms)
-        # exact global df per term: sum over (bucket, salt) sub-lists
-        dfs = {
-            r["term"]: r["s"]
-            for r in rows_df.groupBy("term").agg(F.sum("df").alias("s")).collect()
-        }
-        if not dfs:
+        # ONE tiny job answers both planning questions: exact global df per
+        # term (sum over bucket/salt sub-lists, feeds idf) and the pruned
+        # postings byte size (driver-vs-distributed choice)
+        stats = rows_df.groupBy("term").agg(
+            F.sum("df").alias("s"),
+            F.sum(F.length("docs") + F.length("tfs") + F.length("dls")).alias("nb"),
+        ).collect()
+        if not stats:
             return []
-        idf = {t: bm25_idf(self.n_docs, int(d)) for t, d in dfs.items()}
+        idf = {r["term"]: bm25_idf(self.n_docs, int(r["s"])) for r in stats}
         if distributed is None:
-            nbytes = rows_df.agg(
-                F.sum(F.length("docs") + F.length("tfs") + F.length("dls"))
-            ).collect()[0][0]
-            distributed = (nbytes or 0) > driver_bytes_limit
+            nbytes = sum(r["nb"] or 0 for r in stats)
+            distributed = nbytes > driver_bytes_limit
         if not distributed:
             lists = [
                 _row_to_plist(r, idf[r["term"]], self.avgdl)

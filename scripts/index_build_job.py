@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build (or resume) the inverted index, then
+optionally answer top-k BM25 queries.
+
+Cluster usage (the north-rule deployment shape):
+
+    cd <repo> && zip -qr /tmp/s3logsbeat_spark.zip s3logsbeat_spark
+    spark-submit --py-files /tmp/s3logsbeat_spark.zip \
+        --num-executors $N --executor-cores 4 \
+        scripts/index_build_job.py \
+        --input  <iceberg-table-or-parquet-path> \
+        --out    <index-dir> \
+        --buckets 512 \
+        --query "block max wand" --k 10
+
+Sandbox usage (local[N] stand-in; the module self-ships via addPyFile so
+--py-files is optional here):
+
+    python scripts/index_build_job.py --input /root/testdata/sf0.01 \
+        --out /tmp/idx --buckets 16 --query "merge spark" --cores 8
+
+Run the same job at two parallelism levels (--cores 8 / --cores 32, or
+two --num-executors values on a real cluster) to measure scaling; see
+bench.py --scaling for the automated version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# running from scripts/ without --py-files: make the repo importable
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents table (parquet dir / sf dir / Iceberg name)")
+    ap.add_argument("--out", required=True, help="index output directory")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--hot-df", type=int, default=50_000)
+    ap.add_argument("--query", default=None, help="space-separated query terms")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--cores", type=int, default=None, help="local[N] (sandbox only)")
+    ap.add_argument("--merge", action="store_true", help="run the idempotent global merge after build")
+    args = ap.parse_args()
+
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index, merge_segments
+    from s3logsbeat_spark.operators.wand import IndexReader
+    from s3logsbeat_spark.session import get_spark
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    spark = get_spark("index_build", cores=args.cores)
+    docs = load_documents(spark, args.input)
+    t0 = time.perf_counter()
+    summary = build_index(
+        docs, IndexConfig(out_dir=args.out, n_buckets=args.buckets, hot_df_threshold=args.hot_df)
+    )
+    summary["build_sec"] = round(time.perf_counter() - t0, 2)
+    if args.merge:
+        t0 = time.perf_counter()
+        merge_segments(spark, args.out)
+        summary["merge_sec"] = round(time.perf_counter() - t0, 2)
+    if args.query:
+        rdr = IndexReader(spark, args.out)
+        t0 = time.perf_counter()
+        top = rdr.query(args.query.split(), args.k)
+        summary["query_sec"] = round(time.perf_counter() - t0, 4)
+        summary["topk"] = [{"doc_id": d, "score": s} for d, s in top]
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
