@@ -216,6 +216,116 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_exact(emb, list(q), k=10)
 
 
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit tf-weighted SimHash per doc (numpy bit-fold, one Arrow pass).
+    The DuckDB oracle reproduces the md5-derived bit math exactly."""
+    from s3logsbeat_spark.operators.dedup import simhash64
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return simhash64(docs)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: equal on >=1 of four 16-bit bands."""
+    from s3logsbeat_spark.operators.dedup import simhash64, simhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return simhash_candidate_pairs(simhash64(docs), bands=4)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: 16 minhashes -> 4 bands x 4
+    rows -> bucket join -> exact shingle-Jaccard verify >= 0.2."""
+    from s3logsbeat_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return minhash_dedup_pairs(
+        docs, n_hashes=16, bands=4, rows=4, threshold=MINHASH_LSH_THRESHOLD
+    )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN around vec_id=0 (multiprobe Hamming-1),
+    exact cosine rerank inside the probed buckets."""
+    from s3logsbeat_spark.operators.similarity import lsh_ann_topk, random_planes
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    planes = random_planes(ANN_LSH_PLANES, len(q))
+    return lsh_ann_topk(emb, list(q), k=10, planes=planes, multiprobe=True)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check — no SQL oracle): synthetic
+    binary media -> byte-budget re-batched decode -> mean-pooled feature
+    vectors. The decode is a deterministic fake (libs absent here); the
+    Spark-side schema/batching/UDF shape is the real thing."""
+    from s3logsbeat_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=64, kind="image")
+    feats = extract_features(media, kind="image", dim=16)
+    return feats.select(
+        "media_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0")
+    )
+
+
+# ALB parse roundtrip: synthesize ALB access-log lines deterministically
+# from the events table (identical construction in Spark and DuckDB),
+# parse them with the full P1-P11 pipeline (regex extract, sentinel
+# nulling, rejection-semantics casts, URL decode, timestamp lift, sha256
+# id), and return the typed fields. The oracle rebuilds the same line to
+# hash it and derives the expected typed values directly from events.
+_ALB_TS_DUCK = "strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')"
+
+
+def _alb_ts_spark():
+    return F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+
+
+def _alb_line_spark():
+    port = (F.lit(1024) + F.col("event_id") % 60000).cast("string")
+    status = (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string")
+    bad = (F.col("event_id") % 4) == 3
+    tstatus = F.when(bad, F.lit("-")).otherwise(F.lit("200"))
+    rpt = F.when(bad, F.lit("-1")).otherwise(F.lit("0.001"))
+    rcvd = (F.col("event_id") % 10000).cast("string")
+    sent = F.floor(F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 100).cast("string")
+    k = (F.col("event_id") % 100).cast("string")
+    return F.concat(
+        F.lit("http "), _alb_ts_spark(), F.lit(" app/lb/x 192.0.2.1:"), port,
+        F.lit(" 10.0.0.9:8080 "), rpt, F.lit(" 0.002 0.003 "), status, F.lit(" "),
+        tstatus, F.lit(" "), rcvd, F.lit(" "), sent,
+        F.lit(' "GET https://ex.com/p%20q/'), F.col("event_type"), F.lit("?k="), k,
+        F.lit(' HTTP/2.0" "ua-'), F.col("event_type"), F.lit('" - -'),
+    )
+
+
+def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(_alb_line_spark().alias("value"))
+    parsed = parse_lines(lines, FORMATS["alb"])
+    return parsed.select(
+        "_id",
+        F.col("@timestamp").alias("event_ts"),
+        F.col("client_port").cast("long").alias("client_port"),
+        F.col("elb_status_code").cast("long").alias("status_code"),
+        F.col("target_status_code").cast("long").alias("target_status"),
+        F.col("received_bytes").cast("long").alias("received_bytes"),
+        F.col("sent_bytes").cast("long").alias("sent_bytes"),
+        F.col("request_url").alias("url_decoded"),
+        F.col("user_agent").alias("user_agent"),
+        F.col("request_processing_time").alias("rpt"),
+        F.col("_error").alias("parse_error"),
+    )
+
+
+MINHASH_LSH_THRESHOLD = 0.2
+ANN_LSH_PLANES = 6
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events table (the batch twin
     of the streaming windowed agg)."""
@@ -262,6 +372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "ann_lsh": q_ann_lsh,
+        "alb_parse": q_alb_parse,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -444,6 +560,135 @@ ORDER BY score DESC, vec_id ASC
 LIMIT 10
 """
 
+_SIMHASH_CORE = """
+SELECT d.doc_id, coalesce(v.simhash, 0) AS simhash
+FROM documents d
+LEFT JOIN (
+  WITH toks AS (
+    SELECT doc_id, t, count(*)::BIGINT AS w
+    FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+          FROM documents)
+    GROUP BY 1, 2
+  ),
+  th AS (
+    SELECT doc_id, w,
+           ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+           ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+    FROM toks
+  ),
+  bits AS (
+    SELECT doc_id, i,
+           sum(w * ((CASE WHEN i < 32 THEN (lo >> i)
+                          ELSE (hi >> (i - 32)) END) & 1) * 2 - w) AS acc
+    FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+    GROUP BY 1, 2
+  )
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN
+               CASE WHEN i = 63 THEN -9223372036854775808
+                    ELSE (1::BIGINT << i) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+) v ON d.doc_id = v.doc_id
+"""
+
+_SIMHASH_SQL = _SIMHASH_CORE
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH sims AS ({_SIMHASH_CORE}),
+banded AS (
+  SELECT doc_id, b.band, (simhash >> (b.band * 16)) & 65535 AS bkey
+  FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM banded l JOIN banded r
+  ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+"""
+
+
+def _minhash_lsh_sql() -> str:
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+banded AS (
+  SELECT doc_id, h_idx // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY h_idx) AS bkey
+  FROM sig GROUP BY doc_id, h_idx // 4
+),
+ok AS (SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= 1000),
+b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM b2 l JOIN b2 r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+{_shingle_cte().lstrip()},
+j AS (
+  SELECT cand.a, cand.b,
+         round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.a
+  JOIN sh sb ON sb.doc_id = cand.b
+)
+SELECT a, b, jaccard FROM j WHERE jaccard >= {MINHASH_LSH_THRESHOLD}
+"""
+
+
+def _ann_lsh_sql() -> str:
+    from s3logsbeat_spark.operators.similarity import random_planes
+
+    planes = random_planes(ANN_LSH_PLANES, 64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_terms})::BIGINT AS bucket FROM embeddings
+),
+qb AS (SELECT bucket AS qbucket FROM b WHERE vec_id = 0),
+probes AS (
+  SELECT qbucket AS p FROM qb
+  UNION ALL
+  SELECT xor(qbucket, (1::BIGINT << i)) FROM qb
+  CROSS JOIN (SELECT unnest(generate_series(0, {ANN_LSH_PLANES - 1})) AS i)
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
+FROM b WHERE bucket IN (SELECT p FROM probes)
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+_ALB_LINE_DUCK = """
+  'http ' || {ts} || ' app/lb/x 192.0.2.1:' || (1024 + event_id % 60000)
+  || ' 10.0.0.9:8080 ' || (CASE WHEN event_id % 4 = 3 THEN '-1' ELSE '0.001' END)
+  || ' 0.002 0.003 ' || (200 + (event_id % 4) * 100) || ' '
+  || (CASE WHEN event_id % 4 = 3 THEN '-' ELSE '200' END) || ' '
+  || (event_id % 10000) || ' ' || floor(abs(coalesce(value, 0.0)) * 100)::BIGINT
+  || ' "GET https://ex.com/p%20q/' || event_type || '?k=' || (event_id % 100)
+  || ' HTTP/2.0" "ua-' || event_type || '" - -'
+""".format(ts=_ALB_TS_DUCK)
+
+_ALB_PARSE_SQL = f"""
+SELECT sha256({_ALB_LINE_DUCK}) AS _id,
+       ts AS event_ts,
+       (1024 + event_id % 60000)::BIGINT AS client_port,
+       (200 + (event_id % 4) * 100)::BIGINT AS status_code,
+       (CASE WHEN event_id % 4 = 3 THEN NULL ELSE 200 END)::BIGINT AS target_status,
+       (event_id % 10000)::BIGINT AS received_bytes,
+       floor(abs(coalesce(value, 0.0)) * 100)::BIGINT AS sent_bytes,
+       'https://ex.com/p q/' || event_type || '?k=' || (event_id % 100) AS url_decoded,
+       'ua-' || event_type AS user_agent,
+       (CASE WHEN event_id % 4 = 3 THEN NULL ELSE 0.001 END)::DOUBLE AS rpt,
+       NULL::VARCHAR AS parse_error
+FROM events
+"""
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -502,6 +747,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": _ANN_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_json": _EVENTS_JSON_SQL,
+        "simhash": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
+        "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "ann_lsh": _ann_lsh_sql(),
+        "alb_parse": _ALB_PARSE_SQL,
+        # multimodal_features: deliberately no SQL oracle (binary decode
+        # plumbing; driver records the rows-only check)
     }
 
 

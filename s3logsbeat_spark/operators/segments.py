@@ -31,9 +31,12 @@ Scale design:
   ``xxhash64(doc_id) % n_salts`` — deterministic, so re-runs and merges
   stay idempotent. This is the explicit groupBy-skew split AQE does not
   provide (SURVEY §4 custom item 1).
-- One shuffle total: the groupBy(bucket, term, salt) feeding
-  applyInPandas. Tokenize+explode are narrow; df estimation is a
-  map-side-combined count.
+- One shuffle over the posting stream: the groupBy(bucket, term, salt)
+  feeding applyInPandas. Tokenize+explode are narrow and stream straight
+  into that shuffle — nothing is persisted. Doc counts come from a
+  doc_id-only scan (column pruning) and skew stats from a deterministic
+  1-in-R doc sample, so raw content is tokenized once (plus 1/R for the
+  sample).
 """
 
 from __future__ import annotations
@@ -74,6 +77,16 @@ class IndexConfig:
     # content is a full shuffle — only worth it when the scan is narrower
     # than the cluster). None = defaultParallelism.
     min_input_partitions: int | None = None
+    # Hot-term (skew) detection samples 1-in-R docs instead of counting
+    # every posting: at 10^12 files an exact global df pass just to pick
+    # salts would cost as much as the build itself. None = auto (exact on
+    # small inputs, 1/64 above ~200k docs). The sample is a deterministic
+    # hash of doc_id, so resumed runs make identical salting choices.
+    hot_sample_rate: int | None = None
+    # Map-side run accumulator flush threshold (postings held in a Python
+    # worker before emitting packed runs) — bounds worker memory to
+    # ~16 bytes x this.
+    run_flush_postings: int = 4_000_000
 
 
 def _manifest_dir(out: str) -> str:
@@ -108,14 +121,107 @@ def _write_manifest_row(out_dir: str, row: dict) -> None:
     os.replace(tmp, dst)
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (bucket, term, salt) posting sub-list ->
-    one compressed segment row. Sort inside the group makes output
-    independent of shuffle arrival order (determinism under resume)."""
-    pdf = pdf.sort_values("doc_id", kind="mergesort")
-    payload = encode_posting_list(
-        pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(), pdf["doc_len"].to_numpy()
-    )
+RUN_SCHEMA = "bucket int, term string, salt int, docs binary, tfs binary, dls binary"
+
+_SALT_MULT = 0x9E3779B97F4A7C15
+_M64 = (1 << 64) - 1
+
+
+def _salt_of(doc_id: int, n_salts: int) -> int:
+    """Deterministic doc->salt split (Knuth multiplicative hash). Depends
+    only on (doc_id, n_salts), so resumed runs salt identically."""
+    return int((((doc_id & _M64) * _SALT_MULT) & _M64) >> 32) % n_salts
+
+
+def _runs_builder(
+    hot: dict, id_col: str, text_col: str, lang_col: str | None, flush_postings: int
+):
+    """mapInPandas generator: tokenize docs AND build a partition-local
+    partial inverted index ("runs") in one Python pass.
+
+    This is the map-side combine the groupBy shuffle can't do for us: one
+    output row per (bucket, term, salt) per flush instead of one row per
+    posting. On Zipfian corpora that cuts shuffled row count by orders of
+    magnitude (hot terms collapse into packed int64/int32 arrays) while
+    keeping the same bytes — Tungsten row + sort overhead scales with
+    rows, not bytes. The analogue of Lucene's in-memory segment before
+    flush; the reference has no indexing side at all (ES-internal).
+
+    ``hot`` maps (bucket, term) -> n_salts; it ships to workers inside
+    the closure (cloudpickle) — it only contains genuinely hot terms, so
+    it stays small even at corpus scale.
+    ``flush_postings`` bounds worker memory: the accumulator flushes to
+    output rows whenever it holds that many postings (a group may then
+    emit several runs per partition — the merge stage handles any number).
+    """
+
+    def gen(batches):
+        from array import array
+
+        from ..functions.tokenizer import _WORKER_MEMO, _count_terms
+
+        # array.array buffers: 16 bytes/posting flat storage (vs ~60+ for
+        # Python int lists) — with many workers the accumulator would
+        # otherwise dominate node memory and thrash the allocator.
+        acc: dict = {}
+        n_acc = 0
+
+        def flush():
+            nonlocal acc, n_acc
+            if not acc:
+                return None
+            rows = {"bucket": [], "term": [], "salt": [], "docs": [], "tfs": [], "dls": []}
+            for (b, t, s), (ids, tfs, dls) in acc.items():
+                rows["bucket"].append(b)
+                rows["term"].append(t)
+                rows["salt"].append(s)
+                rows["docs"].append(ids.tobytes())
+                rows["tfs"].append(tfs.tobytes())
+                rows["dls"].append(dls.tobytes())
+            acc = {}
+            n_acc = 0
+            return pd.DataFrame(rows)
+
+        for pdf in batches:
+            langs = pdf[lang_col] if lang_col else [None] * len(pdf)
+            for did, b, text, lang in zip(pdf[id_col], pdf["bucket"], pdf[text_col], langs):
+                counts = _count_terms(text or "", lang, _WORKER_MEMO)
+                dl = sum(counts.values())
+                did = int(did)
+                b = int(b)
+                for t, c in counts.items():
+                    ns = hot.get((b, t))
+                    key = (b, t, 0 if ns is None else _salt_of(did, ns))
+                    e = acc.get(key)
+                    if e is None:
+                        e = acc[key] = (array("q"), array("i"), array("i"))
+                    e[0].append(did)
+                    e[1].append(c)
+                    e[2].append(dl)
+                n_acc += len(counts)
+            if n_acc >= flush_postings:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return gen
+
+
+def _merge_encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: merge the (bucket, term, salt) group's runs ->
+    one compressed segment row. doc_ids are unique within the group, so
+    the argsort is deterministic whatever order the runs arrive in
+    (determinism under resume)."""
+    import numpy as np
+
+    ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["docs"]])
+    tfs = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in pdf["tfs"]])
+    dls = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in pdf["dls"]])
+    order = np.argsort(ids, kind="mergesort")
+    payload = encode_posting_list(ids[order], tfs[order], dls[order])
     return pd.DataFrame(
         {
             "bucket": [int(pdf["bucket"].iloc[0])],
@@ -175,60 +281,55 @@ def build_index(
     if work.rdd.getNumPartitions() < min_parts:
         work = work.repartition(min_parts)
 
-    # ONE pass over raw content: doc_markers=True makes the tokenizer also
-    # emit a (doc_id, term=NULL) row per doc (empty docs included), so doc
-    # counts, length stats, skew stats and the encode stage all feed off
-    # this single persisted mapInPandas output — the raw table is scanned
-    # exactly once.
+    # Per-bucket doc counts WITHOUT touching content: column pruning makes
+    # this a doc_id-only parquet scan (empty docs included — they must
+    # count toward n_docs/avgdl even though they emit no postings).
+    bucket_docs = {
+        r["bucket"]: r["n"]
+        for r in work.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    n_docs_total = sum(bucket_docs.values())
+
     from ..functions.tokenizer import doc_terms
 
-    tokenized = doc_terms(
-        work, id_col=id_col, text_col=text_col, lang_col=lang_col, doc_markers=True
-    ).withColumn(
-        "bucket",
-        (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb)).cast("int") + F.lit(off)).cast("int"),
-    )
-    from pyspark import StorageLevel
-
-    tokenized = tokenized.persist(StorageLevel.MEMORY_AND_DISK)
-
-    # ONE stats agg over the tokenized stream serves both doc counts
-    # (marker rows, term NULL) and skew detection (per-(bucket,term) df) —
-    # map-side combined, output is only |buckets| x |vocab| rows.
-    stats = (
-        tokenized.groupBy("bucket", "term")
-        .agg(F.count("*").alias("bdf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    bucket_docs = {
-        r["bucket"]: r["bdf"]
-        for r in stats.filter(F.col("term").isNull()).collect()
-    }
-    postings = tokenized.filter(F.col("term").isNotNull())
-
-    # --- skew split: the salt decision depends ONLY on the bucket's own
-    # data so a resumed run (different bucket subset) makes identical
-    # choices — that keeps re-builds byte-identical
+    # --- skew detection on a deterministic 1-in-R doc sample. Exact
+    # global df counting at 10^12-file scale would rival the build cost;
+    # a hash sample bounds it to 1/R of one tokenize pass. R derives from
+    # the FULL table's doc count (stable across resumes) and the sampled
+    # estimate depends only on the bucket's own docs, so a resumed run
+    # (different bucket subset) makes identical salting choices
     # (test_resume_byte_identical).
-    per_salt = cfg.hot_df_threshold
-    hot = stats.filter(
-        F.col("term").isNotNull() & (F.col("bdf") > per_salt)
-    ).withColumn(
-        "n_salts",
-        F.ceil(F.col("bdf") / F.lit(per_salt)).cast("int"),
-    ).select("bucket", "term", "n_salts")
-    salted = postings.join(F.broadcast(hot), ["bucket", "term"], "left").withColumn(
-        "salt",
-        F.when(
-            F.col("n_salts").isNotNull(),
-            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.col("n_salts")),
-        )
-        .otherwise(F.lit(0))
-        .cast("int"),
+    rate = cfg.hot_sample_rate or (1 if n_docs_total < 200_000 else 64)
+    sample = work if rate == 1 else work.filter(
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(rate)) == 0
     )
+    per_salt = cfg.hot_df_threshold
+    hot_rows = (
+        doc_terms(sample, id_col=id_col, text_col=text_col, lang_col=lang_col)
+        .withColumn(
+            "bucket",
+            (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb)).cast("int") + F.lit(off)).cast("int"),
+        )
+        .groupBy("bucket", "term")
+        .agg((F.count("*") * F.lit(rate)).alias("est_df"))
+        .filter(F.col("est_df") > per_salt)
+        .withColumn("n_salts", F.ceil(F.col("est_df") / F.lit(per_salt)).cast("int"))
+        .select("bucket", "term", "n_salts")
+        .collect()
+    )
+    hot = {(r["bucket"], r["term"]): r["n_salts"] for r in hot_rows}
 
-    segs = salted.groupBy("bucket", "term", "salt").applyInPandas(
-        _encode_group, schema=SEGMENT_SCHEMA
+    # --- the ONE pass over raw content: tokenize + map-side partial index
+    # (packed runs) in a single mapInPandas, then ONE shuffle of run rows
+    # into the per-(bucket, term, salt) merge+encode. Nothing is persisted
+    # and no per-posting row ever exists JVM-side.
+    cols = [id_col, "bucket", text_col] + ([lang_col] if lang_col else [])
+    runs = work.select(*cols).mapInPandas(
+        _runs_builder(hot, id_col, text_col, lang_col, cfg.run_flush_postings),
+        schema=RUN_SCHEMA,
+    )
+    segs = runs.groupBy("bucket", "term", "salt").applyInPandas(
+        _merge_encode_group, schema=SEGMENT_SCHEMA
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -239,9 +340,6 @@ def build_index(
         .partitionBy("bucket")
         .parquet(_segments_dir(cfg.out_dir))
     )
-    tokenized.unpersist()
-    stats.unpersist()
-
     # --- read-back ack (the reference acks only after publish succeeds) ---
     written = spark.read.parquet(_segments_dir(cfg.out_dir)).filter(
         F.col("bucket").isin([int(b) for b in todo])

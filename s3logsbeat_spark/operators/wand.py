@@ -228,7 +228,14 @@ def wand_topk(
 # ----------------------------------------------------------- index reader --
 
 class IndexReader:
-    """Query executor over a built index directory."""
+    """Query executor over a built index directory.
+
+    Driver-path reads go through a pyarrow dataset (term-filter pushed to
+    parquet row-group stats — segments are written term-sorted, so a query
+    touches only its own terms' bytes) with NO Spark job: serving latency
+    is one pruned IO pass + the numpy kernel. The distributed path (big
+    pruned sets) stays a Spark per-bucket pass with a k-row merge.
+    """
 
     def __init__(self, spark: SparkSession, out_dir: str, merged: bool = False):
         self.spark = spark
@@ -237,9 +244,23 @@ class IndexReader:
         self.n_docs = self.summary["n_docs"]
         self.avgdl = self.summary["avgdl"]
         self._merged = merged
+        self._dset = None
 
     def _segment_rows(self, terms: list[str]) -> DataFrame:
         return load_segments(self.spark, self.out_dir, terms)
+
+    def _dataset(self):
+        if self._dset is None:
+            import os
+
+            import pyarrow.dataset as ds
+
+            self._dset = ds.dataset(
+                os.path.join(self.out_dir, "segments"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return self._dset
 
     def query(
         self,
@@ -255,28 +276,37 @@ class IndexReader:
         is exact)."""
         if not terms:
             return []
-        rows_df = self._segment_rows(terms)
-        # ONE tiny job answers both planning questions: exact global df per
-        # term (sum over bucket/salt sub-lists, feeds idf) and the pruned
-        # postings byte size (driver-vs-distributed choice)
-        stats = rows_df.groupBy("term").agg(
-            F.sum("df").alias("s"),
-            F.sum(F.length("docs") + F.length("tfs") + F.length("dls")).alias("nb"),
-        ).collect()
-        if not stats:
+        import pyarrow.dataset as ds
+
+        dset = self._dataset()
+        # metadata-only pass: exact global df per term (feeds idf) and a
+        # posting-count estimate for the driver-vs-distributed choice —
+        # column pruning keeps this to two skinny columns
+        meta = dset.to_table(
+            columns=["term", "df"], filter=ds.field("term").isin(terms)
+        )
+        if meta.num_rows == 0:
             return []
-        idf = {r["term"]: bm25_idf(self.n_docs, int(r["s"])) for r in stats}
+        dfsum: dict[str, int] = {}
+        for t, d in zip(meta["term"].to_pylist(), meta["df"].to_pylist()):
+            dfsum[t] = dfsum.get(t, 0) + int(d)
+        idf = {t: bm25_idf(self.n_docs, s) for t, s in dfsum.items()}
+        total_postings = sum(dfsum.values())
         if distributed is None:
-            nbytes = sum(r["nb"] or 0 for r in stats)
-            distributed = nbytes > driver_bytes_limit
+            # ~5 bytes/posting across the three varbyte streams
+            distributed = total_postings * 5 > driver_bytes_limit
         if not distributed:
+            tbl = dset.to_table(
+                columns=["term", "docs", "tfs", "dls", "blocks"],
+                filter=ds.field("term").isin(terms),
+            )
             lists = [
-                _row_to_plist(r, idf[r["term"]], self.avgdl)
-                for r in rows_df.collect()
+                _row_to_plist(row, idf[row["term"]], self.avgdl)
+                for row in tbl.to_pylist()
             ]
             kern = wand_topk if use_wand else score_exact_taat
             return kern(lists, k)
-        return self._query_distributed(rows_df, idf, k, use_wand)
+        return self._query_distributed(self._segment_rows(terms), idf, k, use_wand)
 
     def _query_distributed(self, rows_df, idf: dict, k: int, use_wand: bool):
         import pandas as pd

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Phase-level profiling of the index build at one parallelism level.
+
+Usage: taskset -c 0-7 python scripts/profile_build.py 8 128
+"""
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+cores = int(sys.argv[1])
+replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+
+def main():
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.functions.tokenizer import doc_terms
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+    from s3logsbeat_spark.session import get_spark
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    spark = get_spark("profile", cores=cores, shuffle_partitions=cores)
+    sf = "/root/testdata/sf0.1"
+    docs = load_documents(spark, sf)
+    path = os.path.join(tempfile.gettempdir(), f"s3lb_prof_input_x{replicate}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        reps = spark.range(replicate).select(F.col("id").alias("rep"))
+        big = docs.crossJoin(reps).withColumn(
+            "doc_id", F.col("doc_id") + F.col("rep") * F.lit(100_000_000)
+        ).drop("rep")
+        big.repartition(64).write.mode("overwrite").parquet(path)
+    big = spark.read.parquet(path)
+    n = big.count()
+    t = {}
+
+    # warmup (JIT + python workers)
+    doc_terms(big.limit(2000), text_col="content").count()
+
+    t0 = time.perf_counter()
+    cnt = doc_terms(big, text_col="content", doc_markers=True).count()
+    t["tokenize_only"] = round(time.perf_counter() - t0, 2)
+
+    # tokenize + persist + stats agg
+    tok = doc_terms(big, text_col="content", doc_markers=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    t0 = time.perf_counter()
+    tok.groupBy("term").agg(F.count("*")).count()
+    t["tokenize_persist_stats"] = round(time.perf_counter() - t0, 2)
+
+    # read-back + encode-shape shuffle (groupBy term over persisted)
+    t0 = time.perf_counter()
+    tok.filter(F.col("term").isNotNull()).groupBy("term").agg(
+        F.sum("tf")
+    ).count()
+    t["persisted_reread_agg"] = round(time.perf_counter() - t0, 2)
+    tok.unpersist()
+
+    out = os.path.join(tempfile.gettempdir(), f"s3lb_prof_idx_{cores}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(big, IndexConfig(out_dir=out, n_buckets=32, hot_df_threshold=50_000))
+    t["full_build"] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps({"cores": cores, "docs": n, "postings_rows": cnt, **t}))
+    spark.stop()
+
+
+main()
