@@ -122,13 +122,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-analysis: per-doc token counts (whitespace + word-regex)."""
+    """Text-analysis: per-doc token counts (whitespace split, word-regex,
+    and a BPE-ish pre-tokenization: letter runs / digit runs / single
+    punctuation — the GPT-2 pre-tokenizer shape without the \\p classes)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_ws_tokens"),
         F.size(F.expr(_TOKS)).cast("long").alias("n_word_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+        ).cast("long").alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
@@ -255,6 +263,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, list(q), k=10, planes=planes, multiprobe=True)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket equi-join for
+    candidates, exact cosine >= threshold verify (no cross join)."""
+    from s3logsbeat_spark.operators.similarity import (
+        embedding_dedup_pairs,
+        random_planes,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = random_planes(ANN_LSH_PLANES, 64)
+    return embedding_dedup_pairs(emb, threshold=EMB_DEDUP_THRESHOLD, planes=planes)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (rows-only check — no SQL oracle): synthetic
     binary media -> byte-budget re-batched decode -> mean-pooled feature
@@ -324,6 +345,7 @@ def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_LSH_THRESHOLD = 0.2
 ANN_LSH_PLANES = 6
+EMB_DEDUP_THRESHOLD = 0.35
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_lsh": q_ann_lsh,
+        "dedup_embedding": q_dedup_embedding,
         "alb_parse": q_alb_parse,
         "multimodal_features": q_multimodal_features,
     }
@@ -664,6 +687,29 @@ LIMIT 10
 """
 
 
+def _dedup_embedding_sql() -> str:
+    from s3logsbeat_spark.operators.similarity import random_planes
+
+    planes = random_planes(ANN_LSH_PLANES, 64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket_terms})::BIGINT AS bkt FROM embeddings
+)
+SELECT l.vec_id AS a, r.vec_id AS b,
+       round(list_cosine_similarity(l.embedding::DOUBLE[],
+                                    r.embedding::DOUBLE[]), 6) AS cosine
+FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding::DOUBLE[],
+                                   r.embedding::DOUBLE[]), 6) >= {EMB_DEDUP_THRESHOLD}
+"""
+
+
 _ALB_LINE_DUCK = """
   'http ' || {ts} || ' app/lb/x 192.0.2.1:' || (1024 + event_id % 60000)
   || ' 10.0.0.9:8080 ' || (CASE WHEN event_id % 4 = 3 THEN '-1' ELSE '0.001' END)
@@ -735,6 +781,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_ws_tokens,
                    len(regexp_extract_all(lower(text), '[a-z0-9_]+'))::BIGINT AS n_word_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_bpe_tokens,
                    length(text)::BIGINT AS n_chars_actual
             FROM documents
         """,
@@ -751,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
         # multimodal_features: deliberately no SQL oracle (binary decode
         # plumbing; driver records the rows-only check)

@@ -137,6 +137,53 @@ def random_planes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     return rng.randn(n_planes, dim)
 
 
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed: vectors that share a
+    sign-LSH bucket are candidate pairs; exact cosine verifies >= threshold.
+    The only cross-row join is the bucket equi-join (never a cross join);
+    at scale the bucket column is a write-time partition key, so the join
+    co-locates without a shuffle of the full table."""
+    if planes is None:
+        dim = len(emb.select(vec_col).first()[0])
+        planes = random_planes(n_planes, dim)
+    pl = planes
+    b = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), pl).alias("bkt"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("l.v"), F.col("r.v"), lambda a, bb: a.cast("double") * bb.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(dot / (nrm(F.col("l.v")) * nrm(F.col("r.v"))), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -245,6 +245,7 @@ class IndexReader:
         self.avgdl = self.summary["avgdl"]
         self._merged = merged
         self._dset = None
+        self._dict: dict[str, int] | None = None
 
     def _segment_rows(self, terms: list[str]) -> DataFrame:
         return load_segments(self.spark, self.out_dir, terms)
@@ -279,17 +280,19 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         dset = self._dataset()
-        # metadata-only pass: exact global df per term (feeds idf) and a
-        # posting-count estimate for the driver-vs-distributed choice —
-        # column pruning keeps this to two skinny columns
-        meta = dset.to_table(
-            columns=["term", "df"], filter=ds.field("term").isin(terms)
-        )
-        if meta.num_rows == 0:
+        if self._dict is None:
+            # one-time dictionary load: exact global df per term (feeds
+            # idf + the driver-vs-distributed choice). Column pruning
+            # keeps this to two skinny columns; the dictionary is
+            # vocab-sized, tiny next to the postings.
+            tb = dset.to_table(columns=["term", "df"])
+            dic: dict[str, int] = {}
+            for t, d in zip(tb["term"].to_pylist(), tb["df"].to_pylist()):
+                dic[t] = dic.get(t, 0) + int(d)
+            self._dict = dic
+        dfsum = {t: self._dict[t] for t in terms if t in self._dict}
+        if not dfsum:
             return []
-        dfsum: dict[str, int] = {}
-        for t, d in zip(meta["term"].to_pylist(), meta["df"].to_pylist()):
-            dfsum[t] = dfsum.get(t, 0) + int(d)
         idf = {t: bm25_idf(self.n_docs, s) for t, s in dfsum.items()}
         total_postings = sum(dfsum.values())
         if distributed is None:
