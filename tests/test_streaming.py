@@ -129,3 +129,28 @@ def test_stream_index_append(spark, corpus_rows, tmp_path):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-9
+
+
+def test_gzip_line_source(spark, tmp_path):
+    """S8 analogue: the reference GETs + gunzips by key extension
+    (aws/s3reader.go:39-48); Spark's text source picks the codec from the
+    extension natively — parse results must match the plain-text path."""
+    import gzip
+
+    from s3logsbeat_spark.plans.formats import ELB_SPEC
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    line = (
+        "2015-05-13T23:39:43.945958Z my-loadbalancer 192.168.131.39:2817 "
+        "10.0.0.1:80 0.000073 0.001048 0.000057 200 200 0 29 "
+        '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.38.0" - -'
+    )
+    gz = tmp_path / "lines.log.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write(line + "\n\n" + line + "\n")
+    df = spark.read.text(str(gz))
+    parsed = parse_lines(df, ELB_SPEC)
+    rows = parsed.collect()
+    assert len(rows) == 2  # blank line skipped by the S9 splitter
+    assert all(r["_error"] is None for r in rows)
+    assert rows[0]["elb_status_code"] == 200
