@@ -290,9 +290,95 @@ def run_scaling(replicate: int = 256) -> dict:
     return report
 
 
+def run_code_corpus(n_docs: int = 20_000) -> dict:
+    """Realistic code-corpus mode (``--code-corpus [n_docs]``): a Zipfian-
+    vocabulary synthetic source-code table with the exact input_hint shape
+    (repo, path, commit, lang, content), indexed with the code-aware
+    tokenizer, then the reference query set answered on BOTH paths —
+    compressed Block-Max-WAND index and naive DataFrame BM25 — with a
+    rank-identity cross-check (same docIDs in order, scores within 1e-6).
+    This is the honest feedback loop for the north rule: realistic term
+    skew (Zipf hot head), realistic doc-length spread, both engines."""
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.operators.postings import (
+        bm25_topk_naive, build_postings, corpus_stats,
+    )
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+    from s3logsbeat_spark.operators.wand import IndexReader
+    from s3logsbeat_spark.testing.corpus import REFERENCE_QUERIES, corpus_df
+
+    spark = _spark(CPUS)
+    path = os.path.join(tempfile.gettempdir(), f"s3lb_code_corpus_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        corpus_df(spark, n_docs).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+
+    out = os.path.join(tempfile.gettempdir(), f"s3lb_code_index_{n_docs}")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = IndexConfig(out_dir=out, n_buckets=32, hot_df_threshold=max(n_docs // 8, 1000))
+    t0 = time.perf_counter()
+    summary = build_index(docs, cfg)
+    build_s = time.perf_counter() - t0
+
+    rdr = IndexReader(spark, out)
+    lat: list[float] = []
+    wand_results: dict[int, list] = {}
+    for q in REFERENCE_QUERIES:
+        t0 = time.perf_counter()
+        wand_results[q["query_id"]] = rdr.query(q["terms"], q["k"])
+        lat.append(time.perf_counter() - t0)
+
+    # Rank-identity cross-check vs the naive DataFrame path (one shared
+    # postings build; ties resolved identically: score desc, doc_id asc,
+    # scores compared at 1e-6).
+    postings = build_postings(docs).cache()
+    n, avgdl = corpus_stats(postings, n_docs)
+    mismatches = []
+    for q in REFERENCE_QUERIES:
+        naive = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk_naive(
+                docs, q["terms"], q["k"], postings=postings, n_docs=n, avgdl=avgdl
+            ).collect()
+        ]
+        wand = wand_results[q["query_id"]]
+        ok = len(naive) == len(wand) and all(
+            dn == dw and abs(sn - sw) < 1e-6
+            for (dn, sn), (dw, sw) in zip(naive, wand)
+        )
+        if not ok:
+            mismatches.append({"query_id": q["query_id"], "naive": naive[:3], "wand": wand[:3]})
+    postings.unpersist()
+
+    report = {
+        "metric": "code_corpus_build_docs_per_sec",
+        "value": round(n_docs / build_s, 1),
+        "unit": "docs/sec",
+        "sf": f"synthetic-code-{n_docs}",
+        "docs": n_docs,
+        "postings": summary.get("postings"),
+        "blocks": summary.get("blocks"),
+        "index_build_sec": round(build_s, 2),
+        "queries": {
+            f"q{q['query_id']}": round(l, 4)
+            for q, l in zip(REFERENCE_QUERIES, lat)
+        },
+        "query_p50_sec": round(statistics.median(lat), 4),
+        "rank_identical_wand_vs_naive": not mismatches,
+        "mismatches": mismatches,
+        "cores": CPUS,
+    }
+    return report
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--build-once":
         run_build_once(int(sys.argv[2]), int(sys.argv[3]))
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "--code-corpus":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000
+        print(json.dumps(run_code_corpus(n)))
         sys.exit(0)
     result = run_default()
     if "--scaling" in sys.argv or os.environ.get("SPARK_GRAFT_SCALING") == "1":

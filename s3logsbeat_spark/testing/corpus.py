@@ -112,6 +112,59 @@ def _row(repo: str, path: str, commit: str, lang: str, content: str) -> dict:
     }
 
 
+def corpus_df(
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    n_repos: int = 64,
+    min_lines: int = 20,
+    max_lines: int = 80,
+):
+    """Distributed deterministic corpus at bench scale.
+
+    Doc ``i``'s row depends only on ``(seed, i)`` — generation is
+    embarrassingly parallel and byte-identical regardless of partitioning
+    or parallelism level (required for the N vs 4N scaling comparison to
+    run the *identical* input). Same Zipfian term/repo skew profile as
+    :func:`generate_corpus`, but per-doc RNG instead of one serial stream.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols: dict[str, list] = {
+                "doc_id": [], "repo": [], "path": [], "commit": [],
+                "lang": [], "content": [],
+            }
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random(f"{seed}:{i}")
+                repo = f"org/proj{int(n_repos * rng.random() ** 2) % n_repos}"
+                lang = rng.choices(LANGS, weights=LANG_W, k=1)[0]
+                path = f"src/{_ident(rng)}/{_ident(rng)}{EXT[lang]}"
+                commit = hashlib.sha1(f"{repo}/{path}/{i}".encode()).hexdigest()
+                content = _content(rng, lang, rng.randint(min_lines, max_lines))
+                cols["doc_id"].append(i)
+                cols["repo"].append(repo)
+                cols["path"].append(path)
+                cols["commit"].append(commit)
+                cols["lang"].append(lang)
+                cols["content"].append(content)
+            yield pd.DataFrame(cols)
+
+    return spark.range(n_docs).repartition(n_parts).mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, repo string, path string, commit string, "
+            "lang string, content string"
+        ),
+    )
+
+
 REFERENCE_QUERIES: list[dict] = [
     # FIXTURES.md F2 mix — terms are post-tokenization forms
     {"query_id": 0, "terms": ["return"], "k": 10},           # singleton hot
