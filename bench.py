@@ -322,6 +322,9 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     build_s = time.perf_counter() - t0
 
     rdr = IndexReader(spark, out)
+    t0 = time.perf_counter()
+    rdr.query(["value"], 10)  # cold: one-time dictionary + dataset load
+    cold_s = time.perf_counter() - t0
     lat: list[float] = []
     wand_results: dict[int, list] = {}
     for q in REFERENCE_QUERIES:
@@ -365,6 +368,7 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
             for q, l in zip(REFERENCE_QUERIES, lat)
         },
         "query_p50_sec": round(statistics.median(lat), 4),
+        "query_cold_open_sec": round(cold_s, 4),
         "rank_identical_wand_vs_naive": not mismatches,
         "mismatches": mismatches,
         "cores": CPUS,

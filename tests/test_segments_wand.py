@@ -19,7 +19,9 @@ from s3logsbeat_spark.operators.wand import (
     IndexReader,
     PostingList,
     bm25_idf,
+    pick_kernel,
     score_exact_taat,
+    score_single_term,
     wand_topk,
 )
 from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
@@ -48,6 +50,49 @@ def test_wand_equals_taat_fuzz(rng, n_terms, k):
     exact = score_exact_taat(lists, k)
     pruned = wand_topk(lists, k)
     assert pruned == exact
+
+
+@given(st.randoms(use_true_random=False), st.integers(1, 3), st.integers(1, 20))
+@settings(max_examples=40, deadline=None)
+def test_single_term_kernel_fuzz(rng, n_shards, k):
+    """score_single_term == TAAT on random salt-sharded single-term lists
+    (shards get disjoint doc universes, like doc-hash salting)."""
+    shards = []
+    for s in range(n_shards):
+        base = s * 10_000  # disjoint universes per shard
+        n = rng.randint(1, 400)
+        ids = np.array(
+            sorted(base + i for i in rng.sample(range(2000), n)), dtype=np.int64
+        )
+        tfs = np.array([rng.randint(1, 20) for _ in range(n)], dtype=np.int64)
+        dls = np.array([rng.randint(5, 200) for _ in range(n)], dtype=np.int64)
+        shards.append(
+            PostingList(encode_posting_list(ids, tfs, dls), bm25_idf(1000, n), 50.0)
+        )
+    assert score_single_term(shards, k) == score_exact_taat(shards, k)
+
+
+def test_single_term_kernel_prunes():
+    """Skewed-tf hot list: the UB-ordered block scan stops after the heavy
+    blocks — most blocks never get decoded."""
+    n = 100_000
+    ids = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    tfs[::1000] = 50
+    dls = np.full(n, 100, dtype=np.int64)
+    lists = [PostingList(encode_posting_list(ids, tfs, dls), bm25_idf(n + 1000, n), 100.0)]
+    stats: dict = {}
+    got = score_single_term(lists, 10, stats=stats)
+    assert got == score_exact_taat(lists, 10)
+    assert stats["blocks_skipped"] > 0.8 * (n / 128), stats
+
+
+def test_pick_kernel_policy():
+    assert pick_kernel(1, 10_000_000, "auto") is score_single_term
+    assert pick_kernel(3, 100_000, "auto") is score_exact_taat
+    assert pick_kernel(3, 50_000_000, "auto") is wand_topk
+    assert pick_kernel(1, 100, True) is wand_topk
+    assert pick_kernel(4, 50_000_000, False) is score_exact_taat
 
 
 def test_wand_prunes_blocks():
