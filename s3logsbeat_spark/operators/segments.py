@@ -31,8 +31,11 @@ Scale design:
   ``xxhash64(doc_id) % n_salts`` — deterministic, so re-runs and merges
   stay idempotent. This is the explicit groupBy-skew split AQE does not
   provide (SURVEY §4 custom item 1).
-- One shuffle over the posting stream: the groupBy(bucket, term, salt)
-  feeding applyInPandas. Tokenize+explode are narrow and stream straight
+- One shuffle over the posting stream: hash-repartition of packed run
+  rows by (bucket, term, salt) + sortWithinPartitions feeding a
+  streaming mapInPandas merge (group boundaries walked inside big Arrow
+  batches — NOT per-group applyInPandas, whose per-group overhead scales
+  with vocab x buckets). Tokenize+explode are narrow and stream straight
   into that shuffle — nothing is persisted. Doc counts come from a
   doc_id-only scan (column pruning) and skew stats from a deterministic
   1-in-R doc sample, so raw content is tokenized once (plus 1/R for the
@@ -210,40 +213,102 @@ def _runs_builder(
     return gen
 
 
-def _merge_encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: merge the (bucket, term, salt) group's runs ->
-    one compressed segment row. doc_ids are unique within the group, so
-    the argsort is deterministic whatever order the runs arrive in
-    (determinism under resume)."""
+def _encode_group(out: dict, bucket: int, term, salt: int, docs, tfs, dls) -> None:
+    """Merge one (bucket, term, salt) group's runs -> one compressed
+    segment row appended to ``out``. doc_ids are unique within the group,
+    so the argsort is deterministic whatever order the runs arrive in
+    (byte-identical output under resume)."""
     import numpy as np
 
-    ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in pdf["docs"]])
-    tfs = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in pdf["tfs"]])
-    dls = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in pdf["dls"]])
+    ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in docs])
+    tf = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in tfs])
+    dl = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in dls])
     order = np.argsort(ids, kind="mergesort")
-    payload = encode_posting_list(ids[order], tfs[order], dls[order])
-    return pd.DataFrame(
-        {
-            "bucket": [int(pdf["bucket"].iloc[0])],
-            "term": [pdf["term"].iloc[0]],
-            "salt": [int(pdf["salt"].iloc[0])],
-            "df": [payload["df"]],
-            "cf": [payload["cf"]],
-            "n_blocks": [len(payload["blocks"])],
-            "docs": [payload["docs"]],
-            "tfs": [payload["tfs"]],
-            "dls": [payload["dls"]],
-            "blocks": [
-                [
-                    (
-                        b["last_doc"], b["max_tf"], b["min_dl"],
-                        b["doc_off"], b["tf_off"], b["dl_off"], b["cnt"],
-                    )
-                    for b in payload["blocks"]
-                ]
-            ],
-        }
+    payload = encode_posting_list(ids[order], tf[order], dl[order])
+    _append_seg_row(out, bucket, term, salt, payload)
+
+
+def _append_seg_row(out: dict, bucket: int, term, salt: int, payload: dict) -> None:
+    out["bucket"].append(int(bucket))
+    out["term"].append(term)
+    out["salt"].append(int(salt))
+    out["df"].append(payload["df"])
+    out["cf"].append(payload["cf"])
+    out["n_blocks"].append(len(payload["blocks"]))
+    out["docs"].append(payload["docs"])
+    out["tfs"].append(payload["tfs"])
+    out["dls"].append(payload["dls"])
+    out["blocks"].append(
+        [
+            (
+                b["last_doc"], b["max_tf"], b["min_dl"],
+                b["doc_off"], b["tf_off"], b["dl_off"], b["cnt"],
+            )
+            for b in payload["blocks"]
+        ]
     )
+
+
+_SEG_COLS = ("bucket", "term", "salt", "df", "cf", "n_blocks", "docs", "tfs", "dls", "blocks")
+
+
+def _merge_encode_stream(batches):
+    """mapInPandas kernel over run rows hash-repartitioned by
+    (bucket, term, salt) and sorted within the partition on those keys:
+    walk group boundaries inside big Arrow batches and encode each group.
+
+    Same output as a per-group ``applyInPandas``, but one Arrow transfer
+    per *batch* instead of per *group* — with a vocab-sized group count
+    (hundreds of thousands of mostly-tiny posting lists) the per-group
+    Arrow/pandas overhead was THE build bottleneck (~85% of wall time at
+    the 20k-doc bench), and it scales with vocab x buckets, not data.
+    A group that spans batch boundaries is carried into the next batch;
+    partition boundaries are group boundaries by construction.
+    """
+    import numpy as np
+
+    carry: pd.DataFrame | None = None
+
+    def encode_complete(pdf: pd.DataFrame, last_is_complete: bool):
+        n = len(pdf)
+        b = pdf["bucket"].to_numpy()
+        t = pdf["term"].to_numpy(dtype=object)
+        s = pdf["salt"].to_numpy()
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        if n > 1:
+            new[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (t[1:] != t[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        if not last_is_complete:  # hold the last group: it may continue
+            starts, ends = starts[:-1], ends[:-1]
+        if starts.size == 0:
+            return None
+        docs_a = pdf["docs"].to_numpy(dtype=object)
+        tfs_a = pdf["tfs"].to_numpy(dtype=object)
+        dls_a = pdf["dls"].to_numpy(dtype=object)
+        out: dict = {c: [] for c in _SEG_COLS}
+        for lo, hi in zip(starts, ends):
+            _encode_group(
+                out, b[lo], t[lo], s[lo],
+                docs_a[lo:hi], tfs_a[lo:hi], dls_a[lo:hi],
+            )
+        return pd.DataFrame(out), int(ends[-1])
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        res = encode_complete(pdf, last_is_complete=False)
+        if res is None:
+            carry = pdf
+        else:
+            done, upto = res
+            carry = pdf.iloc[upto:].reset_index(drop=True)
+            yield done
+    if carry is not None and len(carry):
+        yield encode_complete(carry, last_is_complete=True)[0]
 
 
 def build_index(
@@ -328,8 +393,10 @@ def build_index(
         _runs_builder(hot, id_col, text_col, lang_col, cfg.run_flush_postings),
         schema=RUN_SCHEMA,
     )
-    segs = runs.groupBy("bucket", "term", "salt").applyInPandas(
-        _merge_encode_group, schema=SEGMENT_SCHEMA
+    segs = (
+        runs.repartition(F.col("bucket"), F.col("term"), F.col("salt"))
+        .sortWithinPartitions("bucket", "term", "salt")
+        .mapInPandas(_merge_encode_stream, schema=SEGMENT_SCHEMA)
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -416,57 +483,73 @@ def merge_segments(
     totals = segs.groupBy("term").agg(F.sum("df").alias("total_df"))
     small = totals.filter(F.col("total_df") <= max_merge_df).select("term")
 
-    def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _remerge_stream(batches):
+        """Same batch-streamed boundary walk as ``_merge_encode_stream``
+        (rows repartitioned + sorted by term): per-term sub-lists are
+        decoded, concatenated, re-sorted by doc and re-encoded into one
+        list. ``decode_posting_list`` needs only the three byte streams,
+        so the stored block metadata is not rebuilt row-side."""
         import numpy as np
 
         from .codec import decode_posting_list
 
-        ids_all, tfs_all, dls_all = [], [], []
-        for _, row in pdf.iterrows():
-            blocks = [
-                {
-                    "last_doc": b["last_doc"], "max_tf": b["max_tf"],
-                    "min_dl": b["min_dl"], "doc_off": b["doc_off"],
-                    "tf_off": b["tf_off"], "dl_off": b["dl_off"], "cnt": b["cnt"],
-                }
-                for b in row["blocks"]
-            ]
-            d, t, l = decode_posting_list(
-                {"docs": row["docs"], "tfs": row["tfs"], "dls": row["dls"], "blocks": blocks}
-            )
-            ids_all.append(d)
-            tfs_all.append(t)
-            dls_all.append(l)
-        ids = np.concatenate(ids_all)
-        order = np.argsort(ids, kind="mergesort")
-        payload = encode_posting_list(
-            ids[order], np.concatenate(tfs_all)[order], np.concatenate(dls_all)[order]
-        )
-        return pd.DataFrame(
-            {
-                "bucket": [-1],
-                "term": [pdf["term"].iloc[0]],
-                "salt": [0],
-                "df": [payload["df"]],
-                "cf": [payload["cf"]],
-                "n_blocks": [len(payload["blocks"])],
-                "docs": [payload["docs"]],
-                "tfs": [payload["tfs"]],
-                "dls": [payload["dls"]],
-                "blocks": [
-                    [
-                        (
-                            b["last_doc"], b["max_tf"], b["min_dl"],
-                            b["doc_off"], b["tf_off"], b["dl_off"], b["cnt"],
-                        )
-                        for b in payload["blocks"]
-                    ]
-                ],
-            }
-        )
+        carry: pd.DataFrame | None = None
+
+        def encode_complete(pdf: pd.DataFrame, last_is_complete: bool):
+            n = len(pdf)
+            t = pdf["term"].to_numpy(dtype=object)
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            if n > 1:
+                new[1:] = t[1:] != t[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], n)
+            if not last_is_complete:
+                starts, ends = starts[:-1], ends[:-1]
+            if starts.size == 0:
+                return None
+            docs_a = pdf["docs"].to_numpy(dtype=object)
+            tfs_a = pdf["tfs"].to_numpy(dtype=object)
+            dls_a = pdf["dls"].to_numpy(dtype=object)
+            out: dict = {c: [] for c in _SEG_COLS}
+            for lo, hi in zip(starts, ends):
+                parts = [
+                    decode_posting_list(
+                        {"docs": docs_a[i], "tfs": tfs_a[i], "dls": dls_a[i]}
+                    )
+                    for i in range(lo, hi)
+                ]
+                ids = np.concatenate([p[0] for p in parts])
+                order = np.argsort(ids, kind="mergesort")
+                payload = encode_posting_list(
+                    ids[order],
+                    np.concatenate([p[1] for p in parts])[order],
+                    np.concatenate([p[2] for p in parts])[order],
+                )
+                _append_seg_row(out, -1, t[lo], 0, payload)
+            return pd.DataFrame(out), int(ends[-1])
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            res = encode_complete(pdf, last_is_complete=False)
+            if res is None:
+                carry = pdf
+            else:
+                done, upto = res
+                carry = pdf.iloc[upto:].reset_index(drop=True)
+                yield done
+        if carry is not None and len(carry):
+            yield encode_complete(carry, last_is_complete=True)[0]
 
     mergeable = segs.join(F.broadcast(small), "term")
     kept = segs.join(F.broadcast(small), "term", "left_anti")
-    merged = mergeable.groupBy("term").applyInPandas(_merge_group, schema=SEGMENT_SCHEMA)
+    merged = (
+        mergeable.repartition(F.col("term"))
+        .sortWithinPartitions("term")
+        .mapInPandas(_remerge_stream, schema=SEGMENT_SCHEMA)
+    )
     merged.unionByName(kept).write.mode("overwrite").parquet(merged_dir)
     return merged_dir
