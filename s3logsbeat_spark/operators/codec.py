@@ -122,6 +122,101 @@ def encode_posting_list(
     }
 
 
+def encode_posting_lists_batch(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    starts: np.ndarray,
+) -> dict:
+    """Vectorized encode of MANY posting lists in one shot.
+
+    ``doc_ids``/``tfs``/``dls`` are the groups' arrays concatenated
+    back-to-back (each group's doc_ids strictly ascending); ``starts``
+    holds each group's start offset (first element 0). Returns columns
+    (one entry per group): ``df, cf, n_blocks, docs, tfs, dls, blocks``
+    — payloads byte-identical to per-group :func:`encode_posting_list`
+    (property-tested), but every numpy pass runs over the whole batch,
+    so per-group cost is a few slice-and-copy operations instead of
+    ~15 small numpy calls. With vocab-sized group counts (hundreds of
+    thousands of tiny lists per partition) that difference is ~50x.
+    """
+    n = int(doc_ids.shape[0])
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    g = starts.shape[0]
+    ends = np.append(starts[1:], n)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs64 = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls64 = np.ascontiguousarray(dls, dtype=np.int64)
+
+    deltas = np.empty(n, dtype=np.uint64)
+    if n:
+        deltas[0] = doc_ids[0]
+        np.subtract(
+            doc_ids[1:].view(np.uint64), doc_ids[:-1].view(np.uint64), out=deltas[1:]
+        )
+        deltas[starts] = doc_ids[starts].view(np.uint64)  # group-relative restart
+
+    doc_b, doc_nb = varbyte_encode(deltas)
+    tf_b, tf_nb = varbyte_encode(tfs64.view(np.uint64))
+    dl_b, dl_nb = varbyte_encode(dls64.view(np.uint64))
+    doc_pos = np.concatenate(([0], np.cumsum(doc_nb)))  # byte start per value
+    tf_pos = np.concatenate(([0], np.cumsum(tf_nb)))
+    dl_pos = np.concatenate(([0], np.cumsum(dl_nb)))
+
+    # --- block grid: per group, blocks of BLOCK docs (last one ragged) ---
+    sizes = ends - starts
+    nblocks = (sizes + BLOCK - 1) // BLOCK
+    tot_blk = int(nblocks.sum())
+    grp_of_blk = np.repeat(np.arange(g), nblocks)
+    blk_first = np.cumsum(nblocks) - nblocks  # first block index per group
+    blk_in_grp = np.arange(tot_blk) - blk_first[grp_of_blk]
+    blk_lo = starts[grp_of_blk] + blk_in_grp * BLOCK
+    blk_hi = np.minimum(blk_lo + BLOCK, ends[grp_of_blk])
+    if tot_blk:
+        # consecutive blocks are adjacent globally (groups contiguous),
+        # so reduceat segments [blk_lo[i], blk_lo[i+1]) == blocks
+        max_tf = np.maximum.reduceat(tfs64, blk_lo)
+        min_dl = np.minimum.reduceat(dls64, blk_lo)
+        last_doc = doc_ids[blk_hi - 1]
+    else:
+        max_tf = min_dl = last_doc = np.empty(0, dtype=np.int64)
+    grp_doc0 = doc_pos[starts]  # group stream starts (bytes)
+    grp_tf0 = tf_pos[starts]
+    grp_dl0 = dl_pos[starts]
+    blk_rows = np.empty((tot_blk, 7), dtype=np.int64)
+    if tot_blk:
+        blk_rows[:, 0] = last_doc
+        blk_rows[:, 1] = max_tf
+        blk_rows[:, 2] = min_dl
+        blk_rows[:, 3] = doc_pos[blk_lo] - grp_doc0[grp_of_blk]
+        blk_rows[:, 4] = tf_pos[blk_lo] - grp_tf0[grp_of_blk]
+        blk_rows[:, 5] = dl_pos[blk_lo] - grp_dl0[grp_of_blk]
+        blk_rows[:, 6] = blk_hi - blk_lo
+    blk_list = blk_rows.tolist()  # bulk C conversion -> python ints
+
+    cf = np.add.reduceat(tfs64, starts) if n else np.zeros(g, dtype=np.int64)
+    doc_bytes = doc_b.tobytes()
+    tf_bytes = tf_b.tobytes()
+    dl_bytes = dl_b.tobytes()
+    d_lo, d_hi = grp_doc0.tolist(), doc_pos[ends].tolist()
+    t_lo, t_hi = grp_tf0.tolist(), tf_pos[ends].tolist()
+    l_lo, l_hi = grp_dl0.tolist(), dl_pos[ends].tolist()
+    b_first = blk_first.tolist()
+    b_cnt = nblocks.tolist()
+    return {
+        "df": sizes.tolist(),
+        "cf": cf.tolist(),
+        "n_blocks": b_cnt,
+        "docs": [doc_bytes[d_lo[i]:d_hi[i]] for i in range(g)],
+        "tfs": [tf_bytes[t_lo[i]:t_hi[i]] for i in range(g)],
+        "dls": [dl_bytes[l_lo[i]:l_hi[i]] for i in range(g)],
+        "blocks": [
+            [tuple(r) for r in blk_list[b_first[i]:b_first[i] + b_cnt[i]]]
+            for i in range(g)
+        ],
+    }
+
+
 def decode_posting_list(payload: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode: (doc_ids int64, tfs int64, dls int64)."""
     doc_b = np.frombuffer(payload["docs"], dtype=np.uint8)

@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..shipping import ensure_shipped
-from .codec import encode_posting_list
+from .codec import encode_posting_lists_batch
 
 SEGMENT_SCHEMA = (
     "bucket int, term string, salt int, df long, cf long, n_blocks int, "
@@ -213,45 +213,6 @@ def _runs_builder(
     return gen
 
 
-def _encode_group(out: dict, bucket: int, term, salt: int, docs, tfs, dls) -> None:
-    """Merge one (bucket, term, salt) group's runs -> one compressed
-    segment row appended to ``out``. doc_ids are unique within the group,
-    so the argsort is deterministic whatever order the runs arrive in
-    (byte-identical output under resume)."""
-    import numpy as np
-
-    ids = np.concatenate([np.frombuffer(b, dtype=np.int64) for b in docs])
-    tf = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in tfs])
-    dl = np.concatenate([np.frombuffer(b, dtype=np.int32) for b in dls])
-    order = np.argsort(ids, kind="mergesort")
-    payload = encode_posting_list(ids[order], tf[order], dl[order])
-    _append_seg_row(out, bucket, term, salt, payload)
-
-
-def _append_seg_row(out: dict, bucket: int, term, salt: int, payload: dict) -> None:
-    out["bucket"].append(int(bucket))
-    out["term"].append(term)
-    out["salt"].append(int(salt))
-    out["df"].append(payload["df"])
-    out["cf"].append(payload["cf"])
-    out["n_blocks"].append(len(payload["blocks"]))
-    out["docs"].append(payload["docs"])
-    out["tfs"].append(payload["tfs"])
-    out["dls"].append(payload["dls"])
-    out["blocks"].append(
-        [
-            (
-                b["last_doc"], b["max_tf"], b["min_dl"],
-                b["doc_off"], b["tf_off"], b["dl_off"], b["cnt"],
-            )
-            for b in payload["blocks"]
-        ]
-    )
-
-
-_SEG_COLS = ("bucket", "term", "salt", "df", "cf", "n_blocks", "docs", "tfs", "dls", "blocks")
-
-
 def _merge_encode_stream(batches):
     """mapInPandas kernel over run rows hash-repartitioned by
     (bucket, term, salt) and sorted within the partition on those keys:
@@ -279,21 +240,38 @@ def _merge_encode_stream(batches):
         if n > 1:
             new[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (t[1:] != t[:-1])
         starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], n)
         if not last_is_complete:  # hold the last group: it may continue
-            starts, ends = starts[:-1], ends[:-1]
+            starts = starts[:-1]
         if starts.size == 0:
             return None
-        docs_a = pdf["docs"].to_numpy(dtype=object)
-        tfs_a = pdf["tfs"].to_numpy(dtype=object)
-        dls_a = pdf["dls"].to_numpy(dtype=object)
-        out: dict = {c: [] for c in _SEG_COLS}
-        for lo, hi in zip(starts, ends):
-            _encode_group(
-                out, b[lo], t[lo], s[lo],
-                docs_a[lo:hi], tfs_a[lo:hi], dls_a[lo:hi],
-            )
-        return pd.DataFrame(out), int(ends[-1])
+        upto = int(np.flatnonzero(new)[starts.size]) if not last_is_complete else n
+        # flatten the complete rows' packed runs into one posting stream,
+        # one stable lexsort by (group, doc), then ONE vectorized encode
+        # of every group in the batch (doc_ids unique per group -> the
+        # sort is deterministic whatever order runs arrive: byte-identical
+        # output under resume)
+        docs_a = pdf["docs"].to_numpy(dtype=object)[:upto]
+        tfs_a = pdf["tfs"].to_numpy(dtype=object)[:upto]
+        dls_a = pdf["dls"].to_numpy(dtype=object)[:upto]
+        ids = np.concatenate([np.frombuffer(x, dtype=np.int64) for x in docs_a])
+        tf = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in tfs_a])
+        dl = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in dls_a])
+        row_grp = np.cumsum(new[:upto]) - 1
+        cnt = np.fromiter((len(x) >> 3 for x in docs_a), dtype=np.int64, count=upto)
+        pgrp = np.repeat(row_grp, cnt)
+        order = np.lexsort((ids, pgrp))
+        ids, tf, dl, pgrp = ids[order], tf[order], dl[order], pgrp[order]
+        pstarts = np.flatnonzero(np.r_[True, pgrp[1:] != pgrp[:-1]])
+        enc = encode_posting_lists_batch(ids, tf, dl, pstarts)
+        out = pd.DataFrame(
+            {
+                "bucket": b[starts],
+                "term": t[starts],
+                "salt": s[starts],
+                **enc,
+            }
+        )
+        return out, upto
 
     for pdf in batches:
         if len(pdf) == 0:
@@ -369,19 +347,27 @@ def build_index(
         F.pmod(F.xxhash64(F.col(id_col), F.lit(7)), F.lit(rate)) == 0
     )
     per_salt = cfg.hot_df_threshold
-    hot_rows = (
-        doc_terms(sample, id_col=id_col, text_col=text_col, lang_col=lang_col)
-        .withColumn(
-            "bucket",
-            (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb)).cast("int") + F.lit(off)).cast("int"),
+    if max(bucket_docs.values(), default=0) <= per_salt:
+        # a term's per-(bucket) df is bounded by the bucket's doc count —
+        # no term CAN exceed the salt threshold, so skip the sampling
+        # tokenize pass outright. This is the common well-configured case
+        # (threshold chosen >= docs/bucket); the pass only runs when a
+        # single (bucket, term) list could actually outgrow it.
+        hot_rows = []
+    else:
+        hot_rows = (
+            doc_terms(sample, id_col=id_col, text_col=text_col, lang_col=lang_col)
+            .withColumn(
+                "bucket",
+                (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb)).cast("int") + F.lit(off)).cast("int"),
+            )
+            .groupBy("bucket", "term")
+            .agg((F.count("*") * F.lit(rate)).alias("est_df"))
+            .filter(F.col("est_df") > per_salt)
+            .withColumn("n_salts", F.ceil(F.col("est_df") / F.lit(per_salt)).cast("int"))
+            .select("bucket", "term", "n_salts")
+            .collect()
         )
-        .groupBy("bucket", "term")
-        .agg((F.count("*") * F.lit(rate)).alias("est_df"))
-        .filter(F.col("est_df") > per_salt)
-        .withColumn("n_salts", F.ceil(F.col("est_df") / F.lit(per_salt)).cast("int"))
-        .select("bucket", "term", "n_salts")
-        .collect()
-    )
     hot = {(r["bucket"], r["term"]): r["n_salts"] for r in hot_rows}
 
     # --- the ONE pass over raw content: tokenize + map-side partial index
@@ -503,31 +489,39 @@ def merge_segments(
             if n > 1:
                 new[1:] = t[1:] != t[:-1]
             starts = np.flatnonzero(new)
-            ends = np.append(starts[1:], n)
             if not last_is_complete:
-                starts, ends = starts[:-1], ends[:-1]
+                starts = starts[:-1]
             if starts.size == 0:
                 return None
-            docs_a = pdf["docs"].to_numpy(dtype=object)
-            tfs_a = pdf["tfs"].to_numpy(dtype=object)
-            dls_a = pdf["dls"].to_numpy(dtype=object)
-            out: dict = {c: [] for c in _SEG_COLS}
-            for lo, hi in zip(starts, ends):
-                parts = [
-                    decode_posting_list(
-                        {"docs": docs_a[i], "tfs": tfs_a[i], "dls": dls_a[i]}
-                    )
-                    for i in range(lo, hi)
-                ]
-                ids = np.concatenate([p[0] for p in parts])
-                order = np.argsort(ids, kind="mergesort")
-                payload = encode_posting_list(
-                    ids[order],
-                    np.concatenate([p[1] for p in parts])[order],
-                    np.concatenate([p[2] for p in parts])[order],
+            upto = int(np.flatnonzero(new)[starts.size]) if not last_is_complete else n
+            docs_a = pdf["docs"].to_numpy(dtype=object)[:upto]
+            tfs_a = pdf["tfs"].to_numpy(dtype=object)[:upto]
+            dls_a = pdf["dls"].to_numpy(dtype=object)[:upto]
+            parts = [
+                decode_posting_list(
+                    {"docs": docs_a[i], "tfs": tfs_a[i], "dls": dls_a[i]}
                 )
-                _append_seg_row(out, -1, t[lo], 0, payload)
-            return pd.DataFrame(out), int(ends[-1])
+                for i in range(upto)
+            ]
+            ids = np.concatenate([p[0] for p in parts])
+            tf = np.concatenate([p[1] for p in parts])
+            dl = np.concatenate([p[2] for p in parts])
+            row_grp = np.cumsum(new[:upto]) - 1
+            cnt = pdf["df"].to_numpy()[:upto].astype(np.int64)
+            pgrp = np.repeat(row_grp, cnt)
+            order = np.lexsort((ids, pgrp))
+            ids, tf, dl, pgrp = ids[order], tf[order], dl[order], pgrp[order]
+            pstarts = np.flatnonzero(np.r_[True, pgrp[1:] != pgrp[:-1]])
+            enc = encode_posting_lists_batch(ids, tf, dl, pstarts)
+            out = pd.DataFrame(
+                {
+                    "bucket": np.full(starts.size, -1, dtype=np.int64),
+                    "term": t[starts],
+                    "salt": np.zeros(starts.size, dtype=np.int64),
+                    **enc,
+                }
+            )
+            return out, upto
 
         for pdf in batches:
             if len(pdf) == 0:

@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from s3logsbeat_spark.operators.codec import (
@@ -84,3 +84,41 @@ def test_singleton_and_dense_run():
         # dense run compresses to ~1 byte/doc
         if len(ids) > 1:
             assert len(p["docs"]) <= len(ids) + 2
+
+
+@given(st.randoms(use_true_random=False), st.integers(1, 40))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.data_too_large])
+def test_batch_encode_identical_to_single(rng, n_groups):
+    """encode_posting_lists_batch must be BYTE-identical per group to
+    encode_posting_list (resume byte-identity depends on it)."""
+    from s3logsbeat_spark.operators.codec import encode_posting_lists_batch
+
+    groups = []
+    for _ in range(n_groups):
+        n = rng.randint(1, 400)
+        ids = np.array(sorted(rng.sample(range(1 << 40), n)), dtype=np.int64)
+        tfs = np.array([rng.randint(1, 300) for _ in range(n)], dtype=np.int64)
+        dls = np.array([rng.randint(1, 10_000) for _ in range(n)], dtype=np.int64)
+        groups.append((ids, tfs, dls))
+    starts = np.cumsum([0] + [g[0].size for g in groups[:-1]])
+    enc = encode_posting_lists_batch(
+        np.concatenate([g[0] for g in groups]),
+        np.concatenate([g[1] for g in groups]),
+        np.concatenate([g[2] for g in groups]),
+        np.asarray(starts, dtype=np.int64),
+    )
+    for i, (ids, tfs, dls) in enumerate(groups):
+        single = encode_posting_list(ids, tfs, dls)
+        assert enc["df"][i] == single["df"]
+        assert enc["cf"][i] == single["cf"]
+        assert enc["docs"][i] == single["docs"]
+        assert enc["tfs"][i] == single["tfs"]
+        assert enc["dls"][i] == single["dls"]
+        assert enc["n_blocks"][i] == len(single["blocks"])
+        got_blocks = enc["blocks"][i]
+        for gb, sb in zip(got_blocks, single["blocks"]):
+            assert tuple(gb) == (
+                sb["last_doc"], sb["max_tf"], sb["min_dl"],
+                sb["doc_off"], sb["tf_off"], sb["dl_off"], sb["cnt"],
+            )
