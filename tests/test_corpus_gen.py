@@ -1,0 +1,36 @@
+"""Distributed corpus generator invariants (bench input integrity)."""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def test_corpus_df_deterministic_and_partition_invariant(spark):
+    """Doc i depends only on (seed, i): two independent jobs (different
+    task layouts) must produce byte-identical rows, so N-core and
+    4N-core scaling runs build the identical input."""
+    from s3logsbeat_spark.testing.corpus import corpus_df
+
+    a = {r["doc_id"]: r for r in corpus_df(spark, 120, seed=9).collect()}
+    b = {
+        r["doc_id"]: r
+        for r in corpus_df(spark, 120, seed=9)
+        .repartition(3)  # different physical layout, same rows
+        .collect()
+    }
+    assert set(a) == set(b) == set(range(120))
+    for i in a:
+        assert tuple(a[i]) == tuple(b[i])
+    # realistic shape: multiple langs/repos, non-trivial content
+    langs = {r["lang"] for r in a.values()}
+    assert len(langs) >= 3
+    shas = {hashlib.sha256(r["content"].encode()).hexdigest() for r in a.values()}
+    assert len(shas) > 100  # near-unique contents
+
+
+def test_corpus_df_seed_sensitivity(spark):
+    from s3logsbeat_spark.testing.corpus import corpus_df
+
+    a = corpus_df(spark, 30, seed=1).collect()
+    b = corpus_df(spark, 30, seed=2).collect()
+    assert {r["content"] for r in a} != {r["content"] for r in b}
