@@ -70,11 +70,31 @@ def _input_table(spark, sf_dir: str, replicate: int):
     return out, out.count()
 
 
+def _code_corpus_table(spark, n_docs: int):
+    """Materialize the synthetic source-code corpus (exact input_hint
+    shape: repo, path, commit, lang, content) as parquet once; NOT part
+    of any timed build."""
+    path = os.path.join(tempfile.gettempdir(), f"s3lb_code_corpus_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from s3logsbeat_spark.testing.corpus import corpus_df
+
+        corpus_df(spark, n_docs).write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+    return out, n_docs
+
+
 def _build(spark, sf_dir: str, out: str, replicate: int = 1) -> tuple[float, int]:
-    """Time a full index build; returns (seconds, docs)."""
+    """Time a full index build; returns (seconds, docs).
+
+    ``sf_dir`` of the form ``code:N`` selects the synthetic code corpus
+    with N docs (the north-rule input shape) instead of the driver's
+    documents table."""
     from s3logsbeat_spark.operators.segments import IndexConfig, build_index
 
-    docs, n = _input_table(spark, sf_dir, replicate)
+    if sf_dir.startswith("code:"):
+        docs, n = _code_corpus_table(spark, int(sf_dir.split(":", 1)[1]))
+    else:
+        docs, n = _input_table(spark, sf_dir, replicate)
     shutil.rmtree(out, ignore_errors=True)
     # n_buckets fixed (NOT a function of cores) so the scaling comparison
     # runs the identical job and resume layouts are parallelism-independent
@@ -124,7 +144,7 @@ def run_default() -> dict:
     times["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    return {
+    out = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -134,6 +154,19 @@ def run_default() -> dict:
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "cores": CPUS,
     }
+    if os.environ.get("SPARK_GRAFT_SKIP_CODE_CORPUS") != "1":
+        # north-rule evidence inline: build + rank-identity on the
+        # synthetic source-code corpus (input_hint shape)
+        cc = run_code_corpus(20_000)
+        out["code_corpus"] = {
+            k: cc[k]
+            for k in (
+                "docs", "index_build_sec", "value", "query_p50_sec",
+                "query_cold_open_sec", "rank_identical_wand_vs_naive",
+            )
+        }
+        out["code_corpus"]["build_docs_per_sec"] = out["code_corpus"].pop("value")
+    return out
 
 
 def run_build_once(cores: int, replicate: int) -> None:
@@ -145,7 +178,8 @@ def run_build_once(cores: int, replicate: int) -> None:
     """
     spark = _spark(cores)
     warm = os.path.join(tempfile.gettempdir(), f"s3lb_warm_{cores}")
-    _build(spark, SF_DIR, warm, replicate=1)
+    warm_src = "code:2000" if SF_DIR.startswith("code:") else SF_DIR
+    _build(spark, warm_src, warm, replicate=1)
     out = os.path.join(tempfile.gettempdir(), f"s3lb_scale_{cores}")
     dt, n = _build(spark, SF_DIR, out, replicate=replicate)
     print(json.dumps({"cores": cores, "sec": dt, "docs": n}))
@@ -208,6 +242,12 @@ def run_scaling(replicate: int = 256) -> dict:
     raw and against the measured hardware ceiling.
     """
     reps_per_level = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    # north-rule input shape: the synthetic source-code corpus (not the
+    # short-text documents table) — override with SPARK_GRAFT_SCALE_INPUT
+    # sized so per-level work dominates fixed job overhead (~2s): the
+    # local[2] build runs ~2-3 min — efficiency measured on a 4s job
+    # would be measuring Spark's stage-setup constant, not the plan
+    scale_input = os.environ.get("SPARK_GRAFT_SCALE_INPUT", "code:128000")
     results: dict[int, dict] = {}
 
     def measure(cores: int) -> dict:
@@ -215,6 +255,7 @@ def run_scaling(replicate: int = 256) -> dict:
             return results[cores]
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
+        env["SPARK_GRAFT_SF_DIR"] = scale_input
         cmd = [sys.executable, __file__, "--build-once", str(cores), str(replicate)]
         if shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
@@ -258,7 +299,9 @@ def run_scaling(replicate: int = 256) -> dict:
             "# BENCH/BASELINE — measured numbers\n\n"
             "Two-cluster-size scaling evidence (sandbox stand-in for N vs 4N\n"
             "executors, per BASELINE.md): identical index-build job, identical\n"
-            f"input ({n} docs = sf dir `{SF_DIR}` replicated x{replicate}),\n"
+            f"input ({n} docs of input spec `{scale_input}` — the synthetic\n"
+            "source-code corpus in the north-rule input_hint shape\n"
+            "(repo, path, commit, lang, content), Zipfian vocab + repo skew),\n"
             "clean JVM per run, whole process tree pinned with taskset to the\n"
             f"core count under test, best of {reps_per_level} runs per level\n"
             "(sandbox wall-clock noise is +-25%).\n\n"
@@ -280,12 +323,13 @@ def run_scaling(replicate: int = 256) -> dict:
             "Architecture scaling argument (what the plan does at real 4x\n"
             "executors): tokenize + map-side run building are embarrassingly\n"
             "parallel over input splits; the build has exactly ONE wide\n"
-            "shuffle (packed posting runs -> groupBy bucket,term,salt) whose\n"
-            "rows are pre-combined map-side (orders of magnitude fewer rows\n"
-            "than postings) and whose keys are skew-split by construction\n"
-            "(sampled df estimate -> deterministic doc-hash salts); doc-hash\n"
-            "buckets make the query side per-bucket independent with a k-row\n"
-            "final merge.\n"
+            "shuffle (packed posting runs hash-repartitioned by\n"
+            "bucket,term,salt into a sorted batch-streamed mapInPandas\n"
+            "merge+encode) whose rows are pre-combined map-side (orders of\n"
+            "magnitude fewer rows than postings) and whose keys are\n"
+            "skew-split by construction (sampled df estimate ->\n"
+            "deterministic doc-hash salts); doc-hash buckets make the query\n"
+            "side per-bucket independent with a k-row final merge.\n"
         )
     return report
 
