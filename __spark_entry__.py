@@ -108,6 +108,28 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) BM25 top-k: only docs containing EVERY query
+    term score (require_all filter = count_distinct(term) == n_terms
+    after the broadcast df-join; one extra agg column, no extra shuffle).
+    """
+    from s3logsbeat_spark.operators.postings import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    p = _simple_postings(spark, sf_dir)
+    avgdl = (
+        p.groupBy("doc_id").agg(F.first("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
+        or 0
+    ) / n_docs
+    scored = bm25_scores(p, BM25_TERMS, n_docs, avgdl, require_all=True)
+    return (
+        scored.withColumn("score", F.round("score", 6))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical content, keep min doc_id (K8 analogue —
     content-identity dedup is how the reference gets effectively-once)."""
@@ -382,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "df_stats": q_df_stats,
         "bm25_topk": q_bm25_topk,
+        "bm25_and": q_bm25_and,
         "bm25_wand": q_bm25_wand,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -452,6 +475,13 @@ _BM25_WAND_SQL = _BM25_SQL.replace(
     # lowercase word-soup corpus, so this CTE is an exact oracle
     "regexp_extract_all(lower(text), '[a-z0-9_]+')",
     "regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')",
+)
+
+
+_BM25_AND_SQL = _BM25_SQL.replace(
+    "  GROUP BY p.doc_id\n",
+    "  GROUP BY p.doc_id\n"
+    "  HAVING count(DISTINCT p.term) = (SELECT count(*) FROM qterms)\n",
 )
 
 
@@ -772,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY term
         """,
         "bm25_topk": _BM25_SQL,
+        "bm25_and": _BM25_AND_SQL,
         "bm25_wand": _BM25_WAND_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count

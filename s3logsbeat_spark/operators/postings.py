@@ -70,8 +70,13 @@ def bm25_scores(
     terms: list[str],
     n_docs: int,
     avgdl: float,
+    require_all: bool = False,
 ) -> DataFrame:
     """Per-doc BM25 scores for a term list. Returns (doc_id, score).
+
+    ``require_all=True`` gives conjunctive (AND) semantics: only docs
+    containing every distinct query term score (a query term absent from
+    the corpus yields an empty result, the standard AND contract).
 
     Plan shape: term-filter (pushed to the scan when postings are stored
     sorted-by-term parquet) → broadcast-join the q-term df table → partial
@@ -86,11 +91,17 @@ def bm25_scores(
     q = dfs.withColumn("idf", idf_col(n_docs)).select("term", "idf")
     denom = F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl))
     contrib = F.col("idf") * (F.col("tf") * (K1 + 1.0)) / denom
+    joined = matched.join(F.broadcast(q), "term").withColumn("contrib", contrib)
+    if not require_all:
+        return joined.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
     return (
-        matched.join(F.broadcast(q), "term")
-        .withColumn("contrib", contrib)
-        .groupBy("doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count_distinct("term").alias("_nt"),
+        )
+        .filter(F.col("_nt") == len(set(terms)))
+        .drop("_nt")
     )
 
 
@@ -115,6 +126,7 @@ def bm25_topk_naive(
     postings: DataFrame | None = None,
     n_docs: int | None = None,
     avgdl: float | None = None,
+    require_all: bool = False,
 ) -> DataFrame:
     """One-shot query over raw docs (test/oracle path). Production path
     precomputes postings+stats once (see operators.segments)."""
@@ -124,4 +136,4 @@ def bm25_topk_naive(
         n_docs = docs.count()
     if avgdl is None:
         _, avgdl = corpus_stats(postings, n_docs)
-    return topk(bm25_scores(postings, terms, n_docs, avgdl), k)
+    return topk(bm25_scores(postings, terms, n_docs, avgdl, require_all), k)

@@ -131,6 +131,48 @@ def score_single_term(
     return [(int(d), float(s)) for d, s in zip(top_d, top_s)]
 
 
+def score_conjunctive(
+    lists: list[PostingList],
+    terms_of: list[str],
+    k: int,
+    stats: dict | None = None,
+    n_terms: int | None = None,
+) -> list[tuple[int, float]]:
+    """Exact conjunctive (AND) BM25 top-k, fully vectorized.
+
+    ``terms_of[i]`` labels ``lists[i]``'s term. A doc appears at most once
+    per term across salt/bucket sub-lists (docs are hash-partitioned), so
+    a doc's occurrence count across all decoded lists equals the number
+    of distinct query terms it contains — the AND filter is one
+    ``bincount == n_terms`` mask. Distributed use is per-bucket (buckets
+    partition docs): pass the GLOBAL distinct query-term count as
+    ``n_terms`` there, since a bucket holding only a subset of the query
+    terms must still return no docs.
+    """
+    if n_terms is None:
+        n_terms = len(set(terms_of))
+    st = stats if stats is not None else {}
+    ids_all, contrib_all = [], []
+    for pl in lists:
+        d, t, l = pl.decode_all()
+        ids_all.append(d)
+        contrib_all.append(
+            _contrib(t.astype(np.float64), l.astype(np.float64), pl.idf, pl.avgdl)
+        )
+    if not ids_all:
+        return []
+    ids = np.concatenate(ids_all)
+    contribs = np.concatenate(contrib_all)
+    uniq, inv, counts = np.unique(ids, return_inverse=True, return_counts=True)
+    scores = np.zeros(uniq.shape[0])
+    np.add.at(scores, inv, contribs)
+    keep = counts == n_terms
+    uniq, scores = uniq[keep], np.round(scores[keep], SCORE_NDIGITS)
+    st["docs_scored"] = int(uniq.shape[0])
+    order = np.lexsort((uniq, -scores))
+    return [(int(uniq[i]), float(scores[i])) for i in order[:k]]
+
+
 #: multi-term auto-kernel crossover: below this many total postings the
 #: vectorized exact TAAT kernel (~50M postings/s) beats the Python
 #: doc-at-a-time WAND loop (~50k docs/s) unless pruning removes >99.9%.
@@ -335,11 +377,13 @@ class IndexReader:
         distributed: bool | None = None,
         use_wand: bool | str = "auto",
         driver_bytes_limit: int = 256 << 20,
+        mode: str = "or",
     ) -> list[tuple[int, float]]:
         """Top-k BM25. Driver kernel when the pruned postings fit in
         ``driver_bytes_limit``; otherwise a per-bucket distributed pass
         with a k-row merge (buckets partition docs, so per-bucket top-k
-        is exact)."""
+        is exact). ``mode="and"`` requires every query term (conjunctive);
+        a term absent from the corpus yields an empty result."""
         if not terms:
             return []
         import pyarrow.dataset as ds
@@ -361,6 +405,8 @@ class IndexReader:
         dfsum = {t: self._dict[t] for t in terms if t in self._dict}
         if not dfsum:
             return []
+        if mode == "and" and len(dfsum) < len(set(terms)):
+            return []  # some query term absent -> AND is empty
         idf = {t: bm25_idf(self.n_docs, s) for t, s in dfsum.items()}
         total_postings = sum(dfsum.values())
         if distributed is None:
@@ -371,15 +417,19 @@ class IndexReader:
                 columns=["term", "docs", "tfs", "dls", "blocks"],
                 filter=ds.field("term").isin(terms),
             )
+            rows = tbl.to_pylist()
             lists = [
-                _row_to_plist(row, idf[row["term"]], self.avgdl)
-                for row in tbl.to_pylist()
+                _row_to_plist(row, idf[row["term"]], self.avgdl) for row in rows
             ]
+            if mode == "and":
+                return score_conjunctive(lists, [r["term"] for r in rows], k)
             kern = pick_kernel(len(dfsum), total_postings, use_wand)
             return kern(lists, k)
-        return self._query_distributed(self._segment_rows(terms), idf, k, use_wand)
+        return self._query_distributed(
+            self._segment_rows(terms), idf, k, use_wand, mode
+        )
 
-    def _query_distributed(self, rows_df, idf: dict, k: int, use_wand):
+    def _query_distributed(self, rows_df, idf: dict, k: int, use_wand, mode: str = "or"):
         import pandas as pd
 
         avgdl = self.avgdl
@@ -389,9 +439,16 @@ class IndexReader:
                 _row_to_plist(row, idf[row["term"]], avgdl)
                 for _, row in pdf.iterrows()
             ]
-            # per-bucket auto choice: each bucket sees its own list sizes
-            kern = pick_kernel(pdf["term"].nunique(), int(pdf["df"].sum()), use_wand)
-            top = kern(lists, k)
+            if mode == "and":
+                top = score_conjunctive(
+                    lists, list(pdf["term"]), k, n_terms=len(idf)
+                )
+            else:
+                # per-bucket auto choice: each bucket sees its own sizes
+                kern = pick_kernel(
+                    pdf["term"].nunique(), int(pdf["df"].sum()), use_wand
+                )
+                top = kern(lists, k)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
             )

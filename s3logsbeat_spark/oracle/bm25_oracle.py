@@ -50,3 +50,13 @@ class BM25Oracle:
                 hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
+
+    def topk_and(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Conjunctive twin: only docs containing EVERY distinct term."""
+        want = set(terms)
+        hits = []
+        for did in self.tfs:
+            if all(self.tfs[did].get(t) for t in want):
+                hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]

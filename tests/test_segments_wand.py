@@ -194,6 +194,46 @@ def test_distributed_equals_driver(spark, built):
         assert a == b
 
 
+def test_conjunctive_query_rank_identity(spark, built, oracle):
+    """AND mode == pandas conjunctive oracle, driver AND distributed
+    (distributed must use the GLOBAL term count: a bucket holding only a
+    subset of the query terms returns nothing)."""
+    out, _, _ = built
+    rdr = IndexReader(spark, out)
+    cases = [
+        ["return"],
+        ["get", "http"],
+        ["return", "value", "data"],
+        ["return", "zzz_not_in_corpus"],  # absent term -> empty
+        ["get", "http", "response", "parse"],
+    ]
+    for terms in cases:
+        want = oracle.topk_and(terms, 10)
+        got = rdr.query(terms, 10, mode="and")
+        assert [d for d, _ in got] == [d for d, _ in want], terms
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+        dist = rdr.query(terms, 10, distributed=True, mode="and")
+        assert dist == got, terms
+
+
+def test_conjunctive_naive_dataframe_path(spark, corpus_df, oracle):
+    """bm25_scores(require_all=True) — the declarative AND twin."""
+    from s3logsbeat_spark.operators.postings import bm25_topk_naive
+
+    terms = ["return", "value"]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk_naive(
+            corpus_df, terms, 10, require_all=True
+        ).collect()
+    ]
+    want = [(d, round(s, 9)) for d, s in oracle.topk_and(terms, 10)]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
+
+
 def test_resume_byte_identical(spark, corpus_df, tmp_path_factory, built):
     """Kill-after-partial-build analogue: build only buckets {0,1} (by
     pre-committing fake manifests for 2,3), then delete the fakes and
