@@ -130,6 +130,44 @@ def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = "merge window"
+SUBSTRING_NEEDLE = "ge wind"  # crosses a token boundary: trigram, not term, pruning
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_phrase analogue: conjunctive-BM25 candidates over the
+    phrase's tokens, contains() verify on raw content, BM25 ranking
+    (operators/search.py::phrase_topk plan)."""
+    from s3logsbeat_spark.operators.postings import bm25_scores
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    p = _simple_postings(spark, sf_dir)
+    avgdl = (
+        p.groupBy("doc_id").agg(F.first("doc_len").alias("dl")).agg(F.sum("dl")).collect()[0][0]
+        or 0
+    ) / n_docs
+    terms = PHRASE.split()
+    scored = bm25_scores(p, terms, n_docs, avgdl, require_all=True)
+    verified = (
+        scored.join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.contains(F.col("text"), F.lit(PHRASE)))
+        .select("doc_id", F.round("score", 6).alias("score"))
+    )
+    return verified.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(BM25_K)
+
+
+def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-pruned exact substring search (Zoekt/Code-Search shape):
+    candidate docs cover all needle trigrams (JVM-side trigram explode),
+    contains() verifies adjacency."""
+    from s3logsbeat_spark.operators.search import substring_search
+
+    return substring_search(
+        _docs(spark, sf_dir), SUBSTRING_NEEDLE, text_col="text"
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical content, keep min doc_id (K8 analogue —
     content-identity dedup is how the reference gets effectively-once)."""
@@ -405,6 +443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "df_stats": q_df_stats,
         "bm25_topk": q_bm25_topk,
         "bm25_and": q_bm25_and,
+        "phrase_search": q_phrase_search,
+        "substring_search": q_substring_search,
         "bm25_wand": q_bm25_wand,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -483,6 +523,26 @@ _BM25_AND_SQL = _BM25_SQL.replace(
     "  GROUP BY p.doc_id\n"
     "  HAVING count(DISTINCT p.term) = (SELECT count(*) FROM qterms)\n",
 )
+
+
+_PHRASE_SQL = (
+    _BM25_SQL
+    .replace("unnest(['merge', 'window', 'spark'])", "unnest(['merge', 'window'])")
+    .replace(
+        "  GROUP BY p.doc_id\n",
+        "  GROUP BY p.doc_id\n"
+        "  HAVING count(DISTINCT p.term) = (SELECT count(*) FROM qterms)\n",
+    )
+    .replace(
+        "SELECT doc_id, round(raw, 6) AS score FROM scored",
+        "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
+        "JOIN documents d2 ON d2.doc_id = s2.doc_id "
+        "WHERE contains(d2.text, 'merge window')",
+    )
+    .replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
+)
+
+_SUBSTRING_SQL = "SELECT doc_id FROM documents WHERE contains(text, 'ge wind')"
 
 
 def _shingle_cte() -> str:
@@ -803,6 +863,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": _BM25_SQL,
         "bm25_and": _BM25_AND_SQL,
+        "phrase_search": _PHRASE_SQL,
+        "substring_search": _SUBSTRING_SQL,
         "bm25_wand": _BM25_WAND_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count

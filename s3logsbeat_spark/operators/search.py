@@ -1,0 +1,111 @@
+"""Phrase and substring (regex-literal) search — the code-search query
+shapes the reference's ES backend provides via match_phrase / wildcard
+(the reference only ships events; ES does this server-side; our engine
+must own it).
+
+Both operators use the classic candidate-prune + exact-verify plan
+(Google Code Search / Zoekt trigram design; Lucene's match_phrase does
+the same with positional postings):
+
+- ``substring_search``: docs whose *distinct trigram set* covers every
+  trigram of the needle are candidates (a doc containing the needle
+  necessarily contains all its trigrams); an exact ``contains`` verify
+  removes false positives (trigrams present but not adjacent). The
+  trigram explode is pure JVM (``sequence`` + ``substring`` +
+  ``array_distinct``), whole-stage codegen, no Python.
+- ``phrase_topk``: the phrase's word tokens feed a conjunctive BM25
+  (require_all) candidate set; the verify is a ``contains`` on the raw
+  content; scores are BM25 over the phrase terms, so results rank like
+  a match_phrase query.
+
+Scale shape: candidate pruning is the same broadcast-join + partial-agg
+plan as BM25 (the needle's trigram/term list is tiny and broadcast); the
+verify touches only candidate rows (semi-join), so the full-content scan
+is bounded by candidate count, not corpus size. At index scale the
+candidate step runs against the compressed segments (a trigram segment
+index is the same build with a trigram tokenizer); the verify joins
+candidates back to the docs table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .postings import bm25_scores, build_postings, corpus_stats, topk
+
+
+def trigrams_col(text_col: str):
+    """Distinct character trigrams of a column, JVM-side."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - 2, 0)),"
+        f" i -> substring({text_col}, i, 3)))"
+    )
+
+
+def _needle_trigrams(needle: str) -> list[str]:
+    return sorted({needle[i:i + 3] for i in range(len(needle) - 2)})
+
+
+def substring_search(
+    docs: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Exact substring match over the corpus -> (doc_id) rows.
+
+    Trigram-pruned when the needle has >= 3 chars; shorter needles fall
+    back to a straight ``contains`` scan (no index can prune a 1-2 char
+    needle).
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    tgs = _needle_trigrams(needle)
+    if tgs:
+        cand = (
+            base.select("doc_id", F.explode(trigrams_col("_t")).alias("tg"))
+            .filter(F.col("tg").isin(tgs))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("_n"))  # trigrams are distinct per doc
+            .filter(F.col("_n") == len(tgs))
+            .select("doc_id")
+        )
+        base = base.join(cand, "doc_id")  # verify only candidates
+    return (
+        base.filter(F.contains(F.col("_t"), F.lit(needle)))
+        .select("doc_id")
+    )
+
+
+def phrase_topk(
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    postings: DataFrame | None = None,
+    n_docs: int | None = None,
+    avgdl: float | None = None,
+) -> DataFrame:
+    """Top-k phrase match -> (doc_id, score), BM25-ranked.
+
+    Candidates = conjunctive BM25 over the phrase's word tokens (docs
+    missing any token can't contain the phrase); verify = ``contains``
+    on raw content. Tokens come from the same simple word regex in both
+    engines (``[a-z0-9_]+`` on the lowercased phrase).
+    """
+    import re
+
+    terms = re.findall(r"[a-z0-9_]+", phrase.lower())
+    if postings is None:
+        postings = build_postings(docs, id_col=id_col, text_col=text_col)
+    if n_docs is None:
+        n_docs = docs.count()
+    if avgdl is None:
+        _, avgdl = corpus_stats(postings, n_docs)
+    scored = bm25_scores(postings, terms, n_docs, avgdl, require_all=True)
+    verified = scored.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")),
+        "doc_id",
+    ).filter(F.contains(F.col("_t"), F.lit(phrase))).select("doc_id", "score")
+    return topk(verified, k)

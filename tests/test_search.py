@@ -1,0 +1,56 @@
+"""Phrase + trigram-substring search vs brute-force oracles."""
+
+from __future__ import annotations
+
+from s3logsbeat_spark.operators.search import (
+    _needle_trigrams,
+    phrase_topk,
+    substring_search,
+)
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+
+def test_substring_search_exact(spark, corpus_df, corpus_rows):
+    for needle in ("return", "se_ha", "def get", "%20%27", "zz_no_such_zz"):
+        got = sorted(
+            r["doc_id"] for r in substring_search(corpus_df, needle).collect()
+        )
+        by_id = {
+            r["doc_id"]: r["content"]
+            for r in corpus_df.select("doc_id", "content").collect()
+        }
+        want = sorted(d for d, c in by_id.items() if needle in c)
+        assert got == want, needle
+
+
+def test_substring_short_needle_fallback(spark, corpus_df):
+    """<3-char needles can't be trigram-pruned; plain contains scan."""
+    got = sorted(r["doc_id"] for r in substring_search(corpus_df, "ü").collect())
+    by_id = {
+        r["doc_id"]: r["content"]
+        for r in corpus_df.select("doc_id", "content").collect()
+    }
+    assert got == sorted(d for d, c in by_id.items() if "ü" in c)
+    assert _needle_trigrams("ab") == []
+
+
+def test_phrase_topk_matches_oracle(spark, corpus_df):
+    """Phrase hits = docs whose raw content contains the phrase; ranking =
+    BM25 over the phrase terms with the engine tie-break."""
+    oracle = BM25Oracle(
+        [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    )
+    phrase = "return value"
+    got = [
+        (r["doc_id"], r["score"])
+        for r in phrase_topk(corpus_df, phrase, 10).collect()
+    ]
+    by_id = {r["doc_id"]: r["content"] for r in corpus_df.select("doc_id", "content").collect()}
+    cand = [d for d, c in by_id.items() if phrase in c]
+    want = sorted(
+        ((d, round(oracle.score(d, phrase.split()), 9)) for d in cand),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
