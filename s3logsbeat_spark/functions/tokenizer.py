@@ -128,12 +128,24 @@ def _count_terms(text: str, lang: str | None, memo: _TokenMemo) -> Counter:
     return counts
 
 
+def _count_trigrams(text: str, lang: str | None, memo=None) -> Counter:
+    """Character-trigram counter (same signature as ``_count_terms`` so
+    the segment build can swap it in): the term universe for the
+    trigram index behind scalable substring search (Zoekt/Code-Search
+    design — the index prunes, a contains() verify confirms)."""
+    return Counter([text[i:i + 3] for i in range(len(text) - 2)])
+
+
+COUNTERS = {"code": _count_terms, "trigram": _count_trigrams}
+
+
 def doc_terms(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "content",
     lang_col: str | None = "lang",
     doc_markers: bool = False,
+    token_mode: str = "code",
 ) -> DataFrame:
     """(id, text, lang) -> exploded postings rows (doc_id, term, tf, doc_len).
 
@@ -155,6 +167,7 @@ def doc_terms(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo = _WORKER_MEMO
+        count_fn = COUNTERS[token_mode]
         for pdf in batches:
             ids: list = []
             terms: list[str | None] = []
@@ -162,7 +175,7 @@ def doc_terms(
             lens: list[int] = []
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             for did, text, lang in zip(pdf[id_col], pdf[text_col], langs):
-                counts = _count_terms(text or "", lang, memo)
+                counts = count_fn(text or "", lang, memo)
                 dl = sum(counts.values())
                 if doc_markers:
                     ids.append(did)

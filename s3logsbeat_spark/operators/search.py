@@ -77,6 +77,52 @@ def substring_search(
     )
 
 
+def build_trigram_index(docs: DataFrame, out_dir: str, **cfg_kwargs):
+    """Build a character-trigram segment index (same compressed segment
+    machinery, ``token_mode="trigram"``) — the scale path for substring
+    search: candidates come from posting-list intersection instead of a
+    full corpus scan."""
+    from .segments import IndexConfig, build_index
+
+    cfg = IndexConfig(out_dir=out_dir, token_mode="trigram", **cfg_kwargs)
+    return build_index(docs, cfg)
+
+
+def substring_search_indexed(
+    reader,
+    docs: DataFrame,
+    needle: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Index-backed substring search: conjunctive query over the needle's
+    trigrams against a trigram segment index (``build_trigram_index``)
+    gives the candidate doc set (k=None -> ALL matches, not top-k); an
+    exact ``contains`` verify joins only those docs. The corpus is never
+    scanned — candidate cost is the trigram posting lists, verify cost is
+    the candidate rows.
+
+    ``reader`` is an :class:`~..operators.wand.IndexReader` over the
+    trigram index. Needles under 3 chars fall back to the scan path.
+    """
+    spark = docs.sparkSession
+    tgs = _needle_trigrams(needle)
+    if not tgs:
+        return substring_search(docs, needle, id_col, text_col)
+    cand = reader.query(tgs, k=None, mode="and")
+    if not cand:
+        return docs.select(F.col(id_col).alias("doc_id")).limit(0)
+    cand_df = spark.createDataFrame(
+        [(int(d),) for d, _ in cand], "doc_id long"
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    return (
+        base.join(F.broadcast(cand_df), "doc_id")
+        .filter(F.contains(F.col("_t"), F.lit(needle)))
+        .select("doc_id")
+    )
+
+
 def phrase_topk(
     docs: DataFrame,
     phrase: str,

@@ -90,6 +90,10 @@ class IndexConfig:
     # worker before emitting packed runs) — bounds worker memory to
     # ~16 bytes x this.
     run_flush_postings: int = 4_000_000
+    # "code" (identifier/camel/snake/lang-tag terms) or "trigram"
+    # (character trigrams — the substring-search index; same segment
+    # machinery, different term universe)
+    token_mode: str = "code"
 
 
 def _manifest_dir(out: str) -> str:
@@ -137,7 +141,8 @@ def _salt_of(doc_id: int, n_salts: int) -> int:
 
 
 def _runs_builder(
-    hot: dict, id_col: str, text_col: str, lang_col: str | None, flush_postings: int
+    hot: dict, id_col: str, text_col: str, lang_col: str | None,
+    flush_postings: int, token_mode: str = "code",
 ):
     """mapInPandas generator: tokenize docs AND build a partition-local
     partial inverted index ("runs") in one Python pass.
@@ -161,7 +166,9 @@ def _runs_builder(
     def gen(batches):
         from array import array
 
-        from ..functions.tokenizer import _WORKER_MEMO, _count_terms
+        from ..functions.tokenizer import _WORKER_MEMO, COUNTERS
+
+        count_fn = COUNTERS[token_mode]
 
         # array.array buffers: 16 bytes/posting flat storage (vs ~60+ for
         # Python int lists) — with many workers the accumulator would
@@ -188,7 +195,7 @@ def _runs_builder(
         for pdf in batches:
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             for did, b, text, lang in zip(pdf[id_col], pdf["bucket"], pdf[text_col], langs):
-                counts = _count_terms(text or "", lang, _WORKER_MEMO)
+                counts = count_fn(text or "", lang, _WORKER_MEMO)
                 dl = sum(counts.values())
                 did = int(did)
                 b = int(b)
@@ -356,7 +363,10 @@ def build_index(
         hot_rows = []
     else:
         hot_rows = (
-            doc_terms(sample, id_col=id_col, text_col=text_col, lang_col=lang_col)
+            doc_terms(
+                sample, id_col=id_col, text_col=text_col, lang_col=lang_col,
+                token_mode=cfg.token_mode,
+            )
             .withColumn(
                 "bucket",
                 (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(nb)).cast("int") + F.lit(off)).cast("int"),
@@ -376,7 +386,10 @@ def build_index(
     # and no per-posting row ever exists JVM-side.
     cols = [id_col, "bucket", text_col] + ([lang_col] if lang_col else [])
     runs = work.select(*cols).mapInPandas(
-        _runs_builder(hot, id_col, text_col, lang_col, cfg.run_flush_postings),
+        _runs_builder(
+            hot, id_col, text_col, lang_col, cfg.run_flush_postings,
+            cfg.token_mode,
+        ),
         schema=RUN_SCHEMA,
     )
     segs = (

@@ -134,7 +134,7 @@ def score_single_term(
 def score_conjunctive(
     lists: list[PostingList],
     terms_of: list[str],
-    k: int,
+    k: int | None,
     stats: dict | None = None,
     n_terms: int | None = None,
 ) -> list[tuple[int, float]]:
@@ -459,11 +459,8 @@ class IndexReader:
         per_b = rows_df.groupBy("bucket").applyInPandas(
             per_bucket, schema="doc_id long, score double"
         )
-        rows = (
-            per_b.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-            .limit(k)
-            .collect()
-        )
+        ordered = per_b.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        rows = (ordered if k is None else ordered.limit(k)).collect()
         return [(r["doc_id"], r["score"]) for r in rows]
 
 

@@ -34,6 +34,29 @@ def test_substring_short_needle_fallback(spark, corpus_df):
     assert _needle_trigrams("ab") == []
 
 
+def test_substring_indexed_equals_scan(spark, corpus_df, tmp_path):
+    """Trigram-index-backed substring search == DataFrame scan path."""
+    from s3logsbeat_spark.operators.search import (
+        build_trigram_index,
+        substring_search_indexed,
+    )
+    from s3logsbeat_spark.operators.wand import IndexReader
+
+    out = str(tmp_path / "tg_index")
+    summary = build_trigram_index(corpus_df, out, n_buckets=4, hot_df_threshold=50)
+    assert summary["postings"] > 0
+    rdr = IndexReader(spark, out)
+    for needle in ("return", "se_ha", "def get", "%20%27", "zz_no_such_zz"):
+        got = sorted(
+            r["doc_id"]
+            for r in substring_search_indexed(rdr, corpus_df, needle).collect()
+        )
+        want = sorted(
+            r["doc_id"] for r in substring_search(corpus_df, needle).collect()
+        )
+        assert got == want, needle
+
+
 def test_phrase_topk_matches_oracle(spark, corpus_df):
     """Phrase hits = docs whose raw content contains the phrase; ranking =
     BM25 over the phrase terms with the engine tie-break."""
