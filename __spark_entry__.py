@@ -168,6 +168,18 @@ def q_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REGEX_PATTERN = "merge [a-z]+ window"
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grep-over-the-corpus: required-literal extraction -> trigram cover
+    prune -> rlike verify (operators/search.py::regex_search; Zoekt's
+    regex lowering reduced to its always-safe core)."""
+    from s3logsbeat_spark.operators.search import regex_search
+
+    return regex_search(_docs(spark, sf_dir), REGEX_PATTERN, text_col="text")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group identical content, keep min doc_id (K8 analogue —
     content-identity dedup is how the reference gets effectively-once)."""
@@ -445,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": q_bm25_and,
         "phrase_search": q_phrase_search,
         "substring_search": q_substring_search,
+        "regex_search": q_regex_search,
         "bm25_wand": q_bm25_wand,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -543,6 +556,11 @@ _PHRASE_SQL = (
 )
 
 _SUBSTRING_SQL = "SELECT doc_id FROM documents WHERE contains(text, 'ge wind')"
+
+_REGEX_SQL = (
+    "SELECT doc_id FROM documents "
+    "WHERE regexp_matches(text, 'merge [a-z]+ window')"
+)
 
 
 def _shingle_cte() -> str:
@@ -865,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and": _BM25_AND_SQL,
         "phrase_search": _PHRASE_SQL,
         "substring_search": _SUBSTRING_SQL,
+        "regex_search": _REGEX_SQL,
         "bm25_wand": _BM25_WAND_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count

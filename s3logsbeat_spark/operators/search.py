@@ -77,6 +77,125 @@ def substring_search(
     )
 
 
+_CLASS_ESCAPES = set("dDwWsSbBAZ")  # \d \w \s … — not literal chars
+
+
+def regex_required_literals(pattern: str) -> list[str]:
+    """Literal substrings (>= 3 chars) that EVERY match of ``pattern``
+    must contain — conservative: collects only at nesting depth 0, skips
+    whole groups/classes, abandons on top-level alternation, and drops a
+    char whose quantifier could make it optional (``?``/``*``/``{``).
+    Never wrongly requires a literal; may return [] (then the caller
+    falls back to a verify-only scan). The Zoekt/Code-Search regex →
+    trigram-query lowering, reduced to its always-safe core."""
+    lits: list[str] = []
+    run: list[str] = []
+
+    def end_run(drop_last: bool = False) -> None:
+        nonlocal run
+        if drop_last and run:
+            run.pop()
+        if len(run) >= 3:
+            lits.append("".join(run))
+        run = []
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        atom: str | None
+        if c == "\\":
+            if i + 1 >= n:
+                end_run()
+                break
+            nxt = pattern[i + 1]
+            atom = None if nxt in _CLASS_ESCAPES else nxt
+            i += 2
+        elif c == "[":  # skip the class
+            j = i + 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 2 if pattern[j] == "\\" else 1
+            i = j + 1
+            atom = None
+        elif c == "(":  # skip the whole group (quantified or not)
+            depth, j = 1, i + 1
+            while j < n and depth:
+                ch = pattern[j]
+                if ch == "\\":
+                    j += 2
+                    continue
+                if ch == "[":
+                    while j < n and pattern[j] != "]":
+                        j += 2 if pattern[j] == "\\" else 1
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                j += 1
+            i = j
+            atom = None
+        elif c == "|":  # top-level alternation: nothing is required
+            return []
+        elif c in ".^$":
+            i += 1
+            atom = None
+        else:
+            atom = c
+            i += 1
+        quant = pattern[i] if i < n else ""
+        if quant and quant in "*?{":  # possibly-zero repetition: not required
+            end_run()
+            if quant == "{":
+                while i < n and pattern[i] != "}":
+                    i += 1
+            i += 1
+            if i < n and pattern[i] == "?":
+                i += 1  # lazy modifier
+        elif quant == "+":  # required at least once, adjacency ends here
+            if atom is not None:
+                run.append(atom)
+            end_run()
+            i += 1
+            if i < n and pattern[i] == "?":
+                i += 1
+        elif atom is None:
+            end_run()
+        else:
+            run.append(atom)
+    end_run()
+    return lits
+
+
+def regex_search(
+    docs: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Regex match over the corpus -> (doc_id) rows.
+
+    Required-literal extraction feeds the same trigram cover prune as
+    ``substring_search``; an ``rlike`` verify confirms. Patterns with no
+    safe >= 3-char literal degrade to a verify-only scan (still one pass,
+    still correct — just unpruned, exactly like grep)."""
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+    tgs = sorted({t for lit in regex_required_literals(pattern) for t in _needle_trigrams(lit)})
+    if tgs:
+        cand = (
+            base.select("doc_id", F.explode(trigrams_col("_t")).alias("tg"))
+            .filter(F.col("tg").isin(tgs))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") == len(tgs))
+            .select("doc_id")
+        )
+        base = base.join(cand, "doc_id")
+    return base.filter(F.col("_t").rlike(pattern)).select("doc_id")
+
+
 def build_trigram_index(docs: DataFrame, out_dir: str, **cfg_kwargs):
     """Build a character-trigram segment index (same compressed segment
     machinery, ``token_mode="trigram"``) — the scale path for substring

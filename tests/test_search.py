@@ -57,6 +57,42 @@ def test_substring_indexed_equals_scan(spark, corpus_df, tmp_path):
         assert got == want, needle
 
 
+def test_regex_literal_extraction():
+    from s3logsbeat_spark.operators.search import regex_required_literals as rl
+
+    assert rl("merge [a-z]+ window") == ["merge ", " window"]
+    assert rl("colou?r") == ["colo"]
+    assert rl("a|b") == []
+    assert rl("return (value|data)") == ["return "]
+    assert rl("(abc)?defg") == ["defg"]
+    assert rl(r"foo\.barbaz") == ["foo.barbaz"]
+    assert rl("x{2,3}yzw") == ["yzw"]
+    assert rl("^import os$") == ["import os"]
+
+
+def test_regex_search_matches_python_re(spark, corpus_df):
+    import re
+
+    from s3logsbeat_spark.operators.search import regex_search
+
+    by_id = {
+        r["doc_id"]: r["content"]
+        for r in corpus_df.select("doc_id", "content").collect()
+    }
+    patterns = [
+        "def [a-z_]+",            # pruned on "def "
+        "return [a-z]+ \\+",      # pruned
+        "value|data",             # alternation -> verify-only scan
+        "zzz_nothing[0-9]*",
+        "get[A-Z][a-z]+Max",
+    ]
+    for pat in patterns:
+        got = sorted(r["doc_id"] for r in regex_search(corpus_df, pat).collect())
+        rx = re.compile(pat)
+        want = sorted(d for d, c in by_id.items() if rx.search(c))
+        assert got == want, pat
+
+
 def test_phrase_topk_matches_oracle(spark, corpus_df):
     """Phrase hits = docs whose raw content contains the phrase; ranking =
     BM25 over the phrase terms with the engine tie-break."""
