@@ -213,13 +213,10 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL engine path: build compressed segments (delta+varbyte,
-    block-max metadata, per-bucket checkpoints), query with Block-Max
-    WAND. On the driver's word-soup corpus the code-aware tokenizer
-    degenerates to plain lowercase word tokens, so the DuckDB BM25 CTE is
-    an exact oracle for the full pipeline.
-    """
+def _driver_index(spark: SparkSession, sf_dir: str):
+    """Build (or resume) the compressed segment index for a driver sf dir
+    in a version-tagged tmp location; returns an IndexReader. Shared by
+    every index-path query so the build runs once per sf_dir."""
     import hashlib
     import tempfile
 
@@ -229,11 +226,37 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_documents(spark, sf_dir)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"{tempfile.gettempdir()}/s3lb_index_{tag}"
+    # v2: layout now includes the doc_attrs filter-context sidecar
+    out = f"{tempfile.gettempdir()}/s3lb_index_v2_{tag}"
     cfg = IndexConfig(out_dir=out, n_buckets=8, hot_df_threshold=20_000)
     build_index(docs, cfg)  # resumable: no-op when the manifest is complete
-    rdr = IndexReader(spark, out)
+    return IndexReader(spark, out)
+
+
+def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL engine path: build compressed segments (delta+varbyte,
+    block-max metadata, per-bucket checkpoints), query with Block-Max
+    WAND. On the driver's word-soup corpus the code-aware tokenizer
+    degenerates to plain lowercase word tokens, so the DuckDB BM25 CTE is
+    an exact oracle for the full pipeline.
+    """
+    rdr = _driver_index(spark, sf_dir)
     top = rdr.query(BM25_TERMS, BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+FILTER_LANG = "es"
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-context BM25 (ES bool filter analogue): the lang predicate
+    resolves against the doc_attrs sidecar and is pushed into the scoring
+    kernels as a sorted-doc_id mask; idf/avgdl stay corpus-global (ES
+    semantics), so surviving scores equal their unfiltered values."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.query(BM25_TERMS, BM25_K, doc_filter={"lang": FILTER_LANG})
     return spark.createDataFrame(
         [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
     )
@@ -459,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
         "bm25_wand": q_bm25_wand,
+        "bm25_filtered": q_bm25_filtered,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -529,6 +553,13 @@ _BM25_WAND_SQL = _BM25_SQL.replace(
     "regexp_extract_all(lower(text), '[a-z0-9_]+')",
     "regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')",
 )
+
+
+_BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
+    "SELECT doc_id, round(raw, 6) AS score FROM scored",
+    "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
+    f"JOIN documents d2 ON d2.doc_id = s2.doc_id WHERE d2.lang = '{FILTER_LANG}'",
+).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
 
 
 _BM25_AND_SQL = _BM25_SQL.replace(
@@ -885,6 +916,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_search": _SUBSTRING_SQL,
         "regex_search": _REGEX_SQL,
         "bm25_wand": _BM25_WAND_SQL,
+        "bm25_filtered": _BM25_FILTERED_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

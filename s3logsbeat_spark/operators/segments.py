@@ -94,6 +94,12 @@ class IndexConfig:
     # (character trigrams — the substring-search index; same segment
     # machinery, different term universe)
     token_mode: str = "code"
+    # Document-attribute columns copied into the per-bucket ``doc_attrs``
+    # sidecar (filter context for queries: lang/repo/path predicates are
+    # evaluated against this skinny columnar table, never against raw
+    # content). None = every non-content input column that exists among
+    # the conventional metadata names; () = no sidecar.
+    attr_cols: tuple | None = None
 
 
 def _manifest_dir(out: str) -> str:
@@ -102,6 +108,58 @@ def _manifest_dir(out: str) -> str:
 
 def _segments_dir(out: str) -> str:
     return os.path.join(out, "segments")
+
+
+def _attrs_dir(out: str) -> str:
+    return os.path.join(out, "doc_attrs")
+
+
+def _tombstones_dir(out: str) -> str:
+    return os.path.join(out, "tombstones")
+
+
+#: metadata columns auto-copied into the sidecar when attr_cols is None
+DEFAULT_ATTR_COLS = ("repo", "path", "commit", "lang", "source")
+
+
+def delete_docs(out_dir: str, doc_ids) -> int:
+    """Mark docs deleted (the ES delete-by-id analogue): append a
+    tombstone file; queries subtract tombstoned docs from every result.
+
+    Like Lucene/ES, corpus statistics (n_docs, avgdl, df) keep counting
+    tombstoned docs until a rebuild — deletes change the *result set*,
+    not the scoring stats, so the operation is cheap and idempotent
+    (appending the same ids twice is a no-op at read time: readers take
+    the union). Returns the number of ids recorded.
+    """
+    ids = sorted({int(d) for d in doc_ids})
+    if not ids:
+        return 0
+    tdir = _tombstones_dir(out_dir)
+    os.makedirs(tdir, exist_ok=True)
+    import hashlib
+
+    # content-addressed file name -> re-recording the same set is a no-op
+    tag = hashlib.sha1(repr(ids).encode()).hexdigest()[:16]
+    tmp = os.path.join(tdir, f".{tag}.json.tmp")
+    dst = os.path.join(tdir, f"{tag}.json")
+    with open(tmp, "w") as f:
+        json.dump({"doc_ids": ids}, f)
+    os.replace(tmp, dst)
+    return len(ids)
+
+
+def read_tombstones(out_dir: str) -> list[int]:
+    """Union of all tombstoned doc_ids (sorted)."""
+    tdir = _tombstones_dir(out_dir)
+    if not os.path.isdir(tdir):
+        return []
+    acc: set[int] = set()
+    for fn in sorted(os.listdir(tdir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(tdir, fn)) as f:
+                acc.update(json.load(f)["doc_ids"])
+    return sorted(acc)
 
 
 def read_manifest(out_dir: str) -> list[dict]:
@@ -327,6 +385,25 @@ def build_index(
     if done:
         work = work.filter(F.col("bucket").isin(todo))
 
+    # --- doc-attrs sidecar: skinny per-bucket (doc_id, metadata...) table
+    # powering filter-context queries (lang/repo/path predicates) without
+    # touching content or postings. Selected straight off the scan (column
+    # pruning: content is never read) and written doc_id-sorted per bucket
+    # so readers get sorted membership arrays for free.
+    attr_cols = cfg.attr_cols
+    if attr_cols is None:
+        attr_cols = tuple(c for c in DEFAULT_ATTR_COLS if c in docs.columns and c != id_col)
+    if attr_cols:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            work.select("bucket", F.col(id_col).alias("doc_id"), *attr_cols)
+            .repartition("bucket")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(_attrs_dir(cfg.out_dir))
+        )
+
     min_parts = cfg.min_input_partitions or spark.sparkContext.defaultParallelism
     if work.rdd.getNumPartitions() < min_parts:
         work = work.repartition(min_parts)
@@ -459,6 +536,12 @@ def load_segments(spark: SparkSession, out_dir: str, terms: list[str] | None = N
     if terms is not None:
         df = df.filter(F.col("term").isin(terms))
     return df
+
+
+def load_doc_attrs(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The per-bucket (bucket, doc_id, metadata...) sidecar written by
+    :func:`build_index` — the filter-context table for queries."""
+    return spark.read.parquet(_attrs_dir(out_dir))
 
 
 def merge_segments(

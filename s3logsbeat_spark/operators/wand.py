@@ -40,6 +40,56 @@ def _contrib(tf, dl, idf: float, avgdl: float):
     return idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+def _in_sorted(arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``ids`` in sorted unique ``arr``."""
+    if arr.size == 0:
+        return np.zeros(ids.shape[0], dtype=bool)
+    idx = np.searchsorted(arr, ids)
+    idx_c = np.minimum(idx, arr.size - 1)
+    return (idx < arr.size) & (arr[idx_c] == ids)
+
+
+class DocFilter:
+    """Filter-context doc mask for the scoring kernels (ES bool-filter /
+    delete-tombstone analogue): ``allowed`` (None = all) minus ``blocked``.
+    Both are sorted unique int64 arrays. Filters restrict the RESULT SET
+    only — idf/avgdl stay corpus-global, exactly like ES filter context
+    and Lucene's deleted-doc handling before a merge.
+    """
+
+    __slots__ = ("allowed", "blocked")
+
+    def __init__(self, allowed: np.ndarray | None = None, blocked: np.ndarray | None = None):
+        self.allowed = None if allowed is None else np.asarray(allowed, dtype=np.int64)
+        self.blocked = (
+            None
+            if blocked is None or len(blocked) == 0
+            else np.asarray(blocked, dtype=np.int64)
+        )
+
+    def mask(self, ids: np.ndarray) -> np.ndarray:
+        m = np.ones(ids.shape[0], dtype=bool)
+        if self.allowed is not None:
+            m &= _in_sorted(self.allowed, ids)
+        if self.blocked is not None:
+            m &= ~_in_sorted(self.blocked, ids)
+        return m
+
+    def ok(self, doc: int) -> bool:
+        if self.allowed is not None:
+            i = int(np.searchsorted(self.allowed, doc))
+            if i >= self.allowed.size or self.allowed[i] != doc:
+                return False
+        if self.blocked is not None:
+            i = int(np.searchsorted(self.blocked, doc))
+            if i < self.blocked.size and self.blocked[i] == doc:
+                return False
+        return True
+
+    def is_empty(self) -> bool:
+        return self.allowed is not None and self.allowed.size == 0
+
+
 class PostingList:
     """One (term, salt) compressed sub-list + its scoring context."""
 
@@ -60,7 +110,9 @@ class PostingList:
         return decode_posting_list(self.payload)
 
 
-def score_exact_taat(lists: list[PostingList], k: int) -> list[tuple[int, float]]:
+def score_exact_taat(
+    lists: list[PostingList], k: int, doc_filter: DocFilter | None = None
+) -> list[tuple[int, float]]:
     """Exact term-at-a-time scoring, fully vectorized (no pruning).
 
     O(total postings) with numpy throughput — the per-bucket workhorse;
@@ -75,6 +127,11 @@ def score_exact_taat(lists: list[PostingList], k: int) -> list[tuple[int, float]
         return []
     ids = np.concatenate(ids_all)
     contribs = np.concatenate(contrib_all)
+    if doc_filter is not None:
+        keep = doc_filter.mask(ids)
+        ids, contribs = ids[keep], contribs[keep]
+        if ids.size == 0:
+            return []
     uniq, inv = np.unique(ids, return_inverse=True)
     scores = np.zeros(uniq.shape[0])
     np.add.at(scores, inv, contribs)
@@ -91,7 +148,10 @@ def score_exact_taat(lists: list[PostingList], k: int) -> list[tuple[int, float]
 
 
 def score_single_term(
-    lists: list[PostingList], k: int, stats: dict | None = None
+    lists: list[PostingList],
+    k: int,
+    stats: dict | None = None,
+    doc_filter: DocFilter | None = None,
 ) -> list[tuple[int, float]]:
     """Exact top-k for ONE-term queries (possibly several salt shards).
 
@@ -117,6 +177,14 @@ def score_single_term(
         if top_d.shape[0] >= k and float(pl.ubs[bi]) < float(top_s[-1]) - _EPS:
             break  # UB-sorted: every remaining block is also beaten
         d, t, l = decode_block(pl.payload, bi)
+        if doc_filter is not None:
+            # filtering only removes candidates: block UBs still
+            # overestimate, so the UB-ordered stopping rule stays safe
+            keep = doc_filter.mask(d)
+            d, t, l = d[keep], t[keep], l[keep]
+            done += 1
+            if d.size == 0:
+                continue
         s = np.round(
             _contrib(t.astype(np.float64), l.astype(np.float64), pl.idf, pl.avgdl),
             SCORE_NDIGITS,
@@ -137,6 +205,7 @@ def score_conjunctive(
     k: int | None,
     stats: dict | None = None,
     n_terms: int | None = None,
+    doc_filter: DocFilter | None = None,
 ) -> list[tuple[int, float]]:
     """Exact conjunctive (AND) BM25 top-k, fully vectorized.
 
@@ -163,6 +232,13 @@ def score_conjunctive(
         return []
     ids = np.concatenate(ids_all)
     contribs = np.concatenate(contrib_all)
+    if doc_filter is not None:
+        # a doc's postings are all kept or all dropped, so the
+        # count==n_terms AND test below is unaffected for survivors
+        keep = doc_filter.mask(ids)
+        ids, contribs = ids[keep], contribs[keep]
+        if ids.size == 0:
+            return []
     uniq, inv, counts = np.unique(ids, return_inverse=True, return_counts=True)
     scores = np.zeros(uniq.shape[0])
     np.add.at(scores, inv, contribs)
@@ -260,7 +336,10 @@ class _Cursor:
 
 
 def wand_topk(
-    lists: list[PostingList], k: int, stats: dict | None = None
+    lists: list[PostingList],
+    k: int,
+    stats: dict | None = None,
+    doc_filter: DocFilter | None = None,
 ) -> list[tuple[int, float]]:
     """Block-Max WAND top-k (disjunctive BM25).
 
@@ -311,6 +390,11 @@ def wand_topk(
                 for c in aligned:
                     c.advance_to(target)
                 st["blocks_skipped"] += 1
+            elif doc_filter is not None and not doc_filter.ok(pivot_doc):
+                # filtered-out doc: advance past it unscored (UB sums only
+                # overestimate, so pruning stays safe with fewer candidates)
+                for c in aligned:
+                    c.advance_to(pivot_doc + 1)
             else:
                 s = 0.0
                 for c in aligned:
@@ -352,7 +436,55 @@ class IndexReader:
         self.avgdl = self.summary["avgdl"]
         self._merged = merged
         self._dset = None
+        self._attrs_dset = None
         self._dict: dict[str, int] | None = None
+        self._tombstones: np.ndarray | None = None  # loaded lazily
+
+    def refresh(self) -> None:
+        """Drop cached tombstones/stats (call after delete_docs or an
+        index append — the ES refresh analogue)."""
+        self._tombstones = None
+        self._dict = None
+        self._dset = None
+        self._attrs_dset = None
+        self.summary = summarize_index(self.out_dir)
+        self.n_docs = self.summary["n_docs"]
+        self.avgdl = self.summary["avgdl"]
+
+    def _blocked(self) -> np.ndarray:
+        """Tombstoned doc_ids (sorted int64; cached)."""
+        if self._tombstones is None:
+            from .segments import read_tombstones
+
+            self._tombstones = np.asarray(read_tombstones(self.out_dir), dtype=np.int64)
+        return self._tombstones
+
+    def _allowed_ids(self, doc_filter: dict) -> np.ndarray:
+        """Resolve a filter-context dict ({col: value | [values]}, AND
+        across columns) against the doc_attrs sidecar — a pruned columnar
+        read of (doc_id) only, pushed down to parquet."""
+        import os
+
+        import pyarrow.dataset as ds
+
+        if self._attrs_dset is None:
+            adir = os.path.join(self.out_dir, "doc_attrs")
+            if not os.path.isdir(adir):
+                raise ValueError(
+                    "doc_filter given but this index has no doc_attrs sidecar "
+                    "(build with IndexConfig.attr_cols)"
+                )
+            self._attrs_dset = ds.dataset(adir, format="parquet", partitioning="hive")
+        expr = None
+        for c, v in doc_filter.items():
+            e = (
+                ds.field(c).isin(list(v))
+                if isinstance(v, (list, tuple, set, frozenset))
+                else ds.field(c) == v
+            )
+            expr = e if expr is None else expr & e
+        tb = self._attrs_dset.to_table(columns=["doc_id"], filter=expr)
+        return np.sort(tb["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
 
     def _segment_rows(self, terms: list[str]) -> DataFrame:
         return load_segments(self.spark, self.out_dir, terms)
@@ -378,12 +510,18 @@ class IndexReader:
         use_wand: bool | str = "auto",
         driver_bytes_limit: int = 256 << 20,
         mode: str = "or",
+        doc_filter: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25. Driver kernel when the pruned postings fit in
         ``driver_bytes_limit``; otherwise a per-bucket distributed pass
         with a k-row merge (buckets partition docs, so per-bucket top-k
         is exact). ``mode="and"`` requires every query term (conjunctive);
-        a term absent from the corpus yields an empty result."""
+        a term absent from the corpus yields an empty result.
+
+        ``doc_filter`` is ES filter context: ``{col: value | [values]}``
+        ANDed across columns, resolved against the doc_attrs sidecar.
+        Filters (and delete tombstones) restrict the result set; scoring
+        stats stay corpus-global (ES/Lucene semantics)."""
         if not terms:
             return []
         import pyarrow.dataset as ds
@@ -412,7 +550,14 @@ class IndexReader:
         if distributed is None:
             # ~5 bytes/posting across the three varbyte streams
             distributed = total_postings * 5 > driver_bytes_limit
+        blocked = self._blocked()
         if not distributed:
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
             tbl = dset.to_table(
                 columns=["term", "docs", "tfs", "dls", "blocks"],
                 filter=ds.field("term").isin(terms),
@@ -422,33 +567,45 @@ class IndexReader:
                 _row_to_plist(row, idf[row["term"]], self.avgdl) for row in rows
             ]
             if mode == "and":
-                return score_conjunctive(lists, [r["term"] for r in rows], k)
+                return score_conjunctive(
+                    lists, [r["term"] for r in rows], k, doc_filter=filt
+                )
             kern = pick_kernel(len(dfsum), total_postings, use_wand)
-            return kern(lists, k)
+            return kern(lists, k, doc_filter=filt)
         return self._query_distributed(
-            self._segment_rows(terms), idf, k, use_wand, mode
+            self._segment_rows(terms), idf, k, use_wand, mode, doc_filter, blocked
         )
 
-    def _query_distributed(self, rows_df, idf: dict, k: int, use_wand, mode: str = "or"):
+    def _query_distributed(
+        self,
+        rows_df,
+        idf: dict,
+        k: int,
+        use_wand,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        blocked: np.ndarray | None = None,
+    ):
         import pandas as pd
 
         avgdl = self.avgdl
+        blocked_list = [] if blocked is None else [int(x) for x in blocked]
 
-        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        def score_rows(pdf: pd.DataFrame, filt: DocFilter | None):
             lists = [
                 _row_to_plist(row, idf[row["term"]], avgdl)
                 for _, row in pdf.iterrows()
             ]
             if mode == "and":
                 top = score_conjunctive(
-                    lists, list(pdf["term"]), k, n_terms=len(idf)
+                    lists, list(pdf["term"]), k, n_terms=len(idf), doc_filter=filt
                 )
             else:
                 # per-bucket auto choice: each bucket sees its own sizes
                 kern = pick_kernel(
                     pdf["term"].nunique(), int(pdf["df"].sum()), use_wand
                 )
-                top = kern(lists, k)
+                top = kern(lists, k, doc_filter=filt)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
             )
@@ -456,9 +613,52 @@ class IndexReader:
         from ..shipping import ensure_shipped
 
         ensure_shipped(self.spark)
-        per_b = rows_df.groupBy("bucket").applyInPandas(
-            per_bucket, schema="doc_id long, score double"
-        )
+        if doc_filter is None:
+            # tombstones-only (or no filter): the blocked set is driver-held
+            # and small — ship it in the closure, keep the groupBy plan
+            def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                filt = (
+                    DocFilter(None, np.asarray(blocked_list, dtype=np.int64))
+                    if blocked_list
+                    else None
+                )
+                return score_rows(pdf, filt)
+
+            per_b = rows_df.groupBy("bucket").applyInPandas(
+                per_bucket, schema="doc_id long, score double"
+            )
+        else:
+            # filter context at scale: cogroup the (tiny) query-term segment
+            # rows with the bucket's allowed doc_ids from the doc_attrs
+            # sidecar — both sides shuffle by bucket only; the allowed set
+            # never concentrates on the driver
+            from .segments import load_doc_attrs
+
+            attrs = load_doc_attrs(self.spark, self.out_dir)
+            cond = None
+            for c, v in doc_filter.items():
+                e = (
+                    F.col(c).isin([x for x in v])
+                    if isinstance(v, (list, tuple, set, frozenset))
+                    else (F.col(c) == F.lit(v))
+                )
+                cond = e if cond is None else cond & e
+            allowed_df = attrs.filter(cond).select("bucket", "doc_id")
+
+            def per_bucket_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(seg_pdf) == 0 or len(attr_pdf) == 0:
+                    return pd.DataFrame({"doc_id": [], "score": []}).astype(
+                        {"doc_id": "int64", "score": "float64"}
+                    )
+                allowed = np.sort(attr_pdf["doc_id"].to_numpy(np.int64))
+                filt = DocFilter(allowed, np.asarray(blocked_list, dtype=np.int64))
+                return score_rows(seg_pdf, filt)
+
+            per_b = (
+                rows_df.groupBy("bucket")
+                .cogroup(allowed_df.groupBy("bucket"))
+                .applyInPandas(per_bucket_cg, schema="doc_id long, score double")
+            )
         ordered = per_b.orderBy(F.col("score").desc(), F.col("doc_id").asc())
         rows = (ordered if k is None else ordered.limit(k)).collect()
         return [(r["doc_id"], r["score"]) for r in rows]

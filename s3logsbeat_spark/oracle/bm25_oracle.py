@@ -42,20 +42,31 @@ class BM25Oracle:
             s += self.idf(t) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
         return s
 
-    def topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
-        """[(doc_id, score)] — only docs matching ≥1 term, engine tie-break."""
+    def topk(
+        self, terms: list[str], k: int = 10, allowed: set | None = None
+    ) -> list[tuple[int, float]]:
+        """[(doc_id, score)] — only docs matching ≥1 term, engine tie-break.
+
+        ``allowed`` (None = all) is ES filter context: it restricts the
+        result set but NOT the corpus stats (idf/avgdl stay global)."""
         hits = []
         for did in self.tfs:
+            if allowed is not None and did not in allowed:
+                continue
             if any(self.tfs[did].get(t) for t in terms):
                 hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
-    def topk_and(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def topk_and(
+        self, terms: list[str], k: int = 10, allowed: set | None = None
+    ) -> list[tuple[int, float]]:
         """Conjunctive twin: only docs containing EVERY distinct term."""
         want = set(terms)
         hits = []
         for did in self.tfs:
+            if allowed is not None and did not in allowed:
+                continue
             if all(self.tfs[did].get(t) for t in want):
                 hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
         hits.sort(key=lambda x: (-x[1], x[0]))

@@ -1,0 +1,222 @@
+"""Filter-context queries (metadata predicates pushed into the scoring
+kernels via the doc_attrs sidecar) + delete tombstones.
+
+Semantics under test (ES/Lucene parity): filters and deletes restrict the
+RESULT SET only — idf/avgdl/df stay corpus-global until a rebuild, exactly
+like ES filter context and Lucene deleted docs before a merge. So every
+surviving doc's score must be bit-identical to its unfiltered score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from s3logsbeat_spark.operators.codec import encode_posting_list
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    delete_docs,
+    load_doc_attrs,
+    read_tombstones,
+)
+from s3logsbeat_spark.operators.wand import (
+    DocFilter,
+    IndexReader,
+    PostingList,
+    bm25_idf,
+    score_conjunctive,
+    score_exact_taat,
+    score_single_term,
+    wand_topk,
+)
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+# ------------------------------------------------------- kernel-level fuzz --
+
+
+def _mk_lists(rng, n_terms, n_docs_universe=2000, avgdl=50.0, n_corpus=1000):
+    lists = []
+    for _t in range(n_terms):
+        n = rng.randint(1, 400)
+        ids = np.array(sorted(rng.sample(range(n_docs_universe), n)), dtype=np.int64)
+        tfs = np.array([rng.randint(1, 20) for _ in range(n)], dtype=np.int64)
+        dls = np.array([rng.randint(5, 200) for _ in range(n)], dtype=np.int64)
+        lists.append(
+            PostingList(encode_posting_list(ids, tfs, dls), bm25_idf(n_corpus, n), avgdl)
+        )
+    return lists
+
+
+def _post_filtered(lists, k, filt: DocFilter):
+    """Reference semantics: unfiltered exact scoring, then drop disallowed
+    docs, then top-k (filtering must not change any surviving score)."""
+    full = score_exact_taat(lists, 10**9)
+    kept = [(d, s) for d, s in full if filt.ok(d)]
+    return kept[:k]
+
+
+@given(st.randoms(use_true_random=False), st.integers(1, 5), st.integers(1, 20))
+@settings(max_examples=40, deadline=None)
+def test_filtered_kernels_fuzz(rng, n_terms, k):
+    lists = _mk_lists(rng, n_terms)
+    universe = list(range(2000))
+    allowed = np.array(sorted(rng.sample(universe, rng.randint(0, 500))), dtype=np.int64)
+    blocked = np.array(sorted(rng.sample(universe, rng.randint(0, 50))), dtype=np.int64)
+    filt = DocFilter(allowed, blocked)
+    want = _post_filtered(lists, k, filt)
+    assert score_exact_taat(lists, k, doc_filter=filt) == want
+    assert wand_topk(lists, k, doc_filter=filt) == want
+    if n_terms == 1:
+        assert score_single_term(lists, k, doc_filter=filt) == want
+
+
+@given(st.randoms(use_true_random=False), st.integers(2, 4), st.integers(1, 15))
+@settings(max_examples=25, deadline=None)
+def test_filtered_conjunctive_fuzz(rng, n_terms, k):
+    lists = _mk_lists(rng, n_terms)
+    terms_of = [f"t{i}" for i in range(n_terms)]
+    allowed = np.array(sorted(rng.sample(range(2000), 600)), dtype=np.int64)
+    filt = DocFilter(allowed, None)
+    full = score_conjunctive(lists, terms_of, None)
+    want = [(d, s) for d, s in full if filt.ok(d)][:k]
+    got = score_conjunctive(lists, terms_of, k, doc_filter=filt)
+    assert got == want
+
+
+def test_blocked_only_filter():
+    """Tombstone-style filter: allowed=None blocks nothing but the list."""
+    ids = np.arange(100, dtype=np.int64)
+    tfs = np.ones(100, dtype=np.int64)
+    dls = np.full(100, 50, dtype=np.int64)
+    pl = PostingList(encode_posting_list(ids, tfs, dls), bm25_idf(1000, 100), 50.0)
+    filt = DocFilter(None, np.array([0, 1, 2], dtype=np.int64))
+    got = {d for d, _ in score_exact_taat([pl], 200, doc_filter=filt)}
+    assert got == set(range(3, 100))
+
+
+# ---------------------------------------------------- spark-level pipeline --
+
+
+@pytest.fixture(scope="module")
+def fbuilt(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("findex"))
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10)
+    summary = build_index(corpus_df, cfg)
+    return out, cfg, summary
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+@pytest.fixture(scope="module")
+def by_lang(corpus_df):
+    rows = corpus_df.select("doc_id", "lang").collect()
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r["lang"], set()).add(r["doc_id"])
+    return out
+
+
+def test_doc_attrs_sidecar(spark, fbuilt, corpus_df):
+    out, _, _ = fbuilt
+    attrs = load_doc_attrs(spark, out)
+    assert attrs.count() == corpus_df.count()
+    assert {"bucket", "doc_id", "repo", "path", "commit", "lang"} <= set(attrs.columns)
+    # every doc's sidecar bucket matches the segment bucketing function
+    from pyspark.sql import functions as F
+
+    bad = attrs.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)).cast("int") != F.col("bucket")
+    ).count()
+    assert bad == 0
+
+
+@pytest.mark.parametrize("terms", [["return"], ["get", "http", "response", "parse"]])
+def test_filtered_query_rank_identity(spark, fbuilt, oracle, by_lang, terms):
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    for lang, allowed in sorted(by_lang.items()):
+        got = rdr.query(terms, 10, doc_filter={"lang": lang})
+        want = oracle.topk(terms, 10, allowed=allowed)
+        assert [d for d, _ in got] == [d for d, _ in want], (lang, terms)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+        # distributed path (cogroup with the sidecar) must agree
+        dist = rdr.query(terms, 10, distributed=True, doc_filter={"lang": lang})
+        assert dist == got, (lang, terms)
+
+
+def test_filtered_query_isin_and_multi_col(spark, fbuilt, oracle, by_lang, corpus_df):
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    langs = sorted(by_lang)[:2]
+    allowed = by_lang[langs[0]] | by_lang[langs[1]]
+    got = rdr.query(["return"], 10, doc_filter={"lang": langs})
+    want = oracle.topk(["return"], 10, allowed=allowed)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # AND across columns: lang + one specific repo
+    repo = corpus_df.select("repo").first()["repo"]
+    in_repo = {
+        r["doc_id"]
+        for r in corpus_df.filter(f"repo = '{repo}'").select("doc_id").collect()
+    }
+    for lang in langs:
+        got = rdr.query(["return"], 10, doc_filter={"lang": lang, "repo": repo})
+        want = oracle.topk(["return"], 10, allowed=by_lang[lang] & in_repo)
+        assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_filtered_and_mode(spark, fbuilt, oracle, by_lang):
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    for lang, allowed in sorted(by_lang.items()):
+        got = rdr.query(terms, 10, mode="and", doc_filter={"lang": lang})
+        want = oracle.topk_and(terms, 10, allowed=allowed)
+        assert [d for d, _ in got] == [d for d, _ in want], lang
+        dist = rdr.query(terms, 10, mode="and", distributed=True, doc_filter={"lang": lang})
+        assert dist == got, lang
+
+
+def test_filter_matching_nothing(spark, fbuilt):
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    assert rdr.query(["return"], 10, doc_filter={"lang": "cobol"}) == []
+
+
+def test_tombstone_deletes(spark, corpus_df, oracle, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tindex"))
+    cfg = IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10)
+    build_index(corpus_df, cfg)
+    rdr = IndexReader(spark, out)
+    before = rdr.query(["return"], 10)
+    assert before
+    dead = [d for d, _ in before[:2]]
+    assert delete_docs(out, dead) == 2
+    assert delete_docs(out, dead) == 2  # idempotent re-record
+    assert read_tombstones(out) == sorted(dead)
+    rdr.refresh()
+    allowed = set(oracle.tfs) - set(dead)
+    want = oracle.topk(["return"], 10, allowed=allowed)
+    got = rdr.query(["return"], 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # surviving scores unchanged (stats stay global until rebuild)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # distributed path applies tombstones too
+    dist = rdr.query(["return"], 10, distributed=True)
+    assert dist == got
+    # deletes compose with filter context
+    lang = corpus_df.select("lang").first()["lang"]
+    lang_docs = {
+        r["doc_id"] for r in corpus_df.filter(f"lang = '{lang}'").select("doc_id").collect()
+    }
+    got = rdr.query(["return"], 10, doc_filter={"lang": lang})
+    want = oracle.topk(["return"], 10, allowed=lang_docs - set(dead))
+    assert [d for d, _ in got] == [d for d, _ in want]
