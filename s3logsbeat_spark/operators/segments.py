@@ -516,6 +516,56 @@ def build_index(
     return summarize_index(cfg.out_dir)
 
 
+def append_index(
+    docs_new: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    dedup_existing: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+    **cfg_kwargs,
+) -> dict:
+    """Incrementally add documents to an existing index (the ES
+    index-more-docs / Lucene new-segment-generation analogue).
+
+    The delta build gets its own disjoint bucket range (offset = one past
+    the current max bucket), so existing segments, sidecar partitions and
+    manifest rows are never touched — readers see the union and global
+    stats (n_docs, avgdl, df) update exactly because they are manifest /
+    dictionary sums over all buckets. Queries against base+delta are
+    rank-identical to a from-scratch build of the full corpus (tested),
+    because scores depend only on global stats and per-doc postings, and
+    every doc's postings live wholly inside its own generation.
+
+    ``dedup_existing=True`` anti-joins the new docs against the doc_ids
+    already in the doc_attrs sidecar — the reference's dedup-on-redelivery
+    (``/root/reference/logparser/logparser.go:38-44``, README.md:73-88):
+    re-shipping an already-indexed doc is a no-op, so at-least-once
+    upstream delivery stays effectively-once in the index. The sidecar
+    read is doc_id-only (column-pruned, skinny); the join broadcasts
+    whichever side Spark finds small. ``n_buckets`` sizes the delta
+    generation — use fewer buckets than the base when the delta is small
+    so per-bucket segment files stay right-sized.
+
+    Returns the post-append :func:`summarize_index` summary.
+    """
+    rows = read_manifest(out_dir)
+    off = (max(r["bucket"] for r in rows) + 1) if rows else 0
+    if dedup_existing and rows and os.path.isdir(_attrs_dir(out_dir)):
+        spark = docs_new.sparkSession
+        existing = spark.read.parquet(_attrs_dir(out_dir)).select(
+            F.col("doc_id").alias(id_col)
+        )
+        docs_new = docs_new.join(existing, id_col, "left_anti")
+    cfg = IndexConfig(
+        out_dir=out_dir, n_buckets=n_buckets, bucket_offset=off, **cfg_kwargs
+    )
+    return build_index(
+        docs_new, cfg, id_col=id_col, text_col=text_col, lang_col=lang_col
+    )
+
+
 def summarize_index(out_dir: str) -> dict:
     rows = read_manifest(out_dir)
     n_docs = sum(r["docs_tokenized"] for r in rows)

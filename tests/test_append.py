@@ -1,0 +1,87 @@
+"""Incremental index append (delta generations) — base+delta must answer
+queries rank-identically to a from-scratch build of the full corpus, and
+re-delivered (already-indexed) docs must be deduped to a no-op."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.segments import (
+    append_index,
+    build_index,
+    IndexConfig,
+    read_manifest,
+    summarize_index,
+)
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+from s3logsbeat_spark.testing.corpus import REFERENCE_QUERIES
+
+
+@pytest.fixture(scope="module")
+def halves(corpus_df):
+    a = corpus_df.filter("pmod(doc_id, 2) = 0").cache()
+    b = corpus_df.filter("pmod(doc_id, 2) = 1").cache()
+    return a, b
+
+
+@pytest.fixture(scope="module")
+def appended(spark, halves, tmp_path_factory):
+    a, b = halves
+    out = str(tmp_path_factory.mktemp("appidx"))
+    build_index(a, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    summary = append_index(b, out, n_buckets=2, hot_df_threshold=10)
+    return out, summary
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+def test_append_stats_and_layout(appended, corpus_df, oracle, halves):
+    out, summary = appended
+    assert summary["buckets"] == 6  # 4 base + 2 delta
+    assert summary["n_docs"] == corpus_df.count()
+    assert abs(summary["avgdl"] - oracle.avgdl) < 1e-9
+    buckets = sorted(m["bucket"] for m in read_manifest(out))
+    assert buckets == [0, 1, 2, 3, 4, 5]
+    # delta generation only holds the delta's docs
+    delta_docs = sum(
+        m["docs_tokenized"] for m in read_manifest(out) if m["bucket"] >= 4
+    )
+    assert delta_docs == halves[1].count()
+
+
+@pytest.mark.parametrize("q", REFERENCE_QUERIES, ids=lambda q: f"q{q['query_id']}")
+def test_append_rank_identical_to_full_build(q, spark, appended, oracle):
+    out, _ = appended
+    rdr = IndexReader(spark, out)
+    got = rdr.query(q["terms"], q["k"])
+    want = oracle.topk(q["terms"], q["k"])
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_append_redelivery_noop(spark, appended, halves):
+    """Re-appending already-indexed docs dedups to an empty delta: stats
+    unchanged, no new docs counted (the K8 effectively-once analogue)."""
+    out, before = appended
+    after = append_index(halves[1], out, n_buckets=2, hot_df_threshold=10)
+    assert after["n_docs"] == before["n_docs"]
+    assert after["postings"] == before["postings"]
+
+
+def test_append_filter_context_spans_generations(spark, appended, oracle, corpus_df):
+    out, _ = appended
+    rdr = IndexReader(spark, out)
+    lang = corpus_df.select("lang").first()["lang"]
+    allowed = {
+        r["doc_id"]
+        for r in corpus_df.filter(f"lang = '{lang}'").select("doc_id").collect()
+    }
+    got = rdr.query(["return"], 10, doc_filter={"lang": lang})
+    want = oracle.topk(["return"], 10, allowed=allowed)
+    assert [d for d, _ in got] == [d for d, _ in want]
