@@ -247,6 +247,34 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-only phrase search (Lucene match_phrase analogue): a
+    positional index (4th delta+varbyte stream of raw-token positions)
+    answers the phrase from postings alone — candidates from term
+    intersection, verification from position adjacency, BM25 scores over
+    the phrase's distinct terms. No content scan, unlike q_phrase_search's
+    contains() verify."""
+    import hashlib
+    import tempfile
+
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+    from s3logsbeat_spark.operators.wand import IndexReader
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/s3lb_posindex_v1_{tag}"
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=8, hot_df_threshold=20_000, with_positions=True
+    )
+    build_index(docs, cfg)
+    rdr = IndexReader(spark, out)
+    top = rdr.phrase_query(PHRASE.split(), BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 FILTER_LANG = "es"
 
 
@@ -483,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex_search,
         "bm25_wand": q_bm25_wand,
         "bm25_filtered": q_bm25_filtered,
+        "phrase_indexed": q_phrase_indexed,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -560,6 +589,59 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
     "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
     f"JOIN documents d2 ON d2.doc_id = s2.doc_id WHERE d2.lang = '{FILTER_LANG}'",
 ).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
+
+
+# Token-level phrase adjacency (the positional-index oracle): BM25 over
+# the phrase's terms, restricted to docs where the terms occur at
+# consecutive token positions. Uses the code tokenizer's raw-token regex
+# (identical to the word regex on the lowercase word-soup corpus).
+_PHRASE_IDX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM doclen)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+qterms AS (
+  SELECT unnest(['merge', 'window']) AS term
+),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term IN (SELECT term FROM qterms) GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.doc_len / s.avgdl))
+         ) AS raw
+  FROM postings p
+  JOIN dfs d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN (SELECT term FROM qterms)
+  GROUP BY p.doc_id
+),
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS a
+  FROM documents
+)
+SELECT s2.doc_id, round(s2.raw, 6) AS score
+FROM scored s2 JOIN tokarr t2 ON t2.doc_id = s2.doc_id
+WHERE len(list_filter(range(1, len(t2.a)),
+          i -> t2.a[i] = 'merge' AND t2.a[i+1] = 'window')) > 0
+ORDER BY score DESC, s2.doc_id ASC LIMIT {BM25_K}
+"""
 
 
 _BM25_AND_SQL = _BM25_SQL.replace(
@@ -917,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "regex_search": _REGEX_SQL,
         "bm25_wand": _BM25_WAND_SQL,
         "bm25_filtered": _BM25_FILTERED_SQL,
+        "phrase_indexed": _PHRASE_IDX_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

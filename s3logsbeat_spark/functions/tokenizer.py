@@ -128,6 +128,35 @@ def _count_terms(text: str, lang: str | None, memo: _TokenMemo) -> Counter:
     return counts
 
 
+def _term_positions(text: str, lang: str | None, memo: _TokenMemo) -> dict:
+    """term -> sorted position list (the positional-index twin of
+    ``_count_terms``; ``sum(len(v))`` over the result equals that
+    counter's doc_len exactly).
+
+    Position = raw-token index in ``TOKEN_RE`` order. Sub-tokens and
+    lang-tagged terms sit at their raw token's position (Lucene
+    synonym-at-same-position semantics), so a phrase of raw tokens
+    matches at consecutive positions while splits don't shift later
+    tokens. Duplicate positions are kept (``get_get`` emits ``get``
+    twice at one position) so tf == len(positions) always holds.
+    """
+    pos: dict[str, list[int]] = {}
+    kw = KEYWORDS.get(lang or "", frozenset())
+    for p, raw in enumerate(TOKEN_RE.findall(text)):
+        emitted = memo.terms_for(raw)
+        for t in emitted:
+            pos.setdefault(t, []).append(p)
+        low = emitted[0]
+        if low in kw:
+            pos.setdefault(f"{lang}:{low}", []).append(p)
+    return pos
+
+
+def tokenize_text_positions(text: str, lang: str | None = None) -> dict:
+    """Pure-Python single-doc positional tokenizer (oracle path)."""
+    return _term_positions(text or "", lang, _TokenMemo())
+
+
 def _count_trigrams(text: str, lang: str | None, memo=None) -> Counter:
     """Character-trigram counter (same signature as ``_count_terms`` so
     the segment build can swap it in): the term universe for the

@@ -122,11 +122,36 @@ def encode_posting_list(
     }
 
 
+def _segmented_delta(vals: np.ndarray, seg_starts: np.ndarray) -> np.ndarray:
+    """Delta-encode ``vals`` with a restart (absolute value) at each
+    index in ``seg_starts`` (first element must be 0)."""
+    out = np.empty(vals.shape[0], dtype=np.uint64)
+    if vals.shape[0]:
+        v = vals.astype(np.int64)
+        out[0] = v[0]
+        np.subtract(v[1:].view(np.uint64), v[:-1].view(np.uint64), out=out[1:])
+        out[seg_starts] = v[seg_starts].view(np.uint64)
+    return out
+
+
+def _segmented_cumsum(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Undo :func:`_segmented_delta`: per-segment cumulative sums where
+    segment i has ``counts[i]`` values."""
+    if vals.shape[0] == 0:
+        return vals.astype(np.int64)
+    v = vals.astype(np.int64)
+    c = np.cumsum(v)
+    seg_starts = np.cumsum(counts) - counts
+    offsets = np.repeat(c[seg_starts] - v[seg_starts], counts)
+    return c - offsets
+
+
 def encode_posting_lists_batch(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
     starts: np.ndarray,
+    positions: np.ndarray | None = None,
 ) -> dict:
     """Vectorized encode of MANY posting lists in one shot.
 
@@ -162,6 +187,14 @@ def encode_posting_lists_batch(
     doc_pos = np.concatenate(([0], np.cumsum(doc_nb)))  # byte start per value
     tf_pos = np.concatenate(([0], np.cumsum(tf_nb)))
     dl_pos = np.concatenate(([0], np.cumsum(dl_nb)))
+
+    # --- optional positional stream: posting j owns tfs[j] consecutive
+    # values of ``positions``; each posting's run is delta-encoded with an
+    # absolute restart (so any block decodes independently given its tfs)
+    if positions is not None:
+        cum_tf = np.concatenate(([0], np.cumsum(tfs64)))
+        ps_b, ps_nb = varbyte_encode(_segmented_delta(positions, cum_tf[:-1]))
+        ps_pos = np.concatenate(([0], np.cumsum(ps_nb)))  # byte start per value
 
     # --- block grid: per group, blocks of BLOCK docs (last one ragged) ---
     sizes = ends - starts
@@ -203,6 +236,18 @@ def encode_posting_lists_batch(
     l_lo, l_hi = grp_dl0.tolist(), dl_pos[ends].tolist()
     b_first = blk_first.tolist()
     b_cnt = nblocks.tolist()
+    if positions is not None:
+        ps_bytes = ps_b.tobytes()
+        grp_ps0 = ps_pos[cum_tf[starts]]  # group position-stream starts (bytes)
+        p_lo, p_hi = grp_ps0.tolist(), ps_pos[cum_tf[ends]].tolist()
+        poss_col = [ps_bytes[p_lo[i]:p_hi[i]] for i in range(g)]
+        # per-block byte offset into the group's positional stream
+        blk_pos_off = (ps_pos[cum_tf[blk_lo]] - grp_ps0[grp_of_blk]) if tot_blk else np.empty(0, np.int64)
+        bo = blk_pos_off.tolist()
+        pos_offs_col = [bo[b_first[i]:b_first[i] + b_cnt[i]] for i in range(g)]
+    else:
+        poss_col = [b""] * g
+        pos_offs_col = [[] for _ in range(g)]
     return {
         "df": sizes.tolist(),
         "cf": cf.tolist(),
@@ -214,7 +259,25 @@ def encode_posting_lists_batch(
             [tuple(r) for r in blk_list[b_first[i]:b_first[i] + b_cnt[i]]]
             for i in range(g)
         ],
+        "poss": poss_col,
+        "pos_offs": pos_offs_col,
     }
+
+
+def decode_positions(
+    payload: dict, tfs: np.ndarray, offset: int = 0
+) -> np.ndarray:
+    """Decode the positional stream (absolute positions, concatenated per
+    posting; posting j owns ``tfs[j]`` values). ``offset`` is a byte
+    offset into ``payload['poss']`` (use a block's ``pos_offs`` entry with
+    that block's decoded tfs for block-local decode)."""
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    buf = np.frombuffer(payload["poss"], dtype=np.uint8)
+    deltas = varbyte_decode(buf, offset=offset, count=total)
+    return _segmented_cumsum(deltas, tfs)
 
 
 def decode_posting_list(payload: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

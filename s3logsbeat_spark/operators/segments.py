@@ -59,7 +59,11 @@ SEGMENT_SCHEMA = (
     "bucket int, term string, salt int, df long, cf long, n_blocks int, "
     "docs binary, tfs binary, dls binary, "
     "blocks array<struct<last_doc:long, max_tf:int, min_dl:int, "
-    "doc_off:int, tf_off:int, dl_off:int, cnt:int>>"
+    "doc_off:int, tf_off:int, dl_off:int, cnt:int>>, "
+    # positional stream (empty binary / empty array when the index is
+    # built without positions): delta+varbyte positions per posting,
+    # per-block byte offsets for independent block decode
+    "poss binary, pos_offs array<int>"
 )
 
 
@@ -100,6 +104,11 @@ class IndexConfig:
     # content). None = every non-content input column that exists among
     # the conventional metadata names; () = no sidecar.
     attr_cols: tuple | None = None
+    # Store term positions (raw-token index; sub-tokens/lang-tags share
+    # their raw token's position) — enables index-only phrase queries
+    # (Lucene match_phrase analogue) at the cost of a larger index.
+    # Only meaningful for token_mode="code".
+    with_positions: bool = False
 
 
 def _manifest_dir(out: str) -> str:
@@ -186,7 +195,10 @@ def _write_manifest_row(out_dir: str, row: dict) -> None:
     os.replace(tmp, dst)
 
 
-RUN_SCHEMA = "bucket int, term string, salt int, docs binary, tfs binary, dls binary"
+RUN_SCHEMA = (
+    "bucket int, term string, salt int, docs binary, tfs binary, dls binary, "
+    "poss binary"  # raw int32 positions (empty when positions disabled)
+)
 
 _SALT_MULT = 0x9E3779B97F4A7C15
 _M64 = (1 << 64) - 1
@@ -201,6 +213,7 @@ def _salt_of(doc_id: int, n_salts: int) -> int:
 def _runs_builder(
     hot: dict, id_col: str, text_col: str, lang_col: str | None,
     flush_postings: int, token_mode: str = "code",
+    with_positions: bool = False,
 ):
     """mapInPandas generator: tokenize docs AND build a partition-local
     partial inverted index ("runs") in one Python pass.
@@ -224,7 +237,7 @@ def _runs_builder(
     def gen(batches):
         from array import array
 
-        from ..functions.tokenizer import _WORKER_MEMO, COUNTERS
+        from ..functions.tokenizer import _WORKER_MEMO, COUNTERS, _term_positions
 
         count_fn = COUNTERS[token_mode]
 
@@ -238,14 +251,18 @@ def _runs_builder(
             nonlocal acc, n_acc
             if not acc:
                 return None
-            rows = {"bucket": [], "term": [], "salt": [], "docs": [], "tfs": [], "dls": []}
-            for (b, t, s), (ids, tfs, dls) in acc.items():
+            rows = {
+                "bucket": [], "term": [], "salt": [],
+                "docs": [], "tfs": [], "dls": [], "poss": [],
+            }
+            for (b, t, s), e in acc.items():
                 rows["bucket"].append(b)
                 rows["term"].append(t)
                 rows["salt"].append(s)
-                rows["docs"].append(ids.tobytes())
-                rows["tfs"].append(tfs.tobytes())
-                rows["dls"].append(dls.tobytes())
+                rows["docs"].append(e[0].tobytes())
+                rows["tfs"].append(e[1].tobytes())
+                rows["dls"].append(e[2].tobytes())
+                rows["poss"].append(e[3].tobytes() if with_positions else b"")
             acc = {}
             n_acc = 0
             return pd.DataFrame(rows)
@@ -253,7 +270,12 @@ def _runs_builder(
         for pdf in batches:
             langs = pdf[lang_col] if lang_col else [None] * len(pdf)
             for did, b, text, lang in zip(pdf[id_col], pdf["bucket"], pdf[text_col], langs):
-                counts = count_fn(text or "", lang, _WORKER_MEMO)
+                if with_positions:
+                    posmap = _term_positions(text or "", lang, _WORKER_MEMO)
+                    counts = {t: len(ps) for t, ps in posmap.items()}
+                else:
+                    posmap = None
+                    counts = count_fn(text or "", lang, _WORKER_MEMO)
                 dl = sum(counts.values())
                 did = int(did)
                 b = int(b)
@@ -262,10 +284,12 @@ def _runs_builder(
                     key = (b, t, 0 if ns is None else _salt_of(did, ns))
                     e = acc.get(key)
                     if e is None:
-                        e = acc[key] = (array("q"), array("i"), array("i"))
+                        e = acc[key] = (array("q"), array("i"), array("i"), array("i"))
                     e[0].append(did)
                     e[1].append(c)
                     e[2].append(dl)
+                    if posmap is not None:
+                        e[3].extend(posmap[t])
                 n_acc += len(counts)
             if n_acc >= flush_postings:
                 out = flush()
@@ -278,7 +302,22 @@ def _runs_builder(
     return gen
 
 
-def _merge_encode_stream(batches):
+def _permute_ragged(flat, counts, order):
+    """Gather ragged segments: segment j owns ``counts[j]`` consecutive
+    values of ``flat``; return the segments concatenated in ``order``."""
+    import numpy as np
+
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    seg_starts = np.cumsum(counts) - counts
+    lens = counts[order]
+    total = int(lens.sum())
+    if total == 0:
+        return flat[:0]
+    intra = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(lens) - lens, lens)
+    return flat[np.repeat(seg_starts[order], lens) + intra]
+
+
+def _make_merge_encode_stream(with_positions: bool = False):
     """mapInPandas kernel over run rows hash-repartitioned by
     (bucket, term, salt) and sorted within the partition on those keys:
     walk group boundaries inside big Arrow batches and encode each group.
@@ -290,68 +329,82 @@ def _merge_encode_stream(batches):
     the 20k-doc bench), and it scales with vocab x buckets, not data.
     A group that spans batch boundaries is carried into the next batch;
     partition boundaries are group boundaries by construction.
+
+    With positions enabled, each posting's raw int32 positions ride along
+    in the run rows; they are permuted with their postings during the
+    doc sort (ragged gather) and delta+varbyte packed by the encoder.
     """
     import numpy as np
 
-    carry: pd.DataFrame | None = None
+    def stream(batches):
+        carry: pd.DataFrame | None = None
 
-    def encode_complete(pdf: pd.DataFrame, last_is_complete: bool):
-        n = len(pdf)
-        b = pdf["bucket"].to_numpy()
-        t = pdf["term"].to_numpy(dtype=object)
-        s = pdf["salt"].to_numpy()
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        if n > 1:
-            new[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (t[1:] != t[:-1])
-        starts = np.flatnonzero(new)
-        if not last_is_complete:  # hold the last group: it may continue
-            starts = starts[:-1]
-        if starts.size == 0:
-            return None
-        upto = int(np.flatnonzero(new)[starts.size]) if not last_is_complete else n
-        # flatten the complete rows' packed runs into one posting stream,
-        # one stable lexsort by (group, doc), then ONE vectorized encode
-        # of every group in the batch (doc_ids unique per group -> the
-        # sort is deterministic whatever order runs arrive: byte-identical
-        # output under resume)
-        docs_a = pdf["docs"].to_numpy(dtype=object)[:upto]
-        tfs_a = pdf["tfs"].to_numpy(dtype=object)[:upto]
-        dls_a = pdf["dls"].to_numpy(dtype=object)[:upto]
-        ids = np.concatenate([np.frombuffer(x, dtype=np.int64) for x in docs_a])
-        tf = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in tfs_a])
-        dl = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in dls_a])
-        row_grp = np.cumsum(new[:upto]) - 1
-        cnt = np.fromiter((len(x) >> 3 for x in docs_a), dtype=np.int64, count=upto)
-        pgrp = np.repeat(row_grp, cnt)
-        order = np.lexsort((ids, pgrp))
-        ids, tf, dl, pgrp = ids[order], tf[order], dl[order], pgrp[order]
-        pstarts = np.flatnonzero(np.r_[True, pgrp[1:] != pgrp[:-1]])
-        enc = encode_posting_lists_batch(ids, tf, dl, pstarts)
-        out = pd.DataFrame(
-            {
-                "bucket": b[starts],
-                "term": t[starts],
-                "salt": s[starts],
-                **enc,
-            }
-        )
-        return out, upto
+        def encode_complete(pdf: pd.DataFrame, last_is_complete: bool):
+            n = len(pdf)
+            b = pdf["bucket"].to_numpy()
+            t = pdf["term"].to_numpy(dtype=object)
+            s = pdf["salt"].to_numpy()
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            if n > 1:
+                new[1:] = (b[1:] != b[:-1]) | (s[1:] != s[:-1]) | (t[1:] != t[:-1])
+            starts = np.flatnonzero(new)
+            if not last_is_complete:  # hold the last group: it may continue
+                starts = starts[:-1]
+            if starts.size == 0:
+                return None
+            upto = int(np.flatnonzero(new)[starts.size]) if not last_is_complete else n
+            # flatten the complete rows' packed runs into one posting stream,
+            # one stable lexsort by (group, doc), then ONE vectorized encode
+            # of every group in the batch (doc_ids unique per group -> the
+            # sort is deterministic whatever order runs arrive: byte-identical
+            # output under resume)
+            docs_a = pdf["docs"].to_numpy(dtype=object)[:upto]
+            tfs_a = pdf["tfs"].to_numpy(dtype=object)[:upto]
+            dls_a = pdf["dls"].to_numpy(dtype=object)[:upto]
+            ids = np.concatenate([np.frombuffer(x, dtype=np.int64) for x in docs_a])
+            tf = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in tfs_a])
+            dl = np.concatenate([np.frombuffer(x, dtype=np.int32) for x in dls_a])
+            row_grp = np.cumsum(new[:upto]) - 1
+            cnt = np.fromiter((len(x) >> 3 for x in docs_a), dtype=np.int64, count=upto)
+            pgrp = np.repeat(row_grp, cnt)
+            order = np.lexsort((ids, pgrp))
+            pos_perm = None
+            if with_positions:
+                poss_a = pdf["poss"].to_numpy(dtype=object)[:upto]
+                pos_flat = np.concatenate(
+                    [np.frombuffer(x, dtype=np.int32) for x in poss_a]
+                ).astype(np.int64)
+                pos_perm = _permute_ragged(pos_flat, tf, order)
+            ids, tf, dl, pgrp = ids[order], tf[order], dl[order], pgrp[order]
+            pstarts = np.flatnonzero(np.r_[True, pgrp[1:] != pgrp[:-1]])
+            enc = encode_posting_lists_batch(ids, tf, dl, pstarts, positions=pos_perm)
+            out = pd.DataFrame(
+                {
+                    "bucket": b[starts],
+                    "term": t[starts],
+                    "salt": s[starts],
+                    **enc,
+                }
+            )
+            return out, upto
 
-    for pdf in batches:
-        if len(pdf) == 0:
-            continue
-        if carry is not None:
-            pdf = pd.concat([carry, pdf], ignore_index=True)
-        res = encode_complete(pdf, last_is_complete=False)
-        if res is None:
-            carry = pdf
-        else:
-            done, upto = res
-            carry = pdf.iloc[upto:].reset_index(drop=True)
-            yield done
-    if carry is not None and len(carry):
-        yield encode_complete(carry, last_is_complete=True)[0]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            res = encode_complete(pdf, last_is_complete=False)
+            if res is None:
+                carry = pdf
+            else:
+                done, upto = res
+                carry = pdf.iloc[upto:].reset_index(drop=True)
+                yield done
+        if carry is not None and len(carry):
+            yield encode_complete(carry, last_is_complete=True)[0]
+
+    return stream
 
 
 def build_index(
@@ -461,18 +514,20 @@ def build_index(
     # (packed runs) in a single mapInPandas, then ONE shuffle of run rows
     # into the per-(bucket, term, salt) merge+encode. Nothing is persisted
     # and no per-posting row ever exists JVM-side.
+    if cfg.with_positions and cfg.token_mode != "code":
+        raise ValueError("with_positions requires token_mode='code'")
     cols = [id_col, "bucket", text_col] + ([lang_col] if lang_col else [])
     runs = work.select(*cols).mapInPandas(
         _runs_builder(
             hot, id_col, text_col, lang_col, cfg.run_flush_postings,
-            cfg.token_mode,
+            cfg.token_mode, cfg.with_positions,
         ),
         schema=RUN_SCHEMA,
     )
     segs = (
         runs.repartition(F.col("bucket"), F.col("term"), F.col("salt"))
         .sortWithinPartitions("bucket", "term", "salt")
-        .mapInPandas(_merge_encode_stream, schema=SEGMENT_SCHEMA)
+        .mapInPandas(_make_merge_encode_stream(cfg.with_positions), schema=SEGMENT_SCHEMA)
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -623,7 +678,7 @@ def merge_segments(
         so the stored block metadata is not rebuilt row-side."""
         import numpy as np
 
-        from .codec import decode_posting_list
+        from .codec import decode_positions, decode_posting_list
 
         carry: pd.DataFrame | None = None
 
@@ -656,9 +711,19 @@ def merge_segments(
             cnt = pdf["df"].to_numpy()[:upto].astype(np.int64)
             pgrp = np.repeat(row_grp, cnt)
             order = np.lexsort((ids, pgrp))
+            pos_perm = None
+            poss_a = pdf["poss"].to_numpy(dtype=object)[:upto] if "poss" in pdf else None
+            if poss_a is not None and any(len(x or b"") for x in poss_a):
+                pos_flat = np.concatenate(
+                    [
+                        decode_positions({"poss": bytes(poss_a[i] or b"")}, parts[i][1])
+                        for i in range(upto)
+                    ]
+                )
+                pos_perm = _permute_ragged(pos_flat, tf, order)
             ids, tf, dl, pgrp = ids[order], tf[order], dl[order], pgrp[order]
             pstarts = np.flatnonzero(np.r_[True, pgrp[1:] != pgrp[:-1]])
-            enc = encode_posting_lists_batch(ids, tf, dl, pstarts)
+            enc = encode_posting_lists_batch(ids, tf, dl, pstarts, positions=pos_perm)
             out = pd.DataFrame(
                 {
                     "bucket": np.full(starts.size, -1, dtype=np.int64),

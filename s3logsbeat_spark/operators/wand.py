@@ -416,6 +416,98 @@ def wand_topk(
     return [(-d, s) for s, d in out]
 
 
+def score_phrase(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    terms: list[str],
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """Index-only phrase top-k over positional segment rows (the Lucene
+    match_phrase kernel): docs where ``terms`` occur at consecutive
+    raw-token positions, BM25-scored over the phrase's distinct terms.
+
+    ``pdf`` is a pandas frame of segment rows (term, docs, tfs, dls, poss)
+    for the phrase's terms — any subset of buckets (docs are disjoint
+    across a term's sub-lists, so concatenation is safe). No content is
+    touched: candidates come from posting intersection, verification from
+    decoded positions. A term absent from ``pdf`` ⇒ no matches here.
+    """
+    from .codec import decode_positions, decode_posting_list
+    from .segments import _permute_ragged
+
+    distinct = list(dict.fromkeys(terms))
+    per: dict = {}
+    for t in distinct:
+        sub = pdf[pdf["term"] == t]
+        if len(sub) == 0:
+            return []
+        ids_l, tf_l, dl_l, pos_l = [], [], [], []
+        for _, row in sub.iterrows():
+            payload = {
+                "docs": bytes(row["docs"]),
+                "tfs": bytes(row["tfs"]),
+                "dls": bytes(row["dls"]),
+                "poss": bytes(row["poss"] or b""),
+            }
+            d, tf, dl = decode_posting_list(payload)
+            if len(payload["poss"]) == 0 and tf.sum() > 0:
+                raise ValueError(
+                    "phrase query needs a positional index "
+                    "(build with IndexConfig.with_positions=True)"
+                )
+            ids_l.append(d)
+            tf_l.append(tf)
+            dl_l.append(dl)
+            pos_l.append(decode_positions(payload, tf))
+        ids = np.concatenate(ids_l)
+        tf = np.concatenate(tf_l)
+        dl = np.concatenate(dl_l)
+        pos = np.concatenate(pos_l)
+        order = np.argsort(ids)  # sub-lists are doc-disjoint: permutation
+        pos = _permute_ragged(pos, tf, order)
+        ids, tf, dl = ids[order], tf[order], dl[order]
+        per[t] = (ids, tf, dl, pos, np.cumsum(tf) - tf)
+
+    cand = per[distinct[0]][0]
+    for t in distinct[1:]:
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    if doc_filter is not None and cand.size:
+        cand = cand[doc_filter.mask(cand)]
+
+    def _positions_of(t: str, doc: int) -> np.ndarray:
+        ids, tf, _, pos, pstart = per[t]
+        i = int(np.searchsorted(ids, doc))
+        return pos[pstart[i] : pstart[i] + tf[i]]
+
+    hits = []
+    for doc in cand:
+        doc = int(doc)
+        cur = _positions_of(terms[0], doc)
+        for t in terms[1:]:
+            cur = np.intersect1d(cur + 1, _positions_of(t, doc))
+            if cur.size == 0:
+                break
+        if cur.size:
+            hits.append(doc)
+    if not hits:
+        return []
+    hits_a = np.asarray(hits, dtype=np.int64)
+    scores = np.zeros(hits_a.shape[0])
+    for t in distinct:
+        ids, tf, dl, _, _ = per[t]
+        i = np.searchsorted(ids, hits_a)
+        scores += _contrib(
+            tf[i].astype(np.float64), dl[i].astype(np.float64), idf[t], avgdl
+        )
+    scores = np.round(scores, SCORE_NDIGITS)
+    order = np.lexsort((hits_a, -scores))
+    if k is not None:
+        order = order[:k]
+    return [(int(hits_a[i]), float(scores[i])) for i in order]
+
+
 # ----------------------------------------------------------- index reader --
 
 class IndexReader:
@@ -489,6 +581,21 @@ class IndexReader:
     def _segment_rows(self, terms: list[str]) -> DataFrame:
         return load_segments(self.spark, self.out_dir, terms)
 
+    def _ensure_dict(self, dset) -> None:
+        """One-time dictionary load: exact global df per term (feeds idf +
+        the driver-vs-distributed choice). Column pruning keeps this to
+        two skinny columns; the dictionary is vocab-sized, tiny next to
+        the postings."""
+        if self._dict is None:
+            tb = (
+                dset.to_table(columns=["term", "df"])
+                .group_by("term")
+                .aggregate([("df", "sum")])
+            )  # arrow-native sum: no per-row Python over the vocab×bucket rows
+            self._dict = dict(
+                zip(tb["term"].to_pylist(), (int(x) for x in tb["df_sum"].to_pylist()))
+            )
+
     def _dataset(self):
         if self._dset is None:
             import os
@@ -527,19 +634,7 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         dset = self._dataset()
-        if self._dict is None:
-            # one-time dictionary load: exact global df per term (feeds
-            # idf + the driver-vs-distributed choice). Column pruning
-            # keeps this to two skinny columns; the dictionary is
-            # vocab-sized, tiny next to the postings.
-            tb = (
-                dset.to_table(columns=["term", "df"])
-                .group_by("term")
-                .aggregate([("df", "sum")])
-            )  # arrow-native sum: no per-row Python over the vocab×bucket rows
-            self._dict = dict(
-                zip(tb["term"].to_pylist(), (int(x) for x in tb["df_sum"].to_pylist()))
-            )
+        self._ensure_dict(dset)
         dfsum = {t: self._dict[t] for t in terms if t in self._dict}
         if not dfsum:
             return []
@@ -609,6 +704,77 @@ class IndexReader:
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
             )
+
+        return self._run_per_bucket(rows_df, score_rows, doc_filter, blocked_list, k)
+
+    def phrase_query(
+        self,
+        terms: list[str],
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Index-only phrase top-k (Lucene/ES match_phrase analogue):
+        ``terms`` must occur at consecutive raw-token positions. Requires
+        an index built with ``with_positions=True`` — no content scan and
+        no verify join; candidates AND verification both come from the
+        compressed postings. Same driver/distributed split, filter
+        context and tombstone handling as :meth:`query`."""
+        if not terms:
+            return []
+        import pyarrow.dataset as ds
+
+        dset = self._dataset()
+        self._ensure_dict(dset)
+        distinct = list(dict.fromkeys(terms))
+        if any(t not in self._dict for t in distinct):
+            return []
+        idf = {t: bm25_idf(self.n_docs, self._dict[t]) for t in distinct}
+        total_postings = sum(self._dict[t] for t in distinct)
+        if distributed is None:
+            # positional streams roughly double per-posting bytes
+            distributed = total_postings * 10 > driver_bytes_limit
+        blocked = self._blocked()
+        if not distributed:
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
+            tbl = dset.to_table(
+                columns=["term", "docs", "tfs", "dls", "poss"],
+                filter=ds.field("term").isin(distinct),
+            )
+            return score_phrase(tbl.to_pandas(), idf, self.avgdl, terms, k, filt)
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            import pandas as pd
+
+            top = score_phrase(pdf, idf, avgdl, terms, k, filt)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        blocked_list = [int(x) for x in blocked]
+        return self._run_per_bucket(
+            self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
+        )
+
+    def _run_per_bucket(
+        self,
+        rows_df,
+        score_rows,
+        doc_filter: dict | None,
+        blocked_list: list,
+        k: int | None,
+    ):
+        """Distribute a per-bucket scoring kernel (``score_rows(pdf, filt)
+        -> pandas (doc_id, score)``) and k-row-merge the results. Buckets
+        partition docs, so per-bucket top-k is exact."""
+        import pandas as pd
 
         from ..shipping import ensure_shipped
 

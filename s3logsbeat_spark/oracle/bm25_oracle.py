@@ -18,6 +18,8 @@ class BM25Oracle:
     def __init__(self, docs: list[dict], id_key="doc_id", text_key="content", lang_key="lang"):
         self.tfs: dict[int, Counter] = {}
         self.doc_len: dict[int, int] = {}
+        self._raw = [(d[id_key], d[text_key], d.get(lang_key)) for d in docs]
+        self._pos: dict[int, dict] | None = None  # lazy positional map
         for d in docs:
             c = Counter(dict(tokenize_text(d[text_key], d.get(lang_key))))
             self.tfs[d[id_key]] = c
@@ -57,6 +59,36 @@ class BM25Oracle:
                 hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
+
+    def phrase_topk(
+        self, terms: list[str], k: int | None = 10, allowed: set | None = None
+    ) -> list[tuple[int, float]]:
+        """Token-level phrase match (consecutive raw-token positions;
+        sub-tokens sit at their raw token's position), BM25-scored over
+        the phrase's distinct terms — the match_phrase oracle."""
+        from ..functions.tokenizer import tokenize_text_positions
+
+        if self._pos is None:
+            self._pos = {
+                did: tokenize_text_positions(text, lang)
+                for did, text, lang in self._raw
+            }
+        distinct = list(dict.fromkeys(terms))
+        hits = []
+        for did, pos in self._pos.items():
+            if allowed is not None and did not in allowed:
+                continue
+            if any(t not in pos for t in distinct):
+                continue
+            cur = set(pos[terms[0]])
+            for t in terms[1:]:
+                cur = {p + 1 for p in cur} & set(pos[t])
+                if not cur:
+                    break
+            if cur:
+                hits.append((did, round(self.score(did, distinct), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
 
     def topk_and(
         self, terms: list[str], k: int = 10, allowed: set | None = None

@@ -1,0 +1,230 @@
+"""Positional index + index-only phrase queries (Lucene match_phrase
+analogue): positions ride the segment build as a 4th varbyte stream and
+phrase verification happens entirely from the index — no content scan."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from s3logsbeat_spark.functions.tokenizer import (
+    tokenize_text,
+    tokenize_text_positions,
+)
+from s3logsbeat_spark.operators.codec import (
+    decode_positions,
+    decode_posting_list,
+    encode_posting_lists_batch,
+)
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    delete_docs,
+    merge_segments,
+)
+from s3logsbeat_spark.operators.wand import IndexReader, score_phrase
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+PHRASES = [
+    ["return", "the"],
+    ["return", "int"],
+    ["def"],                      # single term: any occurrence matches
+    ["get", "http"],              # same-raw-token subtokens are NOT adjacent
+    ["the", "the"],               # repeated term
+    ["return", "zzz_not_there"],  # absent term -> empty
+    ["literal", "20", "27"],      # string-literal token run
+]
+
+
+# ------------------------------------------------------------- unit level --
+
+
+def test_positions_consistent_with_counts():
+    txt = "def getHttpResponse(x):\n    return do_parse(x) + x\n"
+    counts = dict(tokenize_text(txt, "py"))
+    pos = tokenize_text_positions(txt, "py")
+    assert {t: len(p) for t, p in pos.items()} == counts
+    # raw tokens: def getHttpResponse x return do_parse x x
+    assert pos["def"] == [0]
+    assert pos["py:def"] == [0]
+    assert pos["gethttpresponse"] == [1]
+    assert pos["get"] == [1] and pos["http"] == [1] and pos["response"] == [1]
+    assert pos["return"] == [3]
+    assert pos["x"] == [2, 5, 6]
+
+
+def test_positions_codec_roundtrip_fuzz():
+    rng = random.Random(7)
+    for _ in range(50):
+        g = rng.randint(1, 4)
+        groups = []
+        for _ in range(g):
+            n = rng.randint(1, 300)
+            ids = np.array(sorted(rng.sample(range(1 << 30), n)), dtype=np.int64)
+            tfs = np.array([rng.randint(1, 6) for _ in range(n)], dtype=np.int64)
+            dls = np.array([rng.randint(1, 500) for _ in range(n)], dtype=np.int64)
+            pos = np.concatenate(
+                [np.sort(np.array(rng.choices(range(10_000), k=t), dtype=np.int64)) for t in tfs]
+            )
+            groups.append((ids, tfs, dls, pos))
+        starts = np.cumsum([0] + [x[0].size for x in groups[:-1]])
+        enc = encode_posting_lists_batch(
+            np.concatenate([x[0] for x in groups]),
+            np.concatenate([x[1] for x in groups]),
+            np.concatenate([x[2] for x in groups]),
+            np.asarray(starts, dtype=np.int64),
+            positions=np.concatenate([x[3] for x in groups]),
+        )
+        for i, (ids, tfs, dls, pos) in enumerate(groups):
+            payload = {
+                "docs": enc["docs"][i], "tfs": enc["tfs"][i],
+                "dls": enc["dls"][i], "poss": enc["poss"][i],
+            }
+            d2, t2, _ = decode_posting_list(payload)
+            assert (d2 == ids).all() and (t2 == tfs).all()
+            assert (decode_positions(payload, t2) == pos).all()
+            # block-local decode through pos_offs
+            offs = enc["pos_offs"][i]
+            assert len(offs) == len(enc["blocks"][i])
+            cum = np.concatenate(([0], np.cumsum(tfs)))
+            for bi, blk in enumerate(enc["blocks"][i]):
+                lo = bi * 128
+                btfs = tfs[lo : lo + blk[6]]
+                bp = decode_positions(payload, btfs, offset=offs[bi])
+                assert (bp == pos[cum[lo] : cum[lo] + btfs.sum()]).all()
+
+
+# ---------------------------------------------------- spark-level pipeline --
+
+
+@pytest.fixture(scope="module")
+def pos_built(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("posidx"))
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=4, hot_df_threshold=10, with_positions=True
+    )
+    summary = build_index(corpus_df, cfg)
+    return out, cfg, summary
+
+
+@pytest.fixture(scope="module")
+def plain_built(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plainidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+def test_positional_build_does_not_change_postings(spark, pos_built, plain_built):
+    """The docs/tfs/dls streams must be byte-identical with positions on
+    or off — positions are a pure add-on stream."""
+    a = _fingerprint(spark, pos_built[0])
+    b = _fingerprint(spark, plain_built)
+    assert a == b
+
+
+def _fingerprint(spark, out):
+    df = spark.read.parquet(f"{out}/segments")
+    rows = df.select("bucket", "term", "salt", "df", "docs", "tfs", "dls").collect()
+    return sorted(
+        (r["bucket"], r["term"], r["salt"], r["df"],
+         bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]))
+        for r in rows
+    )
+
+
+def test_bm25_unaffected_by_positions(spark, pos_built, oracle):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    got = rdr.query(["return"], 10)
+    want = oracle.topk(["return"], 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+@pytest.mark.parametrize("phrase", PHRASES, ids=lambda p: "_".join(p))
+def test_phrase_query_vs_oracle(spark, pos_built, oracle, phrase):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    got = rdr.phrase_query(phrase, 10)
+    want = oracle.phrase_topk(phrase, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], phrase
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # distributed per-bucket path must agree
+    dist = rdr.phrase_query(phrase, 10, distributed=True)
+    assert dist == got, phrase
+
+
+def test_phrase_matches_exist(oracle):
+    """Guard against vacuous tests: the corpus must actually contain
+    matches for at least 3 of the test phrases."""
+    n_nonempty = sum(1 for p in PHRASES if oracle.phrase_topk(p, 5))
+    assert n_nonempty >= 3, [
+        (p, len(oracle.phrase_topk(p, 5))) for p in PHRASES
+    ]
+
+
+def test_phrase_all_matches_and_filter(spark, pos_built, oracle, corpus_df):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    # k=None -> every match
+    got = rdr.phrase_query(["return", "the"], None)
+    want = oracle.phrase_topk(["return", "the"], None)
+    assert got == [(d, pytest.approx(s, abs=1e-9)) for d, s in want]
+    # filter context composes
+    lang = "py"
+    allowed = {
+        r["doc_id"] for r in corpus_df.filter("lang = 'py'").select("doc_id").collect()
+    }
+    got = rdr.phrase_query(["return", "the"], 10, doc_filter={"lang": lang})
+    want = oracle.phrase_topk(["return", "the"], 10, allowed=allowed)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_phrase_respects_tombstones(spark, corpus_df, oracle, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("postomb"))
+    cfg = IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10, with_positions=True)
+    build_index(corpus_df, cfg)
+    rdr = IndexReader(spark, out)
+    before = rdr.phrase_query(["return", "the"], 5)
+    assert before
+    delete_docs(out, [before[0][0]])
+    rdr.refresh()
+    after = rdr.phrase_query(["return", "the"], 5)
+    assert before[0][0] not in [d for d, _ in after]
+    want = oracle.phrase_topk(["return", "the"], 5, allowed=set(oracle.tfs) - {before[0][0]})
+    assert [d for d, _ in after] == [d for d, _ in want]
+
+
+def test_phrase_on_plain_index_raises(spark, plain_built):
+    rdr = IndexReader(spark, plain_built)
+    with pytest.raises(ValueError, match="positional"):
+        rdr.phrase_query(["return", "the"], 10)
+
+
+def test_merge_preserves_positions(spark, pos_built, oracle):
+    """merge_segments must carry the positional stream through the
+    decode->re-sort->re-encode pass: phrase answers from the merged
+    layout equal the oracle."""
+    out, _, _ = pos_built
+    mdir = merge_segments(spark, out)
+    merged = spark.read.parquet(mdir)
+    rdr = IndexReader(spark, out)
+    phrase = ["return", "the"]
+    rows = merged.filter(merged.term.isin(phrase)).toPandas()
+    idf = {
+        t: __import__("s3logsbeat_spark.operators.wand", fromlist=["bm25_idf"]).bm25_idf(
+            rdr.n_docs, int(rows[rows["term"] == t]["df"].sum())
+        )
+        for t in set(phrase)
+    }
+    got = score_phrase(rows, idf, rdr.avgdl, phrase, 10)
+    want = oracle.phrase_topk(phrase, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
