@@ -290,6 +290,21 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSM = 2
+
+
+def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES minimum_should_match: BM25 over the query terms keeping only
+    docs that match >= 2 of the 3 distinct terms (the middle ground
+    between OR and AND). Index path: counting kernel over compressed
+    segments, per-bucket exact."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.query(BM25_TERMS, BM25_K, min_should_match=MSM)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P7 analogue: per-row sha256 content id (the ingest invariant)."""
     return _docs(spark, sf_dir).select(
@@ -512,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand": q_bm25_wand,
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
+        "bm25_msm": q_bm25_msm,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -589,6 +605,13 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
     "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
     f"JOIN documents d2 ON d2.doc_id = s2.doc_id WHERE d2.lang = '{FILTER_LANG}'",
 ).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
+
+
+_BM25_MSM_SQL = _BM25_WAND_SQL.replace(
+    "  GROUP BY p.doc_id\n",
+    "  GROUP BY p.doc_id\n"
+    f"  HAVING count(DISTINCT p.term) >= {MSM}\n",
+)
 
 
 # Token-level phrase adjacency (the positional-index oracle): BM25 over
@@ -1000,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand": _BM25_WAND_SQL,
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,
+        "bm25_msm": _BM25_MSM_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

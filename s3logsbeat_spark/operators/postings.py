@@ -71,12 +71,15 @@ def bm25_scores(
     n_docs: int,
     avgdl: float,
     require_all: bool = False,
+    min_match: int | None = None,
 ) -> DataFrame:
     """Per-doc BM25 scores for a term list. Returns (doc_id, score).
 
     ``require_all=True`` gives conjunctive (AND) semantics: only docs
     containing every distinct query term score (a query term absent from
     the corpus yields an empty result, the standard AND contract).
+    ``min_match=m`` is ES minimum_should_match: docs matching >= m
+    distinct query terms (AND is m == n_terms, OR is m == 1).
 
     Plan shape: term-filter (pushed to the scan when postings are stored
     sorted-by-term parquet) → broadcast-join the q-term df table → partial
@@ -92,15 +95,17 @@ def bm25_scores(
     denom = F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl))
     contrib = F.col("idf") * (F.col("tf") * (K1 + 1.0)) / denom
     joined = matched.join(F.broadcast(q), "term").withColumn("contrib", contrib)
-    if not require_all:
+    if not require_all and min_match is None:
         return joined.groupBy("doc_id").agg(F.sum("contrib").alias("score"))
+    need = len(set(terms)) if require_all else min_match
+    op = "==" if require_all else ">="
     return (
         joined.groupBy("doc_id")
         .agg(
             F.sum("contrib").alias("score"),
             F.count_distinct("term").alias("_nt"),
         )
-        .filter(F.col("_nt") == len(set(terms)))
+        .filter(F.expr(f"_nt {op} {need}"))
         .drop("_nt")
     )
 

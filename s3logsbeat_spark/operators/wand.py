@@ -206,17 +206,20 @@ def score_conjunctive(
     stats: dict | None = None,
     n_terms: int | None = None,
     doc_filter: DocFilter | None = None,
+    min_match: int | None = None,
 ) -> list[tuple[int, float]]:
-    """Exact conjunctive (AND) BM25 top-k, fully vectorized.
+    """Exact counting-kernel BM25 top-k, fully vectorized: conjunctive
+    (AND) by default, ES ``minimum_should_match`` via ``min_match``.
 
     ``terms_of[i]`` labels ``lists[i]``'s term. A doc appears at most once
     per term across salt/bucket sub-lists (docs are hash-partitioned), so
     a doc's occurrence count across all decoded lists equals the number
     of distinct query terms it contains — the AND filter is one
-    ``bincount == n_terms`` mask. Distributed use is per-bucket (buckets
-    partition docs): pass the GLOBAL distinct query-term count as
-    ``n_terms`` there, since a bucket holding only a subset of the query
-    terms must still return no docs.
+    ``bincount == n_terms`` mask, and ``min_match=m`` relaxes it to
+    ``>= m`` (AND is ``m == n_terms``, OR is ``m == 1``). Distributed use
+    is per-bucket (buckets partition docs): pass the GLOBAL distinct
+    query-term count as ``n_terms`` there, since a bucket holding only a
+    subset of the query terms must still return no docs.
     """
     if n_terms is None:
         n_terms = len(set(terms_of))
@@ -242,7 +245,7 @@ def score_conjunctive(
     uniq, inv, counts = np.unique(ids, return_inverse=True, return_counts=True)
     scores = np.zeros(uniq.shape[0])
     np.add.at(scores, inv, contribs)
-    keep = counts == n_terms
+    keep = counts >= min_match if min_match is not None else counts == n_terms
     uniq, scores = uniq[keep], np.round(scores[keep], SCORE_NDIGITS)
     st["docs_scored"] = int(uniq.shape[0])
     order = np.lexsort((uniq, -scores))
@@ -618,6 +621,8 @@ class IndexReader:
         driver_bytes_limit: int = 256 << 20,
         mode: str = "or",
         doc_filter: dict | None = None,
+        min_should_match: int | None = None,
+        boosts: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25. Driver kernel when the pruned postings fit in
         ``driver_bytes_limit``; otherwise a per-bucket distributed pass
@@ -628,7 +633,14 @@ class IndexReader:
         ``doc_filter`` is ES filter context: ``{col: value | [values]}``
         ANDed across columns, resolved against the doc_attrs sidecar.
         Filters (and delete tombstones) restrict the result set; scoring
-        stats stay corpus-global (ES/Lucene semantics)."""
+        stats stay corpus-global (ES/Lucene semantics).
+
+        ``min_should_match=m`` (ES bool-should semantics) keeps only docs
+        matching >= m distinct query terms; clauses for terms absent from
+        the corpus can never match, so fewer than m present terms ⇒ empty.
+        ``boosts`` ({term: weight}) scale each term's contribution —
+        implemented as idf scaling, so every kernel (including WAND's
+        upper bounds) honors them for free."""
         if not terms:
             return []
         import pyarrow.dataset as ds
@@ -640,7 +652,16 @@ class IndexReader:
             return []
         if mode == "and" and len(dfsum) < len(set(terms)):
             return []  # some query term absent -> AND is empty
+        if min_should_match is not None:
+            if mode == "and":
+                raise ValueError("min_should_match conflicts with mode='and'")
+            if min_should_match > 1 and len(dfsum) < min_should_match:
+                return []
+            if min_should_match <= 1:
+                min_should_match = None  # plain OR
         idf = {t: bm25_idf(self.n_docs, s) for t, s in dfsum.items()}
+        if boosts:
+            idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
         total_postings = sum(dfsum.values())
         if distributed is None:
             # ~5 bytes/posting across the three varbyte streams
@@ -665,10 +686,16 @@ class IndexReader:
                 return score_conjunctive(
                     lists, [r["term"] for r in rows], k, doc_filter=filt
                 )
+            if min_should_match is not None:
+                return score_conjunctive(
+                    lists, [r["term"] for r in rows], k,
+                    doc_filter=filt, min_match=min_should_match,
+                )
             kern = pick_kernel(len(dfsum), total_postings, use_wand)
             return kern(lists, k, doc_filter=filt)
         return self._query_distributed(
-            self._segment_rows(terms), idf, k, use_wand, mode, doc_filter, blocked
+            self._segment_rows(terms), idf, k, use_wand, mode, doc_filter,
+            blocked, min_should_match,
         )
 
     def _query_distributed(
@@ -680,6 +707,7 @@ class IndexReader:
         mode: str = "or",
         doc_filter: dict | None = None,
         blocked: np.ndarray | None = None,
+        min_should_match: int | None = None,
     ):
         import pandas as pd
 
@@ -691,9 +719,10 @@ class IndexReader:
                 _row_to_plist(row, idf[row["term"]], avgdl)
                 for _, row in pdf.iterrows()
             ]
-            if mode == "and":
+            if mode == "and" or min_should_match is not None:
                 top = score_conjunctive(
-                    lists, list(pdf["term"]), k, n_terms=len(idf), doc_filter=filt
+                    lists, list(pdf["term"]), k, n_terms=len(idf),
+                    doc_filter=filt, min_match=min_should_match,
                 )
             else:
                 # per-bucket auto choice: each bucket sees its own sizes

@@ -34,14 +34,15 @@ class BM25Oracle:
         df = self.df.get(term, 0)
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
-    def score(self, doc_id: int, terms: list[str]) -> float:
+    def score(self, doc_id: int, terms: list[str], boosts: dict | None = None) -> float:
         s = 0.0
         dl = self.doc_len[doc_id]
         for t in terms:
             tf = self.tfs[doc_id].get(t, 0)
             if tf == 0:
                 continue
-            s += self.idf(t) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            w = float(boosts.get(t, 1.0)) if boosts else 1.0
+            s += w * self.idf(t) * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
         return s
 
     def topk(
@@ -57,6 +58,29 @@ class BM25Oracle:
                 continue
             if any(self.tfs[did].get(t) for t in terms):
                 hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
+    def topk_msm(
+        self,
+        terms: list[str],
+        k: int = 10,
+        min_match: int = 1,
+        allowed: set | None = None,
+        boosts: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """minimum_should_match twin: docs matching >= min_match distinct
+        query terms; optional per-term boost weights."""
+        distinct = set(terms)
+        hits = []
+        for did in self.tfs:
+            if allowed is not None and did not in allowed:
+                continue
+            n = sum(1 for t in distinct if self.tfs[did].get(t))
+            if n >= min_match and n > 0:
+                hits.append(
+                    (did, round(self.score(did, terms, boosts), SCORE_NDIGITS))
+                )
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 

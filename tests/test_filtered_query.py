@@ -220,3 +220,68 @@ def test_tombstone_deletes(spark, corpus_df, oracle, tmp_path_factory):
     got = rdr.query(["return"], 10, doc_filter={"lang": lang})
     want = oracle.topk(["return"], 10, allowed=lang_docs - set(dead))
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+# --------------------------------------- minimum_should_match + boosts --
+
+
+def test_min_should_match_rank_identity(spark, fbuilt, oracle):
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["get", "http", "response", "parse"]
+    for m in (1, 2, 3, 4):
+        got = rdr.query(terms, 10, min_should_match=m)
+        want = oracle.topk_msm(terms, 10, min_match=m)
+        assert [d for d, _ in got] == [d for d, _ in want], m
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+        dist = rdr.query(terms, 10, distributed=True, min_should_match=m)
+        assert dist == got, m
+    # m == n_terms must agree with AND mode
+    assert rdr.query(terms, 10, min_should_match=4) == rdr.query(terms, 10, mode="and")
+
+
+def test_min_should_match_edges(spark, fbuilt):
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    # more required matches than present terms -> empty
+    assert rdr.query(["return", "zzz_not_there"], 10, min_should_match=2) == []
+    with pytest.raises(ValueError):
+        rdr.query(["return"], 10, mode="and", min_should_match=2)
+
+
+def test_min_should_match_with_filter(spark, fbuilt, oracle, by_lang):
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["get", "http", "response"]
+    lang = sorted(by_lang)[0]
+    got = rdr.query(terms, 10, min_should_match=2, doc_filter={"lang": lang})
+    want = oracle.topk_msm(terms, 10, min_match=2, allowed=by_lang[lang])
+    assert [d for d, _ in got] == [d for d, _ in want]
+    dist = rdr.query(
+        terms, 10, distributed=True, min_should_match=2, doc_filter={"lang": lang}
+    )
+    assert dist == got
+
+
+def test_boosts_rank_identity(spark, fbuilt, oracle):
+    """Boosts are idf scaling, so every kernel honors them — check the
+    auto kernel, forced WAND (UB safety), and the single-term scan."""
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value", "data"]
+    boosts = {"return": 0.2, "value": 3.0}
+    want = oracle.topk_msm(terms, 10, min_match=1, boosts=boosts)
+    for kw in ("auto", True, False):
+        got = rdr.query(terms, 10, use_wand=kw, boosts=boosts)
+        assert [d for d, _ in got] == [d for d, _ in want], kw
+        for (_, gs), (_, ws) in zip(got, want):
+            assert abs(gs - ws) < 1e-9
+    # single-term kernel with a boost
+    got1 = rdr.query(["return"], 10, boosts={"return": 2.5})
+    want1 = oracle.topk_msm(["return"], 10, min_match=1, boosts={"return": 2.5})
+    assert [d for d, _ in got1] == [d for d, _ in want1]
+    # boosts compose with msm
+    got2 = rdr.query(terms, 10, min_should_match=2, boosts=boosts)
+    want2 = oracle.topk_msm(terms, 10, min_match=2, boosts=boosts)
+    assert [d for d, _ in got2] == [d for d, _ in want2]
