@@ -398,6 +398,45 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
             mismatches.append({"query_id": q["query_id"], "naive": naive[:3], "wand": wand[:3]})
     postings.unpersist()
 
+    # --- extended query surface on the same index: filter context, msm,
+    # boosts (warm latencies; correctness is pytest's rank-identity suite)
+    surface: dict = {}
+    t0 = time.perf_counter()
+    flt = rdr.query(["return", "value"], 10, doc_filter={"lang": "py"})
+    surface["filtered_lang_sec"] = round(time.perf_counter() - t0, 4)
+    surface["filtered_hits"] = len(flt)
+    t0 = time.perf_counter()
+    rdr.query(["get", "http", "response", "parse"], 10, min_should_match=2)
+    surface["msm2_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    rdr.query(["return", "value"], 10, boosts={"value": 3.0})
+    surface["boosted_sec"] = round(time.perf_counter() - t0, 4)
+
+    # --- positional index: build overhead + index-only phrase latency
+    pout = os.path.join(tempfile.gettempdir(), f"s3lb_code_posindex_{n_docs}")
+    shutil.rmtree(pout, ignore_errors=True)
+    pcfg = IndexConfig(
+        out_dir=pout, n_buckets=32,
+        hot_df_threshold=max(n_docs // 8, 1000), with_positions=True,
+    )
+    t0 = time.perf_counter()
+    build_index(docs, pcfg)
+    surface["positional_build_sec"] = round(time.perf_counter() - t0, 2)
+
+    def _dir_bytes(d):
+        tot = 0
+        for root, _, files in os.walk(os.path.join(d, "segments")):
+            tot += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return tot
+
+    surface["positional_size_ratio"] = round(_dir_bytes(pout) / max(_dir_bytes(out), 1), 3)
+    prdr = IndexReader(spark, pout)
+    prdr.phrase_query(["return", "the"], 10)  # cold open
+    t0 = time.perf_counter()
+    ph = prdr.phrase_query(["return", "the"], 10)
+    surface["phrase_sec"] = round(time.perf_counter() - t0, 4)
+    surface["phrase_hits"] = len(ph)
+
     report = {
         "metric": "code_corpus_build_docs_per_sec",
         "value": round(n_docs / build_s, 1),
@@ -415,6 +454,7 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
         "query_cold_open_sec": round(cold_s, 4),
         "rank_identical_wand_vs_naive": not mismatches,
         "mismatches": mismatches,
+        "query_surface": surface,
         "cores": CPUS,
     }
     return report

@@ -478,25 +478,29 @@ def score_phrase(
         cand = np.intersect1d(cand, per[t][0], assume_unique=True)
     if doc_filter is not None and cand.size:
         cand = cand[doc_filter.mask(cand)]
-
-    def _positions_of(t: str, doc: int) -> np.ndarray:
-        ids, tf, _, pos, pstart = per[t]
-        i = int(np.searchsorted(ids, doc))
-        return pos[pstart[i] : pstart[i] + tf[i]]
-
-    hits = []
-    for doc in cand:
-        doc = int(doc)
-        cur = _positions_of(terms[0], doc)
-        for t in terms[1:]:
-            cur = np.intersect1d(cur + 1, _positions_of(t, doc))
-            if cur.size == 0:
-                break
-        if cur.size:
-            hits.append(doc)
-    if not hits:
+    if cand.size == 0:
         return []
-    hits_a = np.asarray(hits, dtype=np.int64)
+
+    # vectorized adjacency over ALL candidates at once: pack each
+    # occurrence as (candidate_index << 40) | position, then the phrase
+    # walk is a chain of sorted-set intersections on the packed keys
+    # (key+1 stays inside the doc because position < 2^40 always).
+    _SHIFT = np.int64(40)
+
+    def _keys_of(t: str) -> np.ndarray:
+        ids, tf, _, pos, _ = per[t]
+        i = np.searchsorted(ids, cand)  # cand ⊆ ids by construction
+        lens = tf[i]
+        gathered = _permute_ragged(pos, tf, i)
+        docidx = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        return (docidx << _SHIFT) | gathered
+
+    s = _keys_of(terms[0])
+    for t in terms[1:]:
+        s = np.intersect1d(s + 1, _keys_of(t))
+        if s.size == 0:
+            return []
+    hits_a = cand[np.unique(s >> _SHIFT)]
     scores = np.zeros(hits_a.shape[0])
     for t in distinct:
         ids, tf, dl, _, _ = per[t]
