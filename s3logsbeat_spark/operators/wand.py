@@ -558,10 +558,9 @@ class IndexReader:
             self._tombstones = np.asarray(read_tombstones(self.out_dir), dtype=np.int64)
         return self._tombstones
 
-    def _allowed_ids(self, doc_filter: dict) -> np.ndarray:
-        """Resolve a filter-context dict ({col: value | [values]}, AND
-        across columns) against the doc_attrs sidecar — a pruned columnar
-        read of (doc_id) only, pushed down to parquet."""
+    def _filter_expr(self, doc_filter: dict):
+        """doc_filter dict -> pyarrow dataset expression (AND of eq/isin),
+        plus the lazily-opened attrs dataset."""
         import os
 
         import pyarrow.dataset as ds
@@ -582,7 +581,22 @@ class IndexReader:
                 else ds.field(c) == v
             )
             expr = e if expr is None else expr & e
-        tb = self._attrs_dset.to_table(columns=["doc_id"], filter=expr)
+        return self._attrs_dset, expr
+
+    def _filter_count(self, doc_filter: dict) -> int:
+        """How many docs match the filter — the driver-safety gate: a
+        broad filter (allowed set too big for one process) must route to
+        the distributed cogroup path, where each bucket holds only its
+        own slice. Reads only the filter's columns."""
+        dset, expr = self._filter_expr(doc_filter)
+        return dset.count_rows(filter=expr)
+
+    def _allowed_ids(self, doc_filter: dict) -> np.ndarray:
+        """Resolve a filter-context dict ({col: value | [values]}, AND
+        across columns) against the doc_attrs sidecar — a pruned columnar
+        read of (doc_id) only, pushed down to parquet."""
+        dset, expr = self._filter_expr(doc_filter)
+        tb = dset.to_table(columns=["doc_id"], filter=expr)
         return np.sort(tb["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
 
     def _segment_rows(self, terms: list[str]) -> DataFrame:
@@ -670,6 +684,11 @@ class IndexReader:
         if distributed is None:
             # ~5 bytes/posting across the three varbyte streams
             distributed = total_postings * 5 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                # a broad filter's allowed-id set must not concentrate on
+                # the driver (8 bytes/id) — the cogroup path slices it
+                # per bucket instead
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
         blocked = self._blocked()
         if not distributed:
             filt: DocFilter | None = None
@@ -768,6 +787,8 @@ class IndexReader:
         if distributed is None:
             # positional streams roughly double per-posting bytes
             distributed = total_postings * 10 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
         blocked = self._blocked()
         if not distributed:
             filt: DocFilter | None = None

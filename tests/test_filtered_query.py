@@ -285,3 +285,16 @@ def test_boosts_rank_identity(spark, fbuilt, oracle):
     got2 = rdr.query(terms, 10, min_should_match=2, boosts=boosts)
     want2 = oracle.topk_msm(terms, 10, min_match=2, boosts=boosts)
     assert [d for d, _ in got2] == [d for d, _ in want2]
+
+
+def test_broad_filter_routes_distributed(spark, fbuilt, oracle, by_lang):
+    """A filter whose allowed set exceeds the driver budget must fall
+    over to the distributed cogroup path — and still answer identically."""
+    out, _, _ = fbuilt
+    rdr = IndexReader(spark, out)
+    lang = sorted(by_lang)[0]
+    got = rdr.query(
+        ["return"], 10, doc_filter={"lang": lang}, driver_bytes_limit=1
+    )  # forces the distributed route through the filter-count gate
+    want = oracle.topk(["return"], 10, allowed=by_lang[lang])
+    assert [d for d, _ in got] == [d for d, _ in want]
