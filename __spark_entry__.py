@@ -290,6 +290,32 @@ def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PREFIX = "mer"
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES prefix/wildcard query (scoring_boolean rewrite): expand the
+    prefix against the term dictionary (sorted-vocab bisect), then plain
+    BM25 OR over the expansion."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.wildcard_query(PREFIX, BM25_K, max_terms=100_000)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms-aggregation-on-a-query analogue: per-lang doc counts of
+    documents matching any query term — matched doc_ids decoded per
+    bucket, cogrouped with the doc_attrs sidecar slice, partial counts
+    summed by Spark."""
+    rdr = _driver_index(spark, sf_dir)
+    facets = rdr.facet_counts(BM25_TERMS, "lang")
+    return spark.createDataFrame(
+        [(v, int(c)) for v, c in facets], "value string, doc_count long"
+    )
+
+
 MSM = 2
 
 
@@ -528,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
+        "prefix_search": q_prefix_search,
+        "facet_counts": q_facet_counts,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -606,6 +634,24 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
     f"JOIN documents d2 ON d2.doc_id = s2.doc_id WHERE d2.lang = '{FILTER_LANG}'",
 ).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
 
+
+_PREFIX_SQL = _BM25_WAND_SQL.replace(
+    "  SELECT unnest(['merge', 'window', 'spark']) AS term",
+    f"  SELECT DISTINCT term FROM postings WHERE term LIKE '{PREFIX}%'",
+)
+
+_FACETS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+)
+SELECT d.lang AS value, count(*)::BIGINT AS doc_count
+FROM documents d
+WHERE d.doc_id IN (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'window', 'spark')
+)
+GROUP BY d.lang
+"""
 
 _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
     "  GROUP BY p.doc_id\n",
@@ -1024,6 +1070,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,
+        "prefix_search": _PREFIX_SQL,
+        "facet_counts": _FACETS_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

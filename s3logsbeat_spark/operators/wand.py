@@ -537,6 +537,7 @@ class IndexReader:
         self._dset = None
         self._attrs_dset = None
         self._dict: dict[str, int] | None = None
+        self._sorted_vocab: list[str] | None = None
         self._tombstones: np.ndarray | None = None  # loaded lazily
 
     def refresh(self) -> None:
@@ -544,6 +545,7 @@ class IndexReader:
         index append — the ES refresh analogue)."""
         self._tombstones = None
         self._dict = None
+        self._sorted_vocab = None
         self._dset = None
         self._attrs_dset = None
         self.summary = summarize_index(self.out_dir)
@@ -816,6 +818,153 @@ class IndexReader:
         return self._run_per_bucket(
             self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
         )
+
+    def expand_terms(
+        self, pattern: str, max_terms: int = 1024
+    ) -> list[str]:
+        """Wildcard/prefix term expansion over the term dictionary
+        (ES prefix/wildcard rewrite): ``*`` matches any run, ``?`` one
+        char. Matches are capped at ``max_terms`` keeping the
+        highest-df terms (ES ``top_terms_N`` rewrite), deterministic
+        tie-break by term. The dictionary is vocab-sized — orders of
+        magnitude smaller than the postings — so the driver-side scan is
+        the same trade ES/Lucene make with their in-memory terms dict."""
+        import fnmatch
+
+        self._ensure_dict(self._dataset())
+        if "*" not in pattern and "?" not in pattern:
+            pattern = pattern + "*"  # bare string = prefix query
+        # prefix fast path: bisect the sorted vocab instead of fnmatch-ing
+        # every term
+        star = min(
+            (i for i, c in enumerate(pattern) if c in "*?"), default=len(pattern)
+        )
+        prefix = pattern[:star]
+        if self._sorted_vocab is None:
+            self._sorted_vocab = sorted(self._dict)
+        import bisect
+
+        lo = bisect.bisect_left(self._sorted_vocab, prefix)
+        hi = bisect.bisect_left(self._sorted_vocab, prefix + "￿")
+        cands = self._sorted_vocab[lo:hi]
+        if pattern != prefix + "*":  # more wildcards than a pure prefix
+            rx = fnmatch.translate(pattern)
+            import re
+
+            crx = re.compile(rx)
+            cands = [t for t in cands if crx.match(t)]
+        if len(cands) > max_terms:
+            cands = sorted(cands, key=lambda t: (-self._dict[t], t))[:max_terms]
+            cands.sort()
+        return cands
+
+    def wildcard_query(
+        self,
+        pattern: str,
+        k: int = 10,
+        max_terms: int = 1024,
+        **query_kwargs,
+    ) -> list[tuple[int, float]]:
+        """Prefix/wildcard search (ES prefix / wildcard query with
+        scoring_boolean rewrite): expand the pattern against the term
+        dictionary, then a normal BM25 OR query over the expansion —
+        every kernel, filter, tombstone and distribution option of
+        :meth:`query` applies."""
+        terms = self.expand_terms(pattern, max_terms)
+        if not terms:
+            return []
+        return self.query(terms, k, **query_kwargs)
+
+    def facet_counts(
+        self,
+        terms: list[str],
+        field: str,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[str, int]]:
+        """Search facets (the ES terms-aggregation-on-a-query analogue):
+        how many matching docs have each value of a sidecar attribute.
+        ``mode="or"`` counts docs matching any query term, ``"and"`` docs
+        matching all. Executed per bucket: matched doc_ids from decoded
+        postings cogrouped with the bucket's attrs slice, partial counts
+        summed by Spark — the matched set never leaves the executors.
+        Returns [(value, doc_count)] sorted by count desc, value asc."""
+        if not terms:
+            return []
+        import pandas as pd
+
+        dset = self._dataset()
+        self._ensure_dict(dset)
+        present = [t for t in set(terms) if t in self._dict]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return []
+        blocked = self._blocked()
+        blocked_list = [int(x) for x in blocked]
+        n_required = len(present)
+
+        from ..shipping import ensure_shipped
+        from .codec import decode_posting_list
+        from .segments import load_doc_attrs
+
+        ensure_shipped(self.spark)
+        attrs = load_doc_attrs(self.spark, self.out_dir)
+        if doc_filter:
+            cond = None
+            for c, v in doc_filter.items():
+                e = (
+                    F.col(c).isin(list(v))
+                    if isinstance(v, (list, tuple, set, frozenset))
+                    else (F.col(c) == F.lit(v))
+                )
+                cond = e if cond is None else cond & e
+            attrs = attrs.filter(cond)
+        attrs = attrs.select("bucket", "doc_id", field)
+        rows_df = self._segment_rows(present).select(
+            "bucket", "term", "salt", "docs", "tfs", "dls"
+        )
+
+        def per_bucket(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"value": pd.Series([], dtype="object"),
+                                  "doc_count": pd.Series([], dtype="int64")})
+            if len(seg_pdf) == 0 or len(attr_pdf) == 0:
+                return empty
+            ids_l = []
+            for _, row in seg_pdf.iterrows():
+                d, _, _ = decode_posting_list(
+                    {"docs": bytes(row["docs"]), "tfs": bytes(row["tfs"]),
+                     "dls": bytes(row["dls"])}
+                )
+                ids_l.append(d)
+            ids = np.concatenate(ids_l)
+            if mode == "and":
+                uniq, counts = np.unique(ids, return_counts=True)
+                matched = uniq[counts == n_required]
+            else:
+                matched = np.unique(ids)
+            if blocked_list:
+                matched = matched[
+                    ~_in_sorted(np.asarray(blocked_list, dtype=np.int64), matched)
+                ]
+            if matched.size == 0:
+                return empty
+            a_ids = attr_pdf["doc_id"].to_numpy(np.int64)
+            keep = np.isin(a_ids, matched)
+            vals = attr_pdf[field].to_numpy(dtype=object)[keep]
+            v, c = np.unique(vals.astype(str), return_counts=True)
+            return pd.DataFrame({"value": v, "doc_count": c.astype("int64")})
+
+        per_b = (
+            rows_df.groupBy("bucket")
+            .cogroup(attrs.groupBy("bucket"))
+            .applyInPandas(per_bucket, schema="value string, doc_count long")
+        )
+        out = (
+            per_b.groupBy("value")
+            .agg(F.sum("doc_count").alias("doc_count"))
+            .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+            .collect()
+        )
+        return [(r["value"], r["doc_count"]) for r in out]
 
     def _run_per_bucket(
         self,

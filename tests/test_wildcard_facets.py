@@ -1,0 +1,118 @@
+"""Wildcard/prefix term expansion (ES prefix/wildcard query) and search
+facet counts (ES terms aggregation on a query)."""
+
+from __future__ import annotations
+
+import fnmatch
+
+import pytest
+
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def wbuilt(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("widx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+def test_expand_terms_prefix(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    got = rdr.expand_terms("ge")
+    want = sorted(t for t in oracle.df if t.startswith("ge"))
+    assert got == want
+    assert "get" in got
+    # bare string == explicit trailing star
+    assert rdr.expand_terms("ge*") == got
+
+
+def test_expand_terms_wildcard(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    pat = "re?urn"
+    got = rdr.expand_terms(pat)
+    want = sorted(t for t in oracle.df if fnmatch.fnmatch(t, pat))
+    assert got == want and "return" in got
+    # infix star
+    got2 = rdr.expand_terms("get*response")
+    want2 = sorted(t for t in oracle.df if fnmatch.fnmatch(t, "get*response"))
+    assert got2 == want2
+
+
+def test_expand_terms_cap_keeps_highest_df(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    full = rdr.expand_terms("*", max_terms=100_000)  # everything
+    assert len(full) == len(oracle.df)
+    capped = rdr.expand_terms("*", max_terms=5)
+    assert len(capped) == 5
+    by_df = sorted(oracle.df, key=lambda t: (-oracle.df[t], t))[:5]
+    assert capped == sorted(by_df)
+
+
+@pytest.mark.parametrize("pattern", ["ge", "re?urn", "value*"])
+def test_wildcard_query_rank_identity(spark, wbuilt, oracle, pattern):
+    rdr = IndexReader(spark, wbuilt)
+    expanded = rdr.expand_terms(pattern)
+    got = rdr.wildcard_query(pattern, 10)
+    want = oracle.topk(expanded, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], pattern
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_wildcard_query_no_match(spark, wbuilt):
+    rdr = IndexReader(spark, wbuilt)
+    assert rdr.wildcard_query("zzzz*", 10) == []
+
+
+def _brute_facets(corpus_rows, oracle, terms, field, mode):
+    counts: dict = {}
+    want = set(terms)
+    for r in corpus_rows:
+        tfs = oracle.tfs[r["doc_id"]]
+        hit = (
+            all(tfs.get(t) for t in want)
+            if mode == "and"
+            else any(tfs.get(t) for t in want)
+        )
+        if hit:
+            counts[str(r[field])] = counts.get(str(r[field]), 0) + 1
+    return sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+@pytest.fixture(scope="module")
+def corpus_rows_meta(corpus_df):
+    return [r.asDict() for r in corpus_df.select("doc_id", "lang", "repo").collect()]
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+@pytest.mark.parametrize("field", ["lang", "repo"])
+def test_facet_counts(spark, wbuilt, oracle, corpus_rows_meta, mode, field):
+    rdr = IndexReader(spark, wbuilt)
+    terms = ["return", "value"]
+    got = rdr.facet_counts(terms, field, mode=mode)
+    want = _brute_facets(corpus_rows_meta, oracle, terms, field, mode)
+    assert got == want, (mode, field)
+
+
+def test_facet_counts_with_filter(spark, wbuilt, oracle, corpus_rows_meta):
+    rdr = IndexReader(spark, wbuilt)
+    langs = sorted({r["lang"] for r in corpus_rows_meta})[:2]
+    got = rdr.facet_counts(["return"], "repo", doc_filter={"lang": langs})
+    rows = [r for r in corpus_rows_meta if r["lang"] in langs]
+    want = _brute_facets(rows, oracle, ["return"], "repo", "or")
+    assert got == want
+
+
+def test_facet_counts_absent_term(spark, wbuilt):
+    rdr = IndexReader(spark, wbuilt)
+    assert rdr.facet_counts(["zzz_missing"], "lang") == []
+    assert rdr.facet_counts(["return", "zzz_missing"], "lang", mode="and") == []
