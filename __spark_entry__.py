@@ -316,6 +316,21 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_TERM = "mergee"  # 1 edit from "merge"
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES fuzzy query: SymSpell deletion-neighborhood candidates +
+    Levenshtein<=1 verify against the term dictionary, then BM25 OR over
+    the expansion (scoring_boolean rewrite; plain edit distance, same
+    definition as SQL levenshtein())."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.fuzzy_query([FUZZY_TERM], BM25_K, max_edits=1, max_terms=100_000)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 MSM = 2
 
 
@@ -555,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
         "prefix_search": q_prefix_search,
+        "fuzzy_search": q_fuzzy_search,
         "facet_counts": q_facet_counts,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -638,6 +654,11 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
 _PREFIX_SQL = _BM25_WAND_SQL.replace(
     "  SELECT unnest(['merge', 'window', 'spark']) AS term",
     f"  SELECT DISTINCT term FROM postings WHERE term LIKE '{PREFIX}%'",
+)
+
+_FUZZY_SQL = _BM25_WAND_SQL.replace(
+    "  SELECT unnest(['merge', 'window', 'spark']) AS term",
+    f"  SELECT DISTINCT term FROM postings WHERE levenshtein(term, '{FUZZY_TERM}') <= 1",
 )
 
 _FACETS_SQL = f"""
@@ -1071,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,
         "prefix_search": _PREFIX_SQL,
+        "fuzzy_search": _FUZZY_SQL,
         "facet_counts": _FACETS_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count

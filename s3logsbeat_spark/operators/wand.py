@@ -419,6 +419,45 @@ def wand_topk(
     return [(-d, s) for s, d in out]
 
 
+def _deletion_variants(s: str, d: int) -> set:
+    """All strings reachable from ``s`` by deleting up to ``d`` chars
+    (including ``s`` itself) — the SymSpell candidate key set."""
+    out = {s}
+    frontier = {s}
+    for _ in range(d):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def _levenshtein_leq(a: str, b: str, d: int) -> int | None:
+    """Plain Levenshtein distance if <= d, else None (full DP, row-min
+    early exit; matches SQL ``levenshtein`` — no transposition).
+    Candidates arrive pre-pruned by the deletion-neighborhood index and
+    tokens are short, so the O(len(a)*len(b)) row is cheap."""
+    if abs(len(a) - len(b)) > d:
+        return None
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        best = i
+        for j, cb in enumerate(b, 1):
+            v = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            cur.append(v)
+            if v < best:
+                best = v
+        if best > d:
+            return None
+        prev = cur
+    return prev[len(b)] if prev[len(b)] <= d else None
+
+
 def score_phrase(
     pdf,
     idf: dict,
@@ -538,6 +577,7 @@ class IndexReader:
         self._attrs_dset = None
         self._dict: dict[str, int] | None = None
         self._sorted_vocab: list[str] | None = None
+        self._fuzzy_neighborhoods: dict[int, dict] = {}
         self._tombstones: np.ndarray | None = None  # loaded lazily
 
     def refresh(self) -> None:
@@ -546,6 +586,7 @@ class IndexReader:
         self._tombstones = None
         self._dict = None
         self._sorted_vocab = None
+        self._fuzzy_neighborhoods = {}
         self._dset = None
         self._attrs_dset = None
         self.summary = summarize_index(self.out_dir)
@@ -857,6 +898,71 @@ class IndexReader:
             cands = sorted(cands, key=lambda t: (-self._dict[t], t))[:max_terms]
             cands.sort()
         return cands
+
+    def expand_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_terms: int = 50,
+    ) -> list[str]:
+        """Edit-distance term expansion (ES fuzzy query): vocabulary terms
+        within ``max_edits`` plain Levenshtein edits (insert/delete/
+        substitute — matches DuckDB/SQL ``levenshtein``, no transposition).
+
+        Candidates come from a SymSpell-style deletion-neighborhood index
+        built lazily over the dictionary (every ≤max_edits-deletion
+        variant of a vocab term points back to it; a query shares a
+        variant with every term within distance max_edits), then a banded
+        Levenshtein verify removes false positives. The index is
+        vocab-sized × neighborhood — fine driver-side because the
+        dictionary is orders of magnitude smaller than the postings; at
+        extreme vocab scale it shards by first character across
+        executors. ``prefix_length`` (ES semantics) requires that many
+        leading chars to match exactly. Capped at ``max_terms`` keeping
+        (closest distance, highest df) first."""
+        self._ensure_dict(self._dataset())
+        idx = self._fuzzy_neighborhoods.get(max_edits)
+        if idx is None:
+            idx = {}
+            for t in self._dict:
+                for v in _deletion_variants(t, max_edits):
+                    idx.setdefault(v, []).append(t)
+            self._fuzzy_neighborhoods[max_edits] = idx
+        seen: dict[str, int] = {}
+        for v in _deletion_variants(term, max_edits):
+            for t in idx.get(v, ()):
+                if t not in seen:
+                    d = _levenshtein_leq(term, t, max_edits)
+                    if d is not None:
+                        seen[t] = d
+        if prefix_length:
+            p = term[:prefix_length]
+            seen = {t: d for t, d in seen.items() if t[:prefix_length] == p}
+        out = sorted(seen, key=lambda t: (seen[t], -self._dict[t], t))[:max_terms]
+        out.sort()
+        return out
+
+    def fuzzy_query(
+        self,
+        terms: list[str],
+        k: int = 10,
+        max_edits: int = 1,
+        prefix_length: int = 0,
+        max_terms: int = 50,
+        **query_kwargs,
+    ) -> list[tuple[int, float]]:
+        """Fuzzy BM25 search: each query term expands to its ≤max_edits
+        neighborhood (union across terms, scoring_boolean rewrite — each
+        matched term scores with its own idf), then a normal OR query
+        with every kernel/filter/distribution option of :meth:`query`."""
+        expanded: list[str] = []
+        for t in terms:
+            expanded.extend(self.expand_fuzzy(t, max_edits, prefix_length, max_terms))
+        expanded = sorted(set(expanded))
+        if not expanded:
+            return []
+        return self.query(expanded, k, **query_kwargs)
 
     def wildcard_query(
         self,

@@ -116,3 +116,57 @@ def test_facet_counts_absent_term(spark, wbuilt):
     rdr = IndexReader(spark, wbuilt)
     assert rdr.facet_counts(["zzz_missing"], "lang") == []
     assert rdr.facet_counts(["return", "zzz_missing"], "lang", mode="and") == []
+
+
+# ------------------------------------------------------------ fuzzy query --
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@pytest.mark.parametrize("term,d", [("retrun", 2), ("respnse", 1), ("merge", 1)])
+def test_expand_fuzzy_matches_brute_force(spark, wbuilt, oracle, term, d):
+    rdr = IndexReader(spark, wbuilt)
+    got = rdr.expand_fuzzy(term, max_edits=d, max_terms=100_000)
+    want = sorted(t for t in oracle.df if _lev(term, t) <= d)
+    assert got == want, (term, d)
+
+
+def test_expand_fuzzy_typo_finds_term(spark, wbuilt):
+    rdr = IndexReader(spark, wbuilt)
+    assert "return" in rdr.expand_fuzzy("retrun", max_edits=2)
+    assert "response" in rdr.expand_fuzzy("respnse", max_edits=1)
+
+
+def test_expand_fuzzy_prefix_length(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    got = rdr.expand_fuzzy("return", max_edits=2, prefix_length=3, max_terms=100_000)
+    want = sorted(
+        t for t in oracle.df if _lev("return", t) <= 2 and t[:3] == "ret"
+    )
+    assert got == want
+
+
+def test_fuzzy_query_rank_identity(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    expansion = sorted(
+        set(rdr.expand_fuzzy("retrun", 2, max_terms=100_000))
+        | set(rdr.expand_fuzzy("valeu", 2, max_terms=100_000))
+    )
+    got = rdr.fuzzy_query(["retrun", "valeu"], 10, max_edits=2, max_terms=100_000)
+    want = oracle.topk(expansion, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_fuzzy_query_no_neighborhood(spark, wbuilt):
+    rdr = IndexReader(spark, wbuilt)
+    assert rdr.fuzzy_query(["qqqqqqqqqq"], 10, max_edits=1) == []
