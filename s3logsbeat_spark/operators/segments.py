@@ -621,6 +621,197 @@ def append_index(
     )
 
 
+def compact_index(spark: SparkSession, out_dir: str) -> dict:
+    """Apply delete tombstones physically (the ES forcemerge /
+    only_expunge_deletes analogue): rewrite only the buckets that hold
+    tombstoned docs, dropping their postings (and positions), update
+    those buckets' manifests, shrink the sidecar, and clear the
+    tombstones. After compaction the corpus stats (n_docs, avgdl, df)
+    reflect the surviving docs — scores change exactly as they do in
+    Lucene after a merge expunges deletes.
+
+    Touches only affected buckets (found via a doc_id-pruned sidecar
+    read), so cost scales with deleted-data locality, not index size.
+    Returns the post-compaction :func:`summarize_index` summary.
+    """
+    import numpy as np
+
+    from ..shipping import ensure_shipped
+    from .codec import decode_positions, decode_posting_list, encode_posting_list
+
+    blocked = read_tombstones(out_dir)
+    if not blocked:
+        return summarize_index(out_dir)
+    ensure_shipped(spark)
+    blocked_arr = np.asarray(blocked, dtype=np.int64)
+
+    # which buckets hold tombstoned docs (works across append generations
+    # with different bucket counts — the sidecar IS the doc->bucket map)
+    attrs = spark.read.parquet(_attrs_dir(out_dir))
+    hit = (
+        attrs.filter(F.col("doc_id").isin([int(x) for x in blocked]))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_deleted"))
+        .collect()
+    )
+    deleted_per_bucket = {r["bucket"]: r["n_deleted"] for r in hit}
+    buckets = sorted(deleted_per_bucket)
+    if not buckets:
+        # tombstones reference unknown docs: applying them is a no-op
+        for fn in os.listdir(_tombstones_dir(out_dir)):
+            os.remove(os.path.join(_tombstones_dir(out_dir), fn))
+        return summarize_index(out_dir)
+
+    blocked_bc = [int(x) for x in blocked_arr]
+
+    def rewrite(batches):
+        import pandas as pd
+
+        barr = np.asarray(blocked_bc, dtype=np.int64)
+        for pdf in batches:
+            out_rows = {k: [] for k in (
+                "bucket", "term", "salt", "df", "cf", "n_blocks",
+                "docs", "tfs", "dls", "blocks", "poss", "pos_offs",
+            )}
+            for _, row in pdf.iterrows():
+                payload = {
+                    "docs": bytes(row["docs"]), "tfs": bytes(row["tfs"]),
+                    "dls": bytes(row["dls"]),
+                }
+                d, tf, dl = decode_posting_list(payload)
+                idx = np.searchsorted(barr, d)
+                idx_c = np.minimum(idx, barr.size - 1)
+                keep = ~((idx < barr.size) & (barr[idx_c] == d))
+                if keep.all():
+                    kept_enc = None  # row unchanged — copy through verbatim
+                elif not keep.any():
+                    continue  # every posting deleted -> drop the row
+                else:
+                    kept_enc = encode_posting_list(d[keep], tf[keep], dl[keep])
+                has_pos = len(row["poss"] or b"") > 0
+                if kept_enc is None:
+                    out_rows["df"].append(int(row["df"]))
+                    out_rows["cf"].append(int(row["cf"]))
+                    out_rows["n_blocks"].append(int(row["n_blocks"]))
+                    out_rows["docs"].append(bytes(row["docs"]))
+                    out_rows["tfs"].append(bytes(row["tfs"]))
+                    out_rows["dls"].append(bytes(row["dls"]))
+                    out_rows["blocks"].append(
+                        [
+                            (b["last_doc"], b["max_tf"], b["min_dl"],
+                             b["doc_off"], b["tf_off"], b["dl_off"], b["cnt"])
+                            for b in row["blocks"]
+                        ]
+                    )
+                    out_rows["poss"].append(bytes(row["poss"] or b""))
+                    po = row["pos_offs"]
+                    out_rows["pos_offs"].append([] if po is None else list(po))
+                else:
+                    if has_pos:
+                        pos = decode_positions({"poss": bytes(row["poss"])}, tf)
+                        kept_pos = _permute_ragged(pos, tf, np.flatnonzero(keep))
+                        from .codec import encode_posting_lists_batch
+
+                        enc_p = encode_posting_lists_batch(
+                            d[keep], tf[keep], dl[keep],
+                            np.zeros(1, dtype=np.int64), positions=kept_pos,
+                        )
+                        out_rows["poss"].append(enc_p["poss"][0])
+                        out_rows["pos_offs"].append(list(enc_p["pos_offs"][0]))
+                    else:
+                        out_rows["poss"].append(b"")
+                        out_rows["pos_offs"].append([])
+                    out_rows["df"].append(int(kept_enc["df"]))
+                    out_rows["cf"].append(int(kept_enc["cf"]))
+                    out_rows["n_blocks"].append(len(kept_enc["blocks"]))
+                    out_rows["docs"].append(kept_enc["docs"])
+                    out_rows["tfs"].append(kept_enc["tfs"])
+                    out_rows["dls"].append(kept_enc["dls"])
+                    out_rows["blocks"].append(
+                        [
+                            (b["last_doc"], b["max_tf"], b["min_dl"],
+                             b["doc_off"], b["tf_off"], b["dl_off"], b["cnt"])
+                            for b in kept_enc["blocks"]
+                        ]
+                    )
+                out_rows["bucket"].append(int(row["bucket"]))
+                out_rows["term"].append(row["term"])
+                out_rows["salt"].append(int(row["salt"]))
+            yield pd.DataFrame(out_rows)
+
+    # Spark refuses to overwrite a path it is reading — stage the
+    # rewritten buckets next to the live dirs, then swap partition dirs
+    # (posix rename; an object-store impl would swap a manifest pointer)
+    import shutil
+
+    seg_stage = os.path.join(out_dir, ".segments_compacting")
+    attr_stage = os.path.join(out_dir, ".doc_attrs_compacting")
+    shutil.rmtree(seg_stage, ignore_errors=True)
+    shutil.rmtree(attr_stage, ignore_errors=True)
+    segs = spark.read.parquet(_segments_dir(out_dir)).filter(
+        F.col("bucket").isin(buckets)
+    )
+    (
+        segs.mapInPandas(rewrite, schema=SEGMENT_SCHEMA)
+        .repartition("bucket")
+        .sortWithinPartitions("term", "salt")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(seg_stage)
+    )
+    # sidecar: drop deleted docs from the affected bucket partitions
+    (
+        attrs.filter(F.col("bucket").isin(buckets))
+        .filter(~F.col("doc_id").isin([int(x) for x in blocked]))
+        .repartition("bucket")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(attr_stage)
+    )
+    for b in buckets:
+        for live, stage in ((_segments_dir(out_dir), seg_stage),
+                            (_attrs_dir(out_dir), attr_stage)):
+            src = os.path.join(stage, f"bucket={b}")
+            dst = os.path.join(live, f"bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                os.rename(src, dst)
+    shutil.rmtree(seg_stage, ignore_errors=True)
+    shutil.rmtree(attr_stage, ignore_errors=True)
+    # manifests: recompute affected buckets from the rewritten segments
+    # (same read-back-ack pattern as the build)
+    written = spark.read.parquet(_segments_dir(out_dir)).filter(
+        F.col("bucket").isin(buckets)
+    )
+    stats = {
+        r["bucket"]: r
+        for r in written.groupBy("bucket")
+        .agg(
+            F.sum("df").alias("postings"),
+            F.sum("n_blocks").alias("blocks"),
+            F.count("*").alias("terms"),
+            F.sum("cf").alias("doc_len_total"),
+        )
+        .collect()
+    }
+    by_bucket = {m["bucket"]: m for m in read_manifest(out_dir)}
+    for b in buckets:
+        m = dict(by_bucket[b])
+        s = stats.get(b)
+        m.update(
+            docs_tokenized=int(m["docs_tokenized"]) - int(deleted_per_bucket[b]),
+            doc_len_total=int(s["doc_len_total"]) if s else 0,
+            postings_emitted=int(s["postings"]) if s else 0,
+            blocks_written=int(s["blocks"]) if s else 0,
+            terms=int(s["terms"]) if s else 0,
+        )
+        _write_manifest_row(out_dir, m)
+    for fn in os.listdir(_tombstones_dir(out_dir)):
+        os.remove(os.path.join(_tombstones_dir(out_dir), fn))
+    return summarize_index(out_dir)
+
+
 def summarize_index(out_dir: str) -> dict:
     rows = read_manifest(out_dir)
     n_docs = sum(r["docs_tokenized"] for r in rows)

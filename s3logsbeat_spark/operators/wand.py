@@ -899,6 +899,57 @@ class IndexReader:
             cands.sort()
         return cands
 
+    def explain(self, doc_id: int, terms: list[str]) -> dict:
+        """Score breakdown for one doc (the ES ``explain=true`` analogue):
+        per-term tf/df/idf/contribution plus the corpus stats that fed
+        them. Reads only the query terms' posting rows (term-pruned)."""
+        import pyarrow.dataset as ds
+
+        dset = self._dataset()
+        self._ensure_dict(dset)
+        present = [t for t in dict.fromkeys(terms) if t in self._dict]
+        out = {
+            "doc_id": int(doc_id),
+            "n_docs": self.n_docs,
+            "avgdl": self.avgdl,
+            "k1": K1,
+            "b": B,
+            "score": 0.0,
+            "terms": {},
+        }
+        if not present:
+            return out
+        tbl = dset.to_table(
+            columns=["term", "docs", "tfs", "dls"],
+            filter=ds.field("term").isin(present),
+        )
+        from .codec import decode_posting_list
+
+        found: dict = {}
+        for row in tbl.to_pylist():
+            d, tf, dl = decode_posting_list(
+                {"docs": row["docs"], "tfs": row["tfs"], "dls": row["dls"]}
+            )
+            i = int(np.searchsorted(d, doc_id))
+            if i < d.shape[0] and d[i] == doc_id:
+                found[row["term"]] = (int(tf[i]), int(dl[i]))
+        for t in present:
+            df = self._dict[t]
+            idf = bm25_idf(self.n_docs, df)
+            tf_dl = found.get(t)
+            entry = {"df": df, "idf": idf, "tf": 0, "contribution": 0.0}
+            if tf_dl is not None:
+                tf, dl = tf_dl
+                entry.update(
+                    tf=tf,
+                    doc_len=dl,
+                    contribution=_contrib(float(tf), float(dl), idf, self.avgdl),
+                )
+            out["terms"][t] = entry
+            out["score"] += entry["contribution"]
+        out["score"] = round(out["score"], SCORE_NDIGITS)
+        return out
+
     def expand_fuzzy(
         self,
         term: str,

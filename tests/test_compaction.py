@@ -1,0 +1,101 @@
+"""Tombstone compaction (ES forcemerge/only_expunge_deletes analogue):
+deleted docs are physically removed from segments, sidecar and manifests,
+after which corpus stats reflect the survivors — queries must equal an
+oracle built on the surviving corpus alone."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    compact_index,
+    delete_docs,
+    load_doc_attrs,
+    read_tombstones,
+)
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def compacted(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cidx"))
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=4, hot_df_threshold=10, with_positions=True
+    )
+    before = build_index(corpus_df, cfg)
+    rdr = IndexReader(spark, out)
+    victims = [d for d, _ in rdr.query(["return"], 3)]
+    delete_docs(out, victims)
+    after = compact_index(spark, out)
+    return out, before, after, victims
+
+
+@pytest.fixture(scope="module")
+def survivor_oracle(corpus_df, compacted):
+    _, _, _, victims = compacted
+    rows = [
+        r.asDict()
+        for r in corpus_df.select("doc_id", "content", "lang").collect()
+        if r["doc_id"] not in set(victims)
+    ]
+    return BM25Oracle(rows)
+
+
+def test_compaction_bookkeeping(spark, compacted, corpus_df):
+    out, before, after, victims = compacted
+    assert read_tombstones(out) == []
+    assert after["n_docs"] == before["n_docs"] - len(victims)
+    assert after["postings"] < before["postings"]
+    # sidecar no longer lists the victims
+    attrs = load_doc_attrs(spark, out)
+    assert attrs.filter(attrs.doc_id.isin([int(v) for v in victims])).count() == 0
+    assert attrs.count() == corpus_df.count() - len(victims)
+
+
+def test_compaction_stats_reflect_survivors(compacted, survivor_oracle):
+    _, _, after, _ = compacted
+    assert abs(after["avgdl"] - survivor_oracle.avgdl) < 1e-9
+    assert after["n_docs"] == survivor_oracle.n_docs
+
+
+@pytest.mark.parametrize(
+    "terms", [["return"], ["get", "http", "response", "parse"], ["literal"]]
+)
+def test_compacted_queries_equal_survivor_oracle(spark, compacted, survivor_oracle, terms):
+    out, _, _, victims = compacted
+    rdr = IndexReader(spark, out)
+    got = rdr.query(terms, 10)
+    want = survivor_oracle.topk(terms, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], terms
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    assert not (set(d for d, _ in got) & set(victims))
+
+
+def test_compacted_phrase_equals_survivor_oracle(spark, compacted, survivor_oracle):
+    out, _, _, _ = compacted
+    rdr = IndexReader(spark, out)
+    got = rdr.phrase_query(["return", "the"], 10)
+    want = survivor_oracle.phrase_topk(["return", "the"], 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_compact_idempotent(spark, compacted):
+    out, _, after, _ = compacted
+    again = compact_index(spark, out)  # no tombstones left -> no-op
+    assert again == after
+
+
+def test_compact_unknown_ids_noop(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cidx2"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10))
+    before = IndexReader(spark, out).summary
+    delete_docs(out, [999_999_999_999])
+    after = compact_index(spark, out)
+    assert after == before
+    assert read_tombstones(out) == []

@@ -170,3 +170,28 @@ def test_fuzzy_query_rank_identity(spark, wbuilt, oracle):
 def test_fuzzy_query_no_neighborhood(spark, wbuilt):
     rdr = IndexReader(spark, wbuilt)
     assert rdr.fuzzy_query(["qqqqqqqqqq"], 10, max_edits=1) == []
+
+
+# ---------------------------------------------------------------- explain --
+
+
+def test_explain_matches_topk_scores(spark, wbuilt, oracle):
+    """explain(doc, terms) must reproduce the doc's query score exactly
+    and expose per-term contributions that sum to it."""
+    rdr = IndexReader(spark, wbuilt)
+    terms = ["return", "value", "data"]
+    top = rdr.query(terms, 5)
+    for doc_id, score in top:
+        ex = rdr.explain(doc_id, terms)
+        assert abs(ex["score"] - score) < 1e-9
+        assert abs(sum(t["contribution"] for t in ex["terms"].values()) - score) < 1e-9
+        for t, e in ex["terms"].items():
+            assert e["df"] == oracle.df.get(t, 0)
+            assert e["tf"] == oracle.tfs[doc_id].get(t, 0)
+
+
+def test_explain_nonmatching_doc_and_term(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    some_doc = next(iter(oracle.tfs))
+    ex = rdr.explain(some_doc, ["zzz_not_there"])
+    assert ex["score"] == 0.0 and ex["terms"] == {}
