@@ -316,6 +316,21 @@ def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BOOL_Q = {"must": ["merge"], "should": ["window", "spark"], "must_not": ["stream"]}
+
+
+def q_bool_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query: must + score-boosting should + must_not exclusion
+    in one composable clause, executed by the vectorized bool kernel
+    over compressed segments (must_not exclusion is bucket-local in the
+    distributed path — a hot exclusion term never hits the driver)."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.search(BOOL_Q, BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 FUZZY_TERM = "mergee"  # 1 edit from "merge"
 
 
@@ -571,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": q_bm25_msm,
         "prefix_search": q_prefix_search,
         "fuzzy_search": q_fuzzy_search,
+        "bool_search": q_bool_search,
         "facet_counts": q_facet_counts,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -654,6 +670,20 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
 _PREFIX_SQL = _BM25_WAND_SQL.replace(
     "  SELECT unnest(['merge', 'window', 'spark']) AS term",
     f"  SELECT DISTINCT term FROM postings WHERE term LIKE '{PREFIX}%'",
+)
+
+# bool query: score over must+should, require the must term, exclude
+# docs containing the must_not term
+_BOOL_SQL = (
+    _BM25_WAND_SQL.replace(
+        "  GROUP BY p.doc_id\n",
+        "  GROUP BY p.doc_id\n"
+        "  HAVING count(DISTINCT CASE WHEN p.term = 'merge' THEN p.term END) = 1\n",
+    ).replace(
+        "SELECT doc_id, round(raw, 6) AS score FROM scored",
+        "SELECT doc_id, round(raw, 6) AS score FROM scored "
+        "WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM postings WHERE term = 'stream')",
+    )
 )
 
 _FUZZY_SQL = _BM25_WAND_SQL.replace(
@@ -1093,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_msm": _BM25_MSM_SQL,
         "prefix_search": _PREFIX_SQL,
         "fuzzy_search": _FUZZY_SQL,
+        "bool_search": _BOOL_SQL,
         "facet_counts": _FACETS_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count

@@ -252,6 +252,69 @@ def score_conjunctive(
     return [(int(uniq[i]), float(scores[i])) for i in order[:k]]
 
 
+def score_bool(
+    lists: list[PostingList],
+    terms_of: list[str],
+    roles: dict,
+    k: int | None,
+    n_must: int,
+    min_should: int = 0,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """Exact ES bool-query kernel, fully vectorized.
+
+    ``roles`` maps term -> "must" | "should" | "must_not". Docs must
+    match every must term, at least ``min_should`` distinct should terms,
+    and no must_not term; the score sums must+should contributions only
+    (must_not lists carry no scoring weight). Distributed use is
+    per-bucket: docs are hash-partitioned, so must_not exclusion and the
+    counting tests are exact bucket-locally — pass the GLOBAL ``n_must``.
+    """
+    ids_parts, contrib_parts, role_parts = [], [], []
+    for pl, t in zip(lists, terms_of):
+        d, tf, dl = pl.decode_all()
+        ids_parts.append(d)
+        role = roles[t]
+        role_parts.append(np.full(d.shape[0], {"must": 0, "should": 1, "must_not": 2}[role], dtype=np.int8))
+        if role == "must_not":
+            contrib_parts.append(np.zeros(d.shape[0]))
+        else:
+            contrib_parts.append(
+                _contrib(tf.astype(np.float64), dl.astype(np.float64), pl.idf, pl.avgdl)
+            )
+    if not ids_parts:
+        return []
+    ids = np.concatenate(ids_parts)
+    contribs = np.concatenate(contrib_parts)
+    role_v = np.concatenate(role_parts)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    scores = np.zeros(uniq.shape[0])
+    np.add.at(scores, inv, contribs)
+    # per-doc distinct-term counts by role (a doc appears once per term)
+    must_cnt = np.zeros(uniq.shape[0], dtype=np.int64)
+    np.add.at(must_cnt, inv[role_v == 0], 1)
+    should_cnt = np.zeros(uniq.shape[0], dtype=np.int64)
+    np.add.at(should_cnt, inv[role_v == 1], 1)
+    not_cnt = np.zeros(uniq.shape[0], dtype=np.int64)
+    np.add.at(not_cnt, inv[role_v == 2], 1)
+    keep = (must_cnt == n_must) & (not_cnt == 0)
+    if min_should > 0:
+        keep &= should_cnt >= min_should
+    if n_must == 0 and min_should <= 0:
+        keep &= should_cnt > 0  # pure-should OR: must match something
+    uniq, scores = uniq[keep], scores[keep]
+    if doc_filter is not None and uniq.size:
+        m = doc_filter.mask(uniq)
+        uniq, scores = uniq[m], scores[m]
+    if uniq.size == 0:
+        return []
+    scores = np.round(scores, SCORE_NDIGITS)
+    order = np.lexsort((uniq, -scores))
+    if k is not None:
+        order = order[:k]
+    return [(int(uniq[i]), float(scores[i])) for i in order]
+
+
 #: multi-term auto-kernel crossover: below this many total postings the
 #: vectorized exact TAAT kernel (~50M postings/s) beats the Python
 #: doc-at-a-time WAND loop (~50k docs/s) unless pruning removes >99.9%.
@@ -801,6 +864,108 @@ class IndexReader:
             )
 
         return self._run_per_bucket(rows_df, score_rows, doc_filter, blocked_list, k)
+
+    def search(
+        self,
+        query: dict,
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+    ) -> list[tuple[int, float]]:
+        """Composable ES bool query::
+
+            {"must": [...], "should": [...], "must_not": [...],
+             "filter": {col: value | [values]},
+             "min_should_match": m, "boosts": {term: w}}
+
+        Docs must match every must term, at least m distinct should terms
+        (m=0 makes should pure score-boosting, the ES default when must
+        is present), no must_not term, and the filter context. Scores sum
+        must+should BM25 contributions (must_not never scores). Same
+        stats semantics as :meth:`query`: idf/avgdl corpus-global,
+        filters/tombstones restrict the result set only. Driver kernel or
+        per-bucket distributed exactly like :meth:`query` — must_not
+        exclusion is computed bucket-locally, so a hot must_not term
+        never concentrates on the driver in the distributed path."""
+        must = list(dict.fromkeys(query.get("must", [])))
+        should = list(dict.fromkeys(query.get("should", [])))
+        must_not = list(dict.fromkeys(query.get("must_not", [])))
+        doc_filter = query.get("filter")
+        msm = int(query.get("min_should_match", 0) or 0)
+        boosts = query.get("boosts")
+        overlap = (set(must) & set(must_not)) | (set(should) & set(must_not))
+        if overlap:
+            raise ValueError(f"terms in conflicting roles: {sorted(overlap)}")
+        if set(must) & set(should):
+            raise ValueError("a term cannot be both must and should")
+        if not must and not should:
+            return []  # no scoring clause
+        dset = self._dataset()
+        self._ensure_dict(dset)
+        if any(t not in self._dict for t in must):
+            return []  # absent must term can never match
+        present_should = [t for t in should if t in self._dict]
+        if msm > 0 and len(present_should) < msm:
+            return []
+        if not must and not present_should:
+            return []
+        must_not = [t for t in must_not if t in self._dict]
+        scoring = must + present_should
+        idf = {t: bm25_idf(self.n_docs, self._dict[t]) for t in scoring}
+        if boosts:
+            idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
+        idf.update({t: 0.0 for t in must_not})
+        roles = {t: "must" for t in must}
+        roles.update({t: "should" for t in present_should})
+        roles.update({t: "must_not" for t in must_not})
+        all_terms = scoring + must_not
+        total_postings = sum(self._dict[t] for t in all_terms)
+        if distributed is None:
+            distributed = total_postings * 5 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
+        blocked = self._blocked()
+        n_must = len(must)
+        if not distributed:
+            import pyarrow.dataset as ds
+
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
+            tbl = dset.to_table(
+                columns=["term", "docs", "tfs", "dls", "blocks"],
+                filter=ds.field("term").isin(all_terms),
+            )
+            rows = tbl.to_pylist()
+            lists = [
+                _row_to_plist(row, idf[row["term"]], self.avgdl) for row in rows
+            ]
+            return score_bool(
+                lists, [r["term"] for r in rows], roles, k, n_must, msm, filt
+            )
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            import pandas as pd
+
+            lists = [
+                _row_to_plist(row, idf[row["term"]], avgdl)
+                for _, row in pdf.iterrows()
+            ]
+            top = score_bool(
+                lists, list(pdf["term"]), roles, k, n_must, msm, filt
+            )
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        return self._run_per_bucket(
+            self._segment_rows(all_terms), kernel, doc_filter,
+            [int(x) for x in blocked], k,
+        )
 
     def phrase_query(
         self,

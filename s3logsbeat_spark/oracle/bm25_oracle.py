@@ -84,6 +84,49 @@ class BM25Oracle:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
+    def bool_topk(
+        self,
+        must: list[str] = (),
+        should: list[str] = (),
+        must_not: list[str] = (),
+        k: int | None = 10,
+        min_should: int = 0,
+        allowed: set | None = None,
+        boosts: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES bool-query twin: all must terms, >= min_should distinct
+        should terms (0 = score-boost only, unless must is empty — then
+        at least one should must match), no must_not term; score sums
+        must+should contributions."""
+        must = list(dict.fromkeys(must))
+        should = list(dict.fromkeys(should))
+        if any(self.df.get(t, 0) == 0 for t in must):
+            return []
+        present_should = [t for t in should if self.df.get(t, 0)]
+        if min_should > 0 and len(present_should) < min_should:
+            return []
+        scoring = must + present_should
+        if not scoring:
+            return []
+        hits = []
+        for did, tfs in self.tfs.items():
+            if allowed is not None and did not in allowed:
+                continue
+            if any(not tfs.get(t) for t in must):
+                continue
+            if any(tfs.get(t) for t in must_not):
+                continue
+            n_should = sum(1 for t in present_should if tfs.get(t))
+            if min_should > 0 and n_should < min_should:
+                continue
+            if not must and n_should == 0:
+                continue
+            hits.append(
+                (did, round(self.score(did, scoring, boosts), SCORE_NDIGITS))
+            )
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
     def phrase_topk(
         self, terms: list[str], k: int | None = 10, allowed: set | None = None
     ) -> list[tuple[int, float]]:

@@ -1,0 +1,97 @@
+"""Composable bool queries (ES bool: must/should/must_not/filter/msm/
+boosts) — driver and distributed paths vs the pandas oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index, delete_docs
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def bbuilt(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+CASES = [
+    {"must": ["return"], "should": ["value", "data"]},            # boost-only should
+    {"must": ["return", "value"]},                                # pure AND
+    {"should": ["get", "http", "response"], "min_should_match": 2},
+    {"must": ["return"], "must_not": ["literal"]},
+    {"must": ["return"], "should": ["value"], "must_not": ["the"]},
+    {"should": ["return"], "boosts": {"return": 2.0}},
+    {"must": ["return"], "should": ["zzz_absent", "value"]},      # absent should dropped
+    {"must": ["zzz_absent"]},                                     # absent must -> empty
+    {"must": ["return"], "must_not": ["zzz_absent"]},             # absent must_not no-op
+]
+
+
+def _want(oracle, q, allowed=None):
+    return oracle.bool_topk(
+        must=q.get("must", []),
+        should=q.get("should", []),
+        must_not=q.get("must_not", []),
+        k=10,
+        min_should=q.get("min_should_match", 0),
+        allowed=allowed,
+        boosts=q.get("boosts"),
+    )
+
+
+@pytest.mark.parametrize("q", CASES, ids=lambda q: "+".join(q.get("must", ["_"])) )
+def test_bool_query_vs_oracle(spark, bbuilt, oracle, q):
+    rdr = IndexReader(spark, bbuilt)
+    got = rdr.search(q, 10)
+    want = _want(oracle, q)
+    assert [d for d, _ in got] == [d for d, _ in want], q
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.search(q, 10, distributed=True)
+    assert dist == got, q
+
+
+def test_bool_query_with_filter_context(spark, bbuilt, oracle, corpus_df):
+    rdr = IndexReader(spark, bbuilt)
+    lang = "py"
+    allowed = {
+        r["doc_id"] for r in corpus_df.filter("lang = 'py'").select("doc_id").collect()
+    }
+    q = {"must": ["return"], "must_not": ["literal"], "filter": {"lang": lang}}
+    got = rdr.search(q, 10)
+    want = _want(oracle, q, allowed=allowed)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    dist = rdr.search(q, 10, distributed=True)
+    assert dist == got
+
+
+def test_bool_query_role_conflicts(spark, bbuilt):
+    rdr = IndexReader(spark, bbuilt)
+    with pytest.raises(ValueError):
+        rdr.search({"must": ["return"], "must_not": ["return"]}, 10)
+    with pytest.raises(ValueError):
+        rdr.search({"must": ["return"], "should": ["return"]}, 10)
+    assert rdr.search({}, 10) == []
+    assert rdr.search({"must_not": ["return"]}, 10) == []
+
+
+def test_bool_query_respects_tombstones(spark, corpus_df, oracle, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("btomb"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10))
+    rdr = IndexReader(spark, out)
+    q = {"must": ["return"], "should": ["value"]}
+    before = rdr.search(q, 5)
+    delete_docs(out, [before[0][0]])
+    rdr.refresh()
+    got = rdr.search(q, 5)
+    want = _want(oracle, q, allowed=set(oracle.tfs) - {before[0][0]})[:5]
+    assert [d for d, _ in got] == [d for d, _ in want]
