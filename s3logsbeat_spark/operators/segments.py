@@ -461,12 +461,22 @@ def build_index(
     if work.rdd.getNumPartitions() < min_parts:
         work = work.repartition(min_parts)
 
-    # Per-bucket doc counts WITHOUT touching content: column pruning makes
-    # this a doc_id-only parquet scan (empty docs included — they must
-    # count toward n_docs/avgdl even though they emit no postings).
+    # Per-bucket doc counts WITHOUT touching content (empty docs included
+    # — they must count toward n_docs/avgdl even though they emit no
+    # postings). When the sidecar was just written, count from ITS
+    # read-back instead of re-scanning the input table: at 10^12-file
+    # scale the skinny sidecar is orders of magnitude cheaper to scan
+    # than even a doc_id-only pass over the source, and the read-back
+    # doubles as a durability ack for the sidecar write.
+    if attr_cols:
+        counted = spark.read.parquet(_attrs_dir(cfg.out_dir)).filter(
+            F.col("bucket").isin([int(b) for b in todo])
+        )
+    else:
+        counted = work
     bucket_docs = {
         r["bucket"]: r["n"]
-        for r in work.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        for r in counted.groupBy("bucket").agg(F.count("*").alias("n")).collect()
     }
     n_docs_total = sum(bucket_docs.values())
 
