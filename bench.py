@@ -411,6 +411,13 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     t0 = time.perf_counter()
     rdr.query(["return", "value"], 10, boosts={"value": 3.0})
     surface["boosted_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    rdr.search({"must": ["return"], "should": ["value"], "must_not": ["literal"]}, 10)
+    surface["bool_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    dist = rdr.query(["return", "value"], 10, distributed=True)
+    surface["distributed_query_sec"] = round(time.perf_counter() - t0, 4)
+    assert dist == rdr.query(["return", "value"], 10, distributed=False)
 
     # --- positional index: build overhead + index-only phrase latency
     pout = os.path.join(tempfile.gettempdir(), f"s3lb_code_posindex_{n_docs}")

@@ -1115,6 +1115,36 @@ class IndexReader:
         out["score"] = round(out["score"], SCORE_NDIGITS)
         return out
 
+    def more_like_this(
+        self,
+        content: str,
+        lang: str | None = None,
+        k: int = 10,
+        max_query_terms: int = 25,
+        min_doc_freq: int = 1,
+        **query_kwargs,
+    ) -> list[tuple[int, float]]:
+        """ES more_like_this: tokenize the example text with the same
+        code-aware tokenizer the index used, keep its ``max_query_terms``
+        highest tf×idf terms (deterministic tie-break by term), and run a
+        plain BM25 OR query over them. ``min_doc_freq`` drops ultra-rare
+        terms (ES's noise guard). The example text is tokenized
+        driver-side — the corpus is never scanned to form the query."""
+        from ..functions.tokenizer import tokenize_text
+
+        self._ensure_dict(self._dataset())
+        scored = []
+        for t, tf in tokenize_text(content, lang):
+            df = self._dict.get(t, 0)
+            if df < min_doc_freq or df == 0:
+                continue
+            scored.append((tf * bm25_idf(self.n_docs, df), t))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        terms = sorted(t for _, t in scored[:max_query_terms])
+        if not terms:
+            return []
+        return self.query(terms, k, **query_kwargs)
+
     def expand_fuzzy(
         self,
         term: str,

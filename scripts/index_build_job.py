@@ -46,28 +46,58 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cores", type=int, default=None, help="local[N] (sandbox only)")
     ap.add_argument("--merge", action="store_true", help="run the idempotent global merge after build")
+    ap.add_argument("--positions", action="store_true", help="store term positions (enables --phrase)")
+    ap.add_argument("--append", action="store_true", help="add the input as a new generation of an existing index")
+    ap.add_argument("--compact", action="store_true", help="apply delete tombstones physically after the build step")
+    ap.add_argument("--phrase", default=None, help="space-separated phrase (index-only match_phrase; needs --positions at build time)")
+    ap.add_argument("--filter", default=None, help='filter context as JSON, e.g. \'{"lang": "py"}\'')
+    ap.add_argument("--mode", default="or", choices=["or", "and"], help="query mode")
+    ap.add_argument("--msm", type=int, default=None, help="minimum_should_match for --query")
     args = ap.parse_args()
 
-    from s3logsbeat_spark.operators.segments import IndexConfig, build_index, merge_segments
+    from s3logsbeat_spark.operators.segments import (
+        IndexConfig, append_index, build_index, compact_index, merge_segments,
+    )
     from s3logsbeat_spark.operators.wand import IndexReader
     from s3logsbeat_spark.session import get_spark
     from s3logsbeat_spark.sources.documents import load_documents
 
     spark = get_spark("index_build", cores=args.cores)
     docs = load_documents(spark, args.input)
+    doc_filter = json.loads(args.filter) if args.filter else None
     t0 = time.perf_counter()
-    summary = build_index(
-        docs, IndexConfig(out_dir=args.out, n_buckets=args.buckets, hot_df_threshold=args.hot_df)
-    )
+    if args.append:
+        summary = append_index(
+            docs, args.out, n_buckets=args.buckets,
+            hot_df_threshold=args.hot_df, with_positions=args.positions,
+        )
+    else:
+        summary = build_index(
+            docs,
+            IndexConfig(
+                out_dir=args.out, n_buckets=args.buckets,
+                hot_df_threshold=args.hot_df, with_positions=args.positions,
+            ),
+        )
     summary["build_sec"] = round(time.perf_counter() - t0, 2)
+    if args.compact:
+        t0 = time.perf_counter()
+        summary.update(compact_index(spark, args.out))
+        summary["compact_sec"] = round(time.perf_counter() - t0, 2)
     if args.merge:
         t0 = time.perf_counter()
         merge_segments(spark, args.out)
         summary["merge_sec"] = round(time.perf_counter() - t0, 2)
-    if args.query:
+    if args.query or args.phrase:
         rdr = IndexReader(spark, args.out)
         t0 = time.perf_counter()
-        top = rdr.query(args.query.split(), args.k)
+        if args.phrase:
+            top = rdr.phrase_query(args.phrase.split(), args.k, doc_filter=doc_filter)
+        else:
+            top = rdr.query(
+                args.query.split(), args.k, mode=args.mode,
+                doc_filter=doc_filter, min_should_match=args.msm,
+            )
         summary["query_sec"] = round(time.perf_counter() - t0, 4)
         summary["topk"] = [{"doc_id": d, "score": s} for d, s in top]
     print(json.dumps(summary))

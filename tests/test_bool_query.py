@@ -95,3 +95,36 @@ def test_bool_query_respects_tombstones(spark, corpus_df, oracle, tmp_path_facto
     got = rdr.search(q, 5)
     want = _want(oracle, q, allowed=set(oracle.tfs) - {before[0][0]})[:5]
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+# ----------------------------------------------------------- more_like_this --
+
+
+def test_more_like_this_vs_oracle(spark, bbuilt, oracle, corpus_df):
+    """MLT: top tf*idf terms of the example doc -> OR query. The example
+    doc itself must rank first (it matches every query term maximally)."""
+    import math
+
+    from s3logsbeat_spark.functions.tokenizer import tokenize_text
+
+    rdr = IndexReader(spark, bbuilt)
+    row = corpus_df.select("doc_id", "content", "lang").first()
+    got = rdr.more_like_this(row["content"], row["lang"], k=10, max_query_terms=15)
+    # reproduce the expansion independently
+    scored = []
+    for t, tf in tokenize_text(row["content"], row["lang"]):
+        df = oracle.df.get(t, 0)
+        if df:
+            idf = math.log(1.0 + (oracle.n_docs - df + 0.5) / (df + 0.5))
+            scored.append((tf * idf, t))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    terms = sorted(t for _, t in scored[:15])
+    want = oracle.topk(terms, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert got[0][0] == row["doc_id"]  # self-similarity tops the list
+
+
+def test_more_like_this_empty_and_unknown(spark, bbuilt):
+    rdr = IndexReader(spark, bbuilt)
+    assert rdr.more_like_this("", None, k=5) == []
+    assert rdr.more_like_this("zzz qqq xxx", None, k=5, min_doc_freq=1) == []
