@@ -117,15 +117,20 @@ def tokenize_text(text: str, lang: str | None = None) -> list[tuple[str, int]]:
 
 
 def _count_terms(text: str, lang: str | None, memo: _TokenMemo) -> Counter:
-    counts: Counter = Counter()
+    # flat emission list + ONE Counter() at the end: counting happens in
+    # C instead of a per-raw-token Counter.update loop (~2x on the code
+    # corpus — this is the hottest Python in the whole build)
     kw = KEYWORDS.get(lang or "", frozenset())
+    out: list[str] = []
+    ext = out.extend
+    app = out.append
+    terms_for = memo.terms_for
     for raw in TOKEN_RE.findall(text):
-        emitted = memo.terms_for(raw)
-        counts.update(emitted)
-        low = emitted[0]
-        if low in kw:
-            counts[f"{lang}:{low}"] += 1
-    return counts
+        emitted = terms_for(raw)
+        ext(emitted)
+        if emitted[0] in kw:
+            app(f"{lang}:{emitted[0]}")
+    return Counter(out)
 
 
 def _term_positions(text: str, lang: str | None, memo: _TokenMemo) -> dict:
