@@ -294,7 +294,16 @@ def run_scaling(replicate: int = 256) -> dict:
         "scaling_efficiency_8_to_32_vs_hw_ceiling": round(t8 / t32 / ceiling, 3),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # regenerate only the auto block; everything below the marker is
+    # hand-curated evidence and must survive re-runs
+    marker = "<!-- MANUAL SECTIONS BELOW — preserved by bench.py -->"
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    manual_tail = ""
+    if os.path.exists(baseline_path):
+        old = open(baseline_path).read()
+        if marker in old:
+            manual_tail = old.split(marker, 1)[1]
+    with open(baseline_path, "w") as f:
         f.write(
             "# BENCH/BASELINE — measured numbers\n\n"
             "Two-cluster-size scaling evidence (sandbox stand-in for N vs 4N\n"
@@ -329,7 +338,9 @@ def run_scaling(replicate: int = 256) -> dict:
             "magnitude fewer rows than postings) and whose keys are\n"
             "skew-split by construction (sampled df estimate ->\n"
             "deterministic doc-hash salts); doc-hash buckets make the query\n"
-            "side per-bucket independent with a k-row final merge.\n"
+            "side per-bucket independent with a k-row final merge.\n\n"
+            + marker + "\n"
+            + manual_tail
         )
     return report
 
