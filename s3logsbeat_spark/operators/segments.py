@@ -631,6 +631,55 @@ def append_index(
     )
 
 
+def upsert_documents(
+    docs_new: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    key_cols: tuple = ("repo", "path"),
+    id_col: str = "doc_id",
+    **cfg_kwargs,
+) -> dict:
+    """Upsert-by-natural-key (the "file changed, re-index it" lifecycle):
+    append the incoming docs as a new generation, then tombstone every
+    previously-indexed doc that shares a ``key_cols`` identity (e.g. the
+    same repo+path at an older commit) with an incoming doc but has a
+    different doc_id. Queries immediately see only the new versions;
+    :func:`compact_index` later reclaims the space.
+
+    This composes the reference's content-hash idempotency (identical
+    re-delivery is a no-op via append's sidecar anti-join) with
+    mutation: same natural key + different content ⇒ supersede. The
+    old-version lookup is a join of the incoming keys (small) against
+    the doc_attrs sidecar (skinny) — content and postings are never
+    read. Requires the sidecar to carry ``key_cols``.
+    """
+    spark = docs_new.sparkSession
+    summary = append_index(
+        docs_new, out_dir, n_buckets=n_buckets, id_col=id_col, **cfg_kwargs
+    )
+    attrs = spark.read.parquet(_attrs_dir(out_dir))
+    missing = [c for c in key_cols if c not in attrs.columns]
+    if missing:
+        raise ValueError(f"sidecar lacks upsert key columns {missing}")
+    new_keys = docs_new.select(
+        *[F.col(c) for c in key_cols], F.col(id_col).alias("_new_id")
+    ).dropDuplicates(list(key_cols))
+    superseded = (
+        attrs.join(F.broadcast(new_keys), list(key_cols))
+        .filter(F.col("doc_id") != F.col("_new_id"))
+        .select("doc_id")
+        .collect()
+    )
+    old_ids = [r["doc_id"] for r in superseded]
+    # drop ids that are already tombstoned to keep delete_docs idempotent
+    already = set(read_tombstones(out_dir))
+    old_ids = [d for d in old_ids if d not in already]
+    if old_ids:
+        delete_docs(out_dir, old_ids)
+    summary["superseded"] = len(old_ids)
+    return summary
+
+
 def compact_index(spark: SparkSession, out_dir: str) -> dict:
     """Apply delete tombstones physically (the ES forcemerge /
     only_expunge_deletes analogue): rewrite only the buckets that hold

@@ -136,7 +136,7 @@ def score_exact_taat(
     scores = np.zeros(uniq.shape[0])
     np.add.at(scores, inv, contribs)
     scores = np.round(scores, SCORE_NDIGITS)
-    if uniq.shape[0] > 4 * k:
+    if k is not None and uniq.shape[0] > 4 * k:
         # preselect ~4k candidates by score alone (argpartition is O(n)),
         # keeping everything that could still tie into the top-k...
         cut = np.argpartition(-scores, min(4 * k, uniq.shape[0] - 1))[: 4 * k + 1]
@@ -174,7 +174,7 @@ def score_single_term(
     top_s = np.empty(0)
     done = 0
     for pl, bi in order:
-        if top_d.shape[0] >= k and float(pl.ubs[bi]) < float(top_s[-1]) - _EPS:
+        if k is not None and top_d.shape[0] >= k and float(pl.ubs[bi]) < float(top_s[-1]) - _EPS:
             break  # UB-sorted: every remaining block is also beaten
         d, t, l = decode_block(pl.payload, bi)
         if doc_filter is not None:
@@ -415,6 +415,8 @@ def wand_topk(
     ``docs_scored`` / ``blocks_skipped`` so tests can assert pruning
     actually happens.
     """
+    if k is None:
+        k = float("inf")  # all matches: theta never activates, heap unbounded
     cursors = [_Cursor(pl) for pl in lists if pl.blocks]
     cursors = [c for c in cursors if not c.exhausted]
     term_ub = {id(c): float(c.pl.ubs.max()) for c in cursors}

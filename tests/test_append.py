@@ -85,3 +85,58 @@ def test_append_filter_context_spans_generations(spark, appended, oracle, corpus
     got = rdr.query(["return"], 10, doc_filter={"lang": lang})
     want = oracle.topk(["return"], 10, allowed=allowed)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+# ------------------------------------------------------------------ upsert --
+
+
+def test_upsert_supersedes_old_versions(spark, corpus_df, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.functions.hashing import with_ingest_columns
+    from s3logsbeat_spark.operators.segments import (
+        compact_index,
+        read_tombstones,
+        upsert_documents,
+    )
+    from s3logsbeat_spark.operators.wand import IndexReader
+
+    out = str(tmp_path_factory.mktemp("upidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    rdr = IndexReader(spark, out)
+    n0 = rdr.n_docs
+
+    # new versions of 3 files: same (repo, path), new commit + content
+    victims = corpus_df.orderBy("doc_id").limit(3).collect()
+    changed = spark.createDataFrame(
+        [
+            (r["repo"], r["path"], "f" * 40, r["lang"],
+             f"def upserted_sentinel_{i}(): return upserted_sentinel_term\n")
+            for i, r in enumerate(victims)
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    changed = with_ingest_columns(changed)
+    summary = upsert_documents(changed, out, n_buckets=2, hot_df_threshold=10)
+    assert summary["superseded"] == 3
+    assert len(read_tombstones(out)) == 3
+
+    rdr.refresh()
+    assert rdr.n_docs == n0 + 3  # stats count tombstoned docs until compaction
+    # new content is searchable; old doc_ids are gone from every query
+    hits = rdr.query(["upserted_sentinel_term"], 10)
+    assert len(hits) == 3
+    old_ids = {r["doc_id"] for r in victims}
+    got = rdr.query(["return"], None)
+    assert not ({d for d, _ in got} & old_ids)
+
+    # idempotent: re-upserting the identical batch changes nothing
+    again = upsert_documents(changed, out, n_buckets=2, hot_df_threshold=10)
+    assert again["superseded"] == 0
+    assert again["n_docs"] == summary["n_docs"]
+
+    # compaction reclaims the superseded docs and fixes stats
+    after = compact_index(spark, out)
+    assert after["n_docs"] == n0  # 3 removed, 3 added
+    rdr.refresh()
+    assert len(rdr.query(["upserted_sentinel_term"], 10)) == 3
