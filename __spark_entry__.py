@@ -226,8 +226,8 @@ def _driver_index(spark: SparkSession, sf_dir: str):
 
     docs = load_documents(spark, sf_dir)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    # v2: layout now includes the doc_attrs filter-context sidecar
-    out = f"{tempfile.gettempdir()}/s3lb_index_v2_{tag}"
+    # v3: doc_attrs sidecar now carries n_chars (numeric aggregations)
+    out = f"{tempfile.gettempdir()}/s3lb_index_v3_{tag}"
     cfg = IndexConfig(out_dir=out, n_buckets=8, hot_df_threshold=20_000)
     build_index(docs, cfg)  # resumable: no-op when the manifest is complete
     return IndexReader(spark, out)
@@ -343,6 +343,33 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rdr.fuzzy_query([FUZZY_TERM], BM25_K, max_edits=1, max_terms=100_000)
     return spark.createDataFrame(
         [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation on a query: count/sum/min/max/avg of the
+    n_chars sidecar attribute over docs matching any query term —
+    matched doc set decoded per bucket, bucket-aligned sidecar join,
+    map-side partial aggregation."""
+    rdr = _driver_index(spark, sf_dir)
+    s = rdr.stats_agg(BM25_TERMS, "n_chars")
+    return spark.createDataFrame(
+        [(int(s["count"]), int(s["sum"]), int(s["min"]), int(s["max"]),
+          round(float(s["avg"]), 6))],
+        "count long, sum long, min long, max long, avg double",
+    )
+
+
+HIST_INTERVAL = 100
+
+
+def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES histogram aggregation on a query: matching-doc counts per
+    fixed-width n_chars bucket (key = floor(v / interval) * interval)."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.histogram_agg(BM25_TERMS, "n_chars", HIST_INTERVAL)
+    return spark.createDataFrame(
+        [(float(k), int(c)) for k, c in rows], "key double, doc_count long"
     )
 
 
@@ -588,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "bool_search": q_bool_search,
         "facet_counts": q_facet_counts,
+        "search_stats": q_search_stats,
+        "search_histogram": q_search_histogram,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -702,6 +731,27 @@ WHERE d.doc_id IN (
   SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'window', 'spark')
 )
 GROUP BY d.lang
+"""
+
+_MATCHING_DOCS = """
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+    FROM documents
+  ) WHERE term IN ('merge', 'window', 'spark')
+"""
+
+_SEARCH_STATS_SQL = f"""
+SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
+       min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
+       round(avg(n_chars), 6) AS avg
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+_SEARCH_HIST_SQL = f"""
+SELECT (floor(n_chars / {HIST_INTERVAL}.0) * {HIST_INTERVAL})::DOUBLE AS key,
+       count(*)::BIGINT AS doc_count
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY 1 ORDER BY 1
 """
 
 _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
@@ -1125,6 +1175,8 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search": _FUZZY_SQL,
         "bool_search": _BOOL_SQL,
         "facet_counts": _FACETS_SQL,
+        "search_stats": _SEARCH_STATS_SQL,
+        "search_histogram": _SEARCH_HIST_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

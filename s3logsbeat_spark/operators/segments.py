@@ -128,7 +128,7 @@ def _tombstones_dir(out: str) -> str:
 
 
 #: metadata columns auto-copied into the sidecar when attr_cols is None
-DEFAULT_ATTR_COLS = ("repo", "path", "commit", "lang", "source")
+DEFAULT_ATTR_COLS = ("repo", "path", "commit", "lang", "source", "n_chars")
 
 
 def delete_docs(out_dir: str, doc_ids) -> int:

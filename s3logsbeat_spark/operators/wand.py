@@ -1320,6 +1320,144 @@ class IndexReader:
         )
         return [(r["value"], r["doc_count"]) for r in out]
 
+    def _matched_docs_df(
+        self, terms: list[str], mode: str, doc_filter: dict | None
+    ):
+        """Distributed (bucket, doc_id) DataFrame of docs matching the
+        query — the shared candidate stage for aggregations: postings
+        decoded per bucket, tombstones applied, optional filter context
+        via the sidecar cogroup. Returns None when no term is present
+        (or an AND term is absent)."""
+        import pandas as pd
+
+        dset = self._dataset()
+        self._ensure_dict(dset)
+        present = [t for t in set(terms) if t in self._dict]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return None
+        blocked_list = [int(x) for x in self._blocked()]
+        n_required = len(present)
+
+        from ..shipping import ensure_shipped
+        from .codec import decode_posting_list
+
+        ensure_shipped(self.spark)
+        rows_df = self._segment_rows(present).select(
+            "bucket", "term", "docs", "tfs", "dls"
+        )
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids_l = []
+            for _, row in pdf.iterrows():
+                d, _, _ = decode_posting_list(
+                    {"docs": bytes(row["docs"]), "tfs": bytes(row["tfs"]),
+                     "dls": bytes(row["dls"])}
+                )
+                ids_l.append(d)
+            ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+            if mode == "and":
+                uniq, counts = np.unique(ids, return_counts=True)
+                matched = uniq[counts == n_required]
+            else:
+                matched = np.unique(ids)
+            if blocked_list:
+                matched = matched[
+                    ~_in_sorted(np.asarray(blocked_list, dtype=np.int64), matched)
+                ]
+            b = int(pdf["bucket"].iloc[0]) if len(pdf) else -1
+            return pd.DataFrame(
+                {"bucket": np.full(matched.shape[0], b, dtype=np.int64),
+                 "doc_id": matched}
+            )
+
+        matched_df = rows_df.groupBy("bucket").applyInPandas(
+            per_bucket, schema="bucket long, doc_id long"
+        )
+        if doc_filter is not None:
+            from .segments import load_doc_attrs
+
+            attrs = load_doc_attrs(self.spark, self.out_dir)
+            cond = None
+            for c, v in doc_filter.items():
+                e = (
+                    F.col(c).isin(list(v))
+                    if isinstance(v, (list, tuple, set, frozenset))
+                    else (F.col(c) == F.lit(v))
+                )
+                cond = e if cond is None else cond & e
+            allowed = attrs.filter(cond).select("bucket", "doc_id")
+            matched_df = matched_df.join(allowed, ["bucket", "doc_id"], "left_semi")
+        return matched_df
+
+    def stats_agg(
+        self,
+        terms: list[str],
+        field: str,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> dict:
+        """ES stats aggregation on a query: count/sum/min/max/avg of a
+        numeric sidecar attribute over the matching docs. The matched set
+        joins the sidecar bucket-aligned; Spark's partial aggregation
+        combines map-side, so only one tiny stats row per partition
+        shuffles."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        empty = {"count": 0, "sum": None, "min": None, "max": None, "avg": None}
+        if matched is None:
+            return empty
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        row = (
+            matched.join(attrs, ["bucket", "doc_id"])
+            .agg(
+                F.count(field).alias("count"),
+                F.sum(field).alias("sum"),
+                F.min(field).alias("min"),
+                F.max(field).alias("max"),
+                F.avg(field).alias("avg"),
+            )
+            .collect()[0]
+        )
+        out = row.asDict()
+        if not out["count"]:
+            return empty
+        return out
+
+    def histogram_agg(
+        self,
+        terms: list[str],
+        field: str,
+        interval: float,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[float, int]]:
+        """ES histogram aggregation on a query: matching-doc counts per
+        fixed-width bucket of a numeric sidecar attribute (bucket key =
+        floor(value / interval) * interval, ES semantics). Returns
+        [(key, doc_count)] sorted by key; empty buckets are omitted."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        rows = (
+            matched.join(attrs, ["bucket", "doc_id"])
+            .select(
+                (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)).alias("key")
+            )
+            .groupBy("key")
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy("key")
+            .collect()
+        )
+        return [(float(r["key"]), int(r["doc_count"])) for r in rows]
+
     def _run_per_bucket(
         self,
         rows_df,

@@ -195,3 +195,63 @@ def test_explain_nonmatching_doc_and_term(spark, wbuilt, oracle):
     some_doc = next(iter(oracle.tfs))
     ex = rdr.explain(some_doc, ["zzz_not_there"])
     assert ex["score"] == 0.0 and ex["terms"] == {}
+
+
+# ----------------------------------------------------- numeric aggregations --
+
+
+@pytest.fixture(scope="module")
+def nbuilt(spark, corpus_df, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    docs = corpus_df.withColumn("n_chars", F.length("content"))
+    out = str(tmp_path_factory.mktemp("nidx"))
+    build_index(docs, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    rows = [r.asDict() for r in docs.select("doc_id", "lang", "n_chars").collect()]
+    return out, rows
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_stats_agg(spark, nbuilt, oracle, mode):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    want_ids = {
+        r["doc_id"] for r in rows
+        if (all if mode == "and" else any)(
+            oracle.tfs[r["doc_id"]].get(t) for t in terms
+        )
+    }
+    vals = [r["n_chars"] for r in rows if r["doc_id"] in want_ids]
+    got = rdr.stats_agg(terms, "n_chars", mode=mode)
+    assert got["count"] == len(vals)
+    assert got["sum"] == sum(vals)
+    assert got["min"] == min(vals) and got["max"] == max(vals)
+    assert abs(got["avg"] - sum(vals) / len(vals)) < 1e-9
+
+
+def test_stats_agg_empty_and_filtered(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    assert rdr.stats_agg(["zzz_missing"], "n_chars")["count"] == 0
+    lang = rows[0]["lang"]
+    got = rdr.stats_agg(["return"], "n_chars", doc_filter={"lang": lang})
+    want_ids = {
+        r["doc_id"] for r in rows
+        if r["lang"] == lang and oracle.tfs[r["doc_id"]].get("return")
+    }
+    assert got["count"] == len(want_ids)
+
+
+def test_histogram_agg(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return"]
+    want_ids = {r["doc_id"] for r in rows if oracle.tfs[r["doc_id"]].get("return")}
+    brute: dict = {}
+    for r in rows:
+        if r["doc_id"] in want_ids:
+            key = (r["n_chars"] // 500) * 500
+            brute[float(key)] = brute.get(float(key), 0) + 1
+    got = rdr.histogram_agg(terms, "n_chars", 500)
+    assert got == sorted(brute.items())
