@@ -373,6 +373,21 @@ def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPHITS_K = 2
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k (ES terms agg + top_hits): best 2 docs by BM25 per
+    lang for the query — per-bucket exact scoring + sidecar cogroup,
+    tiny global window merge."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.top_hits_by(BM25_TERMS, "lang", TOPHITS_K)
+    return spark.createDataFrame(
+        [(v, int(d), round(s, 6)) for v, d, s in rows],
+        "value string, doc_id long, score double",
+    )
+
+
 MSM = 2
 
 
@@ -617,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "search_stats": q_search_stats,
         "search_histogram": q_search_histogram,
+        "top_hits": q_top_hits,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -753,6 +769,20 @@ SELECT (floor(n_chars / {HIST_INTERVAL}.0) * {HIST_INTERVAL})::DOUBLE AS key,
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
 GROUP BY 1 ORDER BY 1
 """
+
+_TOP_HITS_SQL = _BM25_WAND_SQL.replace(
+    "SELECT doc_id, round(raw, 6) AS score FROM scored",
+    "SELECT value, doc_id, score FROM ("
+    " SELECT d2.lang AS value, s2.doc_id, round(s2.raw, 6) AS score,"
+    "        row_number() OVER (PARTITION BY d2.lang"
+    "          ORDER BY round(s2.raw, 9) DESC, s2.doc_id ASC) AS r"
+    " FROM scored s2 JOIN documents d2 ON d2.doc_id = s2.doc_id)"
+    f" WHERE r <= {TOPHITS_K}",
+).replace(
+    "ORDER BY score DESC, doc_id ASC LIMIT 10",
+    "ORDER BY value, score DESC, doc_id ASC",
+)
+
 
 _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
     "  GROUP BY p.doc_id\n",
@@ -1177,6 +1207,7 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": _FACETS_SQL,
         "search_stats": _SEARCH_STATS_SQL,
         "search_histogram": _SEARCH_HIST_SQL,
+        "top_hits": _TOP_HITS_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

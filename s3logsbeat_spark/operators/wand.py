@@ -1458,6 +1458,119 @@ class IndexReader:
         )
         return [(float(r["key"]), int(r["doc_count"])) for r in rows]
 
+    def top_hits_by(
+        self,
+        terms: list[str],
+        field: str,
+        k_per_group: int = 3,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[str, int, float]]:
+        """Grouped top-k (ES terms aggregation + top_hits sub-agg): the
+        best ``k_per_group`` docs by BM25 for EVERY value of a sidecar
+        attribute. Per bucket: exact doc scores for the matching docs,
+        sidecar join for the group value, per-(bucket, value) top-k —
+        then a tiny global window keeps k per value (buckets partition
+        docs, so merging bucket top-ks is exact). Returns
+        (value, doc_id, score) rows ordered by (value, rank)."""
+        if not terms:
+            return []
+        import pandas as pd
+
+        dset = self._dataset()
+        self._ensure_dict(dset)
+        present = [t for t in set(terms) if t in self._dict]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return []
+        idf = {t: bm25_idf(self.n_docs, self._dict[t]) for t in present}
+        avgdl = self.avgdl
+        blocked_list = [int(x) for x in self._blocked()]
+        n_required = len(present)
+
+        from ..shipping import ensure_shipped
+        from .segments import load_doc_attrs
+
+        ensure_shipped(self.spark)
+        attrs = load_doc_attrs(self.spark, self.out_dir)
+        if doc_filter:
+            cond = None
+            for c, v in doc_filter.items():
+                e = (
+                    F.col(c).isin(list(v))
+                    if isinstance(v, (list, tuple, set, frozenset))
+                    else (F.col(c) == F.lit(v))
+                )
+                cond = e if cond is None else cond & e
+            attrs = attrs.filter(cond)
+        attrs = attrs.select("bucket", "doc_id", field)
+        rows_df = self._segment_rows(present)
+
+        def per_bucket(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"value": pd.Series([], dtype="object"),
+                 "doc_id": pd.Series([], dtype="int64"),
+                 "score": pd.Series([], dtype="float64")}
+            )
+            if len(seg_pdf) == 0 or len(attr_pdf) == 0:
+                return empty
+            lists = [
+                _row_to_plist(row, idf[row["term"]], avgdl)
+                for _, row in seg_pdf.iterrows()
+            ]
+            filt = (
+                DocFilter(None, np.asarray(blocked_list, dtype=np.int64))
+                if blocked_list
+                else None
+            )
+            if mode == "and":
+                scored = score_conjunctive(
+                    lists, list(seg_pdf["term"]), None,
+                    n_terms=n_required, doc_filter=filt,
+                )
+            else:
+                scored = score_exact_taat(lists, None, doc_filter=filt)
+            if not scored:
+                return empty
+            docs = np.array([d for d, _ in scored], dtype=np.int64)
+            scores = np.array([s for _, s in scored])
+            a_ids = attr_pdf["doc_id"].to_numpy(np.int64)
+            order = np.argsort(a_ids)
+            a_ids_s = a_ids[order]
+            vals_s = attr_pdf[field].to_numpy(dtype=object)[order]
+            pos = np.searchsorted(a_ids_s, docs)
+            pos_c = np.minimum(pos, a_ids_s.size - 1)
+            hit = (pos < a_ids_s.size) & (a_ids_s[pos_c] == docs)
+            docs, scores, pos = docs[hit], scores[hit], pos_c[hit]
+            vals = vals_s[pos].astype(str)
+            out = {"value": [], "doc_id": [], "score": []}
+            for v in np.unique(vals):
+                m = vals == v
+                d, s = docs[m], scores[m]
+                sel = np.lexsort((d, -s))[:k_per_group]
+                out["value"].extend([v] * sel.size)
+                out["doc_id"].extend(int(x) for x in d[sel])
+                out["score"].extend(float(x) for x in s[sel])
+            return pd.DataFrame(out)
+
+        per_b = (
+            rows_df.groupBy("bucket")
+            .cogroup(attrs.groupBy("bucket"))
+            .applyInPandas(per_bucket, schema="value string, doc_id long, score double")
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("value").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        rows = (
+            per_b.withColumn("score", F.round("score", SCORE_NDIGITS))
+            .withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= k_per_group)
+            .orderBy("value", "_r")
+            .collect()
+        )
+        return [(r["value"], r["doc_id"], r["score"]) for r in rows]
+
     def _run_per_bucket(
         self,
         rows_df,

@@ -255,3 +255,42 @@ def test_histogram_agg(spark, nbuilt, oracle):
             brute[float(key)] = brute.get(float(key), 0) + 1
     got = rdr.histogram_agg(terms, "n_chars", 500)
     assert got == sorted(brute.items())
+
+
+# ------------------------------------------------------- grouped top-k --
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_top_hits_by(spark, nbuilt, oracle, mode):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    got = rdr.top_hits_by(terms, "lang", 2, mode=mode)
+    # brute force: score every matching doc, group by lang, top-2
+    fn = oracle.topk_and if mode == "and" else oracle.topk
+    full = fn(terms, None if mode == "or" else 10**9)
+    lang_of = {r["doc_id"]: r["lang"] for r in rows}
+    groups: dict = {}
+    for d, s in full:
+        groups.setdefault(str(lang_of[d]), []).append((d, s))
+    want = []
+    for v in sorted(groups):
+        want.extend((v, d, s) for d, s in groups[v][:2])
+    assert [(v, d) for v, d, _ in got] == [(v, d) for v, d, _ in want], mode
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_top_hits_with_filter(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    langs = sorted({r["lang"] for r in rows})[:2]
+    got = rdr.top_hits_by(["return"], "lang", 2, doc_filter={"lang": langs})
+    assert {v for v, _, _ in got} <= set(langs)
+    full = oracle.topk(["return"], None)
+    lang_of = {r["doc_id"]: r["lang"] for r in rows}
+    want = []
+    for v in langs:
+        hits = [(d, s) for d, s in full if lang_of[d] == v][:2]
+        want.extend((v, d, s) for d, s in hits)
+    assert [(v, d) for v, d, _ in got] == [(v, d) for v, d, _ in want]
