@@ -140,3 +140,28 @@ def test_upsert_supersedes_old_versions(spark, corpus_df, tmp_path_factory):
     assert after["n_docs"] == n0  # 3 removed, 3 added
     rdr.refresh()
     assert len(rdr.query(["upserted_sentinel_term"], 10)) == 3
+
+
+def test_build_invariant_to_input_partitioning(spark, corpus_df, tmp_path_factory):
+    """SURVEY §7 hard part 1: the index must be byte-identical whatever
+    the input's physical partitioning (runs arrive at the merge in
+    arbitrary order; the deterministic doc sort inside the encode absorbs
+    it)."""
+    outs = []
+    for i, parts in enumerate((3, 11)):
+        out = str(tmp_path_factory.mktemp(f"part{i}"))
+        build_index(
+            corpus_df.repartition(parts),
+            IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10),
+        )
+        outs.append(out)
+    fps = []
+    for out in outs:
+        df = spark.read.parquet(f"{out}/segments")
+        rows = df.select("bucket", "term", "salt", "df", "cf", "docs", "tfs", "dls").collect()
+        fps.append(sorted(
+            (r["bucket"], r["term"], r["salt"], r["df"], r["cf"],
+             bytes(r["docs"]), bytes(r["tfs"]), bytes(r["dls"]))
+            for r in rows
+        ))
+    assert fps[0] == fps[1]
