@@ -165,3 +165,29 @@ def test_build_invariant_to_input_partitioning(spark, corpus_df, tmp_path_factor
             for r in rows
         ))
     assert fps[0] == fps[1]
+
+
+def test_queries_invariant_to_bucket_count(spark, corpus_df, tmp_path_factory):
+    """North-rule rank identity across cluster sizes: indexes built with
+    different bucket counts (the unit of physical parallelism) must
+    answer every reference query identically — scores exact, not just
+    ranks."""
+    from s3logsbeat_spark.operators.wand import IndexReader
+    from s3logsbeat_spark.testing.corpus import REFERENCE_QUERIES
+
+    readers = []
+    for i, nb in enumerate((2, 8)):
+        out = str(tmp_path_factory.mktemp(f"nb{i}"))
+        build_index(
+            corpus_df, IndexConfig(out_dir=out, n_buckets=nb, hot_df_threshold=10)
+        )
+        readers.append(IndexReader(spark, out))
+    for q in REFERENCE_QUERIES:
+        a = readers[0].query(q["terms"], q["k"])
+        b = readers[1].query(q["terms"], q["k"])
+        assert a == b, q
+    # the extended surface is bucket-invariant too
+    assert readers[0].query(["return", "value"], 10, mode="and") == \
+           readers[1].query(["return", "value"], 10, mode="and")
+    assert readers[0].search({"must": ["return"], "must_not": ["literal"]}, 10) == \
+           readers[1].search({"must": ["return"], "must_not": ["literal"]}, 10)
