@@ -388,6 +388,17 @@ def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation: vocabulary terms
+    overrepresented in the matching docs vs the corpus, JLH-scored
+    ((fg_rate - bg_rate) * fg_rate/bg_rate), query terms excluded."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.significant_terms(BM25_TERMS, BM25_K)
+    return spark.createDataFrame(
+        [(t, round(s, 6)) for t, s in rows], "term string, score double"
+    )
+
+
 MSM = 2
 
 
@@ -633,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_stats": q_search_stats,
         "search_histogram": q_search_histogram,
         "top_hits": q_top_hits,
+        "significant_terms": q_significant_terms,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -782,6 +794,36 @@ _TOP_HITS_SQL = _BM25_WAND_SQL.replace(
     "ORDER BY score DESC, doc_id ASC LIMIT 10",
     "ORDER BY value, score DESC, doc_id ASC",
 )
+
+
+_SIG_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'window', 'spark')
+),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS f FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM matched) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+),
+sizes AS (
+  SELECT (SELECT count(*) FROM matched) AS m,
+         (SELECT count(*) FROM documents) AS n
+)
+SELECT term, round(jlh, 6) AS score FROM (
+  SELECT fg.term,
+         ((fg.f::DOUBLE / s.m) - (bg.df::DOUBLE / s.n))
+         * ((fg.f::DOUBLE / s.m) / (bg.df::DOUBLE / s.n)) AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN sizes s
+  WHERE fg.term NOT IN ('merge', 'window', 'spark')
+)
+ORDER BY round(jlh, 9) DESC, term ASC LIMIT {BM25_K}
+"""
 
 
 _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
@@ -1208,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "search_stats": _SEARCH_STATS_SQL,
         "search_histogram": _SEARCH_HIST_SQL,
         "top_hits": _TOP_HITS_SQL,
+        "significant_terms": _SIG_TERMS_SQL,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

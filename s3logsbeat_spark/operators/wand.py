@@ -1571,6 +1571,90 @@ class IndexReader:
         )
         return [(r["value"], r["doc_id"], r["score"]) for r in rows]
 
+    def significant_terms(
+        self,
+        terms: list[str],
+        k: int = 10,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[str, float]]:
+        """ES significant_terms aggregation: vocabulary terms
+        overrepresented in the matching docs relative to the whole
+        corpus, scored with ES's JLH heuristic
+        ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` where
+        fg_rate = in-matched df / matched count and bg_rate = global
+        df / N. The query's own terms are excluded (they trivially top).
+
+        Execution: the matched doc set stays bucket-local; every
+        bucket's segment rows cogroup with its matched ids and emit one
+        (term, fg_partial) row per term via a sorted-membership count —
+        a full scan of the bucket's postings, the same cost profile as
+        ES running this agg without a sampler. Spark sums the per-term
+        partials; JLH scoring happens on the vocab-sized result.
+        Deterministic ordering: (score rounded to 9 dp desc, term asc).
+        """
+        import pandas as pd
+
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from ..shipping import ensure_shipped
+        from .codec import decode_posting_list
+
+        ensure_shipped(self.spark)
+        segs = load_segments(self.spark, self.out_dir).select(
+            "bucket", "term", "docs", "tfs", "dls"
+        )
+
+        def per_bucket(seg_pdf: pd.DataFrame, m_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {"term": pd.Series([], dtype="object"),
+                 "fg": pd.Series([], dtype="int64")}
+            )
+            if len(seg_pdf) == 0 or len(m_pdf) == 0:
+                return empty
+            m_ids = np.sort(m_pdf["doc_id"].to_numpy(np.int64))
+            out_t, out_f = [], []
+            for _, row in seg_pdf.iterrows():
+                d, _, _ = decode_posting_list(
+                    {"docs": bytes(row["docs"]), "tfs": bytes(row["tfs"]),
+                     "dls": bytes(row["dls"])}
+                )
+                f = int(_in_sorted(m_ids, d).sum())
+                if f:
+                    out_t.append(row["term"])
+                    out_f.append(f)
+            return pd.DataFrame({"term": out_t, "fg": out_f})
+
+        matched = matched.persist()  # feeds the count AND the cogroup
+        try:
+            m_total = matched.count()
+            if m_total == 0:
+                return []
+            rows = (
+                segs.groupBy("bucket")
+                .cogroup(matched.groupBy("bucket"))
+                .applyInPandas(per_bucket, schema="term string, fg long")
+                .groupBy("term")
+                .agg(F.sum("fg").alias("fg"))
+                .collect()
+            )
+        finally:
+            matched.unpersist()
+        exclude = set(terms)
+        n = self.n_docs
+        scored = []
+        for r in rows:
+            t = r["term"]
+            if t in exclude:
+                continue
+            fg_rate = r["fg"] / m_total
+            bg_rate = self._dict[t] / n
+            jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+            scored.append((t, round(jlh, SCORE_NDIGITS)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:k]
+
     def _run_per_bucket(
         self,
         rows_df,

@@ -294,3 +294,35 @@ def test_top_hits_with_filter(spark, nbuilt, oracle):
         hits = [(d, s) for d, s in full if lang_of[d] == v][:2]
         want.extend((v, d, s) for d, s in hits)
     assert [(v, d) for v, d, _ in got] == [(v, d) for v, d, _ in want]
+
+
+# ------------------------------------------------------ significant terms --
+
+
+def test_significant_terms_vs_brute_force(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    matched = {d for d in oracle.tfs if any(oracle.tfs[d].get(t) for t in terms)}
+    m, n = len(matched), oracle.n_docs
+    fg: dict = {}
+    for d in matched:
+        for t in oracle.tfs[d]:
+            fg[t] = fg.get(t, 0) + 1
+    want = []
+    for t, f in fg.items():
+        if t in set(terms):
+            continue
+        fr, br = f / m, oracle.df[t] / n
+        want.append((t, round((fr - br) * (fr / br), 9)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = rdr.significant_terms(terms, 10)
+    assert [t for t, _ in got] == [t for t, _ in want[:10]]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_significant_terms_empty(spark, nbuilt):
+    out, _ = nbuilt
+    rdr = IndexReader(spark, out)
+    assert rdr.significant_terms(["zzz_missing"], 10) == []
