@@ -388,6 +388,16 @@ def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count endpoint: matching-doc counts for the reference query
+    in OR and AND modes (per-bucket candidate decode, tombstone-aware)."""
+    rdr = _driver_index(spark, sf_dir)
+    return spark.createDataFrame(
+        [(rdr.count(BM25_TERMS, "or"), rdr.count(BM25_TERMS, "and"))],
+        "n_or long, n_and long",
+    )
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES significant_terms aggregation: vocabulary terms
     overrepresented in the matching docs vs the corpus, JLH-scored
@@ -645,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram": q_search_histogram,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
+        "match_count": q_match_count,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "sha_invariant": q_sha_invariant,
@@ -1251,6 +1262,20 @@ def oracle_sql() -> dict[str, str]:
         "search_histogram": _SEARCH_HIST_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
+        "match_count": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+              FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, count(DISTINCT term) AS nt FROM toks
+              WHERE term IN ('merge', 'window', 'spark') GROUP BY 1
+            )
+            SELECT count(*)::BIGINT AS n_or,
+                   count(*) FILTER (nt = 3)::BIGINT AS n_and
+            FROM hits
+        """,
         "dedup_exact": """
             SELECT min(doc_id)::BIGINT AS keeper_id, count(*)::BIGINT AS dup_count
             FROM documents GROUP BY text

@@ -1571,6 +1571,17 @@ class IndexReader:
         )
         return [(r["value"], r["doc_id"], r["score"]) for r in rows]
 
+    def count(
+        self,
+        terms: list[str],
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> int:
+        """Matching-doc count (the ES _count endpoint): same per-bucket
+        candidate machinery as the aggregations, reduced to one long."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        return 0 if matched is None else matched.count()
+
     def significant_terms(
         self,
         terms: list[str],
