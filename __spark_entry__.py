@@ -227,7 +227,7 @@ def _driver_index(spark: SparkSession, sf_dir: str):
     docs = load_documents(spark, sf_dir)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     # v3: doc_attrs sidecar now carries n_chars (numeric aggregations)
-    out = f"{tempfile.gettempdir()}/s3lb_index_v3_{tag}"
+    out = f"{tempfile.gettempdir()}/s3lb_index_v4_{tag}"
     cfg = IndexConfig(out_dir=out, n_buckets=8, hot_df_threshold=20_000)
     build_index(docs, cfg)  # resumable: no-op when the manifest is complete
     return IndexReader(spark, out)

@@ -576,9 +576,38 @@ def build_index(
                 "blocks_written": int(s["blocks"]) if s else 0,
                 "terms": int(s["terms"]) if s else 0,
                 "status": "done",
+                # persisted so later generations can be checked compatible
+                # (mixing trigram/code or positional/positionless
+                # generations would silently break queries per-bucket)
+                "token_mode": cfg.token_mode,
+                "with_positions": bool(cfg.with_positions),
             },
         )
     return summarize_index(cfg.out_dir)
+
+
+def _check_generation_compat(base_rows: list[dict], cfg: IndexConfig) -> None:
+    """Refuse to append a generation whose term universe or positional
+    capability differs from the base: a trigram generation on a code base
+    mixes term universes, and a positionless generation on a positional
+    base makes phrase_query fail only at query time on some buckets.
+    Manifest rows written before these fields existed are skipped (no
+    basis to compare)."""
+    for r in base_rows:
+        if "token_mode" not in r:
+            continue
+        if r["token_mode"] != cfg.token_mode:
+            raise ValueError(
+                f"append token_mode={cfg.token_mode!r} onto a base built "
+                f"with token_mode={r['token_mode']!r} (bucket {r['bucket']})"
+            )
+        if bool(r.get("with_positions")) != bool(cfg.with_positions):
+            raise ValueError(
+                f"append with_positions={cfg.with_positions} onto a base "
+                f"built with with_positions={r.get('with_positions')} "
+                f"(bucket {r['bucket']}) — phrase queries would fail on "
+                "some generations only"
+            )
 
 
 def append_index(
@@ -617,7 +646,18 @@ def append_index(
     """
     rows = read_manifest(out_dir)
     off = (max(r["bucket"] for r in rows) + 1) if rows else 0
-    if dedup_existing and rows and os.path.isdir(_attrs_dir(out_dir)):
+    if dedup_existing and rows:
+        if not os.path.isdir(_attrs_dir(out_dir)):
+            # Silently skipping the anti-join would let re-delivered
+            # doc_ids into a second generation (duplicate results) —
+            # refuse instead of quietly breaking effectively-once.
+            raise ValueError(
+                "append_index(dedup_existing=True) needs the doc_attrs "
+                "sidecar to know which doc_ids are already indexed, but "
+                f"{_attrs_dir(out_dir)} does not exist (base built with "
+                "attr_cols=()?). Rebuild the base with a sidecar or pass "
+                "dedup_existing=False if the input is known-new."
+            )
         spark = docs_new.sparkSession
         existing = spark.read.parquet(_attrs_dir(out_dir)).select(
             F.col("doc_id").alias(id_col)
@@ -626,6 +666,7 @@ def append_index(
     cfg = IndexConfig(
         out_dir=out_dir, n_buckets=n_buckets, bucket_offset=off, **cfg_kwargs
     )
+    _check_generation_compat(rows, cfg)
     return build_index(
         docs_new, cfg, id_col=id_col, text_col=text_col, lang_col=lang_col
     )
@@ -698,11 +739,31 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     from ..shipping import ensure_shipped
     from .codec import decode_positions, decode_posting_list, encode_posting_list
 
-    blocked = read_tombstones(out_dir)
+    # Snapshot which tombstone FILES this compaction consumes: delete_docs
+    # may append new tombstones while we rewrite, and clearing the whole
+    # dir at the end would silently resurrect those concurrently-deleted
+    # docs. Only the snapshotted files are removed on commit.
+    tdir = _tombstones_dir(out_dir)
+    snap_files = (
+        [fn for fn in sorted(os.listdir(tdir)) if fn.endswith(".json")]
+        if os.path.isdir(tdir)
+        else []
+    )
+    acc: set[int] = set()
+    for fn in snap_files:
+        with open(os.path.join(tdir, fn)) as f:
+            acc.update(json.load(f)["doc_ids"])
+    blocked = sorted(acc)
     if not blocked:
         return summarize_index(out_dir)
     ensure_shipped(spark)
     blocked_arr = np.asarray(blocked, dtype=np.int64)
+
+    def _clear_snapshot() -> None:
+        for fn in snap_files:
+            p = os.path.join(tdir, fn)
+            if os.path.exists(p):
+                os.remove(p)
 
     # which buckets hold tombstoned docs (works across append generations
     # with different bucket counts — the sidecar IS the doc->bucket map)
@@ -717,8 +778,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
     buckets = sorted(deleted_per_bucket)
     if not buckets:
         # tombstones reference unknown docs: applying them is a no-op
-        for fn in os.listdir(_tombstones_dir(out_dir)):
-            os.remove(os.path.join(_tombstones_dir(out_dir), fn))
+        _clear_snapshot()
         return summarize_index(out_dir)
 
     blocked_bc = [int(x) for x in blocked_arr]
@@ -866,8 +926,7 @@ def compact_index(spark: SparkSession, out_dir: str) -> dict:
             terms=int(s["terms"]) if s else 0,
         )
         _write_manifest_row(out_dir, m)
-    for fn in os.listdir(_tombstones_dir(out_dir)):
-        os.remove(os.path.join(_tombstones_dir(out_dir), fn))
+    _clear_snapshot()
     return summarize_index(out_dir)
 
 

@@ -31,6 +31,12 @@ from .segments import load_segments, summarize_index
 
 _EPS = 1e-9
 
+# score_phrase packs (candidate_index << 40) | position into int64; the
+# candidate index gets 23 usable bits, so the adjacency walk chunks the
+# candidate set at 2^22 docs per pass (module-level so tests can shrink
+# it and prove chunked == unchunked).
+PHRASE_CAND_CHUNK = 1 << 22
+
 
 def bm25_idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
@@ -182,8 +188,8 @@ def score_single_term(
             # overestimate, so the UB-ordered stopping rule stays safe
             keep = doc_filter.mask(d)
             d, t, l = d[keep], t[keep], l[keep]
-            done += 1
             if d.size == 0:
+                done += 1  # visited (decoded), just fully filtered
                 continue
         s = np.round(
             _contrib(t.astype(np.float64), l.astype(np.float64), pl.idf, pl.avgdl),
@@ -585,26 +591,37 @@ def score_phrase(
     if cand.size == 0:
         return []
 
-    # vectorized adjacency over ALL candidates at once: pack each
-    # occurrence as (candidate_index << 40) | position, then the phrase
-    # walk is a chain of sorted-set intersections on the packed keys
-    # (key+1 stays inside the doc because position < 2^40 always).
+    # vectorized adjacency over candidates: pack each occurrence as
+    # (candidate_index << 40) | position, then the phrase walk is a chain
+    # of sorted-set intersections on the packed keys (key+1 stays inside
+    # the doc because position < 2^40 always — a doc would need 2^40
+    # tokens to overflow, far beyond any real file). candidate_index gets
+    # the int64 bits above 40, which caps one packing pass at 2^23 docs;
+    # larger candidate sets are walked in 2^22-doc chunks so the packing
+    # never silently overflows into wrong phrase matches.
     _SHIFT = np.int64(40)
 
-    def _keys_of(t: str) -> np.ndarray:
+    def _keys_of(t: str, cand_chunk: np.ndarray) -> np.ndarray:
         ids, tf, _, pos, _ = per[t]
-        i = np.searchsorted(ids, cand)  # cand ⊆ ids by construction
+        i = np.searchsorted(ids, cand_chunk)  # cand ⊆ ids by construction
         lens = tf[i]
         gathered = _permute_ragged(pos, tf, i)
-        docidx = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        docidx = np.repeat(np.arange(cand_chunk.size, dtype=np.int64), lens)
         return (docidx << _SHIFT) | gathered
 
-    s = _keys_of(terms[0])
-    for t in terms[1:]:
-        s = np.intersect1d(s + 1, _keys_of(t))
-        if s.size == 0:
-            return []
-    hits_a = cand[np.unique(s >> _SHIFT)]
+    hit_chunks = []
+    for lo in range(0, cand.size, PHRASE_CAND_CHUNK):
+        chunk = cand[lo : lo + PHRASE_CAND_CHUNK]
+        s = _keys_of(terms[0], chunk)
+        for t in terms[1:]:
+            s = np.intersect1d(s + 1, _keys_of(t, chunk))
+            if s.size == 0:
+                break
+        if s.size:
+            hit_chunks.append(chunk[np.unique(s >> _SHIFT)])
+    if not hit_chunks:
+        return []
+    hits_a = np.concatenate(hit_chunks)
     scores = np.zeros(hits_a.shape[0])
     for t in distinct:
         ids, tf, dl, _, _ = per[t]

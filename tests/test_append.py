@@ -191,3 +191,46 @@ def test_queries_invariant_to_bucket_count(spark, corpus_df, tmp_path_factory):
            readers[1].query(["return", "value"], 10, mode="and")
     assert readers[0].search({"must": ["return"], "must_not": ["literal"]}, 10) == \
            readers[1].search({"must": ["return"], "must_not": ["literal"]}, 10)
+
+
+# ------------------------------------------------- generation guard rails --
+
+
+def test_append_dedup_requires_sidecar(spark, halves, tmp_path_factory):
+    """dedup_existing=True with no doc_attrs sidecar must refuse loudly:
+    silently skipping the anti-join would double-index re-delivered docs
+    (ADVICE round 1, segments.py append_index)."""
+    a, b = halves
+    out = str(tmp_path_factory.mktemp("nosc"))
+    build_index(
+        a, IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10, attr_cols=())
+    )
+    with pytest.raises(ValueError, match="doc_attrs"):
+        append_index(b, out, n_buckets=2, hot_df_threshold=10)
+    # explicit opt-out is still allowed for known-new input
+    after = append_index(
+        b, out, n_buckets=2, hot_df_threshold=10, dedup_existing=False, attr_cols=()
+    )
+    assert after["n_docs"] == a.count() + b.count()
+
+
+def test_append_rejects_incompatible_generation(spark, halves, tmp_path_factory):
+    """Appending a generation with a different term universe (token_mode)
+    or positional capability must fail at append time, not at query time
+    on some buckets (ADVICE round 1)."""
+    a, b = halves
+    out = str(tmp_path_factory.mktemp("compat1"))
+    build_index(
+        a,
+        IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10, with_positions=True),
+    )
+    with pytest.raises(ValueError, match="with_positions"):
+        append_index(b, out, n_buckets=2, hot_df_threshold=10)
+    # matching config is accepted
+    ok = append_index(b, out, n_buckets=2, hot_df_threshold=10, with_positions=True)
+    assert ok["n_docs"] == a.count() + b.count()
+
+    out2 = str(tmp_path_factory.mktemp("compat2"))
+    build_index(a, IndexConfig(out_dir=out2, n_buckets=2, hot_df_threshold=10))
+    with pytest.raises(ValueError, match="token_mode"):
+        append_index(b, out2, n_buckets=2, hot_df_threshold=10, token_mode="trigram")

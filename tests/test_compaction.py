@@ -99,3 +99,36 @@ def test_compact_unknown_ids_noop(spark, corpus_df, tmp_path_factory):
     after = compact_index(spark, out)
     assert after == before
     assert read_tombstones(out) == []
+
+
+def test_compact_preserves_concurrent_tombstones(
+    spark, corpus_df, tmp_path_factory, monkeypatch
+):
+    """A delete_docs that lands AFTER compaction snapshots its tombstone
+    set must survive the compaction commit — clearing the whole dir would
+    silently resurrect the concurrently-deleted doc (ADVICE round 1)."""
+    import s3logsbeat_spark.shipping as shipping
+    from s3logsbeat_spark.operators.segments import build_index as _build
+
+    out = str(tmp_path_factory.mktemp("cidx3"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10))
+    rdr = IndexReader(spark, out)
+    hits = rdr.query(["return"], 5)
+    first, late = hits[0][0], hits[1][0]
+    delete_docs(out, [first])
+
+    real = shipping.ensure_shipped
+
+    def hooked(sess):
+        # simulate a concurrent delete landing mid-compaction (right after
+        # the tombstone snapshot was taken)
+        delete_docs(out, [late])
+        return real(sess)
+
+    monkeypatch.setattr(shipping, "ensure_shipped", hooked)
+    compact_index(spark, out)
+    assert read_tombstones(out) == [late]  # NOT cleared by the compaction
+    rdr.refresh()
+    ids = {d for d, _ in rdr.query(["return"], None)}
+    assert first not in ids  # physically compacted away
+    assert late not in ids  # still masked by its surviving tombstone

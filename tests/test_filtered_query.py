@@ -298,3 +298,18 @@ def test_broad_filter_routes_distributed(spark, fbuilt, oracle, by_lang):
     )  # forces the distributed route through the filter-count gate
     want = oracle.topk(["return"], 10, allowed=by_lang[lang])
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_filtered_single_term_stats_nonnegative():
+    """blocks_skipped was double-counting visited blocks under a
+    doc_filter (went negative; ADVICE round 1, wand.py:185). Every block
+    is either visited or skipped: 0 <= skipped <= total."""
+    import random
+
+    rng = random.Random(7)
+    lists = _mk_lists(rng, 1)
+    filt = DocFilter(np.arange(0, 2000, 2, dtype=np.int64), None)
+    stats = {}
+    score_single_term(lists, 5, stats=stats, doc_filter=filt)
+    total_blocks = sum(len(pl.blocks) for pl in lists)
+    assert 0 <= stats["blocks_skipped"] <= total_blocks, stats

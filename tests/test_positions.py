@@ -228,3 +228,18 @@ def test_merge_preserves_positions(spark, pos_built, oracle):
     got = score_phrase(rows, idf, rdr.avgdl, phrase, 10)
     want = oracle.phrase_topk(phrase, 10)
     assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_phrase_chunked_candidates_identical(spark, pos_built, oracle, monkeypatch):
+    """score_phrase packs candidate-index into the int64 bits above 40,
+    so >2^23 candidates are walked in chunks (ADVICE round 1 overflow
+    guard). Shrinking the chunk to 1 candidate/pass must not change any
+    answer — proves chunked == unchunked."""
+    import s3logsbeat_spark.operators.wand as wand_mod
+
+    out, _, _ = pos_built
+    base = IndexReader(spark, out).phrase_query(["return", "the"], None)
+    assert base  # non-vacuous
+    monkeypatch.setattr(wand_mod, "PHRASE_CAND_CHUNK", 1)
+    got = IndexReader(spark, out).phrase_query(["return", "the"], None)
+    assert got == base
