@@ -534,16 +534,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only check — no SQL oracle): synthetic
-    binary media -> byte-budget re-batched decode -> mean-pooled feature
-    vectors. The decode is a deterministic fake (libs absent here); the
-    Spark-side schema/batching/UDF shape is the real thing."""
+    """Multimodal plumbing: synthetic binary media -> byte-budget
+    re-batched decode -> mean-pooled 16-band feature vectors, one row per
+    (media_id, band). The decode is a deterministic fake (media libs are
+    absent here) that tiles sha256(lower(hex(payload))) digest bytes into
+    the declared (h, w, 3) shape — a hex-string hash chain chosen so the
+    whole pipeline is value-reproducible in DuckDB SQL (the oracle
+    rebuilds payloads, digests, tiling, zero-padding and band means)."""
     from s3logsbeat_spark.operators.multimodal import extract_features, synthetic_media
 
     media = synthetic_media(spark, n=64, kind="image")
     feats = extract_features(media, kind="image", dim=16)
     return feats.select(
-        "media_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0")
+        "media_id", F.posexplode("feature").alias("band", "fval")
+    ).select(
+        "media_id",
+        "band",
+        F.round(F.col("fval").cast("double"), 6).alias("fval"),
     )
 
 
@@ -1209,6 +1216,36 @@ SELECT sha256({_ALB_LINE_DUCK}) AS _id,
 FROM events
 """
 
+# multimodal_features oracle: rebuild the synthetic media table
+# (payload_i = sha256("media"||i) digest repeated 4+i%5 times, declared
+# shape (8, 8+i%8, 3)), then the fake decode's digest-tiling, the
+# zero-pad to a multiple of 16 bands, and each band's mean — entirely in
+# SQL. The decode digest is sha256 of the payload's lowercase hex, so
+# the hash chain never leaves VARCHAR space (DuckDB's sha256 is
+# VARCHAR-only); byte k of the digest is CAST('0x'||hexpair AS INT).
+# The REAL cast replicates numpy's float64-mean -> float32 storage.
+_MULTIMODAL_SQL = """
+WITH media AS (
+  SELECT i AS media_id, 8 + (i % 8) AS width,
+         repeat(sha256('media' || i), 4 + (i % 5)) AS payload_hex
+  FROM range(0, 64) t(i)
+), dig AS (
+  SELECT media_id, sha256(payload_hex) AS dh,
+         width * 8 * 3 AS n,
+         (width*8*3 + ((16 - (width*8*3) % 16) % 16)) // 16 AS L
+  FROM media
+), cells AS (
+  SELECT media_id, dh, n, L, unnest(range(0, 16*L)) AS i FROM dig
+)
+SELECT media_id, (i // L)::INT AS band,
+       round(CAST(CAST(
+         SUM(CASE WHEN i < n
+                  THEN CAST('0x' || substr(dh, 2*(i % 32) + 1, 2) AS INTEGER)
+                  ELSE 0 END)::DOUBLE / L
+       AS REAL) AS DOUBLE), 6) AS fval
+FROM cells GROUP BY media_id, (i // L)::INT, L
+"""
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -1303,8 +1340,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
-        # multimodal_features: deliberately no SQL oracle (binary decode
-        # plumbing; driver records the rows-only check)
+        "multimodal_features": _MULTIMODAL_SQL,
     }
 
 

@@ -30,20 +30,30 @@ MEDIA_SCHEMA = (
 )
 
 
+def _digest_bytes(payload: bytes) -> np.ndarray:
+    """32 sha256 bytes of the payload's lowercase-hex string (uint8).
+
+    The fake decoders tile these digest bytes into the declared pixel /
+    sample shape. Hashing the HEX string (not the raw bytes) is
+    deliberate: DuckDB's ``sha256`` accepts VARCHAR only, so this exact
+    chain — ``sha256(lower(hex(payload)))`` — is reproducible in ANSI
+    SQL, which is what gives the ``multimodal_features`` contract query a
+    real value-level oracle instead of a rows-only check."""
+    dh = hashlib.sha256((payload or b"").hex().encode()).digest()
+    return np.frombuffer(dh, dtype=np.uint8)
+
+
 def _fake_image_decode(payload: bytes, meta: dict) -> np.ndarray:
-    """Deterministic stand-in for a real image decode: sha-seeded pixels
-    of the declared (height, width, 3) shape."""
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
-    rng = np.random.RandomState(seed)
+    """Deterministic stand-in for a real image decode: sha256-digest
+    bytes tiled into the declared (height, width, 3) shape."""
     h, w = int(meta.get("height") or 8), int(meta.get("width") or 8)
-    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return np.resize(_digest_bytes(payload), h * w * 3).reshape(h, w, 3)
 
 
 def _fake_audio_decode(payload: bytes, meta: dict) -> np.ndarray:
-    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
-    rng = np.random.RandomState(seed)
     n = max(int(meta.get("duration_ms") or 100) * 16, 16)  # 16 samples/ms
-    return (rng.randn(n)).astype(np.float32)
+    tiled = np.resize(_digest_bytes(payload), n).astype(np.float32)
+    return (tiled - 128.0) / 128.0
 
 
 FAKE_DECODERS: dict[str, Callable[[bytes, dict], np.ndarray]] = {
