@@ -521,16 +521,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-LSH bucket equi-join for
-    candidates, exact cosine >= threshold verify (no cross join)."""
+    """Embedding-cosine near-dup pairs: banded sign-LSH (agree on every
+    plane in >=1 band) for candidates, bucket-size cap against degenerate
+    regions, exact cosine >= threshold verify (no cross join)."""
     from s3logsbeat_spark.operators.similarity import (
         embedding_dedup_pairs,
         random_planes,
     )
 
     emb = _read(spark, sf_dir, "embeddings")
-    planes = random_planes(ANN_LSH_PLANES, 64)
-    return embedding_dedup_pairs(emb, threshold=EMB_DEDUP_THRESHOLD, planes=planes)
+    planes = random_planes(EMB_DEDUP_PLANES, 64)
+    return embedding_dedup_pairs(
+        emb, threshold=EMB_DEDUP_THRESHOLD, planes=planes, bands=EMB_DEDUP_BANDS
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,6 +613,8 @@ def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_LSH_THRESHOLD = 0.2
 ANN_LSH_PLANES = 6
 EMB_DEDUP_THRESHOLD = 0.35
+EMB_DEDUP_PLANES = 12  # total hyperplanes for the banded near-dup pass
+EMB_DEDUP_BANDS = 2  # 6 planes/band -> 64 buckets per band
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,9 +1108,11 @@ WITH sims AS ({_SIMHASH_CORE}),
 banded AS (
   SELECT doc_id, b.band, (simhash >> (b.band * 16)) & 65535 AS bkey
   FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
-)
+),
+ok AS (SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= 1000),
+b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey))
 SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-FROM banded l JOIN banded r
+FROM b2 l JOIN b2 r
   ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
 """
 
@@ -1171,23 +1178,36 @@ LIMIT 10
 def _dedup_embedding_sql() -> str:
     from s3logsbeat_spark.operators.similarity import random_planes
 
-    planes = random_planes(ANN_LSH_PLANES, 64)
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
-        f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    planes = random_planes(EMB_DEDUP_PLANES, 64)
+    rows = EMB_DEDUP_PLANES // EMB_DEDUP_BANDS
+    band_selects = []
+    for b in range(EMB_DEDUP_BANDS):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+            f"[{', '.join(repr(float(x)) for x in p)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes[b * rows : (b + 1) * rows])
+        )
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({terms})::BIGINT AS bkt FROM embeddings"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, ({bucket_terms})::BIGINT AS bkt FROM embeddings
+WITH banded AS ({banded}),
+ok AS (SELECT band, bkt FROM banded GROUP BY band, bkt HAVING count(*) <= 1000),
+b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, bkt)),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM b2 l JOIN b2 r ON l.band = r.band AND l.bkt = r.bkt AND l.vec_id < r.vec_id
 )
-SELECT l.vec_id AS a, r.vec_id AS b,
-       round(list_cosine_similarity(l.embedding::DOUBLE[],
-                                    r.embedding::DOUBLE[]), 6) AS cosine
-FROM b l JOIN b r ON l.bkt = r.bkt AND l.vec_id < r.vec_id
-WHERE round(list_cosine_similarity(l.embedding::DOUBLE[],
-                                   r.embedding::DOUBLE[]), 6) >= {EMB_DEDUP_THRESHOLD}
+SELECT c.a, c.b,
+       round(list_cosine_similarity(la.embedding::DOUBLE[],
+                                    rb.embedding::DOUBLE[]), 6) AS cosine
+FROM cand c
+JOIN embeddings la ON la.vec_id = c.a
+JOIN embeddings rb ON rb.vec_id = c.b
+WHERE round(list_cosine_similarity(la.embedding::DOUBLE[],
+                                   rb.embedding::DOUBLE[]), 6) >= {EMB_DEDUP_THRESHOLD}
 """
 
 

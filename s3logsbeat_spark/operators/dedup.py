@@ -232,43 +232,61 @@ def simhash64(
 
     def gen(batches):
         import re
+        from collections import Counter
 
         tok_re = re.compile(r"[a-z0-9_]+")
-        memo: dict[str, int] = {}
+        # memoized ±1 bit-row per distinct token (64 int8); the fold over
+        # a whole Arrow batch is then ONE gather + one segment-sum — no
+        # per-token numpy op in the doc loop (the round-1 hot-loop fix)
+        memo: dict[str, np.ndarray] = {}
+        shifts = np.arange(64, dtype=np.uint64)
+        pow64 = np.uint64(1) << shifts
 
-        def th(t: str) -> int:
+        def row_of(t: str) -> np.ndarray:
             v = memo.get(t)
             if v is None:
-                v = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                v = np.where((h >> shifts) & np.uint64(1), 1, -1).astype(np.int8)
                 if len(memo) < 1_000_000:
                     memo[t] = v
             return v
 
         for pdf in batches:
-            out_ids, out_sh = [], []
-            for did, text in zip(pdf["doc_id"], pdf["c"]):
-                toks = tok_re.findall((text or "").lower())
-                if not toks:
-                    out_ids.append(did)
-                    out_sh.append(0)
-                    continue
-                from collections import Counter
-
-                acc = np.zeros(64, dtype=np.int64)
-                for t, w in Counter(toks).items():
-                    h = th(t)
-                    bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                    acc += np.where(bits.astype(bool), w, -w)
-                sh = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
-                out_ids.append(did)
-                out_sh.append(sh - (1 << 64) if sh >= 1 << 63 else sh)  # to signed
-            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_sh})
+            n = len(pdf)
+            rows_l: list[np.ndarray] = []  # one ±1 row per (doc, token)
+            weights: list[int] = []
+            counts = np.zeros(n, dtype=np.int64)  # distinct tokens per doc
+            for i, text in enumerate(pdf["c"]):
+                cnt = Counter(tok_re.findall((text or "").lower()))
+                counts[i] = len(cnt)
+                for t, w in cnt.items():
+                    rows_l.append(row_of(t))
+                    weights.append(w)
+            acc = np.zeros((n, 64), dtype=np.int64)
+            if rows_l:
+                S = np.stack(rows_l).astype(np.int64)  # (entries, 64)
+                S *= np.asarray(weights, dtype=np.int64)[:, None]
+                nz = np.flatnonzero(counts)  # reduceat needs non-empty segs
+                bounds = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+                acc[nz] = np.add.reduceat(S, bounds, axis=0)
+            sh = ((acc > 0) * pow64).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "simhash": sh.view(np.int64)}
+            )
 
     return src.mapInPandas(gen, schema="doc_id long, simhash long")
 
 
-def simhash_candidate_pairs(sims: DataFrame, bands: int = 4) -> DataFrame:
-    """Docs equal on >=1 of `bands` 16-bit slices -> candidate pairs."""
+def simhash_candidate_pairs(
+    sims: DataFrame, bands: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """Docs equal on >=1 of `bands` 16-bit slices -> candidate pairs.
+
+    Buckets over ``max_bucket`` docs are dropped before the self-join,
+    exactly like :func:`lsh_candidate_pairs`: simhash maps every
+    empty/near-empty doc to 0, so at scale one degenerate bucket would
+    otherwise go quadratic. Dropped buckets are observable by the caller
+    (``sizes.filter(n > max_bucket)`` on the banded frame)."""
     width = 64 // bands
     mask = (1 << width) - 1
     banded = sims.select(
@@ -285,6 +303,9 @@ def simhash_candidate_pairs(sims: DataFrame, bands: int = 4) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
+    sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("n"))
+    ok = sizes.filter(F.col("n") <= max_bucket).select("band", "bkey")
+    banded = banded.join(ok, ["band", "bkey"])
     l = banded.alias("l")
     r = banded.alias("r")
     return (

@@ -140,29 +140,74 @@ def random_planes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
 def embedding_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 6,
+    n_planes: int = 32,
+    bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: np.ndarray | None = None,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-bucketed: vectors that share a
-    sign-LSH bucket are candidate pairs; exact cosine verifies >= threshold.
-    The only cross-row join is the bucket equi-join (never a cross join);
-    at scale the bucket column is a write-time partition key, so the join
-    co-locates without a shuffle of the full table."""
+    """Embedding-cosine near-dup pairs, banded sign-LSH (MinHash-style):
+    the ``n_planes`` hyperplane signs are split into ``bands`` bands; two
+    vectors are candidates iff they agree on EVERY sign in at least one
+    band, then exact cosine verifies >= threshold.
+
+    Banding is what lets the bucket space grow with the corpus without
+    killing recall: more planes per band => 2^(n_planes/bands) buckets
+    per band (bucket population ~N/2^rows, so pair-gen stays linear-ish),
+    while multiple bands keep the chance that a true near-dup pair agrees
+    somewhere. Buckets over ``max_bucket`` vectors (degenerate regions:
+    zero vectors, templated embeddings) are dropped before the self-join
+    — the same cap as :func:`dedup.lsh_candidate_pairs` — so no single
+    bucket can go quadratic at scale. The only cross-row join is the
+    (band, bucket) equi-join; at scale the bucket column is a write-time
+    partition key, so the join co-locates without a full-table shuffle."""
     if planes is None:
         dim = len(emb.select(vec_col).first()[0])
         planes = random_planes(n_planes, dim)
-    pl = planes
-    b = emb.select(
+    pl = np.asarray(planes)
+    if len(pl) % bands:
+        raise ValueError(f"n_planes {len(pl)} not divisible by bands {bands}")
+    rows = len(pl) // bands
+    banded = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bucket(F.col(vec_col), pl).alias("bkt"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_bucket(
+                            F.col(vec_col), pl[b * rows : (b + 1) * rows]
+                        ).alias("bkt"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "v", "bb.band", "bb.bkt")
+    sizes = banded.groupBy("band", "bkt").agg(F.count("*").alias("n"))
+    ok = sizes.filter(F.col("n") <= max_bucket).select("band", "bkt")
+    banded = banded.join(ok, ["band", "bkt"])
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("l.v").alias("va"),
+            F.col("r.vec_id").alias("b"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
     )
-    l, r = b.alias("l"), b.alias("r")
     dot = F.aggregate(
         F.zip_with(
-            F.col("l.v"), F.col("r.v"), lambda a, bb: a.cast("double") * bb.cast("double")
+            F.col("va"), F.col("vb"), lambda a, bb: a.cast("double") * bb.cast("double")
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -171,14 +216,10 @@ def embedding_dedup_pairs(
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     return (
-        l.join(
-            r,
-            (F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("a"),
-            F.col("r.vec_id").alias("b"),
-            F.round(dot / (nrm(F.col("l.v")) * nrm(F.col("r.v"))), 6).alias("cosine"),
+        cand.select(
+            "a",
+            "b",
+            F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -113,3 +113,86 @@ def test_simhash_near_dups(near_df):
     assert ham(vals[0], vals[4]) > 12  # unrelated docs far apart
     cands = {(r["a"], r["b"]) for r in simhash_candidate_pairs(sims).collect()}
     assert (0, 1) in cands
+
+
+def test_simhash_degenerate_bucket_capped(spark):
+    """10k identical/empty docs all land in one simhash bucket per band;
+    max_bucket must drop those buckets so the self-join never goes
+    quadratic (VERDICT round 1 scale-killer #2). With the cap the
+    candidate count is bounded, not ~10k^2/2."""
+    rows = [(i, "") for i in range(5000)] + [
+        (i, "identical degenerate content repeated") for i in range(5000, 10000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    sims = simhash64(df)
+    cands = simhash_candidate_pairs(sims, max_bucket=100)
+    assert cands.count() == 0  # every degenerate bucket dropped
+    # a small bucket below the cap still produces its pairs
+    few = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, content string",
+    )
+    assert simhash_candidate_pairs(simhash64(few), max_bucket=100).count() == 1
+
+
+def test_embedding_dedup_bucket_capped(spark):
+    """Same cap for the banded sign-LSH embedding pair-gen: 10k copies of
+    one vector may not produce a quadratic candidate set."""
+    import numpy as np
+
+    from s3logsbeat_spark.operators.similarity import (
+        embedding_dedup_pairs,
+        random_planes,
+    )
+
+    vec = [float(x) for x in np.random.RandomState(3).randn(16)]
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(10_000)], "vec_id long, embedding array<double>"
+    )
+    planes = random_planes(8, 16)
+    pairs = embedding_dedup_pairs(
+        emb, threshold=0.5, planes=planes, bands=2, max_bucket=100
+    )
+    assert pairs.count() == 0  # the one hot bucket per band is dropped
+    # below the cap the same vectors ARE paired (cap, not a filter bug)
+    emb_small = spark.createDataFrame(
+        [(i, vec) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    got = embedding_dedup_pairs(
+        emb_small, threshold=0.5, planes=planes, bands=2, max_bucket=100
+    )
+    assert got.count() == 10  # C(5,2) pairs, cosine 1.0
+
+
+def test_embedding_banding_boosts_recall(spark):
+    """A pair can disagree on one band's planes yet still be found via
+    another band — single-band LSH would miss it."""
+    import numpy as np
+
+    from s3logsbeat_spark.operators.similarity import (
+        embedding_dedup_pairs,
+        hyperplane_bucket,
+        random_planes,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    planes = random_planes(8, 16, seed=5)
+    # search for a near-dup pair that differs on band 0 but agrees on band 1
+    found = None
+    for _ in range(400):
+        v = rng.randn(16)
+        w = v + 0.12 * rng.randn(16)
+        s_v = [float(p @ v) >= 0 for p in planes]
+        s_w = [float(p @ w) >= 0 for p in planes]
+        if s_v[:4] != s_w[:4] and s_v[4:] == s_w[4:]:
+            cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+            if cos >= 0.9:
+                found = (v.tolist(), w.tolist())
+                break
+    assert found is not None
+    emb = spark.createDataFrame(
+        [(0, found[0]), (1, found[1])], "vec_id long, embedding array<double>"
+    )
+    got = embedding_dedup_pairs(emb, threshold=0.9, planes=planes, bands=2)
+    assert [(r["a"], r["b"]) for r in got.collect()] == [(0, 1)]
