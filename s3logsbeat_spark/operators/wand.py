@@ -657,18 +657,25 @@ class IndexReader:
         self._merged = merged
         self._dset = None
         self._attrs_dset = None
-        self._dict: dict[str, int] | None = None
-        self._sorted_vocab: list[str] | None = None
-        self._fuzzy_neighborhoods: dict[int, dict] = {}
+        # bounded per-term df memo (0 = known-absent). The reader never
+        # holds the full vocabulary: at 10^8-10^9 terms (code corpus +
+        # trigram mode at 100 TB) a resident dict is tens of driver GB.
+        # df lookups are term-pruned pyarrow reads instead — segments are
+        # written term-sorted, so row-group min/max stats skip to just
+        # the asked-for terms' bytes.
+        self._df_cache: dict[str, int] = {}
         self._tombstones: np.ndarray | None = None  # loaded lazily
+
+    #: cap on the per-term df memo — queries repeat terms, vocabularies
+    #: don't fit; evict wholesale past this (simple and good enough for a
+    #: cache whose entries are ~100 bytes)
+    _DF_CACHE_MAX = 1_000_000
 
     def refresh(self) -> None:
         """Drop cached tombstones/stats (call after delete_docs or an
         index append — the ES refresh analogue)."""
         self._tombstones = None
-        self._dict = None
-        self._sorted_vocab = None
-        self._fuzzy_neighborhoods = {}
+        self._df_cache = {}
         self._dset = None
         self._attrs_dset = None
         self.summary = summarize_index(self.out_dir)
@@ -727,20 +734,28 @@ class IndexReader:
     def _segment_rows(self, terms: list[str]) -> DataFrame:
         return load_segments(self.spark, self.out_dir, terms)
 
-    def _ensure_dict(self, dset) -> None:
-        """One-time dictionary load: exact global df per term (feeds idf +
-        the driver-vs-distributed choice). Column pruning keeps this to
-        two skinny columns; the dictionary is vocab-sized, tiny next to
-        the postings."""
-        if self._dict is None:
-            tb = (
-                dset.to_table(columns=["term", "df"])
-                .group_by("term")
-                .aggregate([("df", "sum")])
-            )  # arrow-native sum: no per-row Python over the vocab×bucket rows
-            self._dict = dict(
-                zip(tb["term"].to_pylist(), (int(x) for x in tb["df_sum"].to_pylist()))
+    def _df_of(self, terms) -> dict[str, int]:
+        """Exact global df for the given terms via ONE term-pruned pyarrow
+        read (columns ``term, df`` only; the isin filter reaches parquet
+        row-group stats because segments are term-sorted). Returns only
+        the terms present in the index. Driver memory is O(|terms|) — the
+        vocabulary itself is never materialized; a bounded memo absorbs
+        repeated-query lookups (absent terms cached as 0)."""
+        want = list(dict.fromkeys(terms))
+        missing = [t for t in want if t not in self._df_cache]
+        if missing:
+            import pyarrow.dataset as ds
+
+            tb = self._dataset().to_table(
+                columns=["term", "df"], filter=ds.field("term").isin(missing)
             )
+            acc = dict.fromkeys(missing, 0)
+            for t, d in zip(tb["term"].to_pylist(), tb["df"].to_pylist()):
+                acc[t] += int(d)
+            if len(self._df_cache) + len(missing) > self._DF_CACHE_MAX:
+                self._df_cache.clear()
+            self._df_cache.update(acc)
+        return {t: self._df_cache[t] for t in want if self._df_cache[t] > 0}
 
     def _dataset(self):
         if self._dset is None:
@@ -789,8 +804,7 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         dset = self._dataset()
-        self._ensure_dict(dset)
-        dfsum = {t: self._dict[t] for t in terms if t in self._dict}
+        dfsum = self._df_of(terms)
         if not dfsum:
             return []
         if mode == "and" and len(dfsum) < len(set(terms)):
@@ -920,17 +934,17 @@ class IndexReader:
         if not must and not should:
             return []  # no scoring clause
         dset = self._dataset()
-        self._ensure_dict(dset)
-        if any(t not in self._dict for t in must):
+        dfs = self._df_of(must + should + must_not)
+        if any(t not in dfs for t in must):
             return []  # absent must term can never match
-        present_should = [t for t in should if t in self._dict]
+        present_should = [t for t in should if t in dfs]
         if msm > 0 and len(present_should) < msm:
             return []
         if not must and not present_should:
             return []
-        must_not = [t for t in must_not if t in self._dict]
+        must_not = [t for t in must_not if t in dfs]
         scoring = must + present_should
-        idf = {t: bm25_idf(self.n_docs, self._dict[t]) for t in scoring}
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in scoring}
         if boosts:
             idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
         idf.update({t: 0.0 for t in must_not})
@@ -938,7 +952,7 @@ class IndexReader:
         roles.update({t: "should" for t in present_should})
         roles.update({t: "must_not" for t in must_not})
         all_terms = scoring + must_not
-        total_postings = sum(self._dict[t] for t in all_terms)
+        total_postings = sum(dfs[t] for t in all_terms)
         if distributed is None:
             distributed = total_postings * 5 > driver_bytes_limit
             if not distributed and doc_filter is not None:
@@ -1005,12 +1019,12 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         dset = self._dataset()
-        self._ensure_dict(dset)
         distinct = list(dict.fromkeys(terms))
-        if any(t not in self._dict for t in distinct):
+        dfs = self._df_of(distinct)
+        if any(t not in dfs for t in distinct):
             return []
-        idf = {t: bm25_idf(self.n_docs, self._dict[t]) for t in distinct}
-        total_postings = sum(self._dict[t] for t in distinct)
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in distinct}
+        total_postings = sum(dfs[t] for t in distinct)
         if distributed is None:
             # positional streams roughly double per-posting bytes
             distributed = total_postings * 10 > driver_bytes_limit
@@ -1044,42 +1058,70 @@ class IndexReader:
             self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
         )
 
+    def _prefix_filter(self, prefix: str):
+        """pyarrow dataset filter for terms starting with ``prefix`` —
+        a range predicate pushed to parquet row-group stats (segments
+        are term-sorted, so only the prefix's byte range is read)."""
+        import pyarrow.dataset as ds
+
+        f = ds.field("term") >= prefix
+        # upper bound: bump the last char (handles any prefix except one
+        # ending in the max code point, which code tokens never are)
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else None
+        return f & (ds.field("term") < hi) if hi else None
+
     def expand_terms(
         self, pattern: str, max_terms: int = 1024
     ) -> list[str]:
-        """Wildcard/prefix term expansion over the term dictionary
-        (ES prefix/wildcard rewrite): ``*`` matches any run, ``?`` one
-        char. Matches are capped at ``max_terms`` keeping the
-        highest-df terms (ES ``top_terms_N`` rewrite), deterministic
-        tie-break by term. The dictionary is vocab-sized — orders of
-        magnitude smaller than the postings — so the driver-side scan is
-        the same trade ES/Lucene make with their in-memory terms dict."""
-        import fnmatch
+        """Wildcard/prefix term expansion (ES prefix/wildcard rewrite):
+        ``*`` matches any run, ``?`` one char. Matches are capped at
+        ``max_terms`` keeping the highest-df terms (ES ``top_terms_N``
+        rewrite), deterministic tie-break by term.
 
-        self._ensure_dict(self._dataset())
+        The vocabulary is never materialized on the driver: a pattern
+        with a literal prefix becomes a term-RANGE pyarrow read
+        ([prefix, prefix+1)) pruned by the segments' term-sorted
+        row-group stats — driver memory scales with the range, not the
+        vocab. A leading-wildcard pattern (no literal prefix) has no
+        range to prune to, so it runs as a distributed Spark aggregation
+        over the term dictionary and ships back only ``max_terms`` rows."""
+        import fnmatch
+        import re
+
         if "*" not in pattern and "?" not in pattern:
             pattern = pattern + "*"  # bare string = prefix query
-        # prefix fast path: bisect the sorted vocab instead of fnmatch-ing
-        # every term
         star = min(
             (i for i, c in enumerate(pattern) if c in "*?"), default=len(pattern)
         )
         prefix = pattern[:star]
-        if self._sorted_vocab is None:
-            self._sorted_vocab = sorted(self._dict)
-        import bisect
-
-        lo = bisect.bisect_left(self._sorted_vocab, prefix)
-        hi = bisect.bisect_left(self._sorted_vocab, prefix + "￿")
-        cands = self._sorted_vocab[lo:hi]
-        if pattern != prefix + "*":  # more wildcards than a pure prefix
-            rx = fnmatch.translate(pattern)
-            import re
-
-            crx = re.compile(rx)
-            cands = [t for t in cands if crx.match(t)]
+        pure_prefix = pattern == prefix + "*"
+        crx = None if pure_prefix else re.compile(fnmatch.translate(pattern))
+        if not prefix:
+            # leading wildcard: vocab-wide match -> distributed expansion
+            # (fnmatch.translate's '(?s:...)\Z' is valid Java regex too;
+            # rlike needs the leading anchor added)
+            jrx = "^" + fnmatch.translate(pattern)
+            rows = (
+                load_segments(self.spark, self.out_dir)
+                .select("term", "df")
+                .filter(F.col("term").rlike(jrx))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(max_terms)
+                .collect()
+            )
+            return sorted(r["term"] for r in rows)
+        tb = self._dataset().to_table(
+            columns=["term", "df"], filter=self._prefix_filter(prefix)
+        )
+        dfs: dict[str, int] = {}
+        for t, d in zip(tb["term"].to_pylist(), tb["df"].to_pylist()):
+            if crx is None or crx.match(t):
+                dfs[t] = dfs.get(t, 0) + int(d)
+        cands = sorted(dfs)
         if len(cands) > max_terms:
-            cands = sorted(cands, key=lambda t: (-self._dict[t], t))[:max_terms]
+            cands = sorted(cands, key=lambda t: (-dfs[t], t))[:max_terms]
             cands.sort()
         return cands
 
@@ -1090,8 +1132,8 @@ class IndexReader:
         import pyarrow.dataset as ds
 
         dset = self._dataset()
-        self._ensure_dict(dset)
-        present = [t for t in dict.fromkeys(terms) if t in self._dict]
+        dfs = self._df_of(terms)
+        present = [t for t in dict.fromkeys(terms) if t in dfs]
         out = {
             "doc_id": int(doc_id),
             "n_docs": self.n_docs,
@@ -1118,7 +1160,7 @@ class IndexReader:
             if i < d.shape[0] and d[i] == doc_id:
                 found[row["term"]] = (int(tf[i]), int(dl[i]))
         for t in present:
-            df = self._dict[t]
+            df = dfs[t]
             idf = bm25_idf(self.n_docs, df)
             tf_dl = found.get(t)
             entry = {"df": df, "idf": idf, "tf": 0, "contribution": 0.0}
@@ -1151,10 +1193,11 @@ class IndexReader:
         driver-side — the corpus is never scanned to form the query."""
         from ..functions.tokenizer import tokenize_text
 
-        self._ensure_dict(self._dataset())
+        toks = list(tokenize_text(content, lang))
+        dfs = self._df_of([t for t, _ in toks])  # one pruned read
         scored = []
-        for t, tf in tokenize_text(content, lang):
-            df = self._dict.get(t, 0)
+        for t, tf in toks:
+            df = dfs.get(t, 0)
             if df < min_doc_freq or df == 0:
                 continue
             scored.append((tf * bm25_idf(self.n_docs, df), t))
@@ -1175,36 +1218,37 @@ class IndexReader:
         within ``max_edits`` plain Levenshtein edits (insert/delete/
         substitute — matches DuckDB/SQL ``levenshtein``, no transposition).
 
-        Candidates come from a SymSpell-style deletion-neighborhood index
-        built lazily over the dictionary (every ≤max_edits-deletion
-        variant of a vocab term points back to it; a query shares a
-        variant with every term within distance max_edits), then a banded
-        Levenshtein verify removes false positives. The index is
-        vocab-sized × neighborhood — fine driver-side because the
-        dictionary is orders of magnitude smaller than the postings; at
-        extreme vocab scale it shards by first character across
-        executors. ``prefix_length`` (ES semantics) requires that many
-        leading chars to match exactly. Capped at ``max_terms`` keeping
-        (closest distance, highest df) first."""
-        self._ensure_dict(self._dataset())
-        idx = self._fuzzy_neighborhoods.get(max_edits)
-        if idx is None:
-            idx = {}
-            for t in self._dict:
-                for v in _deletion_variants(t, max_edits):
-                    idx.setdefault(v, []).append(t)
-            self._fuzzy_neighborhoods[max_edits] = idx
+        The vocabulary is STREAMED, never resident: the (term, df)
+        columns scan in arrow batches (a prefix range read when
+        ``prefix_length`` > 0 — then only that prefix's byte range is
+        touched), each batch is length-gated, screened with the query's
+        SymSpell deletion-variant set (a term within distance d shares a
+        ≤d-deletion variant with the query), and survivors get a banded
+        Levenshtein verify. Driver memory is one arrow batch + the
+        candidate set — independent of vocab size (the round-1 resident
+        deletion-neighborhood index was vocab × neighborhood and could
+        not survive a 10^9-term vocabulary). Capped at ``max_terms``
+        keeping (closest distance, highest df) first."""
+        qvars = set(_deletion_variants(term, max_edits))
+        qlen = len(term)
+        filt = (
+            self._prefix_filter(term[:prefix_length]) if prefix_length else None
+        )
         seen: dict[str, int] = {}
-        for v in _deletion_variants(term, max_edits):
-            for t in idx.get(v, ()):
-                if t not in seen:
+        scanner = self._dataset().scanner(columns=["term"], filter=filt)
+        for batch in scanner.to_batches():
+            for t in set(batch["term"].to_pylist()):
+                if t in seen or abs(len(t) - qlen) > max_edits:
+                    continue
+                if any(v in qvars for v in _deletion_variants(t, max_edits)):
                     d = _levenshtein_leq(term, t, max_edits)
                     if d is not None:
                         seen[t] = d
         if prefix_length:
             p = term[:prefix_length]
             seen = {t: d for t, d in seen.items() if t[:prefix_length] == p}
-        out = sorted(seen, key=lambda t: (seen[t], -self._dict[t], t))[:max_terms]
+        dfs = self._df_of(list(seen))
+        out = sorted(seen, key=lambda t: (seen[t], -dfs.get(t, 0), t))[:max_terms]
         out.sort()
         return out
 
@@ -1264,9 +1308,8 @@ class IndexReader:
             return []
         import pandas as pd
 
-        dset = self._dataset()
-        self._ensure_dict(dset)
-        present = [t for t in set(terms) if t in self._dict]
+        dfs = self._df_of(terms)
+        present = [t for t in set(terms) if t in dfs]
         if not present or (mode == "and" and len(present) < len(set(terms))):
             return []
         blocked = self._blocked()
@@ -1347,9 +1390,8 @@ class IndexReader:
         (or an AND term is absent)."""
         import pandas as pd
 
-        dset = self._dataset()
-        self._ensure_dict(dset)
-        present = [t for t in set(terms) if t in self._dict]
+        dfs = self._df_of(terms)
+        present = [t for t in set(terms) if t in dfs]
         if not present or (mode == "and" and len(present) < len(set(terms))):
             return None
         blocked_list = [int(x) for x in self._blocked()]
@@ -1494,12 +1536,11 @@ class IndexReader:
             return []
         import pandas as pd
 
-        dset = self._dataset()
-        self._ensure_dict(dset)
-        present = [t for t in set(terms) if t in self._dict]
+        dfs = self._df_of(terms)
+        present = [t for t in set(terms) if t in dfs]
         if not present or (mode == "and" and len(present) < len(set(terms))):
             return []
-        idf = {t: bm25_idf(self.n_docs, self._dict[t]) for t in present}
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in present}
         avgdl = self.avgdl
         blocked_list = [int(x) for x in self._blocked()]
         n_required = len(present)
@@ -1605,6 +1646,7 @@ class IndexReader:
         k: int = 10,
         mode: str = "or",
         doc_filter: dict | None = None,
+        sample_size: int | None = None,
     ) -> list[tuple[str, float]]:
         """ES significant_terms aggregation: vocabulary terms
         overrepresented in the matching docs relative to the whole
@@ -1613,16 +1655,27 @@ class IndexReader:
         fg_rate = in-matched df / matched count and bg_rate = global
         df / N. The query's own terms are excluded (they trivially top).
 
-        Execution: the matched doc set stays bucket-local; every
-        bucket's segment rows cogroup with its matched ids and emit one
-        (term, fg_partial) row per term via a sorted-membership count —
-        a full scan of the bucket's postings, the same cost profile as
-        ES running this agg without a sampler. Spark sums the per-term
-        partials; JLH scoring happens on the vocab-sized result.
+        ``sample_size=N`` is the ES sampler-agg analogue and the SCALE
+        path: the foreground becomes the top-N matched docs by BM25
+        (deterministic), and the fg counting pass uses the per-block
+        max-doc metadata to decode ONLY blocks that can contain a
+        sampled doc — with N docs, almost every 128-posting block is
+        skipped without decoding, so the pass costs ~rows × binary
+        search instead of a full decode of 100 TB of postings. Exact
+        mode (``sample_size=None``) keeps ES's no-sampler semantics: the
+        matched doc set stays bucket-local; every bucket's segment rows
+        cogroup with its matched ids and emit (term, fg_partial) rows via
+        a sorted-membership count — a full postings scan, fine for
+        narrow filters, ruinous for broad ones at 100x scale (use the
+        sampler there, as ES does).
         Deterministic ordering: (score rounded to 9 dp desc, term asc).
         """
         import pandas as pd
 
+        if sample_size is not None:
+            return self._significant_terms_sampled(
+                terms, k, mode, doc_filter, sample_size
+            )
         matched = self._matched_docs_df(terms, mode, doc_filter)
         if matched is None:
             return []
@@ -1669,19 +1722,94 @@ class IndexReader:
             )
         finally:
             matched.unpersist()
-        exclude = set(terms)
+        return self._jlh_rank(rows, m_total, set(terms), k)
+
+    def _jlh_rank(
+        self, rows, m_total: int, exclude: set, k: int
+    ) -> list[tuple[str, float]]:
+        """Shared JLH scoring tail: bg df comes from ONE term-pruned read
+        over the fg terms (bounded by terms present in matched docs, not
+        the vocabulary)."""
+        cand = [r for r in rows if r["term"] not in exclude]
+        bg = self._df_of([r["term"] for r in cand])
         n = self.n_docs
         scored = []
-        for r in rows:
+        for r in cand:
             t = r["term"]
-            if t in exclude:
-                continue
             fg_rate = r["fg"] / m_total
-            bg_rate = self._dict[t] / n
+            bg_rate = bg[t] / n
             jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
             scored.append((t, round(jlh, SCORE_NDIGITS)))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
+
+    def _significant_terms_sampled(
+        self,
+        terms: list[str],
+        k: int,
+        mode: str,
+        doc_filter: dict | None,
+        sample_size: int,
+    ) -> list[tuple[str, float]]:
+        """Sampler execution: fg = top-``sample_size`` matched docs by
+        BM25 (rank-deterministic), shipped in the task closure (a few KB).
+        The counting pass is a shuffle-free mapInPandas over the segment
+        rows: per row, a searchsorted against the block last_doc metadata
+        finds the only blocks that can hold a sampled doc; only those
+        decode. No cogroup — the fg set is global and tiny."""
+        top = self.query(terms, k=sample_size, mode=mode, doc_filter=doc_filter)
+        fg_ids = sorted(int(d) for d, _ in top)
+        if not fg_ids:
+            return []
+        m_total = len(fg_ids)
+        from ..shipping import ensure_shipped
+        from .codec import decode_block
+
+        ensure_shipped(self.spark)
+        segs = load_segments(self.spark, self.out_dir).select(
+            "term", "docs", "tfs", "dls", "blocks"
+        )
+
+        def gen(batches):
+            import pandas as pd
+
+            fg = np.asarray(fg_ids, dtype=np.int64)
+            for pdf in batches:
+                out_t, out_f = [], []
+                for _, row in pdf.iterrows():
+                    blocks = row["blocks"]
+                    last_docs = np.fromiter(
+                        (b["last_doc"] for b in blocks),
+                        dtype=np.int64,
+                        count=len(blocks),
+                    )
+                    # block i covers (last_docs[i-1], last_docs[i]]
+                    cand_b = np.unique(np.searchsorted(last_docs, fg))
+                    cand_b = cand_b[cand_b < len(blocks)]
+                    if cand_b.size == 0:
+                        continue
+                    payload = {
+                        "docs": bytes(row["docs"]),
+                        "tfs": bytes(row["tfs"]),
+                        "dls": bytes(row["dls"]),
+                        "blocks": blocks,
+                    }
+                    f = 0
+                    for bi in cand_b:
+                        d, _, _ = decode_block(payload, int(bi))
+                        f += int(_in_sorted(fg, d).sum())
+                    if f:
+                        out_t.append(row["term"])
+                        out_f.append(f)
+                yield pd.DataFrame({"term": out_t, "fg": out_f})
+
+        rows = (
+            segs.mapInPandas(gen, schema="term string, fg long")
+            .groupBy("term")
+            .agg(F.sum("fg").alias("fg"))
+            .collect()
+        )
+        return self._jlh_rank(rows, m_total, set(terms), k)
 
     def _run_per_bucket(
         self,

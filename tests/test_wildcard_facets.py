@@ -326,3 +326,77 @@ def test_significant_terms_empty(spark, nbuilt):
     out, _ = nbuilt
     rdr = IndexReader(spark, out)
     assert rdr.significant_terms(["zzz_missing"], 10) == []
+
+
+def test_significant_terms_sampled_full_sample_equals_exact(spark, nbuilt, oracle):
+    """sample_size >= every match -> fg set == matched set -> sampled
+    result identical to exact mode (VERDICT round 1 item 4)."""
+    out, _ = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    exact = rdr.significant_terms(terms, 10)
+    sampled = rdr.significant_terms(terms, 10, sample_size=oracle.n_docs + 1)
+    assert sampled == exact
+
+
+def test_significant_terms_sampled_vs_brute_force(spark, nbuilt, oracle):
+    """Small sample: fg = top-N matched docs by BM25 (deterministic), JLH
+    over the sampled fg must equal the python oracle on the same docs."""
+    out, _ = nbuilt
+    rdr = IndexReader(spark, out)
+    terms, n_sample = ["return"], 25
+    fg_docs = [d for d, _ in oracle.topk(terms, n_sample)]
+    m, n = len(fg_docs), oracle.n_docs
+    fg: dict = {}
+    for d in fg_docs:
+        for t in oracle.tfs[d]:
+            fg[t] = fg.get(t, 0) + 1
+    want = []
+    for t, f in fg.items():
+        if t in set(terms):
+            continue
+        fr, br = f / m, oracle.df[t] / n
+        want.append((t, round((fr - br) * (fr / br), 9)))
+    want.sort(key=lambda x: (-x[1], x[0]))
+    got = rdr.significant_terms(terms, 10, sample_size=n_sample)
+    assert [t for t, _ in got] == [t for t, _ in want[:10]]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+# ------------------------------------- driver memory vs vocabulary size --
+
+
+def test_reader_memory_independent_of_vocab(spark, tmp_path_factory):
+    """VERDICT round 1 item 3: the reader must not hold a vocab-sized
+    structure. Build two indexes whose vocabularies differ ~20x, run the
+    same query/expansion workload on both, and assert the reader's only
+    term-keyed cache stays workload-sized (and equal) on both — df
+    lookups are term-pruned reads, not a resident dictionary."""
+    outs = []
+    for tag, n_terms in (("small", 50), ("big", 1000)):
+        rows = [
+            (i, " ".join(f"tok{tag}{(i * 37 + j) % n_terms}" for j in range(30))
+             + " shared_needle")
+            for i in range(300)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, content string")
+        out = str(tmp_path_factory.mktemp(f"vocab_{tag}"))
+        build_index(
+            df,
+            IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10),
+            lang_col=None,
+        )
+        outs.append(out)
+    cache_sizes = []
+    for out in outs:
+        rdr = IndexReader(spark, out)
+        assert rdr.query(["shared_needle"], 5)
+        rdr.explain(0, ["shared_needle"])
+        rdr.expand_fuzzy("shared_needle", max_edits=1)
+        # every reader-held container must be bounded by the WORKLOAD
+        cache_sizes.append(len(rdr._df_cache))
+        for attr, v in vars(rdr).items():
+            if isinstance(v, (dict, list, set)):
+                assert len(v) < 100, (attr, len(v))
+    assert cache_sizes[0] == cache_sizes[1]  # not a function of vocab size
