@@ -158,6 +158,7 @@ def json_parse_lines(
     timestamp_field: str | None = None,
     timestamp_kind: str = "timeunixmilliseconds",
     line_col: str = "value",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """The JSON/WAF parser (P6; ``jsonlogparser.go:52-115``,
     ``s3waflogparser.go:3-6``): per-line from_json against a declared
@@ -184,8 +185,9 @@ def json_parse_lines(
         F.sha2(line, 256).alias("_id"),
         err.alias("_error"),
         F.when(err.isNull(), parsed).alias("_j"),
+        *[F.col(c) for c in keep_cols],
     )
-    out = out.select("_raw", "_id", "_error", "_j.*").drop("_corrupt")
+    out = out.select("_raw", "_id", "_error", "_j.*", *keep_cols).drop("_corrupt")
     if timestamp_field:
         raw_ts = F.col(timestamp_field).cast("string")
         typed, invalid = kind_cast(raw_ts, timestamp_kind)

@@ -72,7 +72,12 @@ def _unquote_strict(v: str) -> str:
     return urllib.parse.unquote(v)
 
 
-def parse_lines(lines: DataFrame, spec: ParseSpec, line_col: str = "value") -> DataFrame:
+def parse_lines(
+    lines: DataFrame,
+    spec: ParseSpec,
+    line_col: str = "value",
+    keep_cols: tuple = (),
+) -> DataFrame:
     """Lines -> typed rows + ``_error`` side channel.
 
     Output: one row per non-ignored line; ``_error`` NULL for good rows,
@@ -81,6 +86,8 @@ def parse_lines(lines: DataFrame, spec: ParseSpec, line_col: str = "value") -> D
     sha256 (P7). Callers split with ``.filter("_error is null")`` and count
     errors via ``observe``/agg — errors never abort the job (reference:
     only reader I/O errors abort, ``customlogparser.go:90-92``).
+    ``keep_cols`` pass through unchanged (e.g. the source file path for
+    key-regex enrichment, P8).
     """
     from ..shipping import ensure_shipped
 
@@ -132,6 +139,7 @@ def parse_lines(lines: DataFrame, spec: ParseSpec, line_col: str = "value") -> D
             F.when(err.isNull(), c).alias(g)  # reject whole line on any error
             for g, c in typed_cols.items()
         ],
+        *[F.col(c) for c in keep_cols],
     )
     if spec.timestamp_field:
         ts_field = spec.timestamp_field

@@ -33,6 +33,9 @@ def load_documents(spark: SparkSession, path_or_table: str) -> DataFrame:
 
 
 def _read_any(spark: SparkSession, src: str) -> DataFrame:
+    from ..config import normalize_path
+
+    src = normalize_path(src)  # s3:// -> s3a:// (Hadoop S3 connector)
     if src.endswith(".parquet") or "/" in src:
         p = src if src.endswith(".parquet") else f"{src.rstrip('/')}/documents.parquet"
         return spark.read.parquet(p)

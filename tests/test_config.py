@@ -1,0 +1,189 @@
+"""Config-driven job surface: YAML parsing/validation mirroring the
+reference's config shape, the one-shot s3imports command, the streaming
+daemon path, and the shutdown_timeout drain semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.config import (
+    JobConfig,
+    graceful_stop,
+    load_config,
+    normalize_path,
+    parse_config,
+    parse_duration,
+    run_s3imports,
+    start_inputs,
+)
+
+REFERENCE_SHAPED_YML = """
+s3logsbeat:
+  shutdown_timeout: 5s
+  inputs:
+    -
+      type: sqs
+      queues_url:
+        - {queue_dir}
+      log_format: alb
+      key_regex_fields: ^(?P<application>[^\\-]+)-(?P<environment>[^/\\-]+)
+      poll_frequency: 1m
+    -
+      type: s3
+      buckets:
+        - s3://mybucket/mypath
+      log_format: elb
+      since: 2018-10-15T01:00
+      to: 2018-11-20T01:00
+"""
+
+
+def test_parse_duration():
+    assert parse_duration("5s") == 5.0
+    assert parse_duration("1m") == 60.0
+    assert parse_duration("1m30s") == 90.0
+    assert parse_duration("300ms") == pytest.approx(0.3)
+    assert parse_duration("2h") == 7200.0
+    assert parse_duration(None) == 0.0
+    assert parse_duration(2.5) == 2.5
+    with pytest.raises(ValueError):
+        parse_duration("five seconds")
+
+
+def test_normalize_path():
+    assert normalize_path("s3://bucket/a/b") == "s3a://bucket/a/b"
+    assert normalize_path("s3a://bucket/a") == "s3a://bucket/a"
+    assert normalize_path("/local/dir") == "/local/dir"
+
+
+def test_load_config_reference_shape(tmp_path):
+    p = tmp_path / "s3logsbeat.yml"
+    p.write_text(REFERENCE_SHAPED_YML.format(queue_dir=str(tmp_path / "q")))
+    cfg = load_config(str(p))
+    assert isinstance(cfg, JobConfig)
+    assert cfg.shutdown_timeout == 5.0
+    sqs, s3 = cfg.inputs
+    assert sqs.type == "sqs" and sqs.log_format == "alb"
+    assert sqs.poll_frequency == 60.0
+    assert sqs.key_regex_fields.startswith("^(?P<application>")
+    assert s3.type == "s3"
+    assert s3.paths == ("s3a://mybucket/mypath",)  # s3:// -> s3a:// rewrite
+    assert s3.since == "2018-10-15T01:00" and s3.to == "2018-11-20T01:00"
+
+
+def test_config_validation_errors():
+    with pytest.raises(ValueError, match="inputs"):
+        parse_config({})
+    with pytest.raises(ValueError, match="log_format"):
+        parse_config({"inputs": [{"type": "sqs", "queues_url": ["x"]}]})
+    with pytest.raises(ValueError, match="unknown log_format"):
+        parse_config(
+            {"inputs": [{"type": "sqs", "queues_url": ["x"], "log_format": "nope"}]}
+        )
+    with pytest.raises(ValueError, match="No buckets|no buckets"):
+        parse_config({"inputs": [{"type": "s3", "log_format": "alb"}]})
+    with pytest.raises(ValueError, match="unknown type"):
+        parse_config(
+            {"inputs": [{"type": "kafka", "queues_url": ["x"], "log_format": "alb"}]}
+        )
+    with pytest.raises(ValueError, match="since"):
+        parse_config(
+            {"inputs": [{"type": "s3", "buckets": ["x"], "log_format": "alb",
+                         "since": "yesterday"}]}
+        )
+    # type defaults to sqs (reference config.DefaultType)
+    cfg = parse_config(
+        {"inputs": [{"queues_url": ["x"], "log_format": "alb"}]}
+    )
+    assert cfg.inputs[0].type == "sqs"
+    assert cfg.shutdown_timeout == 0.0  # reference DefaultConfig
+
+
+def _write_elb_logs(root):
+    from tests.test_parsespec import ELB_LINE
+
+    d = root / "myapp-prod"
+    d.mkdir(parents=True)
+    (d / "one.log").write_text(ELB_LINE + "\ngarbage line\n")
+    return root
+
+
+def test_s3imports_end_to_end(spark, tmp_path):
+    """cmd/s3imports analogue: batch-run the s3 inputs once — parse,
+    key-regex enrich from the object path, constant fields, good/error
+    split — and stop."""
+    data = _write_elb_logs(tmp_path / "bucket")
+    out, errs = str(tmp_path / "out"), str(tmp_path / "errs")
+    cfg = parse_config(
+        {
+            "inputs": [
+                {
+                    "type": "s3",
+                    "buckets": [str(data)],
+                    "log_format": "elb",
+                    "key_regex_fields": r"/(?P<application>[a-z0-9]+)-(?P<environment>[a-z]+)/",
+                    "fields": {"team": "infra"},
+                }
+            ]
+        }
+    )
+    m = run_s3imports(spark, cfg, out, errs)
+    assert m["rows"] == 1 and m["errors"] == 1
+    row = spark.read.parquet(out).collect()[0]
+    assert row["elb_status_code"] == 200
+    assert row["application"] == "myapp" and row["environment"] == "prod"
+    assert row["team"] == "infra"
+    assert "_path" not in spark.read.parquet(out).columns
+    assert spark.read.parquet(errs).count() == 1
+
+
+def test_s3imports_time_pruning(spark, tmp_path):
+    """since/to prune at FILE LISTING (modifiedAfter/Before) — a window
+    that excludes the files' mtimes reads nothing."""
+    data = _write_elb_logs(tmp_path / "bucket")
+    out = str(tmp_path / "out")
+    cfg = parse_config(
+        {
+            "inputs": [
+                {"type": "s3", "buckets": [str(data)], "log_format": "elb",
+                 "since": "2091-01-01T00:00:00"}
+            ]
+        }
+    )
+    m = run_s3imports(spark, cfg, out)
+    assert m["rows"] == 0 and m["errors"] == 0
+
+
+def test_streaming_config_drain_and_resume(spark, tmp_path):
+    """Daemon path through the config surface: start_inputs processes the
+    queue dir, graceful_stop drains within shutdown_timeout (X3 analogue
+    of the reference's signal-wait), and a restart resumes from the
+    checkpoint without reprocessing committed files."""
+    from tests.test_parsespec import ELB_LINE
+
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    (qdir / "a.log").write_text(ELB_LINE + "\n")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    cfg = parse_config(
+        {
+            "shutdown_timeout": "30s",
+            "inputs": [
+                {"type": "sqs", "queues_url": [str(qdir)], "log_format": "elb",
+                 "poll_frequency": "1s"}
+            ],
+        }
+    )
+    qs = start_inputs(spark, cfg, out, ckpt)
+    assert len(qs) == 1
+    qs[0].processAllAvailable()
+    assert graceful_stop(qs, cfg.shutdown_timeout) is True  # idle -> drained
+    assert not qs[0].isActive
+    assert spark.read.parquet(out).count() == 1
+
+    # second wave + restart from the same checkpoint: only the new file
+    (qdir / "b.log").write_text(ELB_LINE + "\n" + ELB_LINE + "\n")
+    qs2 = start_inputs(spark, cfg, out, ckpt)
+    qs2[0].processAllAvailable()
+    graceful_stop(qs2, cfg.shutdown_timeout)
+    assert spark.read.parquet(out).count() == 3  # 1 old + 2 new, no replay
