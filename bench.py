@@ -116,9 +116,15 @@ def run_default() -> dict:
     out = os.path.join(tempfile.gettempdir(), "s3lb_bench_index")
     times: dict[str, float] = {}
 
+    # first build of the process = cold (JIT + Python-worker spawn +
+    # imports inside); second = warm. BOTH are recorded so round-over-
+    # round comparisons are apples-to-apples (r01's 4.79s-vs-13.2s
+    # confusion was exactly this artifact).
     t, n_docs = _build(spark, SF_DIR, out)
     times["index_build"] = round(t, 3)
-    docs_per_sec = n_docs / t
+    t_warm, _ = _build(spark, SF_DIR, out)
+    times["index_build_warm"] = round(t_warm, 3)
+    docs_per_sec = n_docs / t_warm
 
     rdr = IndexReader(spark, out)
     lat = []
@@ -166,6 +172,10 @@ def run_default() -> dict:
             )
         }
         out["code_corpus"]["build_docs_per_sec"] = out["code_corpus"].pop("value")
+        out["code_corpus"]["jvm_state"] = "warm"  # runs after the sf build
+        # extended surface (phrase/bool/facets/msm/...) recorded per-round
+        # so regressions there are visible, not just the headline BM25
+        out["code_corpus"]["query_surface"] = cc["query_surface"]
     return out
 
 
@@ -429,6 +439,13 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     dist = rdr.query(["return", "value"], 10, distributed=True)
     surface["distributed_query_sec"] = round(time.perf_counter() - t0, 4)
     assert dist == rdr.query(["return", "value"], 10, distributed=False)
+    t0 = time.perf_counter()
+    fc = rdr.facet_counts(["return"], "lang")
+    surface["facets_sec"] = round(time.perf_counter() - t0, 4)
+    surface["facet_values"] = len(fc)
+    t0 = time.perf_counter()
+    rdr.significant_terms(["return"], 10, sample_size=200)
+    surface["sig_terms_sampled_sec"] = round(time.perf_counter() - t0, 4)
 
     # --- positional index: build overhead + index-only phrase latency
     pout = os.path.join(tempfile.gettempdir(), f"s3lb_code_posindex_{n_docs}")

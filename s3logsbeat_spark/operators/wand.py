@@ -1763,43 +1763,48 @@ class IndexReader:
             return []
         m_total = len(fg_ids)
         from ..shipping import ensure_shipped
-        from .codec import decode_block
 
         ensure_shipped(self.spark)
+        # Ship FLAT per-row arrays derived JVM-side (array<struct> columns
+        # are ruinously slow to convert to Python), and only the docs
+        # byte stream — membership counting never needs tfs/dls.
         segs = load_segments(self.spark, self.out_dir).select(
-            "term", "docs", "tfs", "dls", "blocks"
+            "term",
+            "docs",
+            F.expr("transform(blocks, b -> b.last_doc)").alias("last_docs"),
+            F.expr("transform(blocks, b -> b.doc_off)").alias("doc_offs"),
+            F.expr("transform(blocks, b -> b.cnt)").alias("cnts"),
         )
 
         def gen(batches):
             import pandas as pd
 
+            from .codec import varbyte_decode
+
             fg = np.asarray(fg_ids, dtype=np.int64)
             for pdf in batches:
                 out_t, out_f = [], []
-                for _, row in pdf.iterrows():
-                    blocks = row["blocks"]
-                    last_docs = np.fromiter(
-                        (b["last_doc"] for b in blocks),
-                        dtype=np.int64,
-                        count=len(blocks),
-                    )
-                    # block i covers (last_docs[i-1], last_docs[i]]
+                for term, docs_b, last_docs, doc_offs, cnts in zip(
+                    pdf["term"], pdf["docs"], pdf["last_docs"],
+                    pdf["doc_offs"], pdf["cnts"],
+                ):
+                    last_docs = np.asarray(last_docs, dtype=np.int64)
+                    # a sampled doc can only live in the one block whose
+                    # (prev_last, last] range covers it
                     cand_b = np.unique(np.searchsorted(last_docs, fg))
-                    cand_b = cand_b[cand_b < len(blocks)]
+                    cand_b = cand_b[cand_b < last_docs.size]
                     if cand_b.size == 0:
                         continue
-                    payload = {
-                        "docs": bytes(row["docs"]),
-                        "tfs": bytes(row["tfs"]),
-                        "dls": bytes(row["dls"]),
-                        "blocks": blocks,
-                    }
+                    doc_bytes = np.frombuffer(bytes(docs_b), dtype=np.uint8)
                     f = 0
                     for bi in cand_b:
-                        d, _, _ = decode_block(payload, int(bi))
-                        f += int(_in_sorted(fg, d).sum())
+                        deltas = varbyte_decode(
+                            doc_bytes, offset=int(doc_offs[bi]), count=int(cnts[bi])
+                        ).astype(np.int64)
+                        deltas[0] += int(last_docs[bi - 1]) if bi else 0
+                        f += int(_in_sorted(fg, np.cumsum(deltas)).sum())
                     if f:
-                        out_t.append(row["term"])
+                        out_t.append(term)
                         out_f.append(f)
                 yield pd.DataFrame({"term": out_t, "fg": out_f})
 
