@@ -280,6 +280,14 @@ def decode_positions(
     return _segmented_cumsum(deltas, tfs)
 
 
+def decode_doc_ids(docs_bytes) -> np.ndarray:
+    """Docs-only decode for membership/candidate passes (facets, matched-
+    docs, significant-terms fg counting): the tf/dl byte streams are never
+    read — column pruning all the way down to the varbyte level."""
+    deltas = varbyte_decode(np.frombuffer(docs_bytes, dtype=np.uint8))
+    return np.cumsum(deltas.astype(np.int64))
+
+
 def decode_posting_list(payload: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Full decode: (doc_ids int64, tfs int64, dls int64)."""
     doc_b = np.frombuffer(payload["docs"], dtype=np.uint8)

@@ -1317,7 +1317,6 @@ class IndexReader:
         n_required = len(present)
 
         from ..shipping import ensure_shipped
-        from .codec import decode_posting_list
         from .segments import load_doc_attrs
 
         ensure_shipped(self.spark)
@@ -1333,23 +1332,17 @@ class IndexReader:
                 cond = e if cond is None else cond & e
             attrs = attrs.filter(cond)
         attrs = attrs.select("bucket", "doc_id", field)
-        rows_df = self._segment_rows(present).select(
-            "bucket", "term", "salt", "docs", "tfs", "dls"
-        )
+        # docs stream only (membership): tf/dl bytes stay in parquet
+        rows_df = self._segment_rows(present).select("bucket", "term", "docs")
 
         def per_bucket(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
+            from .codec import decode_doc_ids
+
             empty = pd.DataFrame({"value": pd.Series([], dtype="object"),
                                   "doc_count": pd.Series([], dtype="int64")})
             if len(seg_pdf) == 0 or len(attr_pdf) == 0:
                 return empty
-            ids_l = []
-            for _, row in seg_pdf.iterrows():
-                d, _, _ = decode_posting_list(
-                    {"docs": bytes(row["docs"]), "tfs": bytes(row["tfs"]),
-                     "dls": bytes(row["dls"])}
-                )
-                ids_l.append(d)
-            ids = np.concatenate(ids_l)
+            ids = np.concatenate([decode_doc_ids(bytes(b)) for b in seg_pdf["docs"]])
             if mode == "and":
                 uniq, counts = np.unique(ids, return_counts=True)
                 matched = uniq[counts == n_required]
@@ -1398,21 +1391,14 @@ class IndexReader:
         n_required = len(present)
 
         from ..shipping import ensure_shipped
-        from .codec import decode_posting_list
+        from .codec import decode_doc_ids
 
         ensure_shipped(self.spark)
-        rows_df = self._segment_rows(present).select(
-            "bucket", "term", "docs", "tfs", "dls"
-        )
+        # docs stream only: membership never reads tf/dl bytes
+        rows_df = self._segment_rows(present).select("bucket", "term", "docs")
 
         def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            ids_l = []
-            for _, row in pdf.iterrows():
-                d, _, _ = decode_posting_list(
-                    {"docs": bytes(row["docs"]), "tfs": bytes(row["tfs"]),
-                     "dls": bytes(row["dls"])}
-                )
-                ids_l.append(d)
+            ids_l = [decode_doc_ids(bytes(b)) for b in pdf["docs"]]
             ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
             if mode == "and":
                 uniq, counts = np.unique(ids, return_counts=True)
@@ -1680,14 +1666,15 @@ class IndexReader:
         if matched is None:
             return []
         from ..shipping import ensure_shipped
-        from .codec import decode_posting_list
 
         ensure_shipped(self.spark)
         segs = load_segments(self.spark, self.out_dir).select(
-            "bucket", "term", "docs", "tfs", "dls"
+            "bucket", "term", "docs"  # membership: docs stream only
         )
 
         def per_bucket(seg_pdf: pd.DataFrame, m_pdf: pd.DataFrame) -> pd.DataFrame:
+            from .codec import decode_doc_ids
+
             empty = pd.DataFrame(
                 {"term": pd.Series([], dtype="object"),
                  "fg": pd.Series([], dtype="int64")}
@@ -1696,14 +1683,10 @@ class IndexReader:
                 return empty
             m_ids = np.sort(m_pdf["doc_id"].to_numpy(np.int64))
             out_t, out_f = [], []
-            for _, row in seg_pdf.iterrows():
-                d, _, _ = decode_posting_list(
-                    {"docs": bytes(row["docs"]), "tfs": bytes(row["tfs"]),
-                     "dls": bytes(row["dls"])}
-                )
-                f = int(_in_sorted(m_ids, d).sum())
+            for term, docs_b in zip(seg_pdf["term"], seg_pdf["docs"]):
+                f = int(_in_sorted(m_ids, decode_doc_ids(bytes(docs_b))).sum())
                 if f:
-                    out_t.append(row["term"])
+                    out_t.append(term)
                     out_f.append(f)
             return pd.DataFrame({"term": out_t, "fg": out_f})
 

@@ -69,6 +69,76 @@ def start_to_parquet(
     )
 
 
+def stream_s3_events(
+    spark: SparkSession,
+    queue_path: str,
+    spec: ParseSpec,
+    out_dir: str,
+    checkpoint_dir: str,
+    base_path: str | None = None,
+    error_dir: str | None = None,
+    key_regex_fields: str | None = None,
+    max_files_per_trigger: int = 10,
+) -> StreamingQuery:
+    """The reference's FULL event-driven topology (``beater/s3logsbeat.go``
+    pipeline): SQS messages carrying S3 event notifications -> extract
+    ObjectCreated keys -> GET + parse those objects -> publish.
+
+    ``queue_path`` is the SQS stand-in: a directory where each line of
+    each file is one message body (JSON S3 event). Per micro-batch the
+    created-object keys are extracted declaratively
+    (:func:`..sources.s3events.extract_new_objects`), resolved to reader
+    paths (``s3a://bucket/key``, or ``{base_path}/bucket/key`` for the
+    sandbox/local stand-in), and THOSE objects are read and parsed — the
+    work list is driven by the messages, not by directory listing. The
+    object-key list per batch is message-bounded (tiny), so the driver
+    collect is safe; the object READS stay distributed.
+
+    Delivery contract mirrors the reference: messages are at-least-once
+    (a replayed micro-batch re-reads its objects), rows carry the
+    deterministic sha256 ``_id`` (P7), so any id-keyed sink (the index's
+    append dedup, an upsert store) lands effectively-once — the same
+    design the reference gets from ES document ids (``README.md:63-88``).
+    """
+    from ..plans.parsespec import enrich_from_path
+    from ..sources.s3events import extract_new_objects
+
+    msgs = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(queue_path)
+    )
+
+    def _path_of(bucket: str, key: str) -> str:
+        if base_path is not None:
+            return f"{base_path}/{bucket}/{key}"
+        return f"s3a://{bucket}/{key}"
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        objs = extract_new_objects(batch_df, body_col="value").collect()
+        paths = sorted({_path_of(r["bucket"], r["key"]) for r in objs})
+        if not paths:
+            return
+        from pyspark.sql import functions as F
+
+        lines = spark.read.text(paths).withColumn("_path", F.input_file_name())
+        parsed = parse_lines(lines, spec, keep_cols=("_path",))
+        if key_regex_fields:
+            parsed = enrich_from_path(parsed, key_regex_fields, "_path")
+        parsed = parsed.drop("_path")
+        good, errs = split_errors(parsed.persist())
+        good.write.mode("append").parquet(out_dir)
+        if error_dir is not None:
+            errs.write.mode("append").parquet(error_dir)
+        parsed.unpersist()
+
+    return (
+        msgs.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def stream_index_append(
     docs_stream: DataFrame,
     out_dir: str,

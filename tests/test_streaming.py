@@ -154,3 +154,60 @@ def test_gzip_line_source(spark, tmp_path):
     assert len(rows) == 2  # blank line skipped by the S9 splitter
     assert all(r["_error"] is None for r in rows)
     assert rows[0]["elb_status_code"] == 200
+
+
+def test_stream_s3_events_topology(spark, tmp_path):
+    """Full reference topology: SQS-message stream -> extract ObjectCreated
+    keys -> read + parse exactly those objects -> publish. Objects NOT
+    referenced by any message must not be read (message-driven work list,
+    not directory listing)."""
+    import json as _json
+
+    from tests.test_parsespec import ELB_LINE
+
+    from s3logsbeat_spark.plans.formats import ELB_SPEC
+    from s3logsbeat_spark.streaming.ingest import stream_s3_events
+
+    # "bucket" with two objects; only one is announced via an event
+    store = tmp_path / "store"
+    (store / "b1" / "logs" / "myapp-prod").mkdir(parents=True)
+    (store / "b1" / "logs" / "myapp-prod" / "one.log").write_text(ELB_LINE + "\n")
+    (store / "b1" / "logs" / "myapp-prod" / "ignored.log").write_text(ELB_LINE + "\n")
+
+    def event(key):
+        return _json.dumps(
+            {"Records": [{"eventSource": "aws:s3",
+                          "eventName": "ObjectCreated:Put",
+                          "s3": {"bucket": {"name": "b1"},
+                                 "object": {"key": key, "size": 1}}}]}
+        )
+
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    (qdir / "m1.json").write_text(
+        event("logs/myapp-prod/one.log") + "\n" + "not json\n"
+    )
+
+    out, errs = str(tmp_path / "out"), str(tmp_path / "errs")
+    q = stream_s3_events(
+        spark, str(qdir), ELB_SPEC, out, str(tmp_path / "ckpt"),
+        base_path=str(store), error_dir=errs,
+        key_regex_fields=r"/(?P<application>[a-z0-9]+)-(?P<environment>[a-z]+)/",
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1  # ignored.log was never announced -> never read
+    assert rows[0]["elb_status_code"] == 200
+    assert rows[0]["application"] == "myapp" and rows[0]["environment"] == "prod"
+
+    # a second message announcing the other object extends the work list
+    (qdir / "m2.json").write_text(event("logs/myapp-prod/ignored.log") + "\n")
+    q2 = stream_s3_events(
+        spark, str(qdir), ELB_SPEC, out, str(tmp_path / "ckpt"),
+        base_path=str(store), error_dir=errs,
+        key_regex_fields=r"/(?P<application>[a-z0-9]+)-(?P<environment>[a-z]+)/",
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(out).count() == 2  # m1 not replayed (checkpoint)
