@@ -520,6 +520,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, list(q), k=10, planes=planes, multiprobe=True)
 
 
+def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the WRITTEN-partitioned LSH layout (the 100 TB probe
+    path): embeddings written partitionBy(bucket), probe = query bucket +
+    Hamming-1 neighbors as a partition-pruned read (PartitionFilters in
+    the plan — zero bytes from non-probed buckets). Same answer as the
+    on-the-fly LSH path with the same planes, so it shares that oracle."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from s3logsbeat_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        random_planes,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings")
+    planes = random_planes(ANN_LSH_PLANES, 64)
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/s3lb_ann_index_v1_{tag}"
+    if not os.path.exists(os.path.join(out, "_planes.json")):
+        build_ann_index(emb, out, planes=planes)
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ann_index_topk(spark, out, list(q), k=10, multiprobe=True)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded sign-LSH (agree on every
     plane in >=1 band) for candidates, bucket-size cap against degenerate
@@ -683,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_lsh": q_ann_lsh,
+        "ann_indexed": q_ann_indexed,
         "dedup_embedding": q_dedup_embedding,
         "alb_parse": q_alb_parse,
         "multimodal_features": q_multimodal_features,
@@ -1358,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_indexed": _ann_lsh_sql(),  # identical semantics, partition-pruned layout
         "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

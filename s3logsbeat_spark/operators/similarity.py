@@ -225,6 +225,64 @@ def embedding_dedup_pairs(
     )
 
 
+def build_ann_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+) -> np.ndarray:
+    """Write the embedding table PARTITIONED BY sign-LSH bucket — the
+    scale path for ANN probes: a query then reads only its probe
+    partitions (directory-level partition pruning, zero bytes from every
+    other bucket) instead of filtering a full scan. ``n_planes`` sizes
+    the bucket space (2^n_planes dirs); grow it with the table so bucket
+    population stays bounded. The planes are persisted next to the data
+    so readers always probe with the same hash. Returns the planes."""
+    import json
+    import os
+
+    if planes is None:
+        dim = len(emb.select(vec_col).first()[0])
+        planes = random_planes(n_planes, dim)
+    pl = np.asarray(planes)
+    (
+        emb.withColumn("bucket", hyperplane_bucket(F.col(vec_col), pl))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, "_planes.json"), "w") as f:
+        json.dump(pl.tolist(), f)
+    return pl
+
+
+def ann_index_topk(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine over a :func:`build_ann_index` layout: the probe set
+    (query bucket + Hamming-1 neighbors) becomes a partition-pruned read
+    — `.explain` shows the bucket isin inside PartitionFilters, so the
+    scan touches ~ (1 + n_planes) / 2^n_planes of the table's files."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_planes.json")) as f:
+        pl = np.asarray(json.load(f))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qb = int(sum((1 << i) for i, p in enumerate(pl) if float(p @ q) >= 0))
+    probes = [qb] + ([qb ^ (1 << i) for i in range(len(pl))] if multiprobe else [])
+    cand = spark.read.parquet(out_dir).filter(F.col("bucket").isin(probes))
+    return cosine_topk_exact(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

@@ -94,3 +94,33 @@ def test_multimodal_plumbing(spark):
     aud = synthetic_media(spark, n=4, kind="audio")
     af = extract_features(aud, kind="audio", dim=8).collect()
     assert all(len(r["feature"]) == 8 for r in af)
+
+
+def test_ann_index_partition_pruned(spark, emb, emb_np, tmp_path):
+    """build_ann_index writes the table partitioned by LSH bucket; probes
+    must (a) answer identically to the on-the-fly LSH path with the same
+    planes, and (b) compile to a partition-pruned scan (the bucket filter
+    appears in PartitionFilters, not as a post-scan Filter)."""
+    from s3logsbeat_spark.operators.similarity import (
+        ann_index_topk,
+        build_ann_index,
+        lsh_ann_topk,
+        random_planes,
+    )
+
+    ids, M = emb_np
+    planes = random_planes(4, M.shape[1])
+    out = str(tmp_path / "annidx")
+    build_ann_index(emb, out, planes=planes)
+    q = M[5].tolist()
+    res = ann_index_topk(spark, out, q, 10)
+    want = lsh_ann_topk(emb, q, 10, planes=planes).collect()
+    assert [(r["vec_id"], r["score"]) for r in res.collect()] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "bucket" in pf  # pruning happens at listing, not post-scan
