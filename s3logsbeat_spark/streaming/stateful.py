@@ -1,0 +1,118 @@
+"""Stateful / watermarked streaming operators.
+
+Two operators the reference's at-least-once pipeline implies but buys
+from ES, re-expressed Spark-native:
+
+- :func:`stream_windowed_counts` — event-time tumbling/sliding window
+  aggregation with a watermark: late events inside the watermark still
+  count; events later than the watermark are dropped (bounded state —
+  without the watermark, window state grows forever at 100 TB/day).
+- :func:`stream_dedup_first_seen` — the redelivery dedup
+  (``/root/reference/logparser/logparser.go:38-44``: content-hash ids
+  make re-shipped objects idempotent) as a CUSTOM STATEFUL operator via
+  ``applyInPandasWithState``: at-least-once upstream (SQS visibility
+  timeout replays) becomes exactly-first-emission downstream. State is
+  hash-partitioned by id group, so it shards across executors; each
+  group's state is one packed sorted int64 array (8 bytes/id), checked
+  with vectorized searchsorted — no per-row Python beyond the Arrow
+  batch loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time windowed aggregation with late-data handling: counts
+    (and value sums) per (window, key). The watermark bounds both
+    lateness and STATE — a window's state is dropped once the watermark
+    passes its end, which is what keeps a day of 100 TB of events from
+    pinning unbounded aggregation state in the store."""
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    w = (
+        F.window(ts_col, window, slide)
+        if slide
+        else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            *(["n"] + (["sum_value"] if value_col is not None else [])),
+        )
+    )
+
+
+def stream_dedup_first_seen(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    n_groups: int = 64,
+) -> DataFrame:
+    """Emit each id's FIRST occurrence across all micro-batches, drop
+    every redelivery — stateful effectively-once on an at-least-once
+    source. Rows hash into ``n_groups`` state shards by id; each shard
+    keeps its seen ids as one packed sorted int64 array in the state
+    store (survives restart via the checkpoint, so redeliveries are
+    deduped across job restarts too, exactly like the reference's
+    content-hash idempotency across SQS redeliveries)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_cols = [c for c in docs_stream.columns]
+    out_schema = docs_stream.schema
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            seen = np.frombuffer(bytes(state.get[0]), dtype=np.int64)
+        else:
+            seen = np.empty(0, dtype=np.int64)
+        changed = False
+        for pdf in pdfs:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(seen, ids)
+            pos_c = np.minimum(pos, max(seen.size - 1, 0))
+            in_seen = (
+                (pos < seen.size) & (seen[pos_c] == ids)
+                if seen.size
+                else np.zeros(ids.size, dtype=bool)
+            )
+            # also first-occurrence-only WITHIN the batch (stable order)
+            _, first_idx = np.unique(ids, return_index=True)
+            first_mask = np.zeros(ids.size, dtype=bool)
+            first_mask[first_idx] = True
+            keep = (~in_seen) & first_mask
+            if keep.any():
+                # fold into seen immediately so a duplicate arriving in a
+                # LATER Arrow batch of this same call is caught too
+                seen = np.union1d(seen, ids[keep])
+                changed = True
+                yield pdf.iloc[np.flatnonzero(keep)][out_cols]
+        if changed:
+            state.update((bytearray(seen.tobytes()),))
+
+    grouped = docs_stream.withColumn(
+        "_g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups))
+    ).groupBy("_g")
+    return grouped.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="ids binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -211,3 +211,130 @@ def test_stream_s3_events_topology(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(out).count() == 2  # m1 not replayed (checkpoint)
+
+
+def test_stream_windowed_counts_watermark(spark, tmp_path):
+    """Event-time windows with a watermark, APPEND mode (where the
+    late-drop guarantee is real: each window emits exactly once, when
+    the watermark passes its end; rows older than the watermark are
+    dropped so finalized windows can never change). A too-late event
+    must not alter or re-emit its finalized window; a late-but-inside
+    event must count."""
+    import datetime as dt
+
+    from s3logsbeat_spark.streaming.stateful import stream_windowed_counts
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "ev"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    # wave 1: 00:15, 00:45, 10:00 -> watermark after this batch = 09:00
+    wave("w1", [
+        (base + dt.timedelta(minutes=15), "a", 1.0),
+        (base + dt.timedelta(minutes=45), "a", 1.0),
+        (base + dt.timedelta(hours=10), "a", 1.0),
+    ])
+    # wave 2: 09:30 is late relative to 10:00 but inside the 1h watermark
+    # -> must count. (Spark's drop of too-late rows is only guaranteed
+    # once a window has FINALIZED — eviction runs at batch end — so the
+    # canonical too-late probe arrives in a later wave, below.)
+    wave("w2", [(base + dt.timedelta(hours=9, minutes=30), "a", 1.0)])
+    # wave 3: 13:00 pushes the watermark to 12:00 -> [00,01), [09,10) and
+    # [10,11) finalize and emit
+    wave("w3", [(base + dt.timedelta(hours=13), "a", 1.0)])
+    # wave 4: a row for the long-finalized [00,01) window — must be
+    # dropped: finalized windows never change or re-emit
+    wave("w4", [(base + dt.timedelta(minutes=30), "a", 100.0)])
+    # wave 5: advance the watermark again so any (incorrect) state from
+    # wave 4 would have been flushed to the sink by stream end
+    wave("w5", [(base + dt.timedelta(hours=14), "a", 1.0)])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = stream_windowed_counts(
+        stream, window="1 hour", watermark="1 hour", value_col="value"
+    )
+    sink = str(tmp_path / "sink")
+
+    def _sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.read.parquet(sink).collect()
+    got = {r["window_start"]: (r["n"], r["sum_value"]) for r in rows}
+    assert len(rows) == len(got)  # append: every window emitted ONCE
+    # the post-finalization 00:30 row (value 100) was dropped: the
+    # [00,01) window kept its finalized counts and did not re-emit
+    assert got[base] == (2, 2.0)
+    # the late-but-inside 09:30 event counted
+    assert got[base + dt.timedelta(hours=9)] == (1, 1.0)
+    assert got[base + dt.timedelta(hours=10)] == (1, 1.0)
+    # [14,15) is still open (watermark 13:00) -> correctly NOT emitted
+    assert base + dt.timedelta(hours=14) not in got
+
+
+def test_stream_dedup_first_seen(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): at-least-once
+    redelivery -> exactly-first-emission, state surviving restart via the
+    checkpoint."""
+    from s3logsbeat_spark.streaming.stateful import stream_dedup_first_seen
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    schema = "doc_id long, content string"
+
+    def wave(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    wave("w1", [(1, "a"), (2, "b"), (2, "b-redelivered-same-batch")])
+    wave("w2", [(2, "b-redelivered"), (3, "c")])
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        dedup = stream_dedup_first_seen(stream, n_groups=4)
+        return (
+            dedup.writeStream.foreachBatch(
+                lambda b, e: b.write.mode("append").parquet(str(tmp_path / "out"))
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1, 2, 3}
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 3  # no dups
+
+    # restart: a third wave redelivers doc 1 — state survived the restart
+    wave("w3", [(1, "a-redelivered-after-restart"), (4, "d")])
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 4  # only doc 4 added
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 3, 4}
