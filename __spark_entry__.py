@@ -468,6 +468,24 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir), text_col="text")
 
 
+CLEAN_MIN_QUALITY = 0.52  # splits the synthetic corpus roughly in half
+CLEAN_MIN_TOKENS = 30
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data prep: quality gate + length gate + exact
+    dedup (keep lowest doc_id per content sha) — one scan projection,
+    one shuffle (operators/pipeline.py::clean_corpus)."""
+    from s3logsbeat_spark.operators.pipeline import clean_corpus
+
+    return clean_corpus(
+        _docs(spark, sf_dir),
+        text_col="text",
+        min_quality=CLEAN_MIN_QUALITY,
+        min_word_tokens=CLEAN_MIN_TOKENS,
+    )
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around vec_id=0 (JVM zip_with/aggregate)."""
     from s3logsbeat_spark.operators.similarity import cosine_topk_exact
@@ -540,6 +558,52 @@ def q_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ann_index(emb, out, planes=planes)
     q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     return ann_index_topk(spark, out, list(q), k=10, multiprobe=True)
+
+
+IVF_CENTROIDS = 8
+IVF_NPROBE = 4
+IVF_SAMPLE = 1000
+
+
+def _ivf_centroids_for(parquet_path: str):
+    """Deterministic IVF centroids from the lowest-vec_id sample of the
+    given embeddings parquet — the SAME numpy Lloyd code the Spark
+    trainer uses, so the query path and the DuckDB-oracle generator
+    derive bit-identical centroids."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from s3logsbeat_spark.operators.similarity import ivf_lloyd
+
+    pdf = (
+        pq.read_table(parquet_path, columns=["vec_id", "embedding"])
+        .to_pandas()
+        .sort_values("vec_id")
+        .head(IVF_SAMPLE)
+    )
+    X = np.stack(pdf["embedding"].to_numpy())
+    return ivf_lloyd(X, IVF_CENTROIDS)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (FAISS-style coarse quantizer): k-means centroids trained
+    on a deterministic sample, table written partitionBy(centroid), probe
+    = nprobe nearest centroids as a partition-pruned read, exact cosine
+    rerank inside the probed partitions."""
+    import hashlib as _h
+    import os
+    import tempfile
+
+    from s3logsbeat_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    C = _ivf_centroids_for(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    tag = _h.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/s3lb_ivf_index_v1_{tag}"
+    if not os.path.exists(os.path.join(out, "_centroids.json")):
+        build_ivf_index(emb, out, centroids=C)
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return ivf_topk(spark, out, list(q), k=10, nprobe=IVF_NPROBE)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -698,6 +762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "fingerprint": q_fingerprint,
+        "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
@@ -706,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "ann_lsh": q_ann_lsh,
         "ann_indexed": q_ann_indexed,
+        "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "alb_parse": q_alb_parse,
         "multimodal_features": q_multimodal_features,
@@ -1067,6 +1133,39 @@ FROM r
 """
 
 
+def _clean_corpus_sql() -> str:
+    from s3logsbeat_spark.operators.textstats import STOPWORDS
+
+    stopset = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, greatest(length(text), 1)::DOUBLE AS n,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+    round(least(1.0,
+      (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / n) * 0.5
+      + (len(list_filter(toks, t -> t IN ({stopset})))
+         / greatest(len(toks), 1)::DOUBLE) * 0.3
+      + least((list_reduce(list_prepend(0.0, [length(t)::DOUBLE for t in toks]),
+               (a, x) -> a + x) / greatest(len(toks), 1)::DOUBLE) / 10.0,
+              1.0) * 0.2
+    ), 6) AS quality,
+    len(toks)::BIGINT AS n_word_tokens,
+    sha256(text) AS content_sha
+  FROM base
+), gated AS (
+  SELECT * FROM scored
+  WHERE quality >= {CLEAN_MIN_QUALITY} AND n_word_tokens >= {CLEAN_MIN_TOKENS}
+)
+SELECT doc_id, quality, n_word_tokens, content_sha
+FROM (SELECT *, row_number() OVER (PARTITION BY content_sha ORDER BY doc_id) AS rn
+      FROM gated)
+WHERE rn = 1
+"""
+
+
 def _fingerprint_sql() -> str:
     from s3logsbeat_spark.operators.textstats import FP_B, FP_P
 
@@ -1193,6 +1292,42 @@ SELECT vec_id,
        round(list_cosine_similarity(embedding::DOUBLE[],
              (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
 FROM b WHERE bucket IN (SELECT p FROM probes)
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _ann_ivf_sql() -> str:
+    """IVF oracle: centroid literals from the shared numpy trainer, the
+    same dot/|v| argmax assignment (first-index tie-break via
+    list_position of list_max — Spark's strict-> fold keeps the earliest
+    max too), probe list precomputed from the query vector."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    C = np.asarray(_ivf_centroids_for(path))
+    tb = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qv = np.asarray(tb.loc[tb["vec_id"] == 0, "embedding"].iloc[0], dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-30)
+    probes = ", ".join(str(int(x)) for x in np.argsort(-(C @ qn))[:IVF_NPROBE])
+    score_exprs = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], [{', '.join(repr(float(x)) for x in c)}])"
+        f" / greatest(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 1e-30)"
+        for c in C
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, [{score_exprs}] AS cscores FROM embeddings
+), a AS (
+  SELECT vec_id, embedding,
+         list_position(cscores, list_max(cscores)) - 1 AS centroid
+  FROM b
+)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
+FROM a WHERE centroid IN ({probes})
 ORDER BY score DESC, vec_id ASC
 LIMIT 10
 """
@@ -1374,6 +1509,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "fingerprint": _fingerprint_sql(),
+        "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_json": _EVENTS_JSON_SQL,
@@ -1382,6 +1518,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_indexed": _ann_lsh_sql(),  # identical semantics, partition-pruned layout
+        "ann_ivf": _ann_ivf_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

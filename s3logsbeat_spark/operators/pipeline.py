@@ -1,0 +1,66 @@
+"""Composed training-data preparation pipeline.
+
+The individual gates (quality scores, token counts, content hashes,
+dedup) each exist as standalone operators; real corpus prep chains
+them. :func:`clean_corpus` is that chain expressed so Catalyst executes
+it as ONE scan projection (every gate is a codegen'd expression over
+the same tokens array — no operator-per-pass re-reads) plus ONE
+shuffle (the exact-dedup window on content sha). At 100 TB the scan is
+the dominant cost, so gate composition inside a single projection is
+the difference between one pass and four.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import STOPWORDS, tokens_col
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    min_word_tokens: int = 5,
+) -> DataFrame:
+    """Quality gate + length gate + exact dedup (keep lowest doc_id per
+    content sha), in one pass + one shuffle.
+
+    Returns the kept docs as (doc_id, quality, n_word_tokens,
+    content_sha), deterministically: the quality score is the same
+    composite :func:`textstats.quality_scores` computes (rounded to 6 dp
+    BEFORE the threshold compare, so the gate is reproducible in DuckDB
+    at double precision), and dedup keeps the minimum doc_id of each
+    surviving sha group via a row_number window — the pipeline's only
+    exchange, hash-partitioned on the sha."""
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    toks = tokens_col(text_col)
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", "")) / n
+    stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / n_toks
+    mean_tok = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
+    ) / n_toks
+    quality = F.least(
+        F.lit(1.0),
+        alpha * 0.5 + stop * 0.3 + F.least(mean_tok / F.lit(10.0), F.lit(1.0)) * 0.2,
+    )
+    cand = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.round(quality, 6).alias("quality"),
+        F.size(toks).cast("long").alias("n_word_tokens"),
+        F.sha2(t, 256).alias("content_sha"),
+    ).filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("n_word_tokens") >= min_word_tokens)
+    )
+    w = Window.partitionBy("content_sha").orderBy("doc_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

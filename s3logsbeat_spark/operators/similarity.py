@@ -283,6 +283,132 @@ def ann_index_topk(
     return cosine_topk_exact(cand, query_vec, k, id_col, vec_col)
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means (Lloyd on normalized
+    vectors, centroids re-normalized) over a DETERMINISTIC sample (lowest
+    ids — resumable runs train identical centroids). Driver-side numpy is
+    right here: the sample is a few thousand rows however big the table
+    is; only the assignment pass below is distributed."""
+    rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    )
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return ivf_lloyd(X, n_centroids, iters=iters, seed=seed)
+
+
+def ivf_lloyd(
+    X: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 7
+) -> np.ndarray:
+    """Pure-numpy spherical Lloyd iterations (shared by the Spark trainer
+    and the DuckDB-oracle generator, so both derive bit-identical
+    centroids from the same sample)."""
+    X = np.asarray(X, dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(X.shape[0], size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(n_centroids):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    return C
+
+
+def _ivf_assign_col(vec_col, centroids: np.ndarray):
+    """argmax-dot centroid id as a JVM expression (same fold shape as
+    lang_id's argmax): n_centroids dot products, whole-stage codegen."""
+    best = F.lit(0)
+    best_s = F.lit(-1e30)
+    for j, c in enumerate(centroids):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+        score = dot / F.greatest(nrm, F.lit(1e-30))
+        cond = score > best_s
+        best = F.when(cond, F.lit(j)).otherwise(best)
+        best_s = F.when(cond, score).otherwise(best_s)
+    return best
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    **train_kwargs,
+) -> np.ndarray:
+    """IVF layout: assign every vector to its nearest centroid (one
+    distributed JVM-expression pass) and write PARTITIONED BY centroid —
+    probes then read only ``nprobe`` partition directories. Centroids
+    persist beside the data. Returns the centroids."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            emb, n_centroids, id_col=id_col, vec_col=vec_col, **train_kwargs
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    (
+        emb.withColumn("centroid", _ivf_assign_col(F.col(vec_col), C))
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(out_dir)
+    )
+    with open(os.path.join(out_dir, "_centroids.json"), "w") as f:
+        json.dump(C.tolist(), f)
+    return C
+
+
+def ivf_topk(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids by cosine to the query, read the top
+    ``nprobe`` partitions (partition-pruned — PartitionFilters in the
+    plan), exact-cosine rerank inside them. Recall/latency trades on
+    nprobe exactly like FAISS IVF."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_centroids.json")) as f:
+        C = np.asarray(json.load(f))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-30)
+    order = np.argsort(-(C @ qn))
+    probes = [int(x) for x in order[:nprobe]]
+    cand = spark.read.parquet(out_dir).filter(F.col("centroid").isin(probes))
+    return cosine_topk_exact(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_vec: list[float],

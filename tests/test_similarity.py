@@ -124,3 +124,39 @@ def test_ann_index_partition_pruned(spark, emb, emb_np, tmp_path):
 
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "bucket" in pf  # pruning happens at listing, not post-scan
+
+
+def test_ivf_index_recall_and_pruning(spark, emb, emb_np, tmp_path):
+    """IVF (k-means coarse quantizer) ANN: deterministic training, probes
+    read only nprobe partitions (PartitionFilters), querying an indexed
+    vector always finds itself (its centroid is probed first), recall@10
+    vs brute force is reasonable at nprobe=4/8."""
+    import numpy as np
+
+    from s3logsbeat_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    ids, M = emb_np
+    out = str(tmp_path / "ivf")
+    C1 = build_ivf_index(emb, out, n_centroids=8, sample=1000)
+    C2 = train_ivf_centroids(emb, 8, sample=1000)
+    assert np.allclose(C1, C2)  # deterministic training
+
+    q = M[5].tolist()
+    res = ivf_topk(spark, out, q, 10, nprobe=4)
+    got = [r["vec_id"] for r in res.collect()]
+    assert got[0] == ids[5]  # self-query: own partition probed first
+    want = [d for d, _ in _np_topk(ids, M, q, 10)]
+    assert len(set(got) & set(want)) >= 4  # recall@10 with 4/8 probes
+    # full probe = exact
+    full = [r["vec_id"] for r in ivf_topk(spark, out, q, 10, nprobe=8).collect()]
+    assert full == want
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "centroid" in pf  # pruned at listing

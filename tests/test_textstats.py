@@ -75,3 +75,46 @@ def test_token_counts(spark):
     assert r["n_bpeish_tokens"] == len(
         re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+", "Hello  world, x2 + y_3 = 42!")
     )
+
+
+def test_clean_corpus_pipeline(spark):
+    """Composed prep pipeline: gates + exact dedup in one pass + one
+    shuffle. Checked against a transparent python oracle and the plan
+    (exactly one Exchange: the dedup window)."""
+    import hashlib
+    import re
+
+    from s3logsbeat_spark.operators.pipeline import clean_corpus
+    from s3logsbeat_spark.operators.textstats import STOPWORDS
+
+    good = ("the quick brown fox jumps over the lazy dog and it is a fine "
+            "day for the animals to run in the field with that old friend "
+            "of the forest for hours and hours today")
+    rows = [
+        (1, good),
+        (2, good),                      # exact dup of 1 -> dropped
+        (3, good + " extra tail"),      # distinct content, kept
+        (4, "x 1 2 3 4 5 ! @ # $ % ^"),  # junk -> quality gate
+        (5, "short text"),              # -> token gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: r for r in clean_corpus(
+        df, min_quality=0.4, min_word_tokens=10
+    ).collect()}
+    assert set(got) == {1, 3}
+
+    def py_quality(text):
+        n = max(len(text), 1)
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        nt = max(len(toks), 1)
+        alpha = len(re.sub(r"[^A-Za-z]", "", text)) / n
+        stop = sum(1 for t in toks if t in STOPWORDS) / nt
+        mean_tok = sum(len(t) for t in toks) / nt
+        return round(min(1.0, alpha * 0.5 + stop * 0.3 + min(mean_tok / 10, 1.0) * 0.2), 6)
+
+    for did, text in [(1, good), (3, good + " extra tail")]:
+        assert abs(got[did]["quality"] - py_quality(text)) < 1e-9
+        assert got[did]["content_sha"] == hashlib.sha256(text.encode()).hexdigest()
+
+    plan = clean_corpus(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # one logical shuffle (+AQE read)
