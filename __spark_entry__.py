@@ -696,6 +696,71 @@ def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cf_line_spark():
+    """Synthetic CloudFront access-log line per events row (tab-separated,
+    identical construction in the DuckDB oracle): exercises the tab-bearing
+    Go timestamp layout, the '000'/'-' sentinels, and DEEP url-decode
+    (%2520 -> %20 -> space needs two passes)."""
+    eid = F.col("event_id")
+    bad = (eid % 4) == 3
+    noq = (eid % 3) == 0
+    status = F.when(bad, F.lit("000")).otherwise(
+        (F.lit(200) + (eid % 4) * 100).cast("string")
+    )
+    fields = [
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd"), F.lit("\t"),
+            F.date_format("ts", "HH:mm:ss"),
+        ),
+        F.concat(F.lit("LAX1-"), F.col("event_type")),
+        (eid % 5000).cast("string"),
+        F.concat(F.lit("192.0.2."), (eid % 255).cast("string")),
+        F.lit("GET"),
+        F.lit("d111.cf.net"),
+        F.concat(F.lit("/p%2520q/"), F.col("event_type")),
+        status,
+        F.when((eid % 2) == 0, F.lit("-")).otherwise(F.lit("https://ref.ex.com/")),
+        F.concat(F.lit("ua%20"), F.col("event_type")),
+        F.when(noq, F.lit("-")).otherwise(
+            F.concat(F.lit("k%3D"), (eid % 100).cast("string"))
+        ),
+        F.lit("-"),
+        F.lit("Hit"),
+        F.concat(F.lit("req-"), eid.cast("string")),
+        F.lit("ex.com"),
+        F.lit("https"),
+        F.when(bad, F.lit("-")).otherwise((eid % 10000).cast("string")),
+        F.when(bad, F.lit("-")).otherwise(F.lit("0.042")),
+    ]
+    return F.concat_ws("\t", *fields)
+
+
+def q_cloudfront_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudFront parse parity (second oracle-checked format besides ALB):
+    tab-separated fields, date<TAB>time Go timestamp layout, '000' status
+    sentinel, '-' sentinels, and two-pass deep URL decode."""
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(_cf_line_spark().alias("value"))
+    parsed = parse_lines(lines, FORMATS["cloudfront"])
+    return parsed.select(
+        "_id",
+        F.col("@timestamp").alias("event_ts"),
+        F.col("x_edge_location"),
+        F.col("sc_bytes").cast("long").alias("sc_bytes"),
+        F.col("sc_status").cast("long").alias("status"),
+        F.col("cs_uri_stem").alias("uri_stem"),
+        F.col("cs_uri_query").alias("uri_query"),
+        F.col("cs_user_agent").alias("user_agent"),
+        F.col("cs_referer").alias("referer"),
+        F.col("cs_bytes").cast("long").alias("cs_bytes"),
+        F.col("time_taken").alias("time_taken"),
+        F.col("_error").alias("parse_error"),
+    )
+
+
 MINHASH_LSH_THRESHOLD = 0.2
 ANN_LSH_PLANES = 6
 EMB_DEDUP_THRESHOLD = 0.35
@@ -774,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "alb_parse": q_alb_parse,
+        "cloudfront_parse": q_cloudfront_parse,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1394,6 +1460,47 @@ SELECT sha256({_ALB_LINE_DUCK}) AS _id,
 FROM events
 """
 
+_CF_LINE_DUCK = """
+  strftime(ts, '%Y-%m-%d') || chr(9) || strftime(ts, '%H:%M:%S')
+  || chr(9) || 'LAX1-' || event_type
+  || chr(9) || (event_id % 5000)
+  || chr(9) || '192.0.2.' || (event_id % 255)
+  || chr(9) || 'GET'
+  || chr(9) || 'd111.cf.net'
+  || chr(9) || '/p%2520q/' || event_type
+  || chr(9) || (CASE WHEN event_id % 4 = 3 THEN '000'
+                     ELSE (200 + (event_id % 4) * 100)::VARCHAR END)
+  || chr(9) || (CASE WHEN event_id % 2 = 0 THEN '-' ELSE 'https://ref.ex.com/' END)
+  || chr(9) || 'ua%20' || event_type
+  || chr(9) || (CASE WHEN event_id % 3 = 0 THEN '-'
+                     ELSE 'k%3D' || (event_id % 100) END)
+  || chr(9) || '-'
+  || chr(9) || 'Hit'
+  || chr(9) || 'req-' || event_id
+  || chr(9) || 'ex.com'
+  || chr(9) || 'https'
+  || chr(9) || (CASE WHEN event_id % 4 = 3 THEN '-' ELSE (event_id % 10000)::VARCHAR END)
+  || chr(9) || (CASE WHEN event_id % 4 = 3 THEN '-' ELSE '0.042' END)
+"""
+
+_CF_PARSE_SQL = f"""
+SELECT sha256({_CF_LINE_DUCK}) AS _id,
+       date_trunc('second', ts) AS event_ts,
+       'LAX1-' || event_type AS x_edge_location,
+       (event_id % 5000)::BIGINT AS sc_bytes,
+       (CASE WHEN event_id % 4 = 3 THEN NULL
+             ELSE 200 + (event_id % 4) * 100 END)::BIGINT AS status,
+       '/p q/' || event_type AS uri_stem,
+       (CASE WHEN event_id % 3 = 0 THEN NULL
+             ELSE 'k=' || (event_id % 100) END) AS uri_query,
+       'ua ' || event_type AS user_agent,
+       (CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'https://ref.ex.com/' END) AS referer,
+       (CASE WHEN event_id % 4 = 3 THEN NULL ELSE event_id % 10000 END)::BIGINT AS cs_bytes,
+       (CASE WHEN event_id % 4 = 3 THEN NULL ELSE 0.042 END)::DOUBLE AS time_taken,
+       NULL::VARCHAR AS parse_error
+FROM events
+"""
+
 # multimodal_features oracle: rebuild the synthetic media table
 # (payload_i = sha256("media"||i) digest repeated 4+i%5 times, declared
 # shape (8, 8+i%8, 3)), then the fake decode's digest-tiling, the
@@ -1521,6 +1628,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
+        "cloudfront_parse": _CF_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
     }
 
