@@ -243,6 +243,26 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HL_WINDOW = 40
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlight: top-k via the compressed index (Block-Max WAND),
+    then one snippet per hit — 2*HL_WINDOW chars around the earliest
+    occurrence of any query term. Content is read ONLY for the k result
+    docs (broadcast join on the k ids)."""
+    from s3logsbeat_spark.operators.search import highlight_hits
+
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.query(BM25_TERMS, BM25_K)
+    hits = spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+    return highlight_hits(
+        _docs(spark, sf_dir), hits, BM25_TERMS, window=HL_WINDOW, text_col="text"
+    )
+
+
 def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-only phrase search (Lucene match_phrase analogue): a
     positional index (4th delta+varbyte stream of raw-token positions)
@@ -807,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
         "bm25_wand": q_bm25_wand,
+        "highlight": q_highlight,
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
@@ -893,6 +914,18 @@ _BM25_WAND_SQL = _BM25_SQL.replace(
     "regexp_extract_all(lower(text), '[a-z0-9_]+')",
     "regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')",
 )
+
+
+_HL_POS = ("least(" + ", ".join(
+    f"nullif(strpos(lower(d2.text), '{t}'), 0)" for t in ["merge", "window", "spark"]
+) + ")")
+_HIGHLIGHT_SQL = _BM25_WAND_SQL.replace(
+    "SELECT doc_id, round(raw, 6) AS score FROM scored",
+    "SELECT s2.doc_id, round(s2.raw, 6) AS score, "
+    f"CASE WHEN {_HL_POS} IS NOT NULL THEN "
+    f"substr(d2.text, greatest(1, {_HL_POS} - 40), 80) END AS snippet "
+    "FROM scored s2 JOIN documents d2 ON d2.doc_id = s2.doc_id",
+).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
 
 
 _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
@@ -1573,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_search": _SUBSTRING_SQL,
         "regex_search": _REGEX_SQL,
         "bm25_wand": _BM25_WAND_SQL,
+        "highlight": _HIGHLIGHT_SQL,
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,

@@ -274,3 +274,45 @@ def phrase_topk(
         "doc_id",
     ).filter(F.contains(F.col("_t"), F.lit(phrase))).select("doc_id", "score")
     return topk(verified, k)
+
+
+def highlight_hits(
+    docs: DataFrame,
+    hits: DataFrame,
+    terms: list[str],
+    window: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """ES highlight analogue: for an already-ranked hit set (doc_id,
+    score), pull one deterministic snippet per doc — ``window`` chars of
+    context around the EARLIEST occurrence of any query term
+    (case-insensitive; offsets are taken on the lowercased text and
+    sliced from the original, exact for ASCII corpora).
+
+    Scale shape: the join keys are the k result ids, so Spark broadcasts
+    the hits and the docs scan prunes to k rows (isNotNull + broadcast
+    hash join — content is only read for the k docs being displayed,
+    never for the candidate set). Returns (doc_id, score, snippet);
+    snippet is NULL when no term occurs literally (e.g. the doc matched
+    via sub-token splits)."""
+    joined = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    ).join(F.broadcast(hits), "doc_id")
+    low = F.lower(F.col("_text"))
+    pos = F.least(
+        *[F.nullif(F.instr(low, F.lit(t.lower())), F.lit(0)) for t in terms]
+    )
+    return (
+        joined.withColumn("_pos", pos.cast("int"))
+        .select(
+            "doc_id",
+            "score",
+            F.when(
+                F.col("_pos").isNotNull(),
+                F.expr(
+                    f"substring(_text, greatest(1, _pos - {int(window)}), {2 * int(window)})"
+                ),
+            ).alias("snippet"),
+        )
+    )

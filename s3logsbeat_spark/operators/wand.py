@@ -648,13 +648,12 @@ class IndexReader:
     pruned sets) stays a Spark per-bucket pass with a k-row merge.
     """
 
-    def __init__(self, spark: SparkSession, out_dir: str, merged: bool = False):
+    def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
         self.out_dir = out_dir
         self.summary = summarize_index(out_dir)
         self.n_docs = self.summary["n_docs"]
         self.avgdl = self.summary["avgdl"]
-        self._merged = merged
         self._dset = None
         self._attrs_dset = None
         # bounded per-term df memo (0 = known-absent). The reader never

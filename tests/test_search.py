@@ -113,3 +113,33 @@ def test_phrase_topk_matches_oracle(spark, corpus_df):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert abs(gs - ws) < 1e-6
+
+
+def test_highlight_hits(spark):
+    """ES highlight analogue: snippet = window around the EARLIEST
+    occurrence of any query term; docs with no literal occurrence get a
+    NULL snippet; the hits side is broadcast (content read only for k)."""
+    from s3logsbeat_spark.operators.search import highlight_hits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x" * 100 + " the needle sits here " + "y" * 100),
+            (2, "needle at the very start of it all"),
+            (3, "no occurrence of the term in this one"),
+        ],
+        "doc_id long, content string",
+    )
+    hits = spark.createDataFrame(
+        [(1, 2.0), (2, 1.5), (3, 1.0)], "doc_id long, score double"
+    )
+    out = highlight_hits(docs, hits, ["needle", "zzz"], window=10)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    body = docs.collect()
+    texts = {r["doc_id"]: r["content"] for r in body}
+    p1 = texts[1].lower().index("needle") + 1
+    assert rows[1]["snippet"] == texts[1][max(0, p1 - 11): max(0, p1 - 11) + 20]
+    assert rows[2]["snippet"].startswith("needle at")  # start-of-doc clamp
+    assert rows[3]["snippet"] is None  # no literal term occurrence
+    assert rows[1]["score"] == 2.0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
