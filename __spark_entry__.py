@@ -425,6 +425,39 @@ def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of multimodal_features: duration-derived sample counts
+    (16 samples/ms), digest-tiled fake decode mapped to [-1, 1) floats,
+    8-band mean-pooled features — same hex-hash chain, so the whole
+    pipeline is DuckDB-reproducible."""
+    from s3logsbeat_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=32, kind="audio")
+    feats = extract_features(media, kind="audio", dim=8)
+    return feats.select(
+        "media_id", F.posexplode("feature").alias("band", "fval")
+    ).select(
+        "media_id",
+        "band",
+        F.round(F.col("fval").cast("double"), 6).alias("fval"),
+    )
+
+
+SIG_SAMPLE = 25
+
+
+def q_significant_terms_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler + significant_terms (the 100 TB path): foreground =
+    top-SIG_SAMPLE matched docs by BM25 (rank-deterministic), fg counting
+    decodes only the blocks that can contain a sampled doc (block-max
+    skip), JLH scoring as in exact mode."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.significant_terms(BM25_TERMS, BM25_K, sample_size=SIG_SAMPLE)
+    return spark.createDataFrame(
+        [(t, round(s, 6)) for t, s in rows], "term string, score double"
+    )
+
+
 MSM = 2
 
 
@@ -839,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram": q_search_histogram,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
+        "significant_terms_sampled": q_significant_terms_sampled,
         "match_count": q_match_count,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -862,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alb_parse": q_alb_parse,
         "cloudfront_parse": q_cloudfront_parse,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -1035,6 +1070,34 @@ SELECT term, round(jlh, 6) AS score FROM (
 )
 ORDER BY round(jlh, 9) DESC, term ASC LIMIT {BM25_K}
 """
+
+
+_SIG_TERMS_SAMPLED_SQL = (
+    _BM25_WAND_SQL.split("SELECT doc_id, round(raw, 6) AS score FROM scored")[0]
+    + f"""
+, topn AS (
+  SELECT doc_id FROM scored ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT {SIG_SAMPLE}
+),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS f FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM topn) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+),
+sizes AS (
+  SELECT (SELECT count(*) FROM topn) AS m, (SELECT count(*) FROM documents) AS n
+)
+SELECT term, round(jlh, 6) AS score FROM (
+  SELECT fg.term,
+         ((fg.f::DOUBLE / s.m) - (bg.df::DOUBLE / s.n))
+         * ((fg.f::DOUBLE / s.m) / (bg.df::DOUBLE / s.n)) AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN sizes s
+  WHERE fg.term NOT IN ('merge', 'window', 'spark')
+)
+ORDER BY round(jlh, 9) DESC, term ASC LIMIT {BM25_K}
+"""
+)
 
 
 _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
@@ -1564,6 +1627,30 @@ SELECT media_id, (i // L)::INT AS band,
 FROM cells GROUP BY media_id, (i // L)::INT, L
 """
 
+# Audio twin: duration-derived sample counts, (byte-128)/128 samples,
+# 8-band means. The (x-128)/128 values are exact dyadic rationals, so
+# the only rounding is the final float32 store (REAL cast).
+_MULTIMODAL_AUDIO_SQL = """
+WITH media AS (
+  SELECT i AS media_id, 1000 * (1 + (i % 3)) AS dur,
+         repeat(sha256('media' || i), 4 + (i % 5)) AS payload_hex
+  FROM range(0, 32) t(i)
+), dig AS (
+  SELECT media_id, sha256(payload_hex) AS dh,
+         greatest(dur * 16, 16) AS n,
+         greatest(dur * 16, 16) // 8 AS L
+  FROM media
+), cells AS (
+  SELECT media_id, dh, L, unnest(range(0, n)) AS i FROM dig
+)
+SELECT media_id, (i // L)::INT AS band,
+       round(CAST(CAST(
+         SUM((CAST('0x' || substr(dh, 2*(i % 32) + 1, 2) AS INTEGER) - 128) / 128.0)::DOUBLE / L
+       AS REAL) AS DOUBLE), 6) AS fval
+FROM cells GROUP BY media_id, (i // L)::INT, L
+"""
+
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -1618,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "search_histogram": _SEARCH_HIST_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
+        "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
         "match_count": f"""
             WITH toks AS (
               SELECT doc_id,
@@ -1664,6 +1752,7 @@ def oracle_sql() -> dict[str, str]:
         "alb_parse": _ALB_PARSE_SQL,
         "cloudfront_parse": _CF_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
+        "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
     }
 
 

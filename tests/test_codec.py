@@ -122,3 +122,28 @@ def test_batch_encode_identical_to_single(rng, n_groups):
                 sb["last_doc"], sb["max_tf"], sb["min_dl"],
                 sb["doc_off"], sb["tf_off"], sb["dl_off"], sb["cnt"],
             )
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_decode_doc_ids_matches_full_decode(data):
+    """decode_doc_ids (the docs-only membership decode) must equal the
+    docs component of the full decode on any encodable list."""
+    import numpy as np
+
+    from s3logsbeat_spark.operators.codec import (
+        decode_doc_ids,
+        decode_posting_list,
+        encode_posting_list,
+    )
+
+    n = data.draw(st.integers(1, 500))
+    ids = np.cumsum(
+        np.array(data.draw(st.lists(st.integers(1, 1000), min_size=n, max_size=n)))
+    ).astype(np.int64)
+    tfs = np.array(data.draw(st.lists(st.integers(1, 50), min_size=n, max_size=n)), dtype=np.int64)
+    dls = np.array(data.draw(st.lists(st.integers(1, 500), min_size=n, max_size=n)), dtype=np.int64)
+    payload = encode_posting_list(ids, tfs, dls)
+    d_full, _, _ = decode_posting_list(payload)
+    d_only = decode_doc_ids(payload["docs"])
+    assert np.array_equal(d_full, d_only) and np.array_equal(d_only, ids)
