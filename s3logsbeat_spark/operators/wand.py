@@ -1228,6 +1228,10 @@ class IndexReader:
         deletion-neighborhood index was vocab × neighborhood and could
         not survive a 10^9-term vocabulary). Capped at ``max_terms``
         keeping (closest distance, highest df) first."""
+        if self._vocab_rows() > self._FUZZY_DRIVER_MAX_ROWS:
+            return self._expand_fuzzy_distributed(
+                term, max_edits, prefix_length, max_terms
+            )
         qvars = set(_deletion_variants(term, max_edits))
         qlen = len(term)
         filt = (
@@ -1250,6 +1254,51 @@ class IndexReader:
         out = sorted(seen, key=lambda t: (seen[t], -dfs.get(t, 0), t))[:max_terms]
         out.sort()
         return out
+
+    #: above this many (term, salt, bucket) dictionary rows, fuzzy
+    #: expansion routes to the distributed JVM-levenshtein path instead
+    #: of a driver-side python stream over the vocabulary
+    _FUZZY_DRIVER_MAX_ROWS = 2_000_000
+
+    def _vocab_rows(self) -> int:
+        """Total dictionary rows across bucket manifests (~vocab x
+        buckets) — the routing signal for driver vs distributed term
+        expansion. Read from the manifests, no data scan."""
+        from .segments import read_manifest
+
+        return sum(int(r.get("terms", 0)) for r in read_manifest(self.out_dir))
+
+    def _expand_fuzzy_distributed(
+        self, term: str, max_edits: int, prefix_length: int, max_terms: int
+    ) -> list[str]:
+        """Distributed fuzzy expansion: Spark's built-in ``levenshtein``
+        (JVM, codegen — plain edit distance, same metric as the driver
+        path's banded verify) over the term dictionary, length-gated and
+        prefix-gated BEFORE the distance, aggregated to (term, df) and
+        capped to ``max_terms`` rows shipped back. Identical results to
+        the driver stream (tested), but the vocabulary never leaves the
+        executors."""
+        segs = load_segments(self.spark, self.out_dir).select("term", "df")
+        qlen = len(term)
+        cand = segs.filter(
+            (F.length("term") >= qlen - max_edits)
+            & (F.length("term") <= qlen + max_edits)
+        )
+        if prefix_length:
+            cand = cand.filter(
+                F.col("term").startswith(term[:prefix_length])
+            )
+        cand = cand.withColumn(
+            "dist", F.levenshtein(F.lit(term), F.col("term"))
+        ).filter(F.col("dist") <= max_edits)
+        rows = (
+            cand.groupBy("term", "dist")
+            .agg(F.sum("df").alias("df"))
+            .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+            .limit(max_terms)
+            .collect()
+        )
+        return sorted(r["term"] for r in rows)
 
     def fuzzy_query(
         self,

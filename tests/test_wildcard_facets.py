@@ -400,3 +400,20 @@ def test_reader_memory_independent_of_vocab(spark, tmp_path_factory):
             if isinstance(v, (dict, list, set)):
                 assert len(v) < 100, (attr, len(v))
     assert cache_sizes[0] == cache_sizes[1]  # not a function of vocab size
+
+
+def test_expand_fuzzy_distributed_path_identical(spark, wbuilt, monkeypatch):
+    """Above the vocab-rows threshold fuzzy expansion routes to the
+    distributed JVM-levenshtein path — it must return exactly what the
+    driver stream returns (same metric, same (dist, -df, term) cap)."""
+    a = IndexReader(spark, wbuilt)
+    b = IndexReader(spark, wbuilt)
+    monkeypatch.setattr(type(b), "_FUZZY_DRIVER_MAX_ROWS", 0)
+    for term, d, plen in [
+        ("retrun", 2, 0), ("respnse", 1, 0), ("return", 1, 0),
+        ("return", 2, 3), ("valeu", 2, 0),
+    ]:
+        got_a = a.expand_fuzzy(term, max_edits=d, prefix_length=plen, max_terms=25)
+        got_b = b.expand_fuzzy(term, max_edits=d, prefix_length=plen, max_terms=25)
+        assert got_a == got_b, (term, d, plen)
+        assert got_b  # non-vacuous
