@@ -749,6 +749,27 @@ def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alb_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 at the contract level: every 97th line is truncated to its
+    first 40 chars (can't match the ALB pattern); those rows must come
+    back with the error message and NULL typed fields — never dropped —
+    while the rest parse exactly as in alb_parse."""
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    corrupt = (F.col("event_id") % 97) == 0
+    line = F.when(
+        corrupt, F.substring(_alb_line_spark(), 1, 40)
+    ).otherwise(_alb_line_spark())
+    parsed = parse_lines(ev.select(line.alias("value")), FORMATS["alb"])
+    return parsed.select(
+        "_id",
+        F.col("elb_status_code").cast("long").alias("status_code"),
+        F.col("_error").alias("parse_error"),
+    )
+
+
 def _cf_line_spark():
     """Synthetic CloudFront access-log line per events row (tab-separated,
     identical construction in the DuckDB oracle): exercises the tab-bearing
@@ -894,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "alb_parse": q_alb_parse,
+        "alb_parse_errors": q_alb_parse_errors,
         "cloudfront_parse": q_cloudfront_parse,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -1651,6 +1673,18 @@ FROM cells GROUP BY media_id, (i // L)::INT, L
 """
 
 
+_ALB_ERRORS_SQL = f"""
+SELECT sha256(CASE WHEN event_id % 97 = 0
+              THEN substr({_ALB_LINE_DUCK}, 1, 40)
+              ELSE {_ALB_LINE_DUCK} END) AS _id,
+       (CASE WHEN event_id % 97 = 0 THEN NULL
+             ELSE 200 + (event_id % 4) * 100 END)::BIGINT AS status_code,
+       (CASE WHEN event_id % 97 = 0 THEN 'line does not match alb pattern'
+             ELSE NULL END) AS parse_error
+FROM events
+"""
+
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -1750,6 +1784,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
+        "alb_parse_errors": _ALB_ERRORS_SQL,
         "cloudfront_parse": _CF_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
