@@ -576,6 +576,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECONTAM_N = 8  # n-gram length; 13 at production scale (GPT-3 appendix C)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >=1 distinct
+    8-token n-gram with a held-out eval set (every 50th doc). Eval
+    n-grams broadcast; corpus side is explode -> broadcast hash join ->
+    map-side-combined count, no shuffle of exploded n-grams."""
+    from s3logsbeat_spark.operators.decontam import ngram_hits
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    return ngram_hits(docs, ev, n=DECONTAM_N)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components: (doc_id, cluster_id =
+    min doc_id in the component, cluster_size). Distributed min-label
+    propagation + pointer halving; the oracle is a recursive CTE over
+    the same verified MinHash-LSH pairs."""
+    from s3logsbeat_spark.operators.dedup import dedup_clusters, minhash_dedup_pairs
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    pairs = minhash_dedup_pairs(
+        docs, n_hashes=16, bands=4, rows=4, threshold=MINHASH_LSH_THRESHOLD
+    )
+    return dedup_clusters(pairs)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One doc per near-dup cluster (min doc_id canonical) plus all
+    unpaired docs: the corpus a training pipeline actually keeps."""
+    from s3logsbeat_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_survivors,
+        minhash_dedup_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    pairs = minhash_dedup_pairs(
+        docs, n_hashes=16, bands=4, rows=4, threshold=MINHASH_LSH_THRESHOLD
+    )
+    labels = dedup_clusters(pairs)
+    return dedup_survivors(docs, labels).select("doc_id", "lang")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN around vec_id=0 (multiprobe Hamming-1),
     exact cosine rerank inside the probed buckets."""
@@ -910,6 +956,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
+        "decontaminate": q_decontaminate,
         "ann_lsh": q_ann_lsh,
         "ann_indexed": q_ann_indexed,
         "ann_ivf": q_ann_ivf,
@@ -1451,6 +1500,68 @@ SELECT a, b, jaccard FROM j WHERE jaccard >= {MINHASH_LSH_THRESHOLD}
 """
 
 
+def _decontaminate_sql() -> str:
+    k = DECONTAM_N
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks FROM documents
+),
+shk AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= {k} THEN
+             [array_to_string(toks[i:i+{k - 1}], ' ')
+              for i in generate_series(1, len(toks)-{k - 1})]
+           WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           ELSE []::VARCHAR[] END
+         ) AS shingles
+  FROM tok
+),
+ev AS (SELECT DISTINCT unnest(shingles) AS g FROM shk WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, unnest(shingles) AS g FROM shk)
+SELECT tr.doc_id, count(*) AS hit_ngrams FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+"""
+
+
+def _dedup_clusters_sql() -> str:
+    """Transitive closure of the verified LSH pairs as a recursive CTE:
+    per node, cluster_id = min reachable id (DuckDB twin of the
+    distributed min-label-propagation fixpoint)."""
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+lbl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT l.doc_id, l.cluster_id, c.cluster_size
+FROM lbl l
+JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id) c
+  USING (cluster_id)
+"""
+
+
+def _dedup_survivors_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+lbl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM lbl WHERE cluster_id <> doc_id)
+"""
+
+
 def _ann_lsh_sql() -> str:
     from s3logsbeat_spark.operators.similarity import random_planes
 
@@ -1779,6 +1890,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_minhash_lsh": _minhash_lsh_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
+        "dedup_survivors": _dedup_survivors_sql(),
+        "decontaminate": _decontaminate_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_indexed": _ann_lsh_sql(),  # identical semantics, partition-pruned layout
         "ann_ivf": _ann_ivf_sql(),

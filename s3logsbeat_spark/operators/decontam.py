@@ -1,0 +1,71 @@
+"""Benchmark decontamination for training corpora.
+
+A training doc is "contaminated" when it shares at least one n-token
+n-gram with a held-out evaluation set (the GPT-3 appendix-C /
+PaLM-style 13-gram rule). This is the standard pre-training hygiene
+step the reference pipeline (a parse-and-ship beat,
+``pipeline/s3reader.go``) has no analogue for — it belongs to the
+LLM-data surface this engine adds on top.
+
+Scale shape: the eval side of the join is tiny relative to a 100 TB
+corpus (benchmarks are MBs), so its distinct n-gram set is broadcast —
+the exploded training n-grams stream through a broadcast hash join and
+a map-side-combined ``groupBy(doc_id).count()``; no shuffle of the
+exploded corpus ever happens. For an eval set too big to broadcast,
+pass ``broadcast_eval=False`` to fall back to a shuffle equi-join on
+the n-gram. n-grams join as strings so the DuckDB oracle is exact; at
+real scale you would hash them to 64-bit (xxhash64) first to shrink
+the broadcast ~10x — semantics identical modulo hash collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col
+
+
+def ngram_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """(doc_id, hit_ngrams) for every training doc sharing >=1 distinct
+    n-token n-gram with the eval set. ``hit_ngrams`` counts distinct
+    shared n-grams (both sides' n-gram lists are distinct per doc, and
+    the eval set is globally distinct)."""
+    ev = (
+        eval_df.select(F.explode(shingles_col(content_col, n)).alias("g"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(content_col, n)).alias("g"),
+    )
+    return tr.join(ev, "g").groupBy("doc_id").agg(
+        F.count("*").alias("hit_ngrams")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n: int = 13,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop contaminated docs from the training corpus (anti-join on the
+    hit set, which is small, so AQE broadcasts it)."""
+    hits = ngram_hits(train, eval_df, content_col, id_col, n, broadcast_eval)
+    return train.join(
+        hits.select(F.col("doc_id").alias("__hit_id")),
+        train[id_col] == F.col("__hit_id"),
+        "left_anti",
+    )

@@ -277,6 +277,105 @@ def simhash64(
     return src.mapInPandas(gen, schema="doc_id long, simhash long")
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Distributed connected components over near-dup pairs:
+    ``(a, b)`` edges -> ``(doc_id, cluster_id)`` where ``cluster_id`` is
+    the minimum doc_id in the component. This is the step every real
+    dedup pipeline needs after pair generation — pairs say *which docs
+    collide*, components say *which single doc survives*.
+
+    Algorithm: min-label propagation fused with pointer halving.
+    Each iteration does
+      1. neighbor-min  — edges ⋈ labels, ``groupBy(u).min`` (map-side
+         partial aggregation, so a hot hub node never concentrates rows
+         on one reducer the way a ``collect_list`` formulation would);
+      2. pointer halving — ``lbl <- min(lbl, lbl(lbl))`` via a self-join
+         on the (unique) id side, which contracts label chains
+         geometrically (Shiloach–Vishkin style), so convergence is
+         O(log diameter) instead of O(diameter) on path-shaped graphs.
+    Labels only ever decrease and never leave the component, so the
+    fixpoint is exactly the per-component minimum.
+
+    Scale notes: every step is an equi-join + partial-agg — no
+    ``collect_list``, no cross join, no driver state. Lineage is
+    truncated each iteration with ``localCheckpoint`` (on a real cluster
+    set a reliable ``spark.sparkContext.setCheckpointDir`` and swap to
+    ``checkpoint``); convergence is detected with a ``count`` action on
+    changed labels. LSH dedup graphs are clique-like, so 1-2 iterations
+    is typical regardless of corpus size.
+    """
+    e0 = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    )
+    edges = e0.union(e0.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "lbl", F.col("id")
+    )
+    for _ in range(max_iters):
+        nb = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), F.col("lbl").alias("vlbl")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nb_min"))
+            .select(F.col("u").alias("id"), "nb_min")
+        )
+        new = labels.join(nb, "id", "left").select(
+            "id", F.least("lbl", F.coalesce("nb_min", F.col("lbl"))).alias("lbl")
+        )
+        par = new.select(F.col("id").alias("p_id"), F.col("lbl").alias("p_lbl"))
+        new = new.join(par, new["lbl"] == par["p_id"], "left").select(
+            "id", F.least("lbl", F.coalesce("p_lbl", F.col("lbl"))).alias("lbl")
+        )
+        if checkpoint:
+            new = new.localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for every doc that appears in a
+    near-dup pair; ``cluster_id`` is the component's minimum doc_id (the
+    canonical survivor)."""
+    labels = connected_components(pairs, a_col, b_col)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+def dedup_survivors(
+    docs: DataFrame, labels: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one doc per near-dup cluster (the cluster_id = min-doc_id
+    canonical) plus every doc that was in no pair. ``labels`` is the
+    output of :func:`connected_components` / :func:`dedup_clusters`.
+    The loser set is tiny relative to the corpus, so the anti-join
+    broadcasts under AQE at any scale."""
+    losers = labels.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias("__loser_id")
+    )
+    return docs.join(
+        losers, docs[id_col] == losers["__loser_id"], "left_anti"
+    )
+
+
 def simhash_candidate_pairs(
     sims: DataFrame, bands: int = 4, max_bucket: int = 1000
 ) -> DataFrame:

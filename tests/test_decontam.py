@@ -1,0 +1,53 @@
+"""Decontamination: n-gram overlap vs an eval set, checked against a
+transparent pure-Python n-gram oracle."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from s3logsbeat_spark.operators.decontam import decontaminate, ngram_hits
+
+EVAL = [(100, "the secret benchmark answer is forty two exactly")]
+TRAIN = [
+    # contains the eval 8-gram "the secret benchmark answer is forty two exactly"
+    (0, "prefix words then the secret benchmark answer is forty two exactly and more"),
+    # shares only shorter runs (7 tokens) -> clean at n=8
+    (1, "the secret benchmark answer is forty two but different ending here"),
+    (2, "completely unrelated text about distributed query engines"),
+    # short doc (<8 tokens) whose full text is NOT an eval n-gram -> clean
+    (3, "forty two"),
+]
+
+
+def _ngrams(text: str, n: int) -> set[str]:
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)} if toks else set()
+
+
+@pytest.mark.parametrize("broadcast_eval", [True, False])
+def test_ngram_hits_matches_python_oracle(spark, broadcast_eval):
+    train = spark.createDataFrame(TRAIN, "doc_id long, content string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, content string")
+    got = {
+        r["doc_id"]: r["hit_ngrams"]
+        for r in ngram_hits(train, ev, n=8, broadcast_eval=broadcast_eval).collect()
+    }
+    ev_grams = set().union(*[_ngrams(t, 8) for _, t in EVAL])
+    want = {
+        i: len(_ngrams(t, 8) & ev_grams)
+        for i, t in TRAIN
+        if _ngrams(t, 8) & ev_grams
+    }
+    assert got == want
+    assert 0 in got and 1 not in got and 3 not in got
+
+
+def test_decontaminate_drops_hits(spark):
+    train = spark.createDataFrame(TRAIN, "doc_id long, content string")
+    ev = spark.createDataFrame(EVAL, "doc_id long, content string")
+    kept = sorted(r["doc_id"] for r in decontaminate(train, ev, n=8).collect())
+    assert kept == [1, 2, 3]

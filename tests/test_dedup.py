@@ -196,3 +196,50 @@ def test_embedding_banding_boosts_recall(spark):
     )
     got = embedding_dedup_pairs(emb, threshold=0.9, planes=planes, bands=2)
     assert [(r["a"], r["b"]) for r in got.collect()] == [(0, 1)]
+
+
+# ------------------------------------------------------- components --
+
+def _cc(spark, edges, **kw):
+    from s3logsbeat_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    return {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs, **kw).collect()
+    }
+
+
+def test_cc_disjoint_cliques(spark):
+    # two cliques {0,1,2} and {10,11}, plus an isolated pair {20,21}
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (20, 21)]
+    got = _cc(spark, edges)
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_cc_path_graph_converges_fast(spark):
+    # a 64-node path: plain one-hop min propagation needs 63 iterations;
+    # pointer halving must close it well inside max_iters=10
+    edges = [(i, i + 1) for i in range(63)]
+    got = _cc(spark, edges, max_iters=10)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_cc_edge_direction_irrelevant(spark):
+    # labels must not depend on which side of the pair the smaller id is on
+    got = _cc(spark, [(5, 3), (3, 9), (9, 7)])
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3}
+
+
+def test_dedup_clusters_and_survivors(spark):
+    from s3logsbeat_spark.operators.dedup import dedup_clusters, dedup_survivors
+
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (10, 11)], "a long, b long")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(13)], "doc_id long, content string"
+    )
+    cl = dedup_clusters(pairs)
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in cl.collect()}
+    assert rows == {0: (0, 3), 1: (0, 3), 2: (0, 3), 10: (10, 2), 11: (10, 2)}
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, cl).collect())
+    # survivors: cluster minima (0, 10) + all unpaired docs
+    assert kept == [0, 3, 4, 5, 6, 7, 8, 9, 10, 12]
