@@ -389,6 +389,83 @@ def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PCTS = (25.0, 50.0, 75.0, 95.0, 99.0)
+
+
+def q_search_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation on a query: distinct langs among the
+    matching docs (exact mode for the oracle; the HLL++ sketch mode is
+    the 100 TB path, pytest-checked with rsd tolerance)."""
+    rdr = _driver_index(spark, sf_dir)
+    c = rdr.cardinality_agg(BM25_TERMS, "lang", exact=True)
+    return spark.createDataFrame([(int(c),)], "cardinality long")
+
+
+def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation on a query: n_chars quantiles over the
+    matching docs (exact linear interpolation == SQL quantile_cont;
+    percentile_approx is the sketch twin at scale)."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.percentiles_agg(BM25_TERMS, "n_chars", PCTS, exact=True)
+    return spark.createDataFrame(
+        [(p, round(v, 6)) for p, v in rows], "pct double, value double"
+    )
+
+
+def q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after keyset pagination: page 2 of the BM25 ranking,
+    fetched with the (score, doc_id) cursor from page 1 — equivalent to
+    OFFSET 10 because the (score DESC, doc_id ASC) sort is total."""
+    rdr = _driver_index(spark, sf_dir)
+    page1 = rdr.query(BM25_TERMS, k=BM25_K)
+    if len(page1) < BM25_K:
+        return spark.createDataFrame([], "doc_id long, score double")
+    cursor = page1[-1]
+    page2 = rdr.query_after(BM25_TERMS, k=BM25_K, after=(cursor[1], cursor[0]))
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in page2], "doc_id long, score double"
+    )
+
+
+def q_search_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sort-by-attribute: matching docs ordered by n_chars DESC
+    (doc_id tie-break), top 10 — the keyset-paginated scalable sort."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.sort_by_field(BM25_TERMS, "n_chars", k=10, descending=True)
+    return spark.createDataFrame(
+        [(int(d), int(v)) for d, v in rows], "doc_id long, n_chars long"
+    )
+
+
+RANGES = [(None, 2000), (2000, 4000), (4000, None)]
+
+
+def q_search_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES range aggregation on a query: matching-doc counts per
+    half-open [from, to) n_chars bucket, all buckets in one pass."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.range_agg(BM25_TERMS, "n_chars", RANGES)
+    return spark.createDataFrame(
+        [(k, int(c)) for k, c in rows], "range_key string, doc_count long"
+    )
+
+
+PACK_BUDGET = 2048
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: each doc's global token offset
+    in doc_id order and its context-window chunk — a two-pass
+    distributed prefix sum (per-partition totals -> broadcast bases),
+    never a single-task global window."""
+    from s3logsbeat_spark.operators.packing import pack_offsets
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_TOKS).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return pack_offsets(toks, budget=PACK_BUDGET)
+
+
 TOPHITS_K = 2
 
 
@@ -513,6 +590,17 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3logsbeat_spark.operators.textstats import quality_scores
 
     return quality_scores(_docs(spark, sf_dir), text_col="text")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-line fraction/chars,
+    top-2/3-gram char fraction, duplicated-5-gram char fraction. Pure
+    array-fold JVM expressions (zero shuffles); the oracle states the
+    same semantics via unnest + GROUP BY."""
+    from s3logsbeat_spark.operators.textstats import repetition_scores
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return repetition_scores(docs)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,6 +1025,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "search_stats": q_search_stats,
         "search_histogram": q_search_histogram,
+        "search_cardinality": q_search_cardinality,
+        "search_percentiles": q_search_percentiles,
+        "search_after": q_search_after,
+        "search_sort": q_search_sort,
+        "search_range": q_search_range,
+        "pack_chunks": q_pack_chunks,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
@@ -948,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "repetition": q_repetition,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
@@ -1090,6 +1185,55 @@ SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
        min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
        round(avg(n_chars), 6) AS avg
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+_SEARCH_AFTER_SQL = _BM25_WAND_SQL.replace(
+    f"LIMIT {BM25_K}", f"LIMIT {BM25_K} OFFSET {BM25_K}"
+)  # cursor pagination == OFFSET because the (score, doc_id) sort is total
+
+_SEARCH_CARD_SQL = f"""
+SELECT count(DISTINCT lang)::BIGINT AS cardinality
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+_SEARCH_PCTS_SQL = f"""
+WITH m AS (SELECT n_chars FROM documents WHERE doc_id IN ({_MATCHING_DOCS}))
+SELECT pct, round(v, 6) AS value FROM (
+  SELECT 25.0 AS pct, quantile_cont(n_chars, 0.25) AS v FROM m
+  UNION ALL SELECT 50.0, quantile_cont(n_chars, 0.50) FROM m
+  UNION ALL SELECT 75.0, quantile_cont(n_chars, 0.75) FROM m
+  UNION ALL SELECT 95.0, quantile_cont(n_chars, 0.95) FROM m
+  UNION ALL SELECT 99.0, quantile_cont(n_chars, 0.99) FROM m
+)
+"""
+
+_SEARCH_SORT_SQL = f"""
+SELECT doc_id, n_chars FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+_SEARCH_RANGE_SQL = f"""
+WITH m AS (SELECT n_chars FROM documents WHERE doc_id IN ({_MATCHING_DOCS}))
+SELECT '*-2000' AS range_key,
+       count(*) FILTER (n_chars < 2000)::BIGINT AS doc_count FROM m
+UNION ALL SELECT '2000-4000',
+       count(*) FILTER (n_chars >= 2000 AND n_chars < 4000)::BIGINT FROM m
+UNION ALL SELECT '4000-*',
+       count(*) FILTER (n_chars >= 4000)::BIGINT FROM m
+"""
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_TOKS_DUCK})::BIGINT AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS tok_offset,
+       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048)::BIGINT AS chunk_id,
+       (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048)::BIGINT AS chunk_pos
+FROM t
 """
 
 _SEARCH_HIST_SQL = f"""
@@ -1331,6 +1475,57 @@ def _lang_id_sql() -> str:
 SELECT doc_id, {best} AS lang_guess, ({best_n})::BIGINT AS lang_score
 FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
       FROM documents)
+"""
+
+
+def _repetition_sql() -> str:
+    """Unnest/GROUP BY statement of the repetition semantics the Spark
+    side computes as per-doc sorted-array folds."""
+
+    def gcte(k: int, name: str) -> str:
+        return f"""
+{name} AS (
+  SELECT doc_id, unnest(
+    [array_to_string(toks[i:i+{k - 1}], ' ')
+     for i in generate_series(1, len(toks)-{k - 1})]) AS g
+  FROM base WHERE len(toks) >= {k}
+)"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, greatest(length(text), 1)::DOUBLE AS tl,
+         string_split(text, chr(10)) AS ls,
+         regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+),
+l AS (SELECT doc_id, unnest(ls) AS line FROM base),
+lg AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_lines, sum(c - 1)::BIGINT AS dups,
+         sum((c - 1) * length(line))::BIGINT AS dupch,
+         greatest(sum(c * length(line)), 1)::BIGINT AS totch
+  FROM lg GROUP BY doc_id
+),{gcte(2, "g2")},
+g2s AS (SELECT doc_id, max(c * length(g))::BIGINT AS top
+        FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+{gcte(3, "g3").lstrip()},
+g3s AS (SELECT doc_id, max(c * length(g))::BIGINT AS top
+        FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id),
+{gcte(5, "g5").lstrip()},
+g5s AS (SELECT doc_id, sum(c * length(g))::BIGINT AS dupch
+        FROM (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2)
+        WHERE c >= 2 GROUP BY doc_id)
+SELECT b.doc_id, lstat.n_lines,
+       round(lstat.dups / lstat.n_lines, 6) AS dup_line_frac,
+       round(lstat.dupch / lstat.totch, 6) AS dup_line_char_frac,
+       round(coalesce(g2s.top, 0) / b.tl, 6) AS top_bigram_char_frac,
+       round(coalesce(g3s.top, 0) / b.tl, 6) AS top_trigram_char_frac,
+       round(least(coalesce(g5s.dupch, 0) / b.tl, 1.0), 6) AS dup_5gram_char_frac
+FROM base b
+JOIN lstat USING (doc_id)
+LEFT JOIN g2s USING (doc_id)
+LEFT JOIN g3s USING (doc_id)
+LEFT JOIN g5s USING (doc_id)
 """
 
 
@@ -1848,6 +2043,12 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": _FACETS_SQL,
         "search_stats": _SEARCH_STATS_SQL,
         "search_histogram": _SEARCH_HIST_SQL,
+        "search_cardinality": _SEARCH_CARD_SQL,
+        "search_percentiles": _SEARCH_PCTS_SQL,
+        "search_after": _SEARCH_AFTER_SQL,
+        "search_sort": _SEARCH_SORT_SQL,
+        "search_range": _SEARCH_RANGE_SQL,
+        "pack_chunks": _PACK_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
@@ -1882,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_SQL,
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
+        "repetition": _repetition_sql(),
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,

@@ -1,0 +1,88 @@
+"""Sequence packing for LLM pre-training: concat-and-chunk via a
+distributed prefix sum.
+
+Training pipelines concatenate all document tokens in a stable order and
+slice the stream into fixed-size context windows. The only non-trivial
+part at 100 TB is the global running token offset — a prefix sum over a
+global ordering, which a naive window (``sum OVER (ORDER BY doc_id)``
+with no PARTITION BY) would compute on a single task. This module does
+the classic two-pass distributed scan instead:
+
+1. range-repartition by doc_id + sort within partitions, then freeze the
+   partitioning (``localCheckpoint``) so both passes see identical
+   boundaries;
+2. per-partition token totals -> tiny driver-side exclusive prefix over
+   the partition ids (one row per partition, broadcast back);
+3. one Arrow pass adds (partition base + local cumsum) per row.
+
+The result — each doc's global token offset, chunk id and position —
+is independent of the sampled range boundaries, so it is deterministic
+and has an exact single-node SQL oracle (a plain window function).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pack_offsets(
+    df: DataFrame,
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, tok_offset, chunk_id, chunk_pos): the global
+    token offset of each doc in doc_id order, and the context-window
+    chunk (``budget`` tokens) its first token lands in. Equivalent to
+    ``sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) -
+    n_tokens`` but computed as a two-pass distributed scan."""
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    d = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+    )
+    p = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        d.repartitionByRange(p, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = d.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    base: dict[int, int] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        base[int(r["_pid"])] = acc
+        acc += int(r["s"])
+    bbase = spark.sparkContext.broadcast(base)
+
+    def gen(batches):
+        run: int | None = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = bbase.value.get(int(pdf["_pid"].iloc[0]), 0)
+            csum = pdf["n_tokens"].cumsum()
+            off = (run + csum - pdf["n_tokens"]).astype("int64")
+            run += int(csum.iloc[-1])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": pdf["n_tokens"],
+                 "tok_offset": off}
+            )
+
+    out = d.mapInPandas(gen, "doc_id long, n_tokens long, tok_offset long")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / budget).cast("long").alias("chunk_id"),
+        (F.col("tok_offset") % budget).alias("chunk_pos"),
+    )

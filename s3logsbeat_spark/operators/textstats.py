@@ -115,6 +115,129 @@ def doc_fingerprint(
     )
 
 
+def _grams_col(text_col: str, k: int) -> Column:
+    """ALL token k-gram occurrences (not distinct — repetition needs
+    multiplicity), space-joined."""
+    toks = tokens_col(text_col)
+    return F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_run_score(arr: Column) -> Column:
+    """max over distinct values v of count(v) * length(v), computed as a
+    linear fold over the sorted array (runs of equal values), so the
+    whole metric stays inside whole-stage codegen with no shuffle."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(g).cast("long")).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, merge, lambda acc: acc["best"])
+
+
+def _dup_run_chars(arr: Column) -> Column:
+    """sum over distinct values v with count(v) >= 2 of
+    count(v) * length(v): chars inside any repeated value. Same sorted
+    linear fold; the first repeat of a run retro-adds the run head."""
+    zero = F.struct(
+        F.lit(False).alias("seen"),
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dupch"),
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        is_dup = acc["seen"] & (g == acc["prev"])
+        run = F.when(is_dup, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        add = F.when(
+            is_dup,
+            F.when(acc["run"] == 1, F.length(g) * 2).otherwise(F.length(g)).cast(
+                "long"
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            F.lit(True).alias("seen"),
+            g.alias("prev"),
+            run.alias("run"),
+            (acc["dupch"] + add).alias("dupch"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, merge, lambda acc: acc["dupch"])
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A.1.1 shapes,
+    deterministic variants): duplicate-line fraction, duplicate-line
+    character fraction, top-2/3-gram character fraction, and the
+    character fraction covered by any duplicated 5-gram (capped at 1 —
+    occurrences overlap). Every metric is an array sort + linear fold
+    per document — pure JVM expressions, zero shuffles — while the
+    DuckDB oracle states the same semantics as unnest + GROUP BY.
+    """
+    t = F.col(text_col)
+    text_len = F.greatest(F.length(t), F.lit(1)).cast("double")
+    lines = F.split(t, "\n")  # limit -1: trailing empty lines kept
+    n_lines = F.size(lines).cast("long")
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    # duplicate line occurrences (all beyond the first of each value)
+    zero = F.struct(
+        F.lit(False).alias("seen"),
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("dups"),
+        F.lit(0).cast("long").alias("dupch"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        is_dup = acc["seen"] & (x == acc["prev"])
+        return F.struct(
+            F.lit(True).alias("seen"),
+            x.alias("prev"),
+            (acc["dups"] + F.when(is_dup, 1).otherwise(0)).alias("dups"),
+            (acc["dupch"] + F.when(is_dup, F.length(x).cast("long")).otherwise(0)).alias(
+                "dupch"
+            ),
+        )
+
+    lstat = F.aggregate(
+        F.array_sort(lines), zero, merge, lambda acc: F.struct(acc["dups"], acc["dupch"])
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_lines.alias("n_lines"),
+        F.round(lstat["dups"] / n_lines.cast("double"), 6).alias("dup_line_frac"),
+        F.round(
+            lstat["dupch"] / F.greatest(line_chars, F.lit(1)).cast("double"), 6
+        ).alias("dup_line_char_frac"),
+        F.round(_top_run_score(_grams_col(text_col, 2)) / text_len, 6).alias(
+            "top_bigram_char_frac"
+        ),
+        F.round(_top_run_score(_grams_col(text_col, 3)) / text_len, 6).alias(
+            "top_trigram_char_frac"
+        ),
+        F.round(
+            F.least(_dup_run_chars(_grams_col(text_col, 5)) / text_len, F.lit(1.0)), 6
+        ).alias("dup_5gram_char_frac"),
+    )
+
+
 def token_counts(
     df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1551,6 +1551,247 @@ class IndexReader:
         )
         return [(float(r["key"]), int(r["doc_count"])) for r in rows]
 
+    def range_agg(
+        self,
+        terms: list[str],
+        field: str,
+        ranges: list[tuple],
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[str, int]]:
+        """ES range aggregation: matching-doc counts per half-open
+        ``[from, to)`` bucket of a numeric sidecar attribute (``None`` =
+        unbounded, ES semantics; empty buckets are returned with count 0
+        exactly like ES). All buckets are conditional counts in ONE
+        aggregation pass — ranges may overlap, as in ES."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+
+        def key(lo, hi) -> str:
+            return f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+
+        if matched is None:
+            return [(key(lo, hi), 0) for lo, hi in ranges]
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"])
+        aggs = []
+        for i, (lo, hi) in enumerate(ranges):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(field) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(field) < F.lit(hi))
+            aggs.append(
+                F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"r{i}")
+            )
+        row = j.agg(*aggs).collect()[0]
+        return [
+            (key(lo, hi), int(row[f"r{i}"] or 0))
+            for i, (lo, hi) in enumerate(ranges)
+        ]
+
+    def cardinality_agg(
+        self,
+        terms: list[str],
+        field: str,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        exact: bool = True,
+        rsd: float = 0.05,
+    ) -> int:
+        """ES cardinality aggregation: distinct values of a sidecar
+        attribute over the matching docs. ``exact=True`` is
+        ``count_distinct`` (map-side partial dedup, one shuffle of
+        distinct values — the oracle-checkable mode); ``exact=False`` is
+        ``approx_count_distinct`` (HyperLogLog++, one fixed-size sketch
+        per partition — ES's own default for this agg, the 100 TB mode)."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return 0
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"])
+        agg = (
+            F.count_distinct(F.col(field))
+            if exact
+            else F.approx_count_distinct(field, rsd)
+        )
+        return int(j.agg(agg.alias("c")).collect()[0]["c"])
+
+    def percentiles_agg(
+        self,
+        terms: list[str],
+        field: str,
+        percentiles: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        exact: bool = True,
+        accuracy: int = 10000,
+    ) -> list[tuple[float, float]]:
+        """ES percentiles aggregation over a sidecar attribute of the
+        matching docs. ``exact=True`` uses Spark's ``percentile`` (linear
+        interpolation — same definition as SQL ``quantile_cont``, so the
+        DuckDB oracle matches bit-for-bit); ``exact=False`` uses
+        ``percentile_approx`` (Greenwald-Khanna sketch, mergeable
+        per-partition state — the analogue of ES's t-digest at scale).
+        Returns [(pct, value)]."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"])
+        fr = [p / 100.0 for p in percentiles]
+        arr = "array(" + ",".join(repr(f) for f in fr) + ")"
+        col = (
+            F.expr(f"percentile({field}, {arr})")
+            if exact
+            else F.expr(f"percentile_approx({field}, {arr}, {accuracy})")
+        )
+        vals = j.agg(col.alias("q")).collect()[0]["q"]
+        if vals is None:
+            return []
+        return [
+            (float(p), None if v is None else float(v))
+            for p, v in zip(percentiles, vals)
+        ]
+
+    def query_after(
+        self,
+        terms: list[str],
+        k: int = 10,
+        after: tuple[float, int] | None = None,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+    ) -> list[tuple[int, float]]:
+        """ES ``search_after`` keyset pagination on the (score DESC,
+        doc_id ASC) sort: return the top-k docs strictly after the
+        ``(score, doc_id)`` cursor. Block-max pruning cannot help here
+        (the page lives *below* a score bound — ES likewise drops WAND
+        under search_after), so both paths score matching docs exactly:
+        driver kernel under the usual pruned-postings byte budget,
+        otherwise per-bucket exact TAAT with the cursor applied inside
+        the bucket and a k-row merge. Scores use the kernel's rounding,
+        so cursors returned by page N reproduce page N+1 exactly."""
+        if not terms:
+            return []
+        import pyarrow.dataset as ds
+
+        dfsum = self._df_of(terms)
+        present = [t for t in set(terms) if t in dfsum]
+        if not present or (mode == "and" and len(present) < len(set(terms))):
+            return []
+        idf = {t: bm25_idf(self.n_docs, dfsum[t]) for t in present}
+        total_postings = sum(dfsum.values())
+        if distributed is None:
+            distributed = total_postings * 5 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
+        blocked = self._blocked()
+        n_required = len(present)
+
+        def page(top: list[tuple[int, float]]) -> list[tuple[int, float]]:
+            if after is None:
+                return top[:k]
+            s0, d0 = float(after[0]), int(after[1])
+            out = [
+                (d, s) for d, s in top if s < s0 or (s == s0 and d > d0)
+            ]
+            return out[:k]
+
+        if not distributed:
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
+            tbl = self._dataset().to_table(
+                columns=["term", "docs", "tfs", "dls", "blocks"],
+                filter=ds.field("term").isin(present),
+            )
+            rows = tbl.to_pylist()
+            lists = [
+                _row_to_plist(row, idf[row["term"]], self.avgdl) for row in rows
+            ]
+            if mode == "and":
+                top = score_conjunctive(lists, [r["term"] for r in rows], None,
+                                        doc_filter=filt)
+            else:
+                top = score_exact_taat(lists, None, doc_filter=filt)
+            return page(top)
+
+        import pandas as pd
+
+        avgdl = self.avgdl
+
+        def kernel(pdf: pd.DataFrame, filt: DocFilter | None) -> pd.DataFrame:
+            lists = [
+                _row_to_plist(row, idf[row["term"]], avgdl)
+                for _, row in pdf.iterrows()
+            ]
+            if mode == "and":
+                top = score_conjunctive(lists, list(pdf["term"]), None,
+                                        n_terms=n_required, doc_filter=filt)
+            else:
+                top = score_exact_taat(lists, None, doc_filter=filt)
+            top = page(top)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        return self._run_per_bucket(
+            self._segment_rows(present), kernel, doc_filter,
+            [int(x) for x in blocked], k,
+        )
+
+    def sort_by_field(
+        self,
+        terms: list[str],
+        field: str,
+        k: int = 10,
+        descending: bool = True,
+        after: tuple | None = None,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES sort-by-attribute query (+ the ES-recommended scalable
+        pagination: ``search_after`` on the (field, doc_id) keyset).
+        Matched docs join the sidecar bucket-aligned; the cursor is a
+        plain predicate pushed below the global TakeOrderedAndProject,
+        so page N+1 costs the same as page 1 at any depth. Returns
+        [(doc_id, field_value)]."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"])
+        v = F.col(field)
+        if after is not None:
+            v0, d0 = after[0], int(after[1])
+            beyond = (v < F.lit(v0)) if descending else (v > F.lit(v0))
+            j = j.filter(beyond | ((v == F.lit(v0)) & (F.col("doc_id") > d0)))
+        ordered = j.orderBy(
+            v.desc() if descending else v.asc(), F.col("doc_id").asc()
+        )
+        rows = ordered.select("doc_id", field).limit(k).collect()
+        return [(int(r["doc_id"]), r[field]) for r in rows]
+
     def top_hits_by(
         self,
         terms: list[str],

@@ -1,0 +1,46 @@
+"""Sequence packing (distributed prefix sum) vs a plain running-sum
+oracle; result must be invariant to the partition count."""
+
+from __future__ import annotations
+
+import random
+
+from s3logsbeat_spark.operators.packing import pack_offsets
+
+
+def _oracle(rows, budget):
+    out, acc = {}, 0
+    for did, n in sorted(rows):
+        out[did] = (n, acc, acc // budget, acc % budget)
+        acc += n
+    return out
+
+
+def test_pack_offsets_matches_running_sum(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 900)) for i in range(257)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_offset"], r["chunk_id"], r["chunk_pos"])
+        for r in pack_offsets(df, budget=512, partitions=5).collect()
+    }
+    assert got == _oracle(rows, 512)
+
+
+def test_pack_offsets_partition_invariant(spark):
+    rows = [(i, 100 + i) for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(map(tuple, pack_offsets(df, budget=256, partitions=1).collect()))
+    b = sorted(map(tuple, pack_offsets(df, budget=256, partitions=7).collect()))
+    assert a == b
+
+
+def test_pack_offsets_chunk_boundaries(spark):
+    # 4 docs of exactly 100 tokens with budget 100: each starts a chunk
+    rows = [(i, 100) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_pos"])
+        for r in pack_offsets(df, budget=100, partitions=2).collect()
+    )
+    assert got == [(0, 0, 0), (1, 1, 0), (2, 2, 0), (3, 3, 0)]

@@ -118,3 +118,33 @@ def test_clean_corpus_pipeline(spark):
 
     plan = clean_corpus(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # one logical shuffle (+AQE read)
+
+
+def test_repetition_scores(spark):
+    from s3logsbeat_spark.operators.textstats import repetition_scores
+
+    d0 = "aaa\nbbb\naaa\nccc"              # 1 dup line of 4
+    d1 = "go go go stop"                    # "go go" bigram twice
+    d2 = ""                                 # empty -> one empty line
+    d3 = "x y z x y z x y z w w w w w"      # heavy 5-gram repetition
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2), (3, d3)], "doc_id long, content string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+
+    assert got[0]["n_lines"] == 4
+    assert got[0]["dup_line_frac"] == 0.25          # one extra "aaa"
+    assert got[0]["dup_line_char_frac"] == round(3 / 12, 6)
+    # d1: bigram "go go" occurs twice -> 2*5 chars / len("go go go stop")=13
+    assert got[1]["top_bigram_char_frac"] == round(10 / 13, 6)
+    assert got[1]["dup_line_frac"] == 0.0
+    # empty doc: split("") -> [""], no tokens, all fracs 0
+    assert got[2]["n_lines"] == 1
+    assert got[2]["top_bigram_char_frac"] == 0.0
+    assert got[2]["dup_5gram_char_frac"] == 0.0
+    # d3: 5-gram "x y z x y" etc. repeat; fraction positive and capped
+    assert 0.0 < got[3]["dup_5gram_char_frac"] <= 1.0
+
+    # scale shape: per-doc folds only — no exchange anywhere in the plan
+    plan = repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -417,3 +417,143 @@ def test_expand_fuzzy_distributed_path_identical(spark, wbuilt, monkeypatch):
         got_b = b.expand_fuzzy(term, max_edits=d, prefix_length=plen, max_terms=25)
         assert got_a == got_b, (term, d, plen)
         assert got_b  # non-vacuous
+
+
+# ------------------------------------------- cardinality / percentiles --
+
+
+def test_cardinality_agg_exact_and_approx(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    want_ids = {
+        r["doc_id"] for r in rows
+        if any(oracle.tfs[r["doc_id"]].get(t) for t in terms)
+    }
+    want = len({r["lang"] for r in rows if r["doc_id"] in want_ids})
+    assert rdr.cardinality_agg(terms, "lang", exact=True) == want
+    approx = rdr.cardinality_agg(terms, "lang", exact=False, rsd=0.05)
+    # tiny cardinality: HLL++ is exact well below the sparse threshold
+    assert approx == want
+    assert rdr.cardinality_agg(["zzz_missing"], "lang") == 0
+
+
+def test_percentiles_agg_matches_numpy(spark, nbuilt, oracle):
+    import numpy as np
+
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return"]
+    vals = sorted(
+        r["n_chars"] for r in rows if oracle.tfs[r["doc_id"]].get("return")
+    )
+    got = dict(rdr.percentiles_agg(terms, "n_chars", (25.0, 50.0, 90.0)))
+    for p in (25.0, 50.0, 90.0):
+        # numpy 'linear' == SQL quantile_cont == Spark exact percentile
+        assert abs(got[p] - float(np.percentile(vals, p))) < 1e-9
+    approx = dict(
+        rdr.percentiles_agg(terms, "n_chars", (50.0,), exact=False)
+    )[50.0]
+    assert vals[0] <= approx <= vals[-1]
+    assert rdr.percentiles_agg(["zzz_missing"], "n_chars") == []
+
+
+# ------------------------------------------------------- pagination --
+
+
+def _full_ranking(rdr, terms):
+    return rdr.query(terms, k=10_000)
+
+
+def test_query_after_pages_tile_the_ranking(spark, nbuilt):
+    out, _ = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    full = _full_ranking(rdr, terms)
+    assert len(full) > 10
+    pages, cursor = [], None
+    while True:
+        page = (rdr.query(terms, k=5) if cursor is None
+                else rdr.query_after(terms, k=5, after=cursor))
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+        if len(pages) > len(full):
+            raise AssertionError("pagination did not terminate")
+    assert pages == full  # tiles exactly, no dup/skip across boundaries
+
+
+def test_query_after_distributed_parity(spark, nbuilt):
+    out, _ = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    p1 = rdr.query(terms, k=5)
+    cur = (p1[-1][1], p1[-1][0])
+    drv = rdr.query_after(terms, k=5, after=cur, distributed=False)
+    dst = rdr.query_after(terms, k=5, after=cur, distributed=True)
+    assert drv == dst
+
+
+def test_query_after_and_mode_and_filter(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    lang = rows[0]["lang"]
+    p1 = rdr.query(["return"], k=3, doc_filter={"lang": lang})
+    if len(p1) == 3:
+        cur = (p1[-1][1], p1[-1][0])
+        p2 = rdr.query_after(["return"], k=3, after=cur,
+                             doc_filter={"lang": lang})
+        assert all(d not in {x[0] for x in p1} for d, _ in p2)
+    # AND mode pages agree with the AND ranking
+    full = rdr.query(["return", "value"], k=10_000, mode="and")
+    if len(full) > 2:
+        first = full[:2]
+        cur = (first[-1][1], first[-1][0])
+        rest = rdr.query_after(["return", "value"], k=len(full), after=cur,
+                               mode="and")
+        assert first + rest == full
+
+
+def test_sort_by_field_and_keyset(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    matched = [
+        r for r in rows
+        if any(oracle.tfs[r["doc_id"]].get(t) for t in terms)
+    ]
+    want = sorted(matched, key=lambda r: (-r["n_chars"], r["doc_id"]))
+    got = rdr.sort_by_field(terms, "n_chars", k=5)
+    assert got == [(r["doc_id"], r["n_chars"]) for r in want[:5]]
+    # keyset page 2 == offset slice
+    cur = got[-1]
+    page2 = rdr.sort_by_field(terms, "n_chars", k=5, after=(cur[1], cur[0]))
+    assert page2 == [(r["doc_id"], r["n_chars"]) for r in want[5:10]]
+    # ascending
+    asc = rdr.sort_by_field(terms, "n_chars", k=5, descending=False)
+    want_asc = sorted(matched, key=lambda r: (r["n_chars"], r["doc_id"]))
+    assert asc == [(r["doc_id"], r["n_chars"]) for r in want_asc[:5]]
+
+
+def test_range_agg(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    matched = [
+        r for r in rows
+        if any(oracle.tfs[r["doc_id"]].get(t) for t in terms)
+    ]
+    ranges = [(None, 300), (300, 600), (600, None), (200, 400)]  # overlap ok
+    got = dict(rdr.range_agg(terms, "n_chars", ranges))
+    def cnt(lo, hi):
+        return sum(
+            1 for r in matched
+            if (lo is None or r["n_chars"] >= lo)
+            and (hi is None or r["n_chars"] < hi)
+        )
+    assert got == {"*-300": cnt(None, 300), "300-600": cnt(300, 600),
+                   "600-*": cnt(600, None), "200-400": cnt(200, 400)}
+    # absent term: all buckets present with count 0 (ES semantics)
+    assert dict(rdr.range_agg(["zzz_missing"], "n_chars", ranges)) == {
+        "*-300": 0, "300-600": 0, "600-*": 0, "200-400": 0}
