@@ -437,6 +437,32 @@ def q_search_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SUGGEST_Q = "sprk"  # typo of "spark"
+SUGGEST_PREFIX = "s"  # 6 dictionary terms; exercises the top-5 cap
+
+
+def q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester: dictionary terms within 2 edits of a typo,
+    ranked (distance, df DESC, term) — length/prefix-gated distributed
+    levenshtein over the term dictionary, never collected."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.suggest_term(SUGGEST_Q, max_edits=2, max_terms=5)
+    return spark.createDataFrame(
+        [(t, int(d), int(df)) for t, d, df in rows],
+        "suggestion string, distance long, df long",
+    )
+
+
+def q_suggest_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: highest-df dictionary terms with a
+    prefix (term-sorted dictionary scan, prefix-pruned)."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.suggest_complete(SUGGEST_PREFIX, max_terms=5)
+    return spark.createDataFrame(
+        [(t, int(df)) for t, df in rows], "suggestion string, df long"
+    )
+
+
 RANGES = [(None, 2000), (2000, 4000), (4000, None)]
 
 
@@ -1031,6 +1057,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_sort": q_search_sort,
         "search_range": q_search_range,
         "pack_chunks": q_pack_chunks,
+        "suggest_term": q_suggest_term,
+        "suggest_complete": q_suggest_complete,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
@@ -1234,6 +1262,31 @@ SELECT doc_id, n_tokens,
        (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048)::BIGINT AS chunk_pos
 FROM t
+"""
+
+_VOCAB_DF_CTE = """
+toksd AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+),
+vdf AS (SELECT term, count(*)::BIGINT AS df FROM toksd GROUP BY term)
+"""
+
+_SUGGEST_TERM_SQL = f"""
+WITH {_VOCAB_DF_CTE}
+SELECT term AS suggestion, levenshtein('{SUGGEST_Q}', term)::BIGINT AS distance, df
+FROM vdf
+WHERE abs(length(term) - {len(SUGGEST_Q)}) <= 2
+  AND levenshtein('{SUGGEST_Q}', term) BETWEEN 1 AND 2
+ORDER BY distance ASC, df DESC, suggestion ASC LIMIT 5
+"""
+
+_SUGGEST_COMPLETE_SQL = f"""
+WITH {_VOCAB_DF_CTE}
+SELECT term AS suggestion, df FROM vdf
+WHERE term LIKE '{SUGGEST_PREFIX}%'
+ORDER BY df DESC, suggestion ASC LIMIT 5
 """
 
 _SEARCH_HIST_SQL = f"""
@@ -2049,6 +2102,8 @@ def oracle_sql() -> dict[str, str]:
         "search_sort": _SEARCH_SORT_SQL,
         "search_range": _SEARCH_RANGE_SQL,
         "pack_chunks": _PACK_SQL,
+        "suggest_term": _SUGGEST_TERM_SQL,
+        "suggest_complete": _SUGGEST_COMPLETE_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,

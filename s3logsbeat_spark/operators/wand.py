@@ -1255,6 +1255,59 @@ class IndexReader:
         out.sort()
         return out
 
+    def suggest_term(
+        self,
+        term: str,
+        max_edits: int = 2,
+        max_terms: int = 5,
+        prefix_length: int = 0,
+    ) -> list[tuple[str, int, int]]:
+        """ES term suggester: vocabulary terms within ``max_edits``
+        Levenshtein edits of a (mis)typed term, ranked the ES way —
+        (edit distance ASC, df DESC, term ASC) — excluding the exact
+        term itself (ES ``suggest_mode`` never re-suggests the input).
+        Runs distributed over the term dictionary (length- and
+        prefix-gated BEFORE the JVM levenshtein), so the vocabulary
+        never leaves the executors; only ``max_terms`` rows return.
+        Returns [(suggestion, distance, df)]."""
+        segs = load_segments(self.spark, self.out_dir).select("term", "df")
+        qlen = len(term)
+        cand = segs.filter(
+            (F.length("term") >= qlen - max_edits)
+            & (F.length("term") <= qlen + max_edits)
+        )
+        if prefix_length:
+            cand = cand.filter(F.col("term").startswith(term[:prefix_length]))
+        cand = cand.withColumn(
+            "dist", F.levenshtein(F.lit(term), F.col("term"))
+        ).filter((F.col("dist") <= max_edits) & (F.col("dist") >= 1))
+        rows = (
+            cand.groupBy("term", "dist")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+            .limit(max_terms)
+            .collect()
+        )
+        return [(r["term"], int(r["dist"]), int(r["df"])) for r in rows]
+
+    def suggest_complete(
+        self, prefix: str, max_terms: int = 5
+    ) -> list[tuple[str, int]]:
+        """ES completion suggester: highest-df vocabulary terms with the
+        given prefix. The startswith predicate prunes the term-sorted
+        dictionary scan; ranking is (df DESC, term ASC). Returns
+        [(term, df)]."""
+        segs = load_segments(self.spark, self.out_dir).select("term", "df")
+        rows = (
+            segs.filter(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(max_terms)
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
     #: above this many (term, salt, bucket) dictionary rows, fuzzy
     #: expansion routes to the distributed JVM-levenshtein path instead
     #: of a driver-side python stream over the vocabulary

@@ -557,3 +557,46 @@ def test_range_agg(spark, nbuilt, oracle):
     # absent term: all buckets present with count 0 (ES semantics)
     assert dict(rdr.range_agg(["zzz_missing"], "n_chars", ranges)) == {
         "*-300": 0, "300-600": 0, "600-*": 0, "200-400": 0}
+
+
+# ------------------------------------------------------- suggesters --
+
+
+def test_suggest_term_ranks_by_distance_then_df(spark, wbuilt, oracle):
+    import re as _re
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    rdr = IndexReader(spark, wbuilt)
+    q = "retrun"  # typo of "return"
+    got = rdr.suggest_term(q, max_edits=2, max_terms=5)
+    want = sorted(
+        ((t, lev(q, t), oracle.df[t]) for t in oracle.df
+         if 1 <= lev(q, t) <= 2),
+        key=lambda x: (x[1], -x[2], x[0]),
+    )[:5]
+    assert got == want
+    assert got and got[0][0] == "return"
+    # the exact term is never re-suggested
+    assert all(s != "return" or d >= 1 for s, d, _ in rdr.suggest_term("return"))
+
+
+def test_suggest_complete_prefix_by_df(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    got = rdr.suggest_complete("ge", max_terms=3)
+    want = sorted(
+        ((t, oracle.df[t]) for t in oracle.df if t.startswith("ge")),
+        key=lambda x: (-x[1], x[0]),
+    )[:3]
+    assert got == want
+    assert rdr.suggest_complete("zzz_nothing") == []
