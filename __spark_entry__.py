@@ -437,6 +437,29 @@ def q_search_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: Reciprocal Rank Fusion of the BM25 top-10 and the
+    n_chars-sorted top-10 (ES 8 hybrid/RRF parity). The fused frames are
+    k rows each, so fusion cost is independent of corpus size."""
+    from s3logsbeat_spark.operators.fusion import ranked, rrf_fuse
+
+    rdr = _driver_index(spark, sf_dir)
+    ra = ranked(rdr.query(BM25_TERMS, k=BM25_K), spark)
+    rb = ranked(rdr.sort_by_field(BM25_TERMS, "n_chars", k=BM25_K), spark)
+    return rrf_fuse([ra, rb], k=60, topn=BM25_K)
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN (ES 8 knn+filter): exact cosine top-k restricted to
+    a metadata predicate applied BEFORE scoring — the filter reaches the
+    parquet scan (PushedFilters), so non-matching vectors cost zero."""
+    from s3logsbeat_spark.operators.similarity import cosine_topk_exact
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk_exact(emb.filter(F.col("vec_id") % 5 == 0), list(q), k=10)
+
+
 SUGGEST_Q = "sprk"  # typo of "spark"
 SUGGEST_PREFIX = "s"  # 6 dictionary terms; exercises the top-5 cap
 
@@ -1059,6 +1082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "suggest_term": q_suggest_term,
         "suggest_complete": q_suggest_complete,
+        "hybrid_rrf": q_hybrid_rrf,
+        "ann_filtered": q_ann_filtered,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
@@ -1287,6 +1312,34 @@ WITH {_VOCAB_DF_CTE}
 SELECT term AS suggestion, df FROM vdf
 WHERE term LIKE '{SUGGEST_PREFIX}%'
 ORDER BY df DESC, suggestion ASC LIMIT 5
+"""
+
+_HYBRID_RRF_SQL = (
+    _BM25_WAND_SQL.split("SELECT doc_id, round(raw, 6) AS score FROM scored")[0]
+    + f"""
+, ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank
+  FROM scored QUALIFY rank <= {BM25_K}
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents WHERE doc_id IN ({_MATCHING_DOCS}) QUALIFY rank <= {BM25_K}
+),
+u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+)
+
+_ANN_FILTERED_SQL = """
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[],
+             (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 6) AS score
+FROM embeddings
+WHERE vec_id % 5 = 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
 """
 
 _SEARCH_HIST_SQL = f"""
@@ -2104,6 +2157,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_chunks": _PACK_SQL,
         "suggest_term": _SUGGEST_TERM_SQL,
         "suggest_complete": _SUGGEST_COMPLETE_SQL,
+        "hybrid_rrf": _HYBRID_RRF_SQL,
+        "ann_filtered": _ANN_FILTERED_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,

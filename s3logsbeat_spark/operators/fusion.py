@@ -1,0 +1,44 @@
+"""Hybrid-search rank fusion (ES 8 / OpenSearch parity).
+
+Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009):
+``score(d) = sum over rankings r of 1 / (k + rank_r(d))`` — the
+standard way to fuse a BM25 ranking with a kNN/vector or attribute
+ranking without score calibration. Inputs are top-k rankings (k rows
+each), so every DataFrame here is tiny; fusion is a unionByName +
+one aggregation regardless of how expensive the upstream rankings
+were to produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ranked(pairs: list, spark, id_col: str = "doc_id") -> DataFrame:
+    """[(id, ...)] in rank order -> (id_col, rank) DataFrame, 1-based."""
+    return spark.createDataFrame(
+        [(int(p[0]), i + 1) for i, p in enumerate(pairs)],
+        f"{id_col} long, rank long",
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    topn: int = 10,
+) -> DataFrame:
+    """Fuse (id_col, rank) rankings by RRF; returns (id_col, rrf_score)
+    rounded 6dp, ordered (score DESC, id ASC), top ``topn``. A doc in
+    only one ranking just contributes its single reciprocal term (no
+    penalty term — the standard formulation)."""
+    u = rankings[0]
+    for r in rankings[1:]:
+        u = u.unionByName(r)
+    scored = u.groupBy(id_col).agg(
+        F.round(F.sum(1.0 / (F.lit(k) + F.col("rank"))), 6).alias("rrf_score")
+    )
+    return scored.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(topn)

@@ -1,0 +1,29 @@
+"""Reciprocal Rank Fusion semantics."""
+
+from __future__ import annotations
+
+from s3logsbeat_spark.operators.fusion import ranked, rrf_fuse
+
+
+def test_rrf_fuse_known_values(spark):
+    # ranking A: 1,2,3 ; ranking B: 3,2,9
+    ra = ranked([(1,), (2,), (3,)], spark)
+    rb = ranked([(3,), (2,), (9,)], spark)
+    got = {r["doc_id"]: r["rrf_score"] for r in rrf_fuse([ra, rb], k=60).collect()}
+    assert got == {
+        1: round(1 / 61, 6),
+        2: round(1 / 62 + 1 / 62, 6),
+        3: round(1 / 63 + 1 / 61, 6),
+        9: round(1 / 63, 6),
+    }
+    # doc 3 (rank 3 + rank 1) beats doc 2 (rank 2 + rank 2)
+    order = [r["doc_id"] for r in rrf_fuse([ra, rb], k=60).collect()]
+    assert order[0] == 3 and order[1] == 2
+
+
+def test_rrf_topn_and_ties(spark):
+    # symmetric ranks -> equal scores -> doc_id ascending tie-break
+    ra = ranked([(5,), (7,)], spark)
+    rb = ranked([(7,), (5,)], spark)
+    rows = rrf_fuse([ra, rb], k=60, topn=1).collect()
+    assert [(r["doc_id"],) for r in rows] == [(5,)]

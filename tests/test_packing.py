@@ -44,3 +44,17 @@ def test_pack_offsets_chunk_boundaries(spark):
         for r in pack_offsets(df, budget=100, partitions=2).collect()
     )
     assert got == [(0, 0, 0), (1, 1, 0), (2, 2, 0), (3, 3, 0)]
+
+
+def test_pack_offsets_property(spark):
+    """Random sizes incl. zeros and big docs spanning many chunks."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.choice([0, 1, 7, 100, 5000])) for i in range(123)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_offset"], r["chunk_id"], r["chunk_pos"])
+        for r in pack_offsets(df, budget=1024, partitions=9).collect()
+    }
+    assert got == _oracle(rows, 1024)

@@ -148,3 +148,55 @@ def test_repetition_scores(spark):
     # scale shape: per-doc folds only — no exchange anywhere in the plan
     plan = repetition_scores(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_repetition_scores_property(spark):
+    """Fold-based metrics == transparent python recomputation on random
+    small docs over a tiny alphabet (forces line/gram collisions)."""
+    import random
+
+    from s3logsbeat_spark.operators.textstats import repetition_scores
+
+    rng = random.Random(42)
+    words = ["aa", "bb", "cc", "a1"]
+    docs = []
+    for i in range(40):
+        n_lines = rng.randrange(0, 6)
+        lines = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(0, 7)))
+            for _ in range(n_lines)
+        ]
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, content string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_scores(df).collect()}
+
+    def split_keep(text):
+        return text.split("\n")  # python split keeps trailing empties too
+
+    def grams(toks, k):
+        if len(toks) >= k:
+            return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        return []
+
+    for did, text in docs:
+        lines = split_keep(text)
+        n = len(lines)
+        from collections import Counter
+
+        lc = Counter(lines)
+        dups = sum(c - 1 for c in lc.values())
+        dupch = sum((c - 1) * len(v) for v, c in lc.items())
+        totch = max(sum(len(x) for x in lines), 1)
+        toks = re.findall(r"[a-z0-9_]+", text.lower())
+        tl = max(len(text), 1)
+        g = got[did]
+        assert g["n_lines"] == n
+        assert abs(g["dup_line_frac"] - dups / n) < 1e-6
+        assert abs(g["dup_line_char_frac"] - dupch / totch) < 1e-6
+        for k, col in [(2, "top_bigram_char_frac"), (3, "top_trigram_char_frac")]:
+            gc = Counter(grams(toks, k))
+            top = max((c * len(v) for v, c in gc.items()), default=0)
+            assert abs(g[col] - top / tl) < 1e-6
+        g5 = Counter(grams(toks, 5))
+        d5 = sum(c * len(v) for v, c in g5.items() if c >= 2)
+        assert abs(g["dup_5gram_char_frac"] - min(d5 / tl, 1.0)) < 1e-6
