@@ -451,6 +451,59 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, MM_TERMS, MM_FIELDS, k=BM25_K)
 
 
+COLLAPSE_FIELD = "lang"
+RESCORE_PHRASE = "merge batch"
+RESCORE_WINDOW = 50
+RESCORE_WEIGHT = 2.0
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unrounded (doc_id, score) BM25 frame for the fixed contract query
+    (the composition input for collapse/function_score/rescore)."""
+    from s3logsbeat_spark.operators.postings import bm25_scores
+
+    p = _simple_postings(spark, sf_dir)
+    n_docs, avgdl = _contract_stats(spark, sf_dir, p)
+    return bm25_scores(p, BM25_TERMS, n_docs, avgdl)
+
+
+def q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapse: top-k with at most one doc per lang, each lang
+    represented by its best hit — map-side-combinable argmax per field
+    value, not a window sort."""
+    from s3logsbeat_spark.operators.searchext import collapse_topk
+
+    return collapse_topk(
+        _bm25_scored(spark, sf_dir), _docs(spark, sf_dir), COLLAPSE_FIELD, k=BM25_K
+    )
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score (field_value_factor, log1p, multiply):
+    score * ln(1 + n_chars)."""
+    from s3logsbeat_spark.operators.searchext import function_score_topk
+
+    return function_score_topk(
+        _bm25_scored(spark, sf_dir), _docs(spark, sf_dir), "n_chars", k=BM25_K
+    )
+
+
+def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: re-rank the top-50 primary window with a literal
+    phrase-containment bonus; the text probe touches exactly 50 docs
+    (broadcast window join, doc_id pushdown) regardless of corpus size."""
+    from s3logsbeat_spark.operators.searchext import rescore_topk
+
+    return rescore_topk(
+        _bm25_scored(spark, sf_dir),
+        _docs(spark, sf_dir),
+        RESCORE_PHRASE,
+        window_size=RESCORE_WINDOW,
+        k=BM25_K,
+        rescore_weight=RESCORE_WEIGHT,
+    )
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid search: Reciprocal Rank Fusion of the BM25 top-10 and the
     n_chars-sorted top-10 (ES 8 hybrid/RRF parity). The fused frames are
@@ -691,6 +744,67 @@ def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
     return unigram_nll(docs)
+
+
+LD_TOKENS_PER_LINE = 10
+SAMPLE_RATES = {"en": 0.5, "zh": 0.8}
+SAMPLE_DEFAULT = 0.25
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line dedup; 'lines' here are non-overlapping
+    10-token chunks (the word-soup corpus has no newlines). Winner table
+    groups on sha2(line) so the wide shuffle never moves content; keep
+    rule is the corpus-global first occurrence."""
+    from s3logsbeat_spark.operators.linededup import chunk_lines, line_dedup
+
+    docs = _docs(spark, sf_dir)
+    return line_dedup(
+        chunk_lines(docs, text_col="text", tokens_per_line=LD_TOKENS_PER_LINE),
+        docs,
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture re-weighting: per-lang keep rates decided by
+    a sha256-derived uniform draw — zero shuffle, scan-local, idempotent
+    across re-runs (the engine-portable alternative to rand(seed))."""
+    from s3logsbeat_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), SAMPLE_RATES, default_rate=SAMPLE_DEFAULT
+    )
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram (calendar_interval=day) with a terms
+    sub-aggregation on event_type and count+sum metrics — one
+    map-side-combined groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_events_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline aggregation (derivative): day-over-day delta of the
+    date_histogram doc counts. The unpartitioned lag window runs over
+    the BUCKET frame (tens of rows — one per day — regardless of event
+    count), never the raw events, so the single-task window is fine at
+    any scale."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "n", (F.col("n") - F.lag("n", 1).over(w)).cast("long").alias("delta")
+    )
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1126,6 +1240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "ann_filtered": q_ann_filtered,
         "multi_match": q_multi_match,
+        "collapse": q_collapse,
+        "function_score": q_function_score,
+        "rescore": q_rescore,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
@@ -1140,6 +1257,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "lm_nll": q_lm_nll,
         "term_vectors": q_term_vectors,
+        "line_dedup": q_line_dedup,
+        "stratified_sample": q_stratified_sample,
+        "date_histogram": q_date_histogram,
+        "events_derivative": q_events_derivative,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
@@ -1375,6 +1496,97 @@ FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id ASC LIMIT {BM25_K}
 """
 )
+
+# CTE prefix of the naive BM25 statement (everything up to the final
+# SELECT) — shared by the result-post-processing oracles below.
+_BM25_PREFIX = _BM25_SQL.rsplit("SELECT doc_id", 1)[0]
+
+_COLLAPSE_SQL = f"""
+{_BM25_PREFIX}, withf AS (
+  SELECT s.doc_id, d.lang, round(s.raw, 6) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, score FROM (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rn
+  FROM withf
+) WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_FUNCTION_SCORE_SQL = f"""
+{_BM25_PREFIX}SELECT s.doc_id, round(s.raw * 1.0 * ln(1.0 + d.n_chars), 6) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_RESCORE_SQL = f"""
+{_BM25_PREFIX}, win AS (
+  SELECT doc_id, round(raw, 6) AS prim FROM scored
+  ORDER BY prim DESC, doc_id ASC LIMIT {RESCORE_WINDOW}
+)
+SELECT w.doc_id,
+       round(w.prim * 1.0
+             + (CASE WHEN contains(lower(d.text), '{RESCORE_PHRASE}')
+                THEN 1.0 ELSE 0.0 END) * {RESCORE_WEIGHT}, 6) AS score
+FROM win w JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+),
+lines AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks,
+           (i-1)*{LD_TOKENS_PER_LINE} + 1,
+           (i-1)*{LD_TOKENS_PER_LINE} + {LD_TOKENS_PER_LINE}), ' ') AS line
+  FROM t, LATERAL (SELECT unnest(generate_series(1,
+         CAST(ceil(len(toks)/{LD_TOKENS_PER_LINE}.0) AS BIGINT))) AS i) g
+),
+keyed AS (
+  SELECT doc_id, pos, line, doc_id * 1000000000 + pos AS okey FROM lines
+),
+winners AS (SELECT line, min(okey) AS wkey FROM keyed GROUP BY 1),
+kept AS (
+  SELECT k.* FROM keyed k
+  JOIN winners w ON k.line = w.line AND k.okey = w.wkey
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         sha256(string_agg(line, chr(10) ORDER BY pos)) AS clean_sha
+  FROM kept GROUP BY 1
+),
+nl AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM keyed GROUP BY 1)
+SELECT d.doc_id, coalesce(nl.n_lines, 0)::BIGINT AS n_lines,
+       coalesce(agg.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(agg.clean_sha, sha256('')) AS clean_sha
+FROM documents d LEFT JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
+_STRAT_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+        / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 0.25 END
+"""
+
+_DATE_HISTOGRAM_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+_EVENTS_DERIVATIVE_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n, CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta
+FROM daily
+"""
+
 
 def _mm_field_cte(col: str, tag: str, boost: float) -> str:
     terms = ", ".join(f"'{t}'" for t in MM_TERMS)
@@ -2276,6 +2488,9 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,
         "multi_match": _MULTI_MATCH_SQL,
+        "collapse": _COLLAPSE_SQL,
+        "function_score": _FUNCTION_SCORE_SQL,
+        "rescore": _RESCORE_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
@@ -2313,6 +2528,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition": _repetition_sql(),
         "lm_nll": _LM_NLL_SQL,
         "term_vectors": _TERM_VECTORS_SQL,
+        "line_dedup": _LINE_DEDUP_SQL,
+        "stratified_sample": _STRAT_SAMPLE_SQL,
+        "date_histogram": _DATE_HISTOGRAM_SQL,
+        "events_derivative": _EVENTS_DERIVATIVE_SQL,
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,

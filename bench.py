@@ -476,6 +476,20 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     t0 = time.perf_counter()
     rdr.significant_terms(["return"], 10, sample_size=200)
     surface["sig_terms_sampled_sec"] = round(time.perf_counter() - t0, 4)
+    # result post-processing composed over the indexed ranking: the input
+    # is the k-row WAND result, so these measure the compose overhead
+    # (broadcast join against the corpus), not another corpus scan
+    from s3logsbeat_spark.operators.searchext import collapse_topk, rescore_topk
+
+    hits = rdr.query(["return", "value"], 50)
+    sc = spark.createDataFrame(hits, "doc_id long, score double")
+    t0 = time.perf_counter()
+    collapse_topk(sc, docs, "lang", k=10).collect()
+    surface["collapse_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    rescore_topk(sc, docs, "return value", window_size=50, k=10,
+                 text_col="content").collect()
+    surface["rescore_sec"] = round(time.perf_counter() - t0, 4)
 
     # --- positional index: build overhead + index-only phrase latency
     pout = os.path.join(tempfile.gettempdir(), f"s3lb_code_posindex_{n_docs}")

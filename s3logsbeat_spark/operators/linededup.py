@@ -1,0 +1,122 @@
+"""Corpus-wide line-level deduplication (C4-style).
+
+C4 (Raffel et al. 2020, §2.2) removes every repeated occurrence of a
+line/three-sentence span across the WHOLE corpus, keeping one canonical
+occurrence.  The core operator here works on an exploded
+``(doc_id, pos, line)`` frame so the caller decides what a "line" is —
+newline splits for prose, fixed token windows for unstructured text
+(:func:`chunk_lines`) — and reconstructs the cleaned documents.
+
+Keep rule (deterministic): an occurrence survives iff it is the
+corpus-wide first occurrence of its line, "first" meaning the minimal
+``doc_id * POS_BASE + pos`` key.  This also collapses within-document
+repeats, matching C4's "keep one occurrence globally".
+
+Scale shape:
+- the winner table groups on ``sha2(line)`` (64-hex key), NOT the raw
+  line text, so the wide shuffle moves fixed-width keys + one int64,
+  never document content;
+- the argmin is ``min(key)`` — map-side combinable, one row per
+  distinct line out;
+- the join back is hash-equi on the same digest (AQE handles the skew
+  of ultra-common lines; a degenerate line like "" yields ONE winner
+  row, so there is no quadratic bucket anywhere);
+- reconstruction groups each doc's surviving chunks with
+  ``collect_list(struct(pos, line))`` — bounded by single-document
+  size, the same bound any per-doc parse already has.
+
+POS_BASE bounds pos < 1e9 per document; at >1e9-line documents or
+>9.2e9 doc ids switch the key to ``min(struct(doc_id, pos))`` (kept as
+a scalar here so the DuckDB oracle can state the identical rule with
+``arg_min``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+POS_BASE = 1_000_000_000
+
+
+def chunk_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_line: int = 10,
+) -> DataFrame:
+    """(doc_id, pos, line): non-overlapping ``tokens_per_line``-token
+    windows of the simple-tokenized text, each rejoined with single
+    spaces.  Pure JVM expressions (regexp_extract_all + transform +
+    slice), no shuffle."""
+    n = tokens_per_line
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)")
+    chunks = F.when(F.size(toks) <= 0, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            f"transform(sequence(0, int(ceil(size(regexp_extract_all(lower({text_col}),"
+            f" '[a-z0-9_]+', 0)) / {n})) - 1),"
+            f" i -> array_join(slice(regexp_extract_all(lower({text_col}),"
+            f" '[a-z0-9_]+', 0), i * {n} + 1, {n}), ' '))"
+        )
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("pos", "line")
+    )
+
+
+def line_dedup(
+    lines: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide line dedup over an exploded ``(doc_id, pos, line)``
+    frame.  Returns one row per input document:
+    ``(doc_id, n_lines, n_kept, clean_sha)`` where ``clean_sha`` is
+    ``sha256`` of the surviving lines rejoined with ``\\n`` in original
+    order ('' for documents with nothing left), so the cleaned content
+    is verifiable without shipping it anywhere.
+    """
+    keyed = lines.select(
+        F.col(id_col).alias("doc_id"),
+        "pos",
+        "line",
+        F.sha2(F.col("line"), 256).alias("lh"),
+        (F.col(id_col) * F.lit(POS_BASE) + F.col("pos")).alias("okey"),
+    )
+    winners = keyed.groupBy("lh").agg(F.min("okey").alias("wkey"))
+    kept = keyed.join(winners, "lh").filter(F.col("okey") == F.col("wkey"))
+    per_doc = (
+        keyed.groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_lines"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count("*").cast("long").alias("n_kept"),
+                F.sha2(
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))
+                            ),
+                            lambda s: s["line"],
+                        ),
+                        "\n",
+                    ),
+                    256,
+                ).alias("clean_sha"),
+            ),
+            "doc_id",
+            "left",
+        )
+    )
+    empty_sha = F.sha2(F.lit(""), 256)
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("clean_sha", empty_sha).alias("clean_sha"),
+        )
+    )
+    return out

@@ -1,0 +1,53 @@
+"""Deterministic stratified sampling for training-data mixture control.
+
+Data pipelines re-weight domains/languages by sampling each stratum at
+its own rate (e.g. The Pile / LLaMA mixture tables).  ``sample()``-style
+RNG sampling is useless there: re-runs must pick the SAME rows
+(idempotent restarts, auditability), and the decision must be a pure
+row-local function so it runs inside the scan with zero shuffle.
+
+Decision rule: keep row iff ``u(doc) < rate(stratum)`` where
+``u(doc) = int(first 8 hex chars of sha256(doc_id)) / 2^32`` — a
+uniform-[0,1) hash draw that is identical in any engine with sha256
+(the DuckDB oracle states the same expression), unlike Spark-internal
+``rand(seed)`` or xxhash64 which other engines can't replicate.
+
+Scale: pure projection + filter, pushed to the scan; no shuffle, no
+driver state.  The rates dict rides the plan as a CASE expression
+(fine for the tens-of-strata case; for thousands of strata, broadcast
+join a rates dim instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_u01(col: Column) -> Column:
+    """Deterministic uniform-[0,1) draw from any column: first 32 bits
+    of sha256 of its string form, scaled.  Engine-portable."""
+    return (
+        F.conv(F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep each row of stratum ``s`` with probability ``rates[s]``
+    (``default_rate`` for unlisted strata), deterministically in
+    ``id_col``.  Returns the kept rows' ``(doc_id, stratum)``."""
+    rate = F.lit(float(default_rate))
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == s, F.lit(float(r))).otherwise(rate)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(strata_col))
+        .filter(hash_u01(F.col("doc_id")) < rate)
+    )

@@ -1,0 +1,135 @@
+"""Search result post-processing (ES parity: collapse, function_score,
+rescore).
+
+These compose over any ``(doc_id, score)`` frame — the naive
+``bm25_scores`` contract path here, or the indexed WAND path (whose
+results are a tiny k-row frame) in production.  Reference parity note:
+s3logsbeat itself ships documents to Elasticsearch and leaves these to
+the ES query DSL (``collapse``, ``function_score``, ``rescore``); this
+module re-expresses those DSL features Spark-side so the engine is a
+drop-in query replacement.
+
+Scale notes are per-function; none of them introduces a driver-side
+loop, and the only full-corpus shuffle is collapse's partial-agg
+``groupBy(field)`` (map-side combinable, one row per distinct field
+value out).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def collapse_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    field: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES field collapse: the top-k hits with at most ONE document per
+    distinct value of ``field``, each group represented by its single
+    best hit (score DESC, doc_id ASC tie-break).
+
+    Plan shape: broadcast-join the metadata column onto the scored
+    frame, then ``groupBy(field).agg(max(struct(score, -doc_id)))`` —
+    a map-side-combinable partial aggregation (one surviving row per
+    field value per partition before the shuffle), NOT a window
+    function: ``row_number() over (partition by field)`` would shuffle
+    every scored row and keep all of them sorted in memory per group,
+    while the argmax agg ships one row per (partition, field value).
+    Final top-k is TakeOrderedAndProject.
+
+    The argmax compares 6dp-rounded scores so near-tie winners are
+    stable across engines/summation orders (the contract oracle rule).
+    """
+    j = scored.join(docs.select(id_col, field), id_col)
+    best = (
+        j.groupBy(field)
+        .agg(
+            F.max(
+                F.struct(
+                    F.round("score", 6).alias("score"),
+                    (-F.col(id_col)).alias("neg_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            (-F.col("b.neg_id")).cast("long").alias(id_col),
+            F.col(field),
+            F.col("b.score").alias("score"),
+        )
+    )
+    return best.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def function_score_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    factor_col: str,
+    k: int = 10,
+    weight: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES function_score with a ``field_value_factor`` (modifier
+    ``log1p``, multiply boost_mode): ``score * weight * ln(1 +
+    factor)``.  The factor column rides a broadcast-able join keyed on
+    doc_id (the scored side already pruned the corpus to matching
+    docs); everything else is a row-local expression, no extra shuffle
+    beyond the join.
+    """
+    j = scored.join(docs.select(id_col, factor_col), id_col)
+    out = j.select(
+        id_col,
+        F.round(
+            F.col("score")
+            * F.lit(float(weight))
+            * F.log(F.lit(1.0) + F.col(factor_col).cast("double")),
+            6,
+        ).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rescore_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    phrase: str,
+    window_size: int = 50,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES rescore: re-rank only the top ``window_size`` hits of the
+    primary ranking with a secondary (more expensive) signal — here a
+    literal-phrase containment bonus — combining as
+    ``query_weight * primary + rescore_weight * [phrase in text]``.
+
+    Scale shape: the primary top-window is materialized first
+    (TakeOrderedAndProject, k+window rows total), so the expensive
+    text probe touches exactly ``window_size`` documents no matter the
+    corpus size; the window frame is the (tiny) build side of a
+    broadcast join against the docs table, whose doc_id pushdown
+    prunes the content read to those rows.
+    """
+    window = (
+        scored.select(id_col, F.round("score", 6).alias("primary"))
+        .orderBy(F.col("primary").desc(), F.col(id_col).asc())
+        .limit(window_size)
+    )
+    j = docs.select(id_col, text_col).join(F.broadcast(window), id_col)
+    bonus = F.when(
+        F.instr(F.lower(F.col(text_col)), phrase.lower()) > 0, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    out = j.select(
+        id_col,
+        F.round(
+            F.col("primary") * F.lit(float(query_weight))
+            + bonus * F.lit(float(rescore_weight)),
+            6,
+        ).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,57 @@
+"""Corpus-wide line dedup vs hand-computed expectations."""
+
+from __future__ import annotations
+
+import hashlib
+
+from s3logsbeat_spark.operators.linededup import chunk_lines, line_dedup
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_chunk_lines_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "A b c d e"), (2, ""), (3, "xy")], "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r) for r in chunk_lines(docs, tokens_per_line=2).collect()
+    )
+    assert got == [
+        (1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (3, 0, "xy"),
+    ]
+
+
+def test_line_dedup_keeps_global_first_occurrence(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "dup line\nown1"),
+            (2, "own2\ndup line"),        # cross-doc dup -> dropped here
+            (3, "same\nsame\nown3"),      # within-doc dup -> second dropped
+            (4, ""),                      # splits to one empty line; doc 4
+        ],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_sha"])
+           for r in line_dedup(lines, docs).collect()}
+    assert got[1] == (2, 2, _sha("dup line\nown1"))
+    assert got[2] == (2, 1, _sha("own2"))
+    assert got[3] == (3, 2, _sha("same\nown3"))
+    assert got[4] == (1, 1, _sha(""))  # first (only kept) empty line
+
+
+def test_line_dedup_docs_without_lines_survive(spark):
+    docs = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    lines = chunk_lines(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_sha"])
+           for r in line_dedup(lines, docs).collect()}
+    assert got[2] == (0, 0, _sha(""))
+    assert got[1] == (1, 1, _sha("a"))

@@ -1,0 +1,40 @@
+"""Deterministic stratified sampling: rule parity with a pure-python
+sha256 twin and idempotence."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.sampling import hash_u01, stratified_sample
+
+
+def _u01(x) -> float:
+    return int(hashlib.sha256(str(x).encode()).hexdigest()[:8], 16) / 2**32
+
+
+def test_hash_u01_matches_python(spark):
+    df = spark.range(0, 50).select(hash_u01(F.col("id")).alias("u"), "id")
+    for r in df.collect():
+        assert abs(r["u"] - _u01(r["id"])) < 1e-12
+
+
+def test_stratified_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 3 == 0 else ("zh" if i % 3 == 1 else "de"))
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    rates = {"en": 1.0, "zh": 0.0}
+    kept = sorted(r["doc_id"] for r in
+                  stratified_sample(docs, rates, default_rate=0.5).collect())
+    want = sorted(d for d, g in rows
+                  if _u01(d) < {"en": 1.0, "zh": 0.0}.get(g, 0.5))
+    assert kept == want
+    # idempotent: second run picks the identical rows
+    again = sorted(r["doc_id"] for r in
+                   stratified_sample(docs, rates, default_rate=0.5).collect())
+    assert again == kept
+    # rate-1.0 stratum fully kept, rate-0.0 stratum fully dropped
+    langs = {d: g for d, g in rows}
+    assert all(langs[d] != "zh" for d in kept)
+    assert {d for d, g in rows if g == "en"} <= set(kept)

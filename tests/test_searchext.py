@@ -1,0 +1,75 @@
+"""collapse / function_score / rescore vs transparent hand-computed
+expectations over a synthetic scored frame (the operators compose over
+any (doc_id, score) ranking, so the ranking itself is given)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.searchext import (
+    collapse_topk,
+    function_score_topk,
+    rescore_topk,
+)
+
+DOCS = [
+    # doc_id, text, lang, n_chars
+    (0, "alpha beta", "en", 10),
+    (1, "merge batch now", "en", 15),
+    (2, "gamma", "de", 5),
+    (3, "delta merge batch", "de", 17),
+    (4, "epsilon", "fr", 7),
+]
+SCORES = [(0, 3.0), (1, 2.5), (2, 2.5), (3, 2.0), (4, 1.0)]
+
+
+def _frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, lang string, n_chars long")
+    scored = spark.createDataFrame(SCORES, "doc_id long, score double")
+    return scored, docs
+
+
+def test_collapse_one_per_field(spark):
+    scored, docs = _frames(spark)
+    got = [tuple(r) for r in collapse_topk(scored, docs, "lang", k=10).collect()]
+    # en -> doc 0 (3.0 beats 2.5); de -> doc 2 (2.5 beats 2.0); fr -> doc 4
+    assert got == [(0, "en", 3.0), (2, "de", 2.5), (4, "fr", 1.0)]
+
+
+def test_collapse_tie_breaks_to_lower_doc_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "x", "en", 1), (3, "y", "en", 1)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    scored = spark.createDataFrame([(7, 2.0), (3, 2.0)], "doc_id long, score double")
+    got = collapse_topk(scored, docs, "lang").collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [(3, 2.0)]
+
+
+def test_function_score_log1p_multiply(spark):
+    scored, docs = _frames(spark)
+    got = {r["doc_id"]: r["score"] for r in
+           function_score_topk(scored, docs, "n_chars", k=10).collect()}
+    want = {d: round(s * math.log(1 + n), 6)
+            for (d, _, _, n), (_, s) in zip(DOCS, SCORES)}
+    assert got == want
+
+
+def test_rescore_bonus_only_inside_window(spark):
+    scored, docs = _frames(spark)
+    # window=3 covers docs {0,1,2}; docs 1 and 3 contain the phrase but
+    # only doc 1 is inside the window, so doc 3 keeps nothing (excluded).
+    got = [tuple(r) for r in
+           rescore_topk(scored, docs, "merge batch", window_size=3, k=10,
+                        rescore_weight=2.0).collect()]
+    assert got == [(1, 4.5), (0, 3.0), (2, 2.5)]
+
+
+def test_rescore_window_cut_is_deterministic(spark):
+    scored, docs = _frames(spark)
+    # scores 2.5/2.5 tie at the window boundary: doc_id ASC wins -> doc 1 in
+    got = {r["doc_id"] for r in
+           rescore_topk(scored, docs, "zzz", window_size=2, k=10).collect()}
+    assert got == {0, 1}
