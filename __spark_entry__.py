@@ -776,6 +776,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TB_BUDGETS = {"en": 4000, "zh": 2500}
+TB_DEFAULT = 1500
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture materialization by TOKEN budget per stratum: walk each
+    lang's docs in deterministic hash order, keep while the running
+    token total is under budget — two-pass distributed prefix sum, not
+    a one-task-per-stratum window."""
+    from s3logsbeat_spark.operators.sampling import token_budget_sample
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(_TOKS)).cast("long").alias("n_tokens"),
+    )
+    return token_budget_sample(docs, TB_BUDGETS, default_budget=TB_DEFAULT)
+
+
 def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES date_histogram (calendar_interval=day) with a terms
     sub-aggregation on event_type and count+sum metrics — one
@@ -1259,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
+        "token_budget": q_token_budget,
         "date_histogram": q_date_histogram,
         "events_derivative": q_events_derivative,
         "fingerprint": q_fingerprint,
@@ -1570,6 +1590,25 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         / 4294967296.0
       < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 0.25 END
+"""
+
+_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS stratum,
+         len({_TOKS_DUCK})::BIGINT AS n_tokens,
+         CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents
+),
+w AS (
+  SELECT doc_id, stratum, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY stratum ORDER BY u, doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS tok_before
+  FROM t
+)
+SELECT doc_id, stratum, n_tokens, tok_before FROM w
+WHERE tok_before < CASE stratum WHEN 'en' THEN {TB_BUDGETS["en"]}
+                   WHEN 'zh' THEN {TB_BUDGETS["zh"]} ELSE {TB_DEFAULT} END
 """
 
 _DATE_HISTOGRAM_SQL = """
@@ -2530,6 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _TERM_VECTORS_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
+        "token_budget": _TOKEN_BUDGET_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "events_derivative": _EVENTS_DERIVATIVE_SQL,
         "fingerprint": _fingerprint_sql(),

@@ -34,6 +34,106 @@ def hash_u01(col: Column) -> Column:
     )
 
 
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Mixture sampling by TOKEN budget, not doc count: for each
+    stratum, walk its documents in the deterministic hash order
+    ``(u01(doc_id), doc_id)`` and keep a doc iff the stratum's running
+    token total BEFORE it is still under the stratum budget (so the
+    budget may overshoot by part of one document — the standard greedy
+    rule).  This is how mixture tables ("500B tokens of code, 50B of
+    wiki") are actually materialized.
+
+    Scale shape — the per-stratum running sum is a prefix sum over a
+    global ordering; a plain window (``PARTITION BY stratum ORDER BY
+    u``) puts each stratum on ONE task.  Instead, the same two-pass
+    distributed scan as :mod:`packing`:
+
+    1. range-repartition by ``(stratum, u, doc_id)`` + sort within
+       partitions, freeze boundaries with ``localCheckpoint``;
+    2. per-(partition, stratum) totals -> tiny driver exclusive prefix
+       (``n_partitions x n_strata`` rows), broadcast back;
+    3. one Arrow pass adds (base + local per-stratum cumsum) per row
+       and applies the keep rule.
+
+    Returns kept rows ``(doc_id, stratum, n_tokens, tok_before)``;
+    deterministic and partition-count-invariant, with an exact
+    single-node window-function oracle.
+    """
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    spark = docs.sparkSession
+    ensure_shipped(spark)
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(strata_col).alias("stratum"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        hash_u01(F.col(id_col)).alias("u"),
+    )
+    p = partitions or spark.sparkContext.defaultParallelism
+    d = (
+        d.repartitionByRange(p, "stratum", "u", "doc_id")
+        .sortWithinPartitions("stratum", "u", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = d.groupBy("_pid", "stratum").agg(F.sum("n_tokens").alias("s")).collect()
+    base: dict[tuple[int, str], int] = {}
+    acc: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: (r["stratum"], r["_pid"])):
+        base[(int(r["_pid"]), r["stratum"])] = acc.get(r["stratum"], 0)
+        acc[r["stratum"]] = acc.get(r["stratum"], 0) + int(r["s"])
+    bbase = spark.sparkContext.broadcast(base)
+    bbudget = spark.sparkContext.broadcast(
+        {s: int(b) for s, b in budgets.items()}
+    )
+    dflt = int(default_budget)
+
+    def gen(batches):
+        pid: int | None = None
+        run: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pid is None:
+                pid = int(pdf["_pid"].iloc[0])
+            csum = pdf.groupby("stratum", sort=False)["n_tokens"].cumsum()
+            starts = {
+                s: run.get(s, bbase.value.get((pid, s), 0))
+                for s in pdf["stratum"].unique()
+            }
+            before = (
+                pdf["stratum"].map(starts) + csum - pdf["n_tokens"]
+            ).astype("int64")
+            ends = pdf.groupby("stratum", sort=False)["n_tokens"].sum()
+            for s, tot in ends.items():
+                run[s] = starts[s] + int(tot)
+            lim = pdf["stratum"].map(lambda s: bbudget.value.get(s, dflt))
+            keep = before < lim.astype("int64")
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"][keep],
+                    "stratum": pdf["stratum"][keep],
+                    "n_tokens": pdf["n_tokens"][keep],
+                    "tok_before": before[keep],
+                }
+            )
+            yield out
+
+    return d.mapInPandas(
+        gen, "doc_id long, stratum string, n_tokens long, tok_before long"
+    )
+
+
 def stratified_sample(
     docs: DataFrame,
     rates: dict[str, float],

@@ -7,7 +7,11 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from s3logsbeat_spark.operators.sampling import hash_u01, stratified_sample
+from s3logsbeat_spark.operators.sampling import (
+    hash_u01,
+    stratified_sample,
+    token_budget_sample,
+)
 
 
 def _u01(x) -> float:
@@ -38,3 +42,37 @@ def test_stratified_rates_and_determinism(spark):
     langs = {d: g for d, g in rows}
     assert all(langs[d] != "zh" for d in kept)
     assert {d for d, g in rows if g == "en"} <= set(kept)
+
+
+def _budget_twin(rows, budgets, default):
+    """rows: (doc_id, stratum, n_tokens). Greedy prefix per stratum in
+    (u01, doc_id) order; returns {doc_id: tok_before} of kept docs."""
+    out, run = {}, {}
+    for d, s, n in sorted(rows, key=lambda r: (r[1], _u01(r[0]), r[0])):
+        before = run.get(s, 0)
+        if before < budgets.get(s, default):
+            out[d] = before
+        run[s] = before + n
+    return out
+
+
+def test_token_budget_matches_twin_and_partition_invariant(spark):
+    rows = [(i, ["en", "zh", "de"][i % 3], 10 + (i * 7) % 50)
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    budgets = {"en": 800, "zh": 300}
+    want = _budget_twin(rows, budgets, 500)
+    for parts in (2, 7):
+        got = {r["doc_id"]: r["tok_before"] for r in
+               token_budget_sample(docs, budgets, default_budget=500,
+                                   partitions=parts).collect()}
+        assert got == want, f"partitions={parts}"
+
+
+def test_token_budget_zero_default_drops_unlisted(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", 5), (2, "xx", 5)], "doc_id long, lang string, n_tokens long"
+    )
+    got = [r["doc_id"] for r in
+           token_budget_sample(docs, {"en": 100}).collect()]
+    assert got == [1]
