@@ -826,6 +826,45 @@ def q_events_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn pipeline agg: trailing 7-bucket average of the daily
+    doc counts. Like the derivative, the window runs over the ~30-row
+    bucket frame, not raw events."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day", "n", F.round(F.avg("n").over(w), 6).alias("avg7")
+    )
+
+
+COMPOSITE_AFTER = ("en", "src12")
+COMPOSITE_SIZE = 10
+
+
+def q_search_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation: (lang, source) buckets with doc counts,
+    key-ordered, resuming AFTER a cursor key — the scalable alternative
+    to deep terms-agg pagination. The after-key predicate prunes before
+    the agg; page extraction is TakeOrderedAndProject."""
+    al, asrc = COMPOSITE_AFTER
+    docs = _docs(spark, sf_dir)
+    keyed = docs.filter(
+        (F.col("lang") > al)
+        | ((F.col("lang") == al) & (F.col("source") > asrc))
+    )
+    return (
+        keyed.groupBy("lang", "source")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("lang", "source")
+        .limit(COMPOSITE_SIZE)
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3logsbeat_spark.operators.textstats import doc_fingerprint
 
@@ -1281,6 +1320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "date_histogram": q_date_histogram,
         "events_derivative": q_events_derivative,
+        "events_moving_avg": q_events_moving_avg,
+        "search_composite": q_search_composite,
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
@@ -1624,6 +1665,26 @@ WITH daily AS (
 )
 SELECT day, n, CAST(n - lag(n) OVER (ORDER BY day) AS BIGINT) AS delta
 FROM daily
+"""
+
+_EVENTS_MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+       round(avg(n) OVER (ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7
+FROM daily
+"""
+
+_SEARCH_COMPOSITE_SQL = f"""
+SELECT lang, source, count(*)::BIGINT AS n
+FROM documents
+WHERE lang > '{COMPOSITE_AFTER[0]}'
+   OR (lang = '{COMPOSITE_AFTER[0]}' AND source > '{COMPOSITE_AFTER[1]}')
+GROUP BY 1, 2
+ORDER BY lang, source LIMIT {COMPOSITE_SIZE}
 """
 
 
@@ -2572,6 +2633,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": _TOKEN_BUDGET_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "events_derivative": _EVENTS_DERIVATIVE_SQL,
+        "events_moving_avg": _EVENTS_MOVING_AVG_SQL,
+        "search_composite": _SEARCH_COMPOSITE_SQL,
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
