@@ -270,6 +270,18 @@ def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection, verification from position adjacency, BM25 scores over
     the phrase's distinct terms. No content scan, unlike q_phrase_search's
     contains() verify."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.phrase_query(PHRASE.split(), BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+def _driver_pos_index(spark: SparkSession, sf_dir: str):
+    """Build (or resume) the POSITIONAL segment index for a driver sf dir
+    (4th delta+varbyte stream of raw-token positions); returns an
+    IndexReader. Shared by the phrase / span_near / phrase_prefix
+    contract queries."""
     import hashlib
     import tempfile
 
@@ -284,8 +296,39 @@ def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_dir=out, n_buckets=8, hot_df_threshold=20_000, with_positions=True
     )
     build_index(docs, cfg)
-    rdr = IndexReader(spark, out)
-    top = rdr.phrase_query(PHRASE.split(), BM25_K)
+    return IndexReader(spark, out)
+
+
+SPAN_TERMS = ["merge", "window"]
+SPAN_SLOP = 3
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES/Lucene span_near (in_order=true) over the positional index:
+    'merge' then 'window' at increasing positions with total gap <=
+    SPAN_SLOP; slop=0 degenerates to match_phrase. Index-only — the
+    greedy minimal-span chain walk is one searchsorted per term over
+    packed (doc, position) keys."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.span_near_query(SPAN_TERMS, slop=SPAN_SLOP, k=BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+PP_TERMS = ["merge"]
+PP_PREFIX = "w"
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix over the positional index: 'merge'
+    immediately followed by any dictionary term starting with 'w'
+    (expansion capped highest-df-first at 50, the ES max_expansions
+    analogue); scored BM25 over the complete terms only — a
+    deterministic rank rule where ES itself documents its scoring as
+    expansion-unstable."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.phrase_prefix_query(PP_TERMS, PP_PREFIX, k=BM25_K, max_expansions=50)
     return spark.createDataFrame(
         [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
     )
@@ -409,6 +452,72 @@ def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = rdr.percentiles_agg(BM25_TERMS, "n_chars", PCTS, exact=True)
     return spark.createDataFrame(
         [(p, round(v, 6)) for p, v in rows], "pct double, value double"
+    )
+
+
+XSTATS_FIELD = "n_chars"
+
+
+def q_search_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES extended_stats aggregation on a query: the plain stats plus
+    sum_of_squares / population variance / population std deviation of
+    n_chars over the matching docs — all moments in one partial-agg
+    pass over the bucket-aligned sidecar join."""
+    rdr = _driver_index(spark, sf_dir)
+    s = rdr.extended_stats_agg(BM25_TERMS, XSTATS_FIELD)
+    return spark.createDataFrame(
+        [(
+            int(s["count"]), int(s["sum"]), int(s["min"]), int(s["max"]),
+            round(float(s["avg"]), 6), round(float(s["sum_of_squares"]), 6),
+            round(float(s["variance"]), 6), round(float(s["std_deviation"]), 6),
+        )],
+        "count long, sum long, min long, max long, avg double,"
+        " sum_of_squares double, variance double, std_deviation double",
+    )
+
+
+PR_VALUES = (100.0, 300.0, 500.0)
+
+
+def q_search_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentile_ranks aggregation on a query: for each probe value,
+    the percentage of matching docs with n_chars <= value (exact CDF;
+    ES reads the same quantity off its t-digest)."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.percentile_ranks_agg(BM25_TERMS, XSTATS_FIELD, list(PR_VALUES))
+    return spark.createDataFrame(
+        [(float(v), round(float(p), 6)) for v, p in rows],
+        "value double, pct double",
+    )
+
+
+RARE_MAX_DF = 380
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation: dictionary terms with global df <=
+    RARE_MAX_DF, df ASC / term ASC, top 10 — one column-pruned
+    distributed pass over the segment dictionaries, no posting bytes
+    read, vocabulary never resident on the driver."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.rare_terms_agg(max_doc_count=RARE_MAX_DF, size=10)
+    return spark.createDataFrame(
+        [(t, int(d)) for t, d in rows], "term string, df long"
+    )
+
+
+ADJ_FILTERS = {"m": ["merge"], "s": ["spark"], "w": ["window"]}
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: doc counts for each named term
+    filter and each pairwise intersection (keys 'm', 'm&s', ... ES
+    naming), computed from the per-bucket membership stage + one
+    JVM-side singles+pairs expansion — no cross join."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.adjacency_matrix_agg(ADJ_FILTERS)
+    return spark.createDataFrame(
+        [(k, int(c)) for k, c in rows], "key string, doc_count long"
     )
 
 
@@ -1289,6 +1398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram": q_search_histogram,
         "search_cardinality": q_search_cardinality,
         "search_percentiles": q_search_percentiles,
+        "span_near": q_span_near,
+        "phrase_prefix": q_phrase_prefix,
+        "search_extended_stats": q_search_extended_stats,
+        "search_percentile_ranks": q_search_percentile_ranks,
+        "rare_terms": q_rare_terms,
+        "adjacency_matrix": q_adjacency_matrix,
         "search_after": q_search_after,
         "search_sort": q_search_sort,
         "search_range": q_search_range,
@@ -1464,6 +1579,56 @@ SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
        min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
        round(avg(n_chars), 6) AS avg
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+_XSTATS_SQL = f"""
+SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
+       min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
+       round(avg(n_chars), 6) AS avg,
+       round(sum(n_chars::DOUBLE * n_chars), 6) AS sum_of_squares,
+       round(var_pop(n_chars), 6) AS variance,
+       round(stddev_pop(n_chars), 6) AS std_deviation
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+_PCT_RANKS_SQL = f"""
+WITH m AS (SELECT n_chars FROM documents WHERE doc_id IN ({_MATCHING_DOCS}))
+SELECT v AS value,
+       round(100.0 * (SELECT count(*) FROM m WHERE n_chars <= v)
+             / (SELECT count(*) FROM m), 6) AS pct
+FROM (SELECT unnest([100.0, 300.0, 500.0]) AS v)
+"""
+
+_RARE_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1)
+SELECT term, df FROM dfs WHERE df <= {RARE_MAX_DF}
+ORDER BY df ASC, term ASC LIMIT 10
+"""
+
+_ADJ_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, bool_or(term = 'merge') AS m, bool_or(term = 'spark') AS s,
+         bool_or(term = 'window') AS w
+  FROM toks GROUP BY 1
+)
+SELECT key, doc_count FROM (
+  SELECT 'm' AS key, count(*) FILTER (m)::BIGINT AS doc_count FROM flags
+  UNION ALL SELECT 'm&s', count(*) FILTER (m AND s)::BIGINT FROM flags
+  UNION ALL SELECT 'm&w', count(*) FILTER (m AND w)::BIGINT FROM flags
+  UNION ALL SELECT 's', count(*) FILTER (s)::BIGINT FROM flags
+  UNION ALL SELECT 's&w', count(*) FILTER (s AND w)::BIGINT FROM flags
+  UNION ALL SELECT 'w', count(*) FILTER (w)::BIGINT FROM flags
+) WHERE doc_count > 0 ORDER BY key
 """
 
 _SEARCH_AFTER_SQL = _BM25_WAND_SQL.replace(
@@ -1875,6 +2040,26 @@ WHERE len(list_filter(range(1, len(t2.a)),
           i -> t2.a[i] = 'merge' AND t2.a[i+1] = 'window')) > 0
 ORDER BY score DESC, s2.doc_id ASC LIMIT {BM25_K}
 """
+
+# span_near in_order slop=3: 'window' within positions i+1 .. i+1+slop of
+# a 'merge' at i (gap = j - i - 1 <= 3); out-of-range list indexing yields
+# NULL -> comparison false, so no end clipping is needed
+_SPAN_NEAR_SQL = _PHRASE_IDX_SQL.replace(
+    "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'",
+    "t2.a[i] = 'merge' AND len(list_filter(range(i + 1, i + "
+    f"{SPAN_SLOP + 2}), j -> t2.a[j] = 'window')) > 0",
+)
+
+# match_phrase_prefix 'merge w*': adjacency against ANY term starting with
+# the prefix; scored over the complete terms only (qterms = ['merge']) —
+# the engine's 50-expansion cap is not binding at this vocabulary size
+_PHRASE_PREFIX_SQL = _PHRASE_IDX_SQL.replace(
+    "SELECT unnest(['merge', 'window']) AS term",
+    "SELECT unnest(['merge']) AS term",
+).replace(
+    "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'",
+    "t2.a[i] = 'merge' AND starts_with(t2.a[i+1], 'w')",
+)
 
 
 _BM25_AND_SQL = _BM25_SQL.replace(
@@ -2579,6 +2764,12 @@ def oracle_sql() -> dict[str, str]:
         "search_histogram": _SEARCH_HIST_SQL,
         "search_cardinality": _SEARCH_CARD_SQL,
         "search_percentiles": _SEARCH_PCTS_SQL,
+        "span_near": _SPAN_NEAR_SQL,
+        "phrase_prefix": _PHRASE_PREFIX_SQL,
+        "search_extended_stats": _XSTATS_SQL,
+        "search_percentile_ranks": _PCT_RANKS_SQL,
+        "rare_terms": _RARE_TERMS_SQL,
+        "adjacency_matrix": _ADJ_SQL,
         "search_after": _SEARCH_AFTER_SQL,
         "search_sort": _SEARCH_SORT_SQL,
         "search_range": _SEARCH_RANGE_SQL,

@@ -529,33 +529,20 @@ def _levenshtein_leq(a: str, b: str, d: int) -> int | None:
     return prev[len(b)] if prev[len(b)] <= d else None
 
 
-def score_phrase(
-    pdf,
-    idf: dict,
-    avgdl: float,
-    terms: list[str],
-    k: int | None,
-    doc_filter: DocFilter | None = None,
-) -> list[tuple[int, float]]:
-    """Index-only phrase top-k over positional segment rows (the Lucene
-    match_phrase kernel): docs where ``terms`` occur at consecutive
-    raw-token positions, BM25-scored over the phrase's distinct terms.
-
-    ``pdf`` is a pandas frame of segment rows (term, docs, tfs, dls, poss)
-    for the phrase's terms — any subset of buckets (docs are disjoint
-    across a term's sub-lists, so concatenation is safe). No content is
-    touched: candidates come from posting intersection, verification from
-    decoded positions. A term absent from ``pdf`` ⇒ no matches here.
-    """
+def _decode_positional(pdf, distinct: list[str]) -> dict | None:
+    """Decode positional segment rows for the given distinct terms into
+    ``{term: (ids, tf, dl, pos, tf_offsets)}`` with doc-sorted rows and
+    position streams permuted to match. Returns None when any term is
+    absent from ``pdf`` (no match possible in these buckets). Shared by
+    the phrase and span-near kernels."""
     from .codec import decode_positions, decode_posting_list
     from .segments import _permute_ragged
 
-    distinct = list(dict.fromkeys(terms))
     per: dict = {}
     for t in distinct:
         sub = pdf[pdf["term"] == t]
         if len(sub) == 0:
-            return []
+            return None
         ids_l, tf_l, dl_l, pos_l = [], [], [], []
         for _, row in sub.iterrows():
             payload = {
@@ -582,6 +569,31 @@ def score_phrase(
         pos = _permute_ragged(pos, tf, order)
         ids, tf, dl = ids[order], tf[order], dl[order]
         per[t] = (ids, tf, dl, pos, np.cumsum(tf) - tf)
+    return per
+
+
+def score_phrase(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    terms: list[str],
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """Index-only phrase top-k over positional segment rows (the Lucene
+    match_phrase kernel): docs where ``terms`` occur at consecutive
+    raw-token positions, BM25-scored over the phrase's distinct terms.
+
+    ``pdf`` is a pandas frame of segment rows (term, docs, tfs, dls, poss)
+    for the phrase's terms — any subset of buckets (docs are disjoint
+    across a term's sub-lists, so concatenation is safe). No content is
+    touched: candidates come from posting intersection, verification from
+    decoded positions. A term absent from ``pdf`` ⇒ no matches here.
+    """
+    distinct = list(dict.fromkeys(terms))
+    per = _decode_positional(pdf, distinct)
+    if per is None:
+        return []
 
     cand = per[distinct[0]][0]
     for t in distinct[1:]:
@@ -601,6 +613,8 @@ def score_phrase(
     # never silently overflows into wrong phrase matches.
     _SHIFT = np.int64(40)
 
+    from .segments import _permute_ragged
+
     def _keys_of(t: str, cand_chunk: np.ndarray) -> np.ndarray:
         ids, tf, _, pos, _ = per[t]
         i = np.searchsorted(ids, cand_chunk)  # cand ⊆ ids by construction
@@ -619,9 +633,176 @@ def score_phrase(
                 break
         if s.size:
             hit_chunks.append(chunk[np.unique(s >> _SHIFT)])
+    return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
+
+
+_POS_SHIFT = np.int64(40)
+_POS_MASK = (np.int64(1) << _POS_SHIFT) - np.int64(1)
+
+
+def _packed_keys(per: dict, t: str, cand_chunk: np.ndarray) -> np.ndarray:
+    """Packed (candidate_index << 40 | position) occurrence keys of term
+    ``t`` restricted to the docs in ``cand_chunk`` — tolerant of
+    candidates that lack the term (masked gather), unlike the phrase
+    kernel's exact-subset gather. Output is sorted ascending."""
+    from .segments import _permute_ragged
+
+    ids, tf, _, pos, _ = per[t]
+    i = np.searchsorted(ids, cand_chunk)
+    valid = (i < ids.size) & (ids[np.minimum(i, ids.size - 1)] == cand_chunk)
+    vi = i[valid]
+    lens = tf[vi]
+    gathered = _permute_ragged(pos, tf, vi)
+    docidx = np.repeat(np.flatnonzero(valid).astype(np.int64), lens)
+    return (docidx << _POS_SHIFT) | gathered
+
+
+def score_span_near(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    terms: list[str],
+    slop: int,
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """Lucene/ES span_near (in_order=true) kernel: docs where ``terms``
+    occur at strictly increasing positions with total gap
+    ``end - start - (len(terms) - 1) <= slop``; BM25-scored over the
+    span's distinct terms. ``slop=0`` is exactly match_phrase.
+
+    The walk is greedy and exact: for each start occurrence of the first
+    term, each later term advances to its SMALLEST position past the
+    current one (one ``searchsorted`` per term over packed
+    ``doc_index << 40 | position`` keys — minimizing every step minimizes
+    the final span end, so the minimal-span chain per start is found).
+    Same 2^22-doc candidate chunking as the phrase kernel, so the packing
+    never overflows int64."""
+    distinct = list(dict.fromkeys(terms))
+    per = _decode_positional(pdf, distinct)
+    if per is None:
+        return []
+    cand = per[distinct[0]][0]
+    for t in distinct[1:]:
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    if doc_filter is not None and cand.size:
+        cand = cand[doc_filter.mask(cand)]
+    if cand.size == 0:
+        return []
+
+    hit_chunks = []
+    for lo in range(0, cand.size, PHRASE_CAND_CHUNK):
+        chunk = cand[lo : lo + PHRASE_CAND_CHUNK]
+        cur = _packed_keys(per, terms[0], chunk)
+        start = cur.copy()
+        for t in terms[1:]:
+            if cur.size == 0:
+                break
+            arr = _packed_keys(per, t, chunk)
+            idx = np.searchsorted(arr, cur, side="right")
+            ok = idx < arr.size
+            nxt = arr[np.minimum(idx, arr.size - 1)]
+            ok &= (nxt >> _POS_SHIFT) == (cur >> _POS_SHIFT)
+            cur, start = nxt[ok], start[ok]
+        if cur.size == 0:
+            continue
+        gap = (cur & _POS_MASK) - (start & _POS_MASK) - np.int64(len(terms) - 1)
+        good = gap <= np.int64(slop)
+        if good.any():
+            hit_chunks.append(chunk[np.unique(start[good] >> _POS_SHIFT)])
+    return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
+
+
+def score_phrase_prefix(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    terms: list[str],
+    expansions: list[str],
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """ES match_phrase_prefix kernel: the complete ``terms`` at
+    consecutive positions, immediately followed by ANY of ``expansions``
+    (the prefix's dictionary expansion). Scored BM25 over the COMPLETE
+    distinct terms only — the deterministic rank rule shared with the
+    scan-path twin (ES's own scoring here is expansion-dependent and
+    explicitly documented as not stable; a fixed rule is what an oracle
+    can check).
+
+    One decode pass: the expansion occurrence streams are merged into a
+    single sorted packed-key union per candidate chunk, so the phrase
+    walk does len(terms) intersections + ONE union intersect regardless
+    of how many expansions matched."""
+    distinct = list(dict.fromkeys(terms))
+    per = _decode_positional(pdf, distinct)
+    if per is None:
+        return []
+    # decode each present expansion individually (absent ones just don't
+    # contribute occurrences)
+    exp_streams: dict = {}
+    for e in dict.fromkeys(expansions):
+        if e in per:
+            exp_streams[e] = per[e]
+            continue
+        one = _decode_positional(pdf, [e])
+        if one is not None:
+            exp_streams[e] = one[e]
+    if not exp_streams:
+        return []
+    cand = per[distinct[0]][0] if distinct else None
+    for t in distinct[1:]:
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    exp_ids = np.unique(np.concatenate([v[0] for v in exp_streams.values()]))
+    cand = exp_ids if cand is None else np.intersect1d(cand, exp_ids)
+    if doc_filter is not None and cand.size:
+        cand = cand[doc_filter.mask(cand)]
+    if cand.size == 0:
+        return []
+
+    hit_chunks = []
+    for lo in range(0, cand.size, PHRASE_CAND_CHUNK):
+        chunk = cand[lo : lo + PHRASE_CAND_CHUNK]
+        union = np.sort(
+            np.concatenate(
+                [_packed_keys({"_e": v}, "_e", chunk) for v in exp_streams.values()]
+            )
+        )
+        if not terms:
+            if union.size:
+                hit_chunks.append(chunk[np.unique(union >> _POS_SHIFT)])
+            continue
+        s = _packed_keys(per, terms[0], chunk)
+        for t in terms[1:]:
+            s = np.intersect1d(s + 1, _packed_keys(per, t, chunk))
+            if s.size == 0:
+                break
+        if s.size:
+            s = np.intersect1d(s + 1, union)
+        if s.size:
+            hit_chunks.append(chunk[np.unique(s >> _POS_SHIFT)])
+    return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
+
+
+def _score_positional_hits(
+    per: dict,
+    distinct: list[str],
+    idf: dict,
+    avgdl: float,
+    hit_chunks: list,
+    k: int | None,
+) -> list[tuple[int, float]]:
+    """Shared tail of the positional kernels: BM25 over ``distinct``
+    terms for the verified hit docs, 6dp-rounded, (score DESC, doc ASC),
+    optional top-k."""
     if not hit_chunks:
         return []
     hits_a = np.concatenate(hit_chunks)
+    if not distinct:
+        order = np.argsort(hits_a)
+        if k is not None:
+            order = order[:k]
+        return [(int(hits_a[i]), 0.0) for i in order]
     scores = np.zeros(hits_a.shape[0])
     for t in distinct:
         ids, tf, dl, _, _ = per[t]
@@ -1055,6 +1236,133 @@ class IndexReader:
         blocked_list = [int(x) for x in blocked]
         return self._run_per_bucket(
             self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
+        )
+
+    def span_near_query(
+        self,
+        terms: list[str],
+        slop: int = 0,
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES/Lucene span_near (in_order=true) over the positional index:
+        ``terms`` at strictly increasing positions with total gap <=
+        ``slop`` (``slop=0`` == match_phrase exactly). Same driver /
+        per-bucket-distributed split, filter context and tombstone
+        handling as :meth:`phrase_query`; candidates and verification are
+        index-only (no content scan)."""
+        if not terms:
+            return []
+        import pyarrow.dataset as ds
+
+        distinct = list(dict.fromkeys(terms))
+        dfs = self._df_of(distinct)
+        if any(t not in dfs for t in distinct):
+            return []
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in distinct}
+        total_postings = sum(dfs[t] for t in distinct)
+        if distributed is None:
+            distributed = total_postings * 10 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
+        blocked = self._blocked()
+        if not distributed:
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
+            tbl = self._dataset().to_table(
+                columns=["term", "docs", "tfs", "dls", "poss"],
+                filter=ds.field("term").isin(distinct),
+            )
+            return score_span_near(
+                tbl.to_pandas(), idf, self.avgdl, terms, slop, k, filt
+            )
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            import pandas as pd
+
+            top = score_span_near(pdf, idf, avgdl, terms, slop, k, filt)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        blocked_list = [int(x) for x in blocked]
+        return self._run_per_bucket(
+            self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
+        )
+
+    def phrase_prefix_query(
+        self,
+        terms: list[str],
+        prefix: str,
+        k: int | None = 10,
+        max_expansions: int = 50,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES match_phrase_prefix over the positional index: the complete
+        ``terms`` at consecutive positions immediately followed by any
+        dictionary term starting with ``prefix`` (expansion capped at
+        ``max_expansions``, highest-df kept — the same cap rule as
+        :meth:`expand_terms`). Scored BM25 over the complete terms only
+        (deterministic; ES documents its own scoring here as unstable
+        across expansion sets). With no complete terms this degrades to a
+        prefix EXISTS query (docs in doc_id order, score 0)."""
+        expansions = self.expand_terms(
+            prefix if prefix.endswith("*") else prefix + "*",
+            max_terms=max_expansions,
+        )
+        if not expansions:
+            return []
+        import pyarrow.dataset as ds
+
+        distinct = list(dict.fromkeys(terms))
+        dfs = self._df_of(distinct + expansions)
+        if any(t not in dfs for t in distinct):
+            return []
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in distinct}
+        want = distinct + [e for e in expansions if e in dfs]
+        total_postings = sum(dfs[t] for t in want)
+        if distributed is None:
+            distributed = total_postings * 10 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
+        blocked = self._blocked()
+        if not distributed:
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
+            tbl = self._dataset().to_table(
+                columns=["term", "docs", "tfs", "dls", "poss"],
+                filter=ds.field("term").isin(want),
+            )
+            return score_phrase_prefix(
+                tbl.to_pandas(), idf, self.avgdl, terms, expansions, k, filt
+            )
+        avgdl = self.avgdl
+        exps = list(expansions)
+
+        def kernel(pdf, filt):
+            import pandas as pd
+
+            top = score_phrase_prefix(pdf, idf, avgdl, terms, exps, k, filt)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        blocked_list = [int(x) for x in blocked]
+        return self._run_per_bucket(
+            self._segment_rows(want), kernel, doc_filter, blocked_list, k
         )
 
     def _prefix_filter(self, prefix: str):
@@ -1717,6 +2025,173 @@ class IndexReader:
             (float(p), None if v is None else float(v))
             for p, v in zip(percentiles, vals)
         ]
+
+    def extended_stats_agg(
+        self,
+        terms: list[str],
+        field: str,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> dict:
+        """ES extended_stats aggregation: the plain stats plus
+        sum_of_squares, population variance and population std deviation
+        of a numeric sidecar attribute over the matching docs — all
+        moments in ONE map-side-combinable aggregation pass (Spark's
+        ``var_pop``/``stddev_pop`` are single-pass partial aggs, so the
+        extra moments cost no extra shuffle over ``stats_agg``).
+
+        Reference parity: s3logsbeat ships events to ES and leans on the
+        ES ``extended_stats`` agg; this is that agg Spark-side."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        empty = {
+            "count": 0, "sum": None, "min": None, "max": None, "avg": None,
+            "sum_of_squares": None, "variance": None, "std_deviation": None,
+        }
+        if matched is None:
+            return empty
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        c = F.col(field).cast("double")
+        row = (
+            matched.join(attrs, ["bucket", "doc_id"])
+            .agg(
+                F.count(field).alias("count"),
+                F.sum(field).alias("sum"),
+                F.min(field).alias("min"),
+                F.max(field).alias("max"),
+                F.avg(field).alias("avg"),
+                F.sum(c * c).alias("sum_of_squares"),
+                F.var_pop(c).alias("variance"),
+                F.stddev_pop(c).alias("std_deviation"),
+            )
+            .collect()[0]
+        )
+        out = row.asDict()
+        if not out["count"]:
+            return empty
+        return out
+
+    def percentile_ranks_agg(
+        self,
+        terms: list[str],
+        field: str,
+        values: list[float],
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[float, float]]:
+        """ES percentile_ranks aggregation: for each given value, the
+        percentage of matching docs whose ``field`` is <= that value
+        (the CDF — the exact inverse of ``percentiles_agg``; ES computes
+        the same quantity from its t-digest, here it is exact). All
+        values are conditional sums in ONE aggregation pass. Returns
+        [(value, pct)] in input order; empty match set -> []."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"])
+        aggs = [F.count(field).alias("_n")]
+        for i, v in enumerate(values):
+            aggs.append(
+                F.sum(
+                    F.when(F.col(field) <= F.lit(float(v)), 1).otherwise(0)
+                ).alias(f"v{i}")
+            )
+        row = j.agg(*aggs).collect()[0]
+        n = int(row["_n"] or 0)
+        if not n:
+            return []
+        return [
+            (float(v), 100.0 * int(row[f"v{i}"]) / n)
+            for i, v in enumerate(values)
+        ]
+
+    def rare_terms_agg(
+        self, max_doc_count: int = 1, size: int = 10
+    ) -> list[tuple[str, int]]:
+        """ES rare_terms aggregation: the long-tail terms whose GLOBAL
+        document frequency is <= ``max_doc_count``, ordered df ASC then
+        term ASC, first ``size``.
+
+        Scale shape: one distributed pass over the dictionary columns of
+        the segment files (``term, df`` only — column-pruned, the posting
+        bytes are never read), a map-side-combinable ``sum(df)`` per term
+        (terms are bucket-partitioned so most terms live in one bucket),
+        then TakeOrderedAndProject for the size-row result. The driver
+        never holds the vocabulary (ES bounds this agg with a CuckooFilter
+        sketch; a skinny vocab shuffle is the exact equivalent at our
+        layout). Tombstoned docs still count toward df until compaction,
+        same as ES's deleted-docs-until-merge semantics."""
+        from .segments import load_segments
+
+        vocab = load_segments(self.spark, self.out_dir, None).select("term", "df")
+        out = (
+            vocab.groupBy("term")
+            .agg(F.sum("df").cast("long").alias("df"))
+            .filter(F.col("df") <= int(max_doc_count))
+            .orderBy(F.col("df").asc(), F.col("term").asc())
+            .limit(int(size))
+            .collect()
+        )
+        return [(str(r["term"]), int(r["df"])) for r in out]
+
+    def adjacency_matrix_agg(
+        self,
+        filters: dict[str, list[str]],
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple[str, int]]:
+        """ES adjacency_matrix aggregation: named term-queries -> doc
+        counts for every single filter and every pairwise intersection,
+        keys named ``a`` / ``a&b`` with the ES rule (pair key joins the
+        two names in sorted order; zero-count cells are omitted, as ES
+        does).
+
+        Scale shape: each filter's matched set is the shared per-bucket
+        membership stage (posting doc-streams only); the union is grouped
+        by (bucket, doc_id) — bucket-aligned, so the groupBy reuses the
+        membership partitioning — into a sorted name-set per doc, then
+        singles + pairs are expanded JVM-side (``transform``/``flatten``
+        over a <=|filters| array, whole-stage codegen) and counted with a
+        map-side-combinable agg over at most |filters|^2 distinct keys.
+        No cross join, no driver-side set algebra."""
+        parts = []
+        for name, terms in filters.items():
+            m = self._matched_docs_df(terms, mode, doc_filter)
+            if m is not None:
+                parts.append(m.withColumn("name", F.lit(name)))
+        if not parts:
+            return []
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        per_doc = (
+            u.groupBy("bucket", "doc_id")
+            .agg(F.sort_array(F.collect_set("name")).alias("names"))
+        )
+        keys = per_doc.select(
+            F.explode(
+                F.expr(
+                    "concat(names, flatten(transform(names, (x, i) -> "
+                    "transform(slice(names, i + 2, size(names)), "
+                    "y -> concat(x, '&', y)))))"
+                )
+            ).alias("key")
+        )
+        rows = (
+            keys.groupBy("key")
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy("key")
+            .collect()
+        )
+        return [(str(r["key"]), int(r["doc_count"])) for r in rows]
 
     def query_after(
         self,

@@ -157,6 +157,78 @@ class BM25Oracle:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits if k is None else hits[:k]
 
+    def _positions(self) -> dict:
+        from ..functions.tokenizer import tokenize_text_positions
+
+        if self._pos is None:
+            self._pos = {
+                did: tokenize_text_positions(text, lang)
+                for did, text, lang in self._raw
+            }
+        return self._pos
+
+    def span_near_topk(
+        self, terms: list[str], slop: int, k: int | None = 10
+    ) -> list[tuple[int, float]]:
+        """Brute-force span_near (in_order) oracle: exhaustive search over
+        all position tuples p1 < p2 < ... < pn with
+        pn - p1 - (n-1) <= slop; BM25 over the distinct terms."""
+        import itertools
+
+        pos_map = self._positions()
+        distinct = list(dict.fromkeys(terms))
+        hits = []
+        for did, pos in pos_map.items():
+            if any(t not in pos for t in distinct):
+                continue
+            found = False
+            for tup in itertools.product(*(pos[t] for t in terms)):
+                if all(b > a for a, b in zip(tup, tup[1:])) and (
+                    tup[-1] - tup[0] - (len(terms) - 1) <= slop
+                ):
+                    found = True
+                    break
+            if found:
+                hits.append((did, round(self.score(did, distinct), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
+    def phrase_prefix_topk(
+        self,
+        terms: list[str],
+        prefix: str,
+        k: int | None = 10,
+        expansions: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """match_phrase_prefix oracle: the complete phrase followed at the
+        next position by any vocabulary term starting with ``prefix``
+        (or exactly the given ``expansions`` set, to mirror a capped
+        engine expansion); BM25 over the complete distinct terms."""
+        pos_map = self._positions()
+        if expansions is None:
+            expansions = [t for t in self.df if t.startswith(prefix)]
+        distinct = list(dict.fromkeys(terms))
+        hits = []
+        for did, pos in pos_map.items():
+            if any(t not in pos for t in distinct):
+                continue
+            if terms:
+                cur = set(pos[terms[0]])
+                for t in terms[1:]:
+                    cur = {p + 1 for p in cur} & set(pos[t])
+                    if not cur:
+                        break
+                ok = any(
+                    (p + 1) in pos.get(e, ()) for p in cur for e in expansions
+                ) if cur else False
+            else:
+                ok = any(e in pos for e in expansions)
+            if ok:
+                score = round(self.score(did, distinct), SCORE_NDIGITS) if distinct else 0.0
+                hits.append((did, score))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
     def topk_and(
         self, terms: list[str], k: int = 10, allowed: set | None = None
     ) -> list[tuple[int, float]]:

@@ -243,3 +243,82 @@ def test_phrase_chunked_candidates_identical(spark, pos_built, oracle, monkeypat
     monkeypatch.setattr(wand_mod, "PHRASE_CAND_CHUNK", 1)
     got = IndexReader(spark, out).phrase_query(["return", "the"], None)
     assert got == base
+
+
+# ------------------------------------------- span_near / phrase_prefix --
+
+SPANS = [
+    (["return", "the"], 0),
+    (["return", "the"], 2),
+    (["def", "return"], 5),
+    (["get", "response"], 1),
+    (["the", "the"], 3),
+    (["return", "zzz_not_there"], 4),
+]
+
+
+@pytest.mark.parametrize("terms,slop", SPANS, ids=lambda s: str(s))
+def test_span_near_vs_oracle(spark, pos_built, oracle, terms, slop):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    got = rdr.span_near_query(terms, slop=slop, k=10)
+    want = oracle.span_near_topk(terms, slop, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (terms, slop)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.span_near_query(terms, slop=slop, k=10, distributed=True)
+    assert dist == got, (terms, slop)
+
+
+def test_span_near_slop0_equals_phrase(spark, pos_built):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    for phrase in PHRASES:
+        assert rdr.span_near_query(phrase, slop=0, k=None) == \
+            rdr.phrase_query(phrase, k=None), phrase
+
+
+def test_span_near_matches_exist(oracle):
+    n = sum(1 for t, s in SPANS if oracle.span_near_topk(t, s, 5))
+    assert n >= 3, [(t, s, len(oracle.span_near_topk(t, s, 5))) for t, s in SPANS]
+
+
+PP_CASES = [
+    (["return"], "th"),
+    (["def"], "ge"),
+    ([], "re"),
+    (["return", "zzz_not_there"], "th"),
+    (["return"], "zzznope"),
+]
+
+
+@pytest.mark.parametrize("terms,prefix", PP_CASES, ids=lambda c: str(c))
+def test_phrase_prefix_vs_oracle(spark, pos_built, oracle, terms, prefix):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    got = rdr.phrase_prefix_query(terms, prefix, k=10, max_expansions=100_000)
+    want = oracle.phrase_prefix_topk(terms, prefix, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (terms, prefix)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.phrase_prefix_query(
+        terms, prefix, k=10, max_expansions=100_000, distributed=True
+    )
+    assert dist == got, (terms, prefix)
+
+
+def test_phrase_prefix_capped_expansion(spark, pos_built, oracle):
+    """The engine cap keeps the highest-df expansions; the oracle fed the
+    SAME expansion set must agree — proves the cap is applied before
+    matching, not after."""
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    exps = rdr.expand_terms("th*", max_terms=2)
+    got = rdr.phrase_prefix_query(["return"], "th", k=10, max_expansions=2)
+    want = oracle.phrase_prefix_topk(["return"], "th", 10, expansions=exps)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_phrase_prefix_matches_exist(oracle):
+    n = sum(1 for t, p in PP_CASES if oracle.phrase_prefix_topk(t, p, 5))
+    assert n >= 2

@@ -600,3 +600,83 @@ def test_suggest_complete_prefix_by_df(spark, wbuilt, oracle):
     )[:3]
     assert got == want
     assert rdr.suggest_complete("zzz_nothing") == []
+
+
+# ----------------- extended_stats / percentile_ranks / rare / adjacency --
+
+
+def test_extended_stats_agg(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    want_ids = {
+        r["doc_id"] for r in rows
+        if any(oracle.tfs[r["doc_id"]].get(t) for t in terms)
+    }
+    vals = [r["n_chars"] for r in rows if r["doc_id"] in want_ids]
+    got = rdr.extended_stats_agg(terms, "n_chars")
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / n
+    assert got["count"] == n and got["sum"] == sum(vals)
+    assert abs(got["sum_of_squares"] - sum(v * v for v in vals)) < 1e-6
+    assert abs(got["variance"] - var) < 1e-6
+    assert abs(got["std_deviation"] - var ** 0.5) < 1e-6
+    # empty match set -> the ES empty shape
+    assert rdr.extended_stats_agg(["zzz_missing"], "n_chars")["count"] == 0
+
+
+def test_percentile_ranks_agg(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    terms = ["return"]
+    want_ids = {r["doc_id"] for r in rows if oracle.tfs[r["doc_id"]].get("return")}
+    vals = sorted(r["n_chars"] for r in rows if r["doc_id"] in want_ids)
+    probes = [float(vals[0]), float(vals[len(vals) // 2]), float(vals[-1]) + 1]
+    got = rdr.percentile_ranks_agg(terms, "n_chars", probes)
+    assert [v for v, _ in got] == probes
+    for v, pct in got:
+        want = 100.0 * sum(1 for x in vals if x <= v) / len(vals)
+        assert abs(pct - want) < 1e-9
+    assert got[-1][1] == 100.0
+    assert rdr.percentile_ranks_agg(["zzz_missing"], "n_chars", [1.0]) == []
+
+
+def test_rare_terms_agg(spark, nbuilt, oracle):
+    out, _ = nbuilt
+    rdr = IndexReader(spark, out)
+    dfs = sorted(oracle.df.items(), key=lambda x: (x[1], x[0]))
+    cutoff = dfs[min(4, len(dfs) - 1)][1]  # threshold catching >=5 terms
+    got = rdr.rare_terms_agg(max_doc_count=cutoff, size=8)
+    want = [(t, d) for t, d in sorted(oracle.df.items(), key=lambda x: (x[1], x[0]))
+            if d <= cutoff][:8]
+    assert got == want
+    assert rdr.rare_terms_agg(max_doc_count=0) == []
+
+
+def test_adjacency_matrix_agg(spark, nbuilt, oracle):
+    out, rows = nbuilt
+    rdr = IndexReader(spark, out)
+    filters = {"r": ["return"], "v": ["value"], "g": ["get"]}
+    match = {
+        name: {r["doc_id"] for r in rows
+               if oracle.tfs[r["doc_id"]].get(terms[0])}
+        for name, terms in filters.items()
+    }
+    names = sorted(filters)
+    want = {}
+    for i, a in enumerate(names):
+        if match[a]:
+            want[a] = len(match[a])
+        for b in names[i + 1:]:
+            inter = match[a] & match[b]
+            if inter:
+                want[f"{a}&{b}"] = len(inter)
+    got = rdr.adjacency_matrix_agg(filters)
+    assert dict(got) == want
+    assert [k for k, _ in got] == sorted(want)  # ES key order
+    # every intersection is <= each of its operands
+    for k, c in got:
+        if "&" in k:
+            a, b = k.split("&")
+            assert c <= dict(got)[a] and c <= dict(got)[b]
