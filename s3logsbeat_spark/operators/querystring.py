@@ -1,0 +1,157 @@
+"""Lucene-lite query_string parser + executor (ES query_string /
+simple_query_string analogue).
+
+The reference ships log events to Elasticsearch and users query them with
+the ES query-string mini-language (Kibana search bar); this module owns
+that surface Spark-side so the engine is a drop-in query replacement.
+
+Grammar (the widely-used core of Lucene syntax):
+
+- ``+term``        must clause (doc must contain the term)
+- ``-term``        must_not clause (doc must not contain it)
+- ``"two words"``  phrase clause (consecutive positions; requires a
+                   positional index) — a must clause that also scores its
+                   terms
+- ``prefix*``      prefix clause -> dictionary expansion, ES
+                   ``max_expansions``-capped highest-df-first, each
+                   expansion a should clause (scoring_boolean rewrite)
+- ``term``         should clause (optional, contributes score)
+
+Semantics (deterministic, oracle-checkable): a doc matches iff it
+contains every must term, matches every phrase at adjacent positions,
+contains no must_not term, and — when there are no must/phrase clauses —
+contains at least one should term (ES's implicit min_should_match=1).
+Score is BM25 summed over must + phrase + present-should terms (a phrase
+clause scores exactly its distinct terms, which is what Lucene's
+match_phrase contributes, so folding phrase terms into must reproduces
+the ES bool score). Role conflicts resolve must_not-wins: an expansion or
+should term that is also a must_not is dropped from scoring (ES
+effectively does the same — the doc can never match).
+"""
+
+from __future__ import annotations
+
+import re
+
+_QUOTED = re.compile(r"([+-]?)\"([^\"]*)\"")
+_WORD = re.compile(r"[a-z0-9_]+")
+
+
+def parse_query_string(qs: str) -> dict:
+    """Parse the mini-language into clause lists:
+    ``{"must": [...], "must_not": [...], "should": [...],
+    "phrases": [[...], ...], "prefixes": [...]}``.
+
+    Quoted spans become phrase clauses (a leading ``-`` on a quote makes
+    it a must_not phrase — recorded under ``not_phrases``); bare tokens
+    normalize through the same word regex as the tokenizer, so
+    punctuation a user types (``spark-sql``) splits into its word runs
+    (an implicit phrase when >1 run, Lucene's behavior for analyzed
+    fields)."""
+    must: list[str] = []
+    must_not: list[str] = []
+    should: list[str] = []
+    phrases: list[list[str]] = []
+    not_phrases: list[list[str]] = []
+    prefixes: list[str] = []
+
+    def eat_quote(m: re.Match) -> str:
+        sign, body = m.group(1), m.group(2)
+        toks = _WORD.findall(body.lower())
+        if toks:
+            (not_phrases if sign == "-" else phrases).append(toks)
+        return " "
+
+    rest = _QUOTED.sub(eat_quote, qs)
+    for raw in rest.split():
+        sign = ""
+        if raw[:1] in "+-":
+            sign, raw = raw[0], raw[1:]
+        star = raw.endswith("*")
+        toks = _WORD.findall(raw.lower())
+        if not toks:
+            continue
+        if star and sign != "-":
+            prefixes.append(toks[-1])
+            toks = toks[:-1]
+            if toks:  # "foo-bar*" -> phrase-ish head; treat head as must
+                must.extend(toks)
+            continue
+        if len(toks) > 1:  # punctuation-split implicit phrase
+            (not_phrases if sign == "-" else phrases).append(toks)
+            continue
+        t = toks[0]
+        if sign == "+":
+            must.append(t)
+        elif sign == "-":
+            must_not.append(t)
+        else:
+            should.append(t)
+    return {
+        "must": list(dict.fromkeys(must)),
+        "must_not": list(dict.fromkeys(must_not)),
+        "should": list(dict.fromkeys(should)),
+        "phrases": phrases,
+        "not_phrases": not_phrases,
+        "prefixes": list(dict.fromkeys(prefixes)),
+    }
+
+
+def execute_query_string(
+    reader,
+    qs: str | dict,
+    k: int | None = 10,
+    max_expansions: int = 50,
+    doc_filter: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Run a query string against an :class:`~.wand.IndexReader`.
+
+    Compiles to ONE bool query (must = must + phrase terms, should =
+    should + prefix expansions, must_not) answered by the existing
+    driver/distributed bool kernel, then verifies each phrase with the
+    index-only positional intersect and drops docs matching a must_not
+    phrase. Scale shape: the bool kernel's candidate set is bounded by
+    the must clauses' postings (or the should union when no must), and
+    each phrase verify is one :meth:`~.wand.IndexReader.phrase_query`
+    over the phrase's own postings — no content scan anywhere."""
+    p = parse_query_string(qs) if isinstance(qs, str) else qs
+    must = list(p.get("must", []))
+    for ph in p.get("phrases", []):
+        must.extend(ph)
+    must = list(dict.fromkeys(must))
+    must_not = list(dict.fromkeys(p.get("must_not", [])))
+    should = list(p.get("should", []))
+    for pre in p.get("prefixes", []):
+        should.extend(
+            reader.expand_terms(pre + "*", max_terms=max_expansions)
+        )
+    if set(must) & set(must_not):
+        return []  # `+a -a` can never match (ES returns no hits)
+    # must_not wins conflicts; must subsumes should
+    drop = set(must_not) | set(must)
+    should = [t for t in dict.fromkeys(should) if t not in drop]
+
+    if must or should:
+        q = {
+            "must": must,
+            "should": should,
+            "must_not": must_not,
+            "min_should_match": 0 if must else 1,
+        }
+        if doc_filter is not None:
+            q["filter"] = doc_filter
+        hits = reader.search(q, k=None)
+    else:
+        return []
+    for ph in p.get("phrases", []):
+        if not hits:
+            return []
+        ok = {d for d, _ in reader.phrase_query(ph, k=None, doc_filter=doc_filter)}
+        hits = [(d, s) for d, s in hits if d in ok]
+    for ph in p.get("not_phrases", []):
+        if not hits:
+            return []
+        bad = {d for d, _ in reader.phrase_query(ph, k=None, doc_filter=doc_filter)}
+        hits = [(d, s) for d, s in hits if d not in bad]
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits if k is None else hits[:k]

@@ -1,0 +1,98 @@
+"""PII / secret redaction for training corpora.
+
+A 100 TB source-code corpus headed into a training pipeline must be
+scrubbed of emails, IPs, cloud credentials, and key material before
+anything else consumes it. The reference pipeline ships raw log lines
+with exactly these fields embedded (ELB/ALB logs carry client IPs;
+WAF logs carry full requests); this operator is the Spark-side scrub
+stage you run before indexing/packing.
+
+Everything is JVM-side ``regexp_count`` / ``regexp_replace`` (whole-stage
+codegen, no Python, no shuffle — a pure row-local map over the content
+column), so the operator runs at scan speed and composes with the rest of
+the prep pipeline (clean -> redact -> dedup -> pack).
+
+Pattern notes: counts are computed per-pattern against the ORIGINAL text
+(categories can overlap — a hex run inside a JWT counts under both);
+redaction applies the patterns as one chain in declaration order, so an
+overlap is consumed by the first pattern that matches it. The default
+set uses only syntax shared by Java regex (Spark) and RE2 (DuckDB),
+keeping the operator oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: kind -> (pattern, replacement). Order matters for the redaction chain:
+#: structured long tokens (keys, JWTs) before the generic hex catch-all.
+DEFAULT_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "aws_key": (r"\bAKIA[0-9A-Z]{16}\b", "[AWSKEY]"),
+    "jwt": (
+        r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b",
+        "[JWT]",
+    ),
+    "private_key": (r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "[PRIVKEY]"),
+    "hex_secret": (r"\b[0-9a-fA-F]{40,}\b", "[SECRET]"),
+    "ipv4": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "[IP]"),
+}
+
+
+def redacted_col(text: Column, patterns: dict | None = None) -> Column:
+    """The redaction chain as a single column expression."""
+    pats = DEFAULT_PATTERNS if patterns is None else patterns
+    out = text
+    for pat, repl in pats.values():
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "content",
+    patterns: dict | None = None,
+    with_counts: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add ``{text_col}_redacted`` plus per-kind ``n_{kind}`` match counts.
+
+    Counts are against the original text; the redacted column applies all
+    patterns in declaration order. Purely row-local JVM expressions —
+    no shuffle, no Python; at cluster scale this is a map stage fused
+    into whatever scan feeds it."""
+    pats = DEFAULT_PATTERNS if patterns is None else patterns
+    out_col = out_col or f"{text_col}_redacted"
+    out = docs
+    if with_counts:
+        for kind, (pat, _) in pats.items():
+            out = out.withColumn(
+                f"n_{kind}",
+                F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+            )
+    return out.withColumn(out_col, redacted_col(F.col(text_col), pats))
+
+
+def redaction_report(
+    docs: DataFrame, text_col: str = "content", patterns: dict | None = None
+) -> DataFrame:
+    """Corpus-level scrub report: per kind, how many documents contain at
+    least one match and how many total matches exist. One
+    map-side-combinable aggregation over the counted frame -> |patterns|
+    rows (stack/unpivot is row-local; the agg ships one partial row per
+    partition)."""
+    pats = DEFAULT_PATTERNS if patterns is None else patterns
+    counted = redact_pii(docs, text_col, pats, with_counts=True)
+    pairs = ", ".join(f"'{k}', n_{k}" for k in pats)
+    long = counted.select(
+        F.expr(f"stack({len(pats)}, {pairs}) AS (kind, n)")
+    )
+    return (
+        long.groupBy("kind")
+        .agg(
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0)).cast("long").alias("docs_hit"),
+            F.sum("n").cast("long").alias("matches"),
+        )
+        .orderBy("kind")
+    )

@@ -1,0 +1,168 @@
+"""ES phrase suggester ("did you mean") over a corpus bigram language
+model.
+
+The reference delegates search UX to Elasticsearch, whose phrase
+suggester re-ranks whole corrected phrases with an n-gram LM built from
+the index (`phrase` suggester, Laplace smoothing) rather than correcting
+terms independently. This re-expresses that surface Spark-side:
+
+1. unigram/bigram statistics are ONE distributed pass over the corpus
+   (explode -> map-side-combinable counts; the bigram table is the only
+   shuffle and it is skinny: (w1, w2, count)),
+2. per-position candidates come from a Levenshtein probe of the term
+   dictionary (broadcast of the tiny query-term list against the vocab —
+   one column-pruned scan, same shape as the reader's distributed fuzzy
+   expansion; the vocabulary is never resident on the driver),
+3. candidate PHRASES (<= max_candidates^n_terms, a few dozen) are scored
+   with a Laplace-smoothed bigram log-likelihood plus a per-edit penalty
+   ln(alpha) * edits — the ES real-word-error analogue — and only the
+   needed bigram counts are looked up (pruned isin read).
+
+Scoring (deterministic, oracle-checkable in SQL)::
+
+    score = ln((C1(w1) + 1) / (N + V))
+          + sum_i ln((C2(w_i, w_i+1) + 1) / (C1(w_i) + V))
+          + ln(alpha) * total_edits
+
+with C1 = token occurrence counts, C2 = adjacent-pair counts, N = total
+tokens, V = distinct terms.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from itertools import product
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_WORD = r"[a-z0-9_]+"
+
+
+def _tok_arrays(docs: DataFrame, text_col: str, token_regex: str) -> DataFrame:
+    return docs.select(
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '{token_regex}', 0)"
+        ).alias("a")
+    )
+
+
+def unigram_counts(
+    docs: DataFrame, text_col: str = "content", token_regex: str = _WORD
+) -> DataFrame:
+    """(t, cf) token-occurrence counts — map-side combinable, one skinny
+    shuffle over the vocabulary."""
+    return (
+        _tok_arrays(docs, text_col, token_regex)
+        .select(F.explode("a").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").cast("long").alias("cf"))
+    )
+
+
+def bigram_counts(
+    docs: DataFrame, text_col: str = "content", token_regex: str = _WORD
+) -> DataFrame:
+    """(w1, w2, cnt) adjacent-pair counts. The pair stream is built
+    JVM-side from the token array (element_at is 1-based), so no
+    positional self-join is needed — one explode + one skinny shuffle."""
+    pairs = _tok_arrays(docs, text_col, token_regex).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(a) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(a) - 1), i -> "
+                "struct(element_at(a, i) AS w1, element_at(a, i + 1) AS w2)) END"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def suggest_phrase(
+    docs: DataFrame,
+    query: str,
+    k: int = 3,
+    max_edits: int = 1,
+    max_candidates: int = 5,
+    alpha: float = 0.1,
+    text_col: str = "content",
+    token_regex: str = _WORD,
+) -> list[tuple[str, float]]:
+    """Top-k whole-phrase corrections for ``query`` -> [(suggestion,
+    score)] ordered (score DESC 6dp, suggestion ASC).
+
+    Candidates per query term: dictionary terms within ``max_edits``
+    Levenshtein, the best ``max_candidates`` by (cf DESC, term ASC); the
+    term itself rides along at edit 0 when in-vocabulary. Phrases are the
+    cross product of per-position candidates (bounded by
+    ``max_candidates ** n_terms`` — with the defaults a few dozen rows),
+    scored with the module-level Laplace bigram formula."""
+    qterms = re.findall(token_regex, query.lower())
+    if not qterms:
+        return []
+    spark = docs.sparkSession
+    uni = unigram_counts(docs, text_col, token_regex).cache()
+    totals = uni.agg(
+        F.sum("cf").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    n_tokens, vocab_size = int(totals["n"] or 0), int(totals["v"] or 0)
+    if not vocab_size:
+        return []
+
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(qterms)], "qpos int, qterm string"
+    )
+    w = Window.partitionBy("qpos").orderBy(F.col("cf").desc(), F.col("t").asc())
+    cand_rows = (
+        uni.join(
+            F.broadcast(qdf),
+            F.levenshtein(F.col("t"), F.col("qterm")) <= max_edits,
+        )
+        .withColumn("edits", F.levenshtein(F.col("t"), F.col("qterm")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_candidates)
+        .select("qpos", "t", "cf", "edits")
+        .collect()
+    )
+    by_pos: dict[int, list] = {i: [] for i in range(len(qterms))}
+    for r in cand_rows:
+        by_pos[r["qpos"]].append((r["t"], int(r["cf"]), int(r["edits"])))
+    if any(not v for v in by_pos.values()):
+        return []  # some position has no candidate within max_edits
+
+    combos = list(product(*(by_pos[i] for i in range(len(qterms)))))
+    need_pairs = {
+        (c[i][0], c[i + 1][0]) for c in combos for i in range(len(qterms) - 1)
+    }
+    c2: dict[tuple, int] = {}
+    if need_pairs:
+        keys = [f"{a}\x00{b}" for a, b in need_pairs]
+        rows = (
+            bigram_counts(docs, text_col, token_regex)
+            .filter(
+                F.concat_ws("\x00", F.col("w1"), F.col("w2")).isin(keys)
+            )
+            .collect()
+        )
+        c2 = {(r["w1"], r["w2"]): int(r["cnt"]) for r in rows}
+    uni.unpersist()
+
+    out = []
+    for c in combos:
+        words = [t for t, _, _ in c]
+        edits = sum(e for _, _, e in c)
+        score = math.log((c[0][1] + 1.0) / (n_tokens + vocab_size))
+        for i in range(len(words) - 1):
+            score += math.log(
+                (c2.get((words[i], words[i + 1]), 0) + 1.0)
+                / (c[i][1] + vocab_size)
+            )
+        score += math.log(alpha) * edits
+        out.append((" ".join(words), round(score, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]

@@ -1,0 +1,149 @@
+"""query_string parser + executor vs a brute-force oracle.
+
+The ES query-string mini-language (+must -not "phrase" prefix* bare) is
+the reference's user-facing search surface (Kibana bar over shipped
+events); parity is parser-level (clause extraction) and result-level
+(doc set + BM25 scores against an exhaustive per-doc evaluation)."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.querystring import (
+    execute_query_string,
+    parse_query_string,
+)
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+
+# ------------------------------------------------------------ parser --
+
+
+def test_parse_clauses():
+    p = parse_query_string('+return -panic "parse error" get* value')
+    assert p["must"] == ["return"]
+    assert p["must_not"] == ["panic"]
+    assert p["should"] == ["value"]
+    assert p["phrases"] == [["parse", "error"]]
+    assert p["prefixes"] == ["get"]
+
+
+def test_parse_punctuation_and_case():
+    p = parse_query_string('Spark-SQL +HTTP -"bad thing"')
+    # punctuation splits into an implicit phrase, case folds
+    assert p["phrases"] == [["spark", "sql"]]
+    assert p["not_phrases"] == [["bad", "thing"]]
+    assert p["must"] == ["http"]
+
+
+def test_parse_dedup_and_empty():
+    p = parse_query_string("a a +b +b")
+    assert p["should"] == ["a"] and p["must"] == ["b"]
+    assert parse_query_string("  ")["must"] == []
+    assert parse_query_string('""')["phrases"] == []
+
+
+# ---------------------------------------------------------- executor --
+
+
+@pytest.fixture(scope="module")
+def qs_built(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("qsidx"))
+    build_index(
+        corpus_df,
+        IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10,
+                    with_positions=True),
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+def _brute(oracle, qs: str, expansions_of, k=10):
+    p = parse_query_string(qs)
+    must = list(dict.fromkeys(p["must"] + [t for ph in p["phrases"] for t in ph]))
+    must_not = p["must_not"]
+    should = list(p["should"])
+    for pre in p["prefixes"]:
+        should.extend(expansions_of(pre))
+    should = [t for t in dict.fromkeys(should)
+              if t not in set(must) | set(must_not)]
+    if set(must) & set(must_not):
+        return []
+    pos_map = oracle._positions()
+
+    def phrase_ok(pos, ph):
+        if any(t not in pos for t in ph):
+            return False
+        cur = set(pos[ph[0]])
+        for t in ph[1:]:
+            cur = {q + 1 for q in cur} & set(pos[t])
+        return bool(cur)
+
+    hits = []
+    for did, tfs in oracle.tfs.items():
+        if any(not tfs.get(t) for t in must):
+            continue
+        if any(tfs.get(t) for t in must_not):
+            continue
+        if not must and not any(tfs.get(t) for t in should):
+            continue
+        if any(not phrase_ok(pos_map[did], ph) for ph in p["phrases"]):
+            continue
+        if any(phrase_ok(pos_map[did], ph) for ph in p["not_phrases"]):
+            continue
+        hits.append((did, oracle.score(did, must + should)))
+    hits.sort(key=lambda x: (-round(x[1], 6), x[0]))
+    return hits[:k]
+
+
+QS_CASES = [
+    '+return value',
+    '+return -panic value',
+    '"return the"',
+    '+def "return the" -panic',
+    'get* +return',
+    'value get*',
+    '+return +zzz_not_there',
+    '-"return the" +return',
+    '+return -return',
+]
+
+
+@pytest.mark.parametrize("qs", QS_CASES, ids=lambda s: s.replace(" ", "_"))
+def test_query_string_vs_brute_force(spark, qs_built, oracle, qs):
+    rdr = IndexReader(spark, qs_built)
+    got = execute_query_string(rdr, qs, k=10, max_expansions=100_000)
+    want = _brute(
+        oracle, qs,
+        lambda pre: sorted(t for t in oracle.df if t.startswith(pre)),
+        k=10,
+    )
+    assert [d for d, _ in got] == [d for d, _ in want], qs
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6, qs
+
+
+def test_query_string_matches_exist(oracle):
+    n = sum(
+        1 for qs in QS_CASES
+        if _brute(oracle, qs,
+                  lambda pre: sorted(t for t in oracle.df if t.startswith(pre)))
+    )
+    assert n >= 5
+
+
+def test_query_string_filter_context(spark, qs_built, oracle, corpus_df):
+    rdr = IndexReader(spark, qs_built)
+    lang = corpus_df.select("lang").first()["lang"]
+    got = execute_query_string(rdr, "+return value", k=None,
+                               doc_filter={"lang": lang})
+    langs = {r["doc_id"]: r["lang"]
+             for r in corpus_df.select("doc_id", "lang").collect()}
+    assert got and all(langs[d] == lang for d, _ in got)

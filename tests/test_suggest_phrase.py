@@ -1,0 +1,111 @@
+"""Phrase suggester vs an exhaustive pure-Python oracle on the code
+corpus (unigram/bigram LM, candidate caps, edit penalty)."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from itertools import product
+
+import pytest
+
+from s3logsbeat_spark.operators.suggest import (
+    bigram_counts,
+    suggest_phrase,
+    unigram_counts,
+)
+
+WORD = r"[a-z0-9_]+"
+
+
+def _lev(a: str, b: str) -> int:
+    m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(len(a) + 1):
+        m[i][0] = i
+    for j in range(len(b) + 1):
+        m[0][j] = j
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                          m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+    return m[-1][-1]
+
+
+@pytest.fixture(scope="module")
+def lm(corpus_rows):
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    for r in corpus_rows:
+        toks = re.findall(WORD, r["content"].lower())
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+    return uni, bi
+
+
+def _brute(lm, query, k=3, max_edits=1, max_candidates=5, alpha=0.1):
+    uni, bi = lm
+    n, v = sum(uni.values()), len(uni)
+    qterms = re.findall(WORD, query.lower())
+    cands = []
+    for q in qterms:
+        cs = sorted(
+            ((t, cf, _lev(q, t)) for t, cf in uni.items() if _lev(q, t) <= max_edits),
+            key=lambda x: (-x[1], x[0]),
+        )[:max_candidates]
+        if not cs:
+            return []
+        cands.append(cs)
+    out = []
+    for combo in product(*cands):
+        words = [t for t, _, _ in combo]
+        edits = sum(e for _, _, e in combo)
+        s = math.log((combo[0][1] + 1.0) / (n + v))
+        for i in range(len(words) - 1):
+            s += math.log(
+                (bi.get((words[i], words[i + 1]), 0) + 1.0) / (combo[i][1] + v)
+            )
+        s += math.log(alpha) * edits
+        out.append((" ".join(words), round(s, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+def test_lm_counts_match(spark, corpus_df, lm):
+    uni, bi = lm
+    got_uni = {
+        r["t"]: r["cf"]
+        for r in unigram_counts(corpus_df, "content", WORD).collect()
+    }
+    assert got_uni == dict(uni)
+    got_bi = {
+        (r["w1"], r["w2"]): r["cnt"]
+        for r in bigram_counts(corpus_df, "content", WORD).collect()
+    }
+    assert got_bi == dict(bi)
+
+
+QUERIES = [
+    "retur the",         # 1-deletion typo
+    "def get_respons",   # multi-token, trailing typo
+    "valu",              # single term, 1 deletion
+    "zzzzqqq nothing",   # position with no candidate -> []
+    "return the",        # already correct (edit-0 path must win or tie)
+]
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda s: s.replace(" ", "_"))
+def test_suggest_phrase_vs_brute(spark, corpus_df, lm, q):
+    got = suggest_phrase(corpus_df, q, k=3, text_col="content")
+    want = _brute(lm, q, k=3)
+    assert got == want, q
+
+
+def test_correct_phrase_suggests_itself(spark, corpus_df, lm):
+    got = suggest_phrase(corpus_df, "return the", k=1)
+    assert got and got[0][0] == "return the"
+
+
+def test_suggestions_exist(lm):
+    n = sum(1 for q in QUERIES if _brute(lm, q))
+    assert n >= 3
