@@ -516,6 +516,20 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     ph = prdr.phrase_query(["return", "the"], 10)
     surface["phrase_sec"] = round(time.perf_counter() - t0, 4)
     surface["phrase_hits"] = len(ph)
+    t0 = time.perf_counter()
+    sn = prdr.span_near_query(["return", "the"], slop=3, k=10)
+    surface["span_near_sec"] = round(time.perf_counter() - t0, 4)
+    surface["span_near_hits"] = len(sn)
+    t0 = time.perf_counter()
+    pp = prdr.phrase_prefix_query(["return"], "th", k=10, max_expansions=50)
+    surface["phrase_prefix_sec"] = round(time.perf_counter() - t0, 4)
+    surface["phrase_prefix_hits"] = len(pp)
+    from s3logsbeat_spark.operators.querystring import execute_query_string
+
+    t0 = time.perf_counter()
+    qs = execute_query_string(prdr, '+return "return the" -panic value ge*', k=10)
+    surface["query_string_sec"] = round(time.perf_counter() - t0, 4)
+    surface["query_string_hits"] = len(qs)
 
     report = {
         "metric": "code_corpus_build_docs_per_sec",
