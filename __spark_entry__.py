@@ -1445,6 +1445,81 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP = "4 hours"
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native session_window (merging-window
+    state operator): per user, events closer than SESSION_GAP merge;
+    window = [first_ts, last_ts + gap). ONE shuffle on the key + a
+    sort-based in-partition merge — not a gaps-and-islands double window
+    over raw events. The same operator runs streaming with a watermark
+    (see streaming/stateful.py::session_agg)."""
+    from s3logsbeat_spark.streaming.stateful import session_agg
+
+    ev = _read(spark, sf_dir, "events")
+    s = session_agg(ev, gap=SESSION_GAP, ts_col="ts",
+                    key_col="user_id", value_col="value")
+    return s.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("total_value"),
+    )
+
+
+def q_events_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_sum pipeline agg: daily histogram of events, then a
+    running count + running value total. The window runs over the
+    30-row bucket frame (post-aggregation), never the raw events —
+    pipeline aggs are bucket-frame transforms, exactly like
+    events_derivative / events_moving_avg."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("long").alias("n"), F.sum("value").alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.round(F.sum("v").over(w), 6).alias("cum_value"),
+    )
+
+
+def q_events_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES weighted_avg aggregation: mean of `value` weighted by the
+    JSON-extracted props.k, over the 'click' bucket — one
+    map-side-combinable agg after a pushed-down filter."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.agg(
+        F.round(F.sum(F.col("value") * k) / F.sum(k), 6).alias("weighted_avg"),
+        F.round(F.sum(k), 6).alias("total_weight"),
+    )
+
+
+def q_events_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics aggregation: per event_type, the metric value at
+    the latest timestamp (sort: ts DESC, event_id DESC tie-break) — a
+    map-side-combinable argmax over a struct, NOT a window sort."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value"))).alias("b")
+        )
+        .select(
+            "event_type",
+            F.col("b.ts").alias("latest_ts"),
+            F.round(F.col("b.value"), 6).alias("latest_value"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_freq": q_term_freq,
@@ -1515,6 +1590,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "events_hourly": q_events_hourly,
         "events_json": q_events_json,
+        "events_sessions": q_events_sessions,
+        "events_cumsum": q_events_cumsum,
+        "events_weighted_avg": q_events_weighted_avg,
+        "events_top_metrics": q_events_top_metrics,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2928,6 +3007,53 @@ SELECT date_trunc('hour', ts) AS hour_start, event_type,
 FROM events GROUP BY 1, 2
 """
 
+_EVENTS_SESSIONS_SQL = """
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 4 HOUR
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 4 HOUR AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+_EVENTS_CUMSUM_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         count(*)::BIGINT AS n, sum(value) AS v
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+       sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_n,
+       round(sum(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS cum_value
+FROM d
+"""
+
+_EVENTS_WAVG_SQL = """
+SELECT round(sum(value * json_extract(props, '$.k')::DOUBLE)
+             / sum(json_extract(props, '$.k')::DOUBLE), 6) AS weighted_avg,
+       round(sum(json_extract(props, '$.k')::DOUBLE), 6) AS total_weight
+FROM events WHERE event_type = 'click'
+"""
+
+_EVENTS_TOP_METRICS_SQL = """
+SELECT event_type, ts AS latest_ts, round(value, 6) AS latest_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
 _EVENTS_JSON_SQL = """
 SELECT event_type,
        count(json_extract(props, '$.k'))::BIGINT AS n_with_k,
@@ -3046,6 +3172,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine": _ANN_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_json": _EVENTS_JSON_SQL,
+        "events_sessions": _EVENTS_SESSIONS_SQL,
+        "events_cumsum": _EVENTS_CUMSUM_SQL,
+        "events_weighted_avg": _EVENTS_WAVG_SQL,
+        "events_top_metrics": _EVENTS_TOP_METRICS_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "dedup_minhash_lsh": _minhash_lsh_sql(),

@@ -60,6 +60,44 @@ def stream_windowed_counts(
     )
 
 
+def session_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str | None = "value",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation (the sessionization every log-analytics
+    stack runs on shipped events): per key, events closer than ``gap``
+    merge into one session; a session's window is
+    ``[first_ts, last_ts + gap)``. Returns (key, session_start,
+    session_end, n, sum_value).
+
+    Works in BOTH batch and streaming: Spark's native ``session_window``
+    is a merging-window state operator — in streaming, pass ``watermark``
+    so closed sessions emit and their state is dropped (unbounded
+    sessions would pin state forever at 100 TB/day); in batch it compiles
+    to one shuffle on the key + a sort-based merge, never a
+    gaps-and-islands double window over raw events."""
+    src = events if watermark is None else events.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col)
+        )
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *(["n"] + (["sum_value"] if value_col is not None else [])),
+        )
+    )
+
+
 def stream_dedup_first_seen(
     docs_stream: DataFrame,
     id_col: str = "doc_id",

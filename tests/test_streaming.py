@@ -338,3 +338,102 @@ def test_stream_dedup_first_seen(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 4  # only doc 4 added
     assert {r["doc_id"] for r in out.collect()} == {1, 2, 3, 4}
+
+
+def test_session_agg_batch_goldens(spark):
+    """Batch sessionization: known gap structure -> exact session rows
+    (window = [first_ts, last_ts + gap))."""
+    import datetime as dt
+
+    from s3logsbeat_spark.streaming.stateful import session_agg
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two events 10 min apart, then a 2h gap -> 2 sessions
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (1, base + dt.timedelta(hours=2, minutes=10), 4.0),
+        # user 2: single event
+        (2, base + dt.timedelta(minutes=5), 8.0),
+        # user 1 again: chained events each 20 min apart stay ONE session
+        (1, base + dt.timedelta(hours=5)),
+    ]
+    rows = [r if len(r) == 3 else (r[0], r[1], 0.5) for r in rows]
+    rows += [
+        (1, base + dt.timedelta(hours=5, minutes=20), 0.25),
+        (1, base + dt.timedelta(hours=5, minutes=40), 0.125),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n"], r["sum_value"])
+        for r in session_agg(df, gap="30 minutes").collect()
+    }
+    g = dt.timedelta(minutes=30)
+    assert got[(1, base)] == (base + dt.timedelta(minutes=10) + g, 2, 3.0)
+    s2 = base + dt.timedelta(hours=2, minutes=10)
+    assert got[(1, s2)] == (s2 + g, 1, 4.0)
+    s3 = base + dt.timedelta(hours=5)
+    assert got[(1, s3)] == (base + dt.timedelta(hours=5, minutes=40) + g, 3, 0.875)
+    s4 = base + dt.timedelta(minutes=5)
+    assert got[(2, s4)] == (s4 + g, 1, 8.0)
+    assert len(got) == 4
+
+
+def test_session_agg_streaming_matches_batch(spark, tmp_path):
+    """The SAME operator in a streaming query (watermarked, append mode):
+    closed sessions emit once and equal the batch result."""
+    import datetime as dt
+
+    from s3logsbeat_spark.streaming.stateful import session_agg
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, ts timestamp, value double"
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows1 = [
+        (1, base, 1.0),
+        (1, base + dt.timedelta(minutes=10), 2.0),
+        (2, base + dt.timedelta(minutes=5), 8.0),
+    ]
+    rows2 = [(1, base + dt.timedelta(hours=3), 4.0)]
+    # closer wave 3 pushes the watermark far past every earlier session
+    rows3 = [(9, base + dt.timedelta(hours=30), 0.0)]
+    for i, rws in enumerate([rows1, rows2, rows3]):
+        spark.createDataFrame(rws, schema).coalesce(1).write.parquet(
+            str(src / f"w{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = session_agg(stream, gap="30 minutes", watermark="1 hour")
+    sink = str(tmp_path / "sink")
+
+    def _sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n"], r["sum_value"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n"], r["sum_value"])
+        for r in session_agg(
+            spark.createDataFrame(rows1 + rows2 + rows3, schema),
+            gap="30 minutes",
+        ).collect()
+        if r["user_id"] != 9  # the probe session is still open in streaming
+    }
+    assert batch.items() <= got.items()
+    # every closed session emitted exactly once with the batch-identical row
+    assert all(k in got for k in batch)
