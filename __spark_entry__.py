@@ -474,6 +474,21 @@ def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_W = 6
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc duplicate-SPAN detection (Lee et al. exact substring
+    dedup, shingle-distributed): every 6-token shingle occurring in >=2
+    distinct docs marks its range; overlapping/adjacent marked ranges
+    merge per doc into maximal (doc_id, span_start, span_end) spans.
+    One shingle-key shuffle + a per-doc windowed island merge."""
+    from s3logsbeat_spark.operators.spandedup import duplicate_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return duplicate_spans(docs, width=SPAN_W, min_docs=2)
+
+
 SUGGEST_PHRASE_Q = "sow ag vallue"
 
 
@@ -1547,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_string": q_query_string,
         "redact_pii": q_redact_pii,
         "suggest_phrase": q_suggest_phrase,
+        "dedup_spans": q_dedup_spans,
         "phrase_prefix": q_phrase_prefix,
         "search_extended_stats": q_search_extended_stats,
         "search_percentile_ranks": q_search_percentile_ranks,
@@ -1731,6 +1747,39 @@ SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
        min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
        round(avg(n_chars), 6) AS avg
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+# duplicate spans: stride-1 6-token shingles, >=2 distinct docs, islands
+# merge per doc (1-based half-open token indices)
+_DEDUP_SPANS_SQL = f"""
+WITH tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS a
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS start, i + {SPAN_W} AS end_,
+         list_aggr(a[i:i+{SPAN_W - 1}], 'string_agg', ' ') AS key
+  FROM tokarr, LATERAL (
+    SELECT unnest(generate_series(1, len(a) - {SPAN_W} + 1)) AS i)
+),
+dup AS (
+  SELECT key FROM sh GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+),
+d AS (SELECT doc_id, start, end_ FROM sh WHERE key IN (SELECT key FROM dup)),
+m AS (
+  SELECT *, CASE WHEN start > max(end_) OVER (
+              PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            THEN 1 ELSE 0 END AS brk
+  FROM d
+),
+s AS (
+  SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT doc_id, min(start)::BIGINT AS span_start, max(end_)::BIGINT AS span_end
+FROM s GROUP BY doc_id, sid
 """
 
 # phrase suggester: Laplace bigram LM + ln(0.1)*edits penalty; candidate
@@ -3106,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         "query_string": _QUERY_STRING_SQL,
         "redact_pii": _REDACT_SQL,
         "suggest_phrase": _SUGGEST_PHRASE_SQL,
+        "dedup_spans": _DEDUP_SPANS_SQL,
         "phrase_prefix": _PHRASE_PREFIX_SQL,
         "search_extended_stats": _XSTATS_SQL,
         "search_percentile_ranks": _PCT_RANKS_SQL,

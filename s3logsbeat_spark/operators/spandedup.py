@@ -1,0 +1,155 @@
+"""Cross-document duplicate-span detection and removal (the Lee et al.
+2022 "Deduplicating Training Data Makes Language Models Better" exact
+substring dedup, re-expressed shingle-wise for Spark).
+
+The suffix-array formulation (find every maximal substring of >= W
+tokens occurring >= K times in the corpus, delete the repeats) is
+single-machine; the distributed equivalent used here: every W-token
+shingle (stride 1) is keyed and counted corpus-wide, a shingle occurring
+in >= min_docs distinct docs marks its token range duplicated, and per
+doc the overlapping-or-adjacent marked ranges merge into maximal spans.
+A duplicated substring of length L >= W is covered by L - W + 1
+consecutive duplicated shingles, so the merged span recovers exactly the
+maximal duplicated region (boundary effects only at the first/last W-1
+tokens of partially-duplicated regions — the standard shingle
+approximation).
+
+Scale shape: one shuffle of shingle keys for the duplicate-key agg (the
+unavoidable Lee-et-al cost; ``hashed=True`` shuffles 8-byte xxhash64
+keys instead of strings, collision odds ~n^2/2^64), one left-semi join
+back, and a per-doc windowed island merge (partitioned by doc_id —
+embarrassingly parallel). The shingle stream is deliberately computed
+TWICE (once under the dup-key agg, once under the join-back — two scans
+in the plan): tokenization is recomputed rather than persisting a
+shingle frame that is ~W x the corpus size, which at 100 TB would cost
+far more in spill than the second scan. No suffix array, no driver
+state; Spark/AQE picks broadcast vs sort-merge for the join-back by the
+actual dup-key cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_WORD = "[a-z0-9_]+"
+
+
+def _shingles(
+    docs: DataFrame,
+    width: int,
+    id_col: str,
+    text_col: str,
+    token_regex: str,
+    hashed: bool,
+) -> DataFrame:
+    """(doc_id, start, key) for every stride-1 W-token shingle; start is
+    the 1-based token index (matching SQL array indexing)."""
+    a = f"regexp_extract_all(lower({text_col}), '{token_regex}', 0)"
+    key = f"concat_ws(' ', slice(a, i, {width}))"
+    if hashed:
+        key = f"xxhash64({key})"
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.expr(a).alias("a"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(a) < {width} THEN array() ELSE "
+                    f"transform(sequence(1, size(a) - {width} + 1), "
+                    f"i -> struct(i AS start, {key} AS key)) END"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "s.start", "s.key")
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    width: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    token_regex: str = _WORD,
+    hashed: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans -> (doc_id, span_start, span_end),
+    half-open 1-based token indices. A span is the merge of
+    overlapping-or-adjacent W-token shingles whose key occurs in >=
+    ``min_docs`` distinct documents."""
+    sh = _shingles(docs, width, id_col, text_col, token_regex, hashed)
+    dup_keys = (
+        sh.groupBy("key")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= int(min_docs))
+        .select("key")
+    )
+    d = sh.join(dup_keys, "key", "left_semi").select(
+        "doc_id", "start", (F.col("start") + F.lit(width)).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = d.withColumn(
+        "brk", F.when(F.col("start") > prev_max_end, 1).otherwise(0)
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("doc_id", "sid")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    width: int = 16,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    token_regex: str = _WORD,
+    hashed: bool = False,
+) -> DataFrame:
+    """Remove the duplicated token ranges from each document ->
+    (doc_id, cleaned_text, n_tokens_removed). ``cleaned_text`` is the
+    surviving tokens joined by single spaces (the token-stream
+    canonicalization Lee et al. operate in; original whitespace inside
+    removed/kept regions is not reconstructed). Docs with no duplicated
+    span pass through with their full token stream.
+
+    The spans ride a per-doc collect (bounded: spans per doc <=
+    n_tokens / width after merging) into one JVM array filter — no
+    Python, no second shuffle beyond the span join."""
+    if spans is None:
+        spans = duplicate_spans(
+            docs, width, min_docs, id_col, text_col, token_regex, hashed
+        )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    a = f"regexp_extract_all(lower({text_col}), '{token_regex}', 0)"
+    base = docs.select(F.col(id_col).alias("doc_id"), F.expr(a).alias("a"))
+    j = base.join(per_doc, "doc_id", "left")
+    kept = F.expr(
+        "filter(transform(a, (x, i) -> struct(x AS t, i + 1 AS p)), "
+        "q -> spans IS NULL OR NOT exists(spans, "
+        "sp -> q.p >= sp.span_start AND q.p < sp.span_end))"
+    )
+    return j.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform("
+            "filter(transform(a, (x, i) -> struct(x AS t, i + 1 AS p)), "
+            "q -> spans IS NULL OR NOT exists(spans, "
+            "sp -> q.p >= sp.span_start AND q.p < sp.span_end)), q -> q.t))"
+        ).alias("cleaned_text"),
+        (F.size("a") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

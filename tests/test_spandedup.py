@@ -1,0 +1,100 @@
+"""Cross-doc duplicate-span detection/removal vs a pure-Python oracle."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+import pytest
+
+from s3logsbeat_spark.operators.spandedup import (
+    duplicate_spans,
+    strip_duplicate_spans,
+)
+
+WORD = "[a-z0-9_]+"
+
+
+def _brute_spans(rows, width, min_docs):
+    toks = {d: re.findall(WORD, t.lower()) for d, t in rows}
+    occ = defaultdict(set)
+    for d, ts in toks.items():
+        for i in range(len(ts) - width + 1):
+            occ[tuple(ts[i:i + width])].add(d)
+    dup = {k for k, v in occ.items() if len(v) >= min_docs}
+    out = []
+    for d, ts in toks.items():
+        starts = [i + 1 for i in range(len(ts) - width + 1)
+                  if tuple(ts[i:i + width]) in dup]
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], s + width))
+            else:
+                spans.append((s, s + width))
+        out.extend((d, a, b) for a, b in spans)
+    return sorted(out)
+
+
+CRAFTED = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa unique1 unique2"),
+    (2, "pre1 pre2 alpha beta gamma delta epsilon zeta eta theta iota kappa post"),
+    (3, "totally different words with no overlap at all here now"),
+    # 4+5 share a SHORTER run (< width) -> must NOT be flagged
+    (4, "aa bb cc dd x1 x2 x3"),
+    (5, "aa bb cc dd y1 y2 y3"),
+]
+
+
+def test_crafted_spans(spark):
+    df = spark.createDataFrame(CRAFTED, "doc_id long, content string")
+    got = sorted(
+        tuple(r) for r in duplicate_spans(df, width=5, min_docs=2).collect()
+    )
+    want = _brute_spans(CRAFTED, 5, 2)
+    assert got == want
+    # the shared 10-token block is one merged span in both docs
+    assert (1, 1, 11) in got and (2, 3, 13) in got
+    # docs 3/4/5 clean (shared run of 4 < width 5)
+    assert not any(d in (3, 4, 5) for d, _, _ in got)
+
+
+@pytest.mark.parametrize("width,min_docs", [(3, 2), (5, 2), (5, 3), (8, 2)])
+def test_spans_vs_brute_on_corpus(spark, corpus_rows, width, min_docs):
+    rows = [(i, r["content"]) for i, r in enumerate(corpus_rows[:80])]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(df, width=width, min_docs=min_docs).collect()
+    )
+    assert got == _brute_spans(rows, width, min_docs)
+
+
+def test_hashed_equals_exact(spark, corpus_rows):
+    rows = [(i, r["content"]) for i, r in enumerate(corpus_rows[:80])]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    exact = sorted(tuple(r) for r in duplicate_spans(df, width=5).collect())
+    hashed = sorted(
+        tuple(r) for r in duplicate_spans(df, width=5, hashed=True).collect()
+    )
+    assert exact == hashed
+
+
+def test_strip_spans(spark):
+    df = spark.createDataFrame(CRAFTED, "doc_id long, content string")
+    got = {
+        r["doc_id"]: (r["cleaned_text"], r["n_tokens_removed"])
+        for r in strip_duplicate_spans(df, width=5, min_docs=2).collect()
+    }
+    assert got[1] == ("unique1 unique2", 10)
+    assert got[2] == ("pre1 pre2 post", 10)
+    # untouched docs keep their full (canonicalized) token stream
+    assert got[3] == ("totally different words with no overlap at all here now", 0)
+    assert got[4][1] == 0 and got[5][1] == 0
+    # removing spans then re-detecting finds nothing (fixed point)
+    cleaned = strip_duplicate_spans(df, width=5, min_docs=2).select(
+        "doc_id", "cleaned_text"
+    )
+    again = duplicate_spans(cleaned, width=5, min_docs=2,
+                            text_col="cleaned_text")
+    assert again.count() == 0
