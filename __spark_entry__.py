@@ -474,6 +474,26 @@ def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_BOOST = 0.5
+
+
+def q_boosting_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boosting query: BM25 OR over the positive terms; any doc also
+    containing the negative term 'stream' keeps its eligibility but has
+    its score multiplied by NEG_BOOST (unlike must_not, which excludes).
+    Same vectorized bool kernel, deboost membership exact
+    bucket-locally."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.search(
+        {"should": BM25_TERMS, "negative": ["stream"],
+         "negative_boost": NEG_BOOST},
+        BM25_K,
+    )
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 SPAN_W = 6
 
 
@@ -1563,6 +1583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "suggest_phrase": q_suggest_phrase,
         "dedup_spans": q_dedup_spans,
+        "boosting_search": q_boosting_search,
         "phrase_prefix": q_phrase_prefix,
         "search_extended_stats": q_search_extended_stats,
         "search_percentile_ranks": q_search_percentile_ranks,
@@ -1748,6 +1769,15 @@ SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
        round(avg(n_chars), 6) AS avg
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
 """
+
+# boosting query: positive BM25 OR, 0.5x factor on docs containing the
+# negative term (factor applied before the 6dp round, like the kernel)
+_BOOSTING_SQL = _BM25_WAND_SQL.replace(
+    "SELECT doc_id, round(raw, 6) AS score FROM scored",
+    "SELECT doc_id, round(raw * CASE WHEN doc_id IN "
+    "(SELECT DISTINCT doc_id FROM postings WHERE term = 'stream') "
+    "THEN 0.5 ELSE 1.0 END, 6) AS score FROM scored",
+)
 
 # duplicate spans: stride-1 6-token shingles, >=2 distinct docs, islands
 # merge per doc (1-based half-open token indices)
@@ -3156,6 +3186,7 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _REDACT_SQL,
         "suggest_phrase": _SUGGEST_PHRASE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
+        "boosting_search": _BOOSTING_SQL,
         "phrase_prefix": _PHRASE_PREFIX_SQL,
         "search_extended_stats": _XSTATS_SQL,
         "search_percentile_ranks": _PCT_RANKS_SQL,

@@ -266,23 +266,29 @@ def score_bool(
     n_must: int,
     min_should: int = 0,
     doc_filter: DocFilter | None = None,
+    negative_boost: float = 0.5,
 ) -> list[tuple[int, float]]:
     """Exact ES bool-query kernel, fully vectorized.
 
-    ``roles`` maps term -> "must" | "should" | "must_not". Docs must
-    match every must term, at least ``min_should`` distinct should terms,
-    and no must_not term; the score sums must+should contributions only
-    (must_not lists carry no scoring weight). Distributed use is
-    per-bucket: docs are hash-partitioned, so must_not exclusion and the
-    counting tests are exact bucket-locally — pass the GLOBAL ``n_must``.
+    ``roles`` maps term -> "must" | "should" | "must_not" | "deboost".
+    Docs must match every must term, at least ``min_should`` distinct
+    should terms, and no must_not term; the score sums must+should
+    contributions only (must_not and deboost lists carry no scoring
+    weight). A doc matching any "deboost" term keeps its rank eligibility
+    but has its final score multiplied by ``negative_boost`` — the ES
+    ``boosting`` query's negative clause. Distributed use is per-bucket:
+    docs are hash-partitioned, so must_not exclusion, deboost membership
+    and the counting tests are exact bucket-locally — pass the GLOBAL
+    ``n_must``.
     """
+    _ROLE_ID = {"must": 0, "should": 1, "must_not": 2, "deboost": 3}
     ids_parts, contrib_parts, role_parts = [], [], []
     for pl, t in zip(lists, terms_of):
         d, tf, dl = pl.decode_all()
         ids_parts.append(d)
         role = roles[t]
-        role_parts.append(np.full(d.shape[0], {"must": 0, "should": 1, "must_not": 2}[role], dtype=np.int8))
-        if role == "must_not":
+        role_parts.append(np.full(d.shape[0], _ROLE_ID[role], dtype=np.int8))
+        if role in ("must_not", "deboost"):
             contrib_parts.append(np.zeros(d.shape[0]))
         else:
             contrib_parts.append(
@@ -303,6 +309,9 @@ def score_bool(
     np.add.at(should_cnt, inv[role_v == 1], 1)
     not_cnt = np.zeros(uniq.shape[0], dtype=np.int64)
     np.add.at(not_cnt, inv[role_v == 2], 1)
+    deb_cnt = np.zeros(uniq.shape[0], dtype=np.int64)
+    np.add.at(deb_cnt, inv[role_v == 3], 1)
+    scores = np.where(deb_cnt > 0, scores * float(negative_boost), scores)
     keep = (must_cnt == n_must) & (not_cnt == 0)
     if min_should > 0:
         keep &= should_cnt >= min_should
@@ -1088,8 +1097,13 @@ class IndexReader:
         """Composable ES bool query::
 
             {"must": [...], "should": [...], "must_not": [...],
+             "negative": [...], "negative_boost": 0.5,
              "filter": {col: value | [values]},
              "min_should_match": m, "boosts": {term: w}}
+
+        ``negative`` is the ES ``boosting`` query's negative clause: a
+        doc matching any negative term stays eligible but its final
+        score is multiplied by ``negative_boost`` (default 0.5).
 
         Docs must match every must term, at least m distinct should terms
         (m=0 makes should pure score-boosting, the ES default when must
@@ -1103,10 +1117,13 @@ class IndexReader:
         must = list(dict.fromkeys(query.get("must", [])))
         should = list(dict.fromkeys(query.get("should", [])))
         must_not = list(dict.fromkeys(query.get("must_not", [])))
+        negative = list(dict.fromkeys(query.get("negative", [])))
+        negative_boost = float(query.get("negative_boost", 0.5))
         doc_filter = query.get("filter")
         msm = int(query.get("min_should_match", 0) or 0)
         boosts = query.get("boosts")
         overlap = (set(must) & set(must_not)) | (set(should) & set(must_not))
+        overlap |= set(negative) & (set(must) | set(should) | set(must_not))
         if overlap:
             raise ValueError(f"terms in conflicting roles: {sorted(overlap)}")
         if set(must) & set(should):
@@ -1114,7 +1131,7 @@ class IndexReader:
         if not must and not should:
             return []  # no scoring clause
         dset = self._dataset()
-        dfs = self._df_of(must + should + must_not)
+        dfs = self._df_of(must + should + must_not + negative)
         if any(t not in dfs for t in must):
             return []  # absent must term can never match
         present_should = [t for t in should if t in dfs]
@@ -1123,15 +1140,17 @@ class IndexReader:
         if not must and not present_should:
             return []
         must_not = [t for t in must_not if t in dfs]
+        negative = [t for t in negative if t in dfs]
         scoring = must + present_should
         idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in scoring}
         if boosts:
             idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
-        idf.update({t: 0.0 for t in must_not})
+        idf.update({t: 0.0 for t in must_not + negative})
         roles = {t: "must" for t in must}
         roles.update({t: "should" for t in present_should})
         roles.update({t: "must_not" for t in must_not})
-        all_terms = scoring + must_not
+        roles.update({t: "deboost" for t in negative})
+        all_terms = scoring + must_not + negative
         total_postings = sum(dfs[t] for t in all_terms)
         if distributed is None:
             distributed = total_postings * 5 > driver_bytes_limit
@@ -1157,7 +1176,8 @@ class IndexReader:
                 _row_to_plist(row, idf[row["term"]], self.avgdl) for row in rows
             ]
             return score_bool(
-                lists, [r["term"] for r in rows], roles, k, n_must, msm, filt
+                lists, [r["term"] for r in rows], roles, k, n_must, msm, filt,
+                negative_boost,
             )
         avgdl = self.avgdl
 
@@ -1169,7 +1189,8 @@ class IndexReader:
                 for _, row in pdf.iterrows()
             ]
             top = score_bool(
-                lists, list(pdf["term"]), roles, k, n_must, msm, filt
+                lists, list(pdf["term"]), roles, k, n_must, msm, filt,
+                negative_boost,
             )
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}

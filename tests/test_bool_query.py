@@ -128,3 +128,55 @@ def test_more_like_this_empty_and_unknown(spark, bbuilt):
     rdr = IndexReader(spark, bbuilt)
     assert rdr.more_like_this("", None, k=5) == []
     assert rdr.more_like_this("zzz qqq xxx", None, k=5, min_doc_freq=1) == []
+
+
+# ---------------------------------------------------- boosting (negative) --
+
+
+def _brute_boosting(oracle, positive, negative, nb, k=10):
+    from s3logsbeat_spark.operators.postings import SCORE_NDIGITS
+
+    hits = []
+    for did, tfs in oracle.tfs.items():
+        if not any(tfs.get(t) for t in positive):
+            continue
+        s = oracle.score(did, positive)
+        if any(tfs.get(t) for t in negative):
+            s *= nb
+        hits.append((did, round(s, SCORE_NDIGITS)))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+@pytest.mark.parametrize("positive,negative,nb", [
+    (["return", "value"], ["literal"], 0.5),
+    (["return"], ["the"], 0.2),
+    (["get", "http"], ["zzz_absent"], 0.5),   # absent negative is a no-op
+    (["return"], ["return"], 0.5),            # same term both roles -> error
+])
+def test_boosting_query_vs_brute(spark, bbuilt, oracle, positive, negative, nb):
+    rdr = IndexReader(spark, bbuilt)
+    q = {"should": positive, "negative": negative, "negative_boost": nb}
+    if set(positive) & set(negative):
+        with pytest.raises(ValueError):
+            rdr.search(q, 10)
+        return
+    got = rdr.search(q, 10)
+    want = _brute_boosting(oracle, positive, negative, nb)
+    assert [d for d, _ in got] == [d for d, _ in want], (positive, negative)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.search(q, 10, distributed=True)
+    assert dist == got
+
+
+def test_boosting_demotes_but_keeps(spark, bbuilt, oracle):
+    """A deboosted doc must stay in the result universe (unlike
+    must_not) — fetch everything and check membership is unchanged."""
+    rdr = IndexReader(spark, bbuilt)
+    base = rdr.search({"should": ["return"]}, None)
+    deb = rdr.search({"should": ["return"], "negative": ["the"]}, None)
+    assert {d for d, _ in base} == {d for d, _ in deb}
+    # and at least one score actually dropped
+    bs = dict(base)
+    assert any(s < bs[d] - 1e-9 for d, s in deb)
