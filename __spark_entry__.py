@@ -474,6 +474,29 @@ def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PERC_RULES = [
+    ("r1", ["merge", "window"], []),
+    ("r2", ["spark"], ["stream"]),
+    ("r3", ["key", "value", "row"], ["dup"]),
+    ("r4", ["zzz_absent"], []),
+]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolate (reverse search / the alerting surface): a stored
+    rule table (must + must_not term arrays) matched against every doc
+    in ONE corpus scan — distinct (doc, term) pairs pruned to the
+    broadcast rule vocabulary, a per-(doc, rule) distinct-count for must
+    coverage, one left-anti join for must_not."""
+    from s3logsbeat_spark.operators.percolate import percolate
+
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    rules = spark.createDataFrame(
+        PERC_RULES, "rule_id string, must array<string>, must_not array<string>"
+    )
+    return percolate(docs, rules)
+
+
 NEG_BOOST = 0.5
 
 
@@ -1584,6 +1607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_phrase": q_suggest_phrase,
         "dedup_spans": q_dedup_spans,
         "boosting_search": q_boosting_search,
+        "percolate": q_percolate,
         "phrase_prefix": q_phrase_prefix,
         "search_extended_stats": q_search_extended_stats,
         "search_percentile_ranks": q_search_percentile_ranks,
@@ -1768,6 +1792,25 @@ SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
        min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
        round(avg(n_chars), 6) AS avg
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+_PERCOLATE_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+  FROM documents
+)
+SELECT doc_id, rule_id FROM (
+  SELECT doc_id, 'r1' AS rule_id FROM t
+  WHERE list_contains(ts, 'merge') AND list_contains(ts, 'window')
+  UNION ALL
+  SELECT doc_id, 'r2' FROM t
+  WHERE list_contains(ts, 'spark') AND NOT list_contains(ts, 'stream')
+  UNION ALL
+  SELECT doc_id, 'r3' FROM t
+  WHERE list_contains(ts, 'key') AND list_contains(ts, 'value')
+    AND list_contains(ts, 'row') AND NOT list_contains(ts, 'dup')
+)
 """
 
 # boosting query: positive BM25 OR, 0.5x factor on docs containing the
@@ -3187,6 +3230,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_phrase": _SUGGEST_PHRASE_SQL,
         "dedup_spans": _DEDUP_SPANS_SQL,
         "boosting_search": _BOOSTING_SQL,
+        "percolate": _PERCOLATE_SQL,
         "phrase_prefix": _PHRASE_PREFIX_SQL,
         "search_extended_stats": _XSTATS_SQL,
         "search_percentile_ranks": _PCT_RANKS_SQL,

@@ -1,0 +1,68 @@
+"""ES percolate query — reverse search: a table of STORED queries (alert
+rules) is matched against a stream/batch of documents.
+
+This is the alerting surface of the reference's stack: s3logsbeat ships
+log events into ES and users register percolator queries ("alert when a
+log line contains 'error' and 'timeout' but not 'retry'"); every
+incoming doc is matched against the rule set. Re-expressed Spark-side so
+the same rules run over the batch corpus or inside a streaming
+foreachBatch.
+
+Rule model (the percolator core): ``rules(rule_id, must array<string>,
+must_not array<string>)`` — a doc matches iff it contains every must
+term and no must_not term. Scale shape: docs explode to DISTINCT (doc,
+term) pairs pruned to the rule vocabulary (broadcast — the rule vocab is
+tiny next to the corpus vocab), the must join counts matched terms per
+(doc, rule) with a map-side-combinable agg, and must_not is one
+left-anti join. The corpus is scanned once; nothing rule-related
+shuffles more than (doc x matched-rule-term) rows. No per-rule scan —
+cost is independent of the number of rules matched per doc."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORD = "[a-z0-9_]+"
+
+
+def percolate(
+    docs: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    token_regex: str = _WORD,
+) -> DataFrame:
+    """(doc_id, rule_id) pairs for every rule matching every doc.
+
+    ``rules`` columns: ``rule_id``, ``must`` (array<string>, non-empty),
+    ``must_not`` (array<string>, may be empty/null)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{token_regex}', 0)")
+            )
+        ).alias("term"),
+    )
+    must = rules.select(
+        "rule_id",
+        F.size("must").alias("n_must"),
+        F.explode("must").alias("term"),
+    )
+    matched = (
+        toks.join(F.broadcast(must), "term")
+        .groupBy("doc_id", "rule_id", "n_must")
+        .agg(F.count_distinct("term").alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_must"))
+        .select("doc_id", "rule_id")
+    )
+    nots = rules.select(
+        "rule_id", F.explode(F.coalesce("must_not", F.array())).alias("term")
+    )
+    bad = (
+        toks.join(F.broadcast(nots), "term")
+        .select("doc_id", "rule_id")
+        .distinct()
+    )
+    return matched.join(bad, ["doc_id", "rule_id"], "left_anti")

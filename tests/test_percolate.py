@@ -1,0 +1,60 @@
+"""ES percolate (stored alert rules vs documents) vs a brute-force
+oracle."""
+
+from __future__ import annotations
+
+import re
+
+from s3logsbeat_spark.operators.percolate import percolate
+
+WORD = "[a-z0-9_]+"
+
+RULES = [
+    ("r_and", ["return", "value"], []),
+    ("r_not", ["return"], ["panic"]),
+    ("r_single", ["def"], None),
+    ("r_absent", ["zzz_nope"], []),
+    ("r_not_absent", ["return"], ["zzz_nope"]),
+]
+
+
+def _brute(rows):
+    out = []
+    for did, text in rows:
+        ts = set(re.findall(WORD, text.lower()))
+        for rid, must, must_not in RULES:
+            if all(m in ts for m in must) and not any(
+                n in ts for n in (must_not or [])
+            ):
+                out.append((did, rid))
+    return sorted(out)
+
+
+def test_percolate_vs_brute(spark, corpus_rows):
+    rows = [(i, r["content"]) for i, r in enumerate(corpus_rows[:120])]
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    rules = spark.createDataFrame(
+        RULES, "rule_id string, must array<string>, must_not array<string>"
+    )
+    got = sorted(tuple(r) for r in percolate(docs, rules).collect())
+    assert got == _brute(rows)
+    assert got, "vacuous: no rule matched any doc"
+    # absent-must rule never matches; its must_not twin behaves like bare
+    rids = {r for _, r in got}
+    assert "r_absent" not in rids
+    assert "r_not_absent" in rids
+
+
+def test_percolate_crafted(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta only here")],
+        "doc_id long, content string",
+    )
+    rules = spark.createDataFrame(
+        [("a_and_b", ["alpha", "beta"], []),
+         ("a_not_d", ["alpha"], ["delta"]),
+         ("b", ["beta"], None)],
+        "rule_id string, must array<string>, must_not array<string>",
+    )
+    got = sorted(tuple(r) for r in percolate(docs, rules).collect())
+    assert got == [(1, "a_and_b"), (1, "a_not_d"), (1, "b"), (3, "b")]
