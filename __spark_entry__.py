@@ -474,6 +474,50 @@ def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES matrix_stats aggregation over (value, props.k) on the 'click'
+    bucket: counts, means, population variances, covariance and Pearson
+    correlation — all single-pass map-side-combinable moments."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    k = F.get_json_object("props", "$.k").cast("double")
+    v = F.col("value").cast("double")
+    return ev.agg(
+        F.count("*").cast("long").alias("count"),
+        F.round(F.avg(v), 6).alias("mean_value"),
+        F.round(F.avg(k), 6).alias("mean_k"),
+        F.round(F.var_pop(v), 6).alias("var_value"),
+        F.round(F.var_pop(k), 6).alias("var_k"),
+        F.round(F.covar_pop(v, k), 6).alias("covariance"),
+        F.round(F.corr(v, k), 6).alias("correlation"),
+    )
+
+
+ADH_TARGET = 20
+# fine -> coarse; first unit whose bucket count fits the target wins
+ADH_LADDER = (("hour", 3600.0), ("day", 86400.0), ("week", 604800.0))
+
+
+def q_events_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram: the engine picks the finest calendar unit
+    from a fixed ladder (hour -> day -> week) whose bucket count over
+    the data's time span is <= ADH_TARGET, then buckets with
+    date_trunc on that unit. The span probe is one min/max agg; the
+    bucketing one map-side-combinable groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo).total_seconds()
+    unit = ADH_LADDER[-1][0]
+    for u, secs in ADH_LADDER:
+        if span / secs <= ADH_TARGET:
+            unit = u
+            break
+    return (
+        ev.groupBy(F.date_trunc(unit, F.col("ts")).alias("key"))
+        .agg(F.count("*").cast("long").alias("doc_count"))
+        .withColumn("unit", F.lit(unit))
+    )
+
+
 PERC_RULES = [
     ("r1", ["merge", "window"], []),
     ("r2", ["spark"], ["stream"]),
@@ -1608,6 +1652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "boosting_search": q_boosting_search,
         "percolate": q_percolate,
+        "events_matrix_stats": q_events_matrix_stats,
+        "events_auto_histogram": q_events_auto_histogram,
         "phrase_prefix": q_phrase_prefix,
         "search_extended_stats": q_search_extended_stats,
         "search_percentile_ranks": q_search_percentile_ranks,
@@ -1792,6 +1838,38 @@ SELECT count(*)::BIGINT AS count, sum(n_chars)::BIGINT AS sum,
        min(n_chars)::BIGINT AS min, max(n_chars)::BIGINT AS max,
        round(avg(n_chars), 6) AS avg
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+"""
+
+_MATRIX_STATS_SQL = """
+SELECT count(*)::BIGINT AS count,
+       round(avg(value), 6) AS mean_value,
+       round(avg(json_extract(props, '$.k')::DOUBLE), 6) AS mean_k,
+       round(var_pop(value), 6) AS var_value,
+       round(var_pop(json_extract(props, '$.k')::DOUBLE), 6) AS var_k,
+       round(covar_pop(value, json_extract(props, '$.k')::DOUBLE), 6)
+         AS covariance,
+       round(corr(value, json_extract(props, '$.k')::DOUBLE), 6)
+         AS correlation
+FROM events WHERE event_type = 'click'
+"""
+
+_AUTO_HIST_SQL = f"""
+WITH span AS (
+  SELECT epoch(max(ts)) - epoch(min(ts)) AS s FROM events
+),
+u AS (
+  SELECT CASE WHEN s / 3600.0 <= {ADH_TARGET} THEN 'hour'
+              WHEN s / 86400.0 <= {ADH_TARGET} THEN 'day'
+              ELSE 'week' END AS unit
+  FROM span
+)
+SELECT CASE (SELECT unit FROM u)
+         WHEN 'hour' THEN date_trunc('hour', ts)
+         WHEN 'day' THEN date_trunc('day', ts)
+         ELSE date_trunc('week', ts) END::TIMESTAMP AS key,
+       count(*)::BIGINT AS doc_count,
+       (SELECT unit FROM u) AS unit
+FROM events GROUP BY 1
 """
 
 _PERCOLATE_SQL = """
@@ -3231,6 +3309,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _DEDUP_SPANS_SQL,
         "boosting_search": _BOOSTING_SQL,
         "percolate": _PERCOLATE_SQL,
+        "events_matrix_stats": _MATRIX_STATS_SQL,
+        "events_auto_histogram": _AUTO_HIST_SQL,
         "phrase_prefix": _PHRASE_PREFIX_SQL,
         "search_extended_stats": _XSTATS_SQL,
         "search_percentile_ranks": _PCT_RANKS_SQL,
