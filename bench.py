@@ -189,6 +189,17 @@ def run_default() -> dict:
         )
         pack_offsets(nt, budget=2048).count()
         dops["pack_chunks"] = round(time.perf_counter() - t0, 3)
+        from s3logsbeat_spark.operators.redact import redact_pii
+        from s3logsbeat_spark.operators.spandedup import duplicate_spans
+
+        t0 = time.perf_counter()
+        redact_pii(docs, "content").select(
+            F.sum("n_email"), F.sum("n_ipv4")
+        ).collect()
+        dops["redact_pii"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        duplicate_spans(docs, width=8, min_docs=2, hashed=True).count()
+        dops["dedup_spans"] = round(time.perf_counter() - t0, 3)
         out["data_ops"] = dops
     if os.environ.get("SPARK_GRAFT_SKIP_CODE_CORPUS") != "1":
         # north-rule evidence inline: build + rank-identity on the

@@ -58,3 +58,46 @@ def test_percolate_crafted(spark):
     )
     got = sorted(tuple(r) for r in percolate(docs, rules).collect())
     assert got == [(1, "a_and_b"), (1, "a_not_d"), (1, "b"), (3, "b")]
+
+
+def test_percolate_streaming_alerts(spark, tmp_path):
+    """The alerting story: percolate composed inside a streaming
+    foreachBatch — every micro-batch's matches land in the sink, and the
+    union over batches equals the batch percolation of all docs."""
+    rules = spark.createDataFrame(
+        [("alert_ab", ["alpha", "beta"], []), ("alert_c", ["gamma"], ["delta"])],
+        "rule_id string, must array<string>, must_not array<string>",
+    )
+    schema = "doc_id long, content string"
+    waves = [
+        [(1, "alpha beta now"), (2, "gamma fine")],
+        [(3, "gamma but delta too"), (4, "alpha beta gamma")],
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, schema).coalesce(1).write.parquet(
+            str(src / f"w{i}")
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "alerts")
+
+    def _alert(batch_df, epoch_id):
+        percolate(batch_df, rules).write.mode("append").parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(_alert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    all_docs = spark.createDataFrame(sum(waves, []), schema)
+    want = sorted(tuple(r) for r in percolate(all_docs, rules).collect())
+    assert got == want
+    assert got == [(1, "alert_ab"), (2, "alert_c"), (4, "alert_ab"), (4, "alert_c")]
