@@ -316,6 +316,22 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVALS_GAPS = 2
+
+
+def q_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES intervals all_of (ordered=false, max_gaps=2) over the
+    positional index: 'merge' and 'window' inside one token window with
+    at most 2 internal gaps, in EITHER order — the unordered complement
+    of q_span_near. Index-only: every occurrence position is tried as a
+    window start with one searchsorted per term (no content scan)."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.intervals_query(SPAN_TERMS, max_gaps=INTERVALS_GAPS, k=BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 QS_STRING = '+window "merge group" -stream value s*'
 
 
@@ -1646,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_cardinality": q_search_cardinality,
         "search_percentiles": q_search_percentiles,
         "span_near": q_span_near,
+        "intervals": q_intervals,
         "query_string": q_query_string,
         "redact_pii": q_redact_pii,
         "suggest_phrase": q_suggest_phrase,
@@ -2482,6 +2499,17 @@ _SPAN_NEAR_SQL = _PHRASE_IDX_SQL.replace(
     f"{SPAN_SLOP + 2}), j -> t2.a[j] = 'window')) > 0",
 )
 
+# intervals all_of unordered max_gaps=2 over {merge, window}: some token
+# window of width <= max_gaps + n_terms (positions i .. i+3) contains
+# both terms in any order; scoring CTEs identical (same distinct terms)
+_INTERVALS_W = INTERVALS_GAPS + len(SPAN_TERMS)
+_INTERVALS_SQL = _PHRASE_IDX_SQL.replace(
+    "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'",
+    f"len(list_filter(range(i, i + {_INTERVALS_W}), j -> t2.a[j] = 'merge')) > 0"
+    f" AND len(list_filter(range(i, i + {_INTERVALS_W}),"
+    " j -> t2.a[j] = 'window')) > 0",
+)
+
 # query_string '+window "merge group" -stream value s*': scoring terms =
 # must + phrase + should + s* expansion (minus the must_not 'stream');
 # doc must have all of window/merge/group, the adjacency, and no 'stream'
@@ -3303,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         "search_cardinality": _SEARCH_CARD_SQL,
         "search_percentiles": _SEARCH_PCTS_SQL,
         "span_near": _SPAN_NEAR_SQL,
+        "intervals": _INTERVALS_SQL,
         "query_string": _QUERY_STRING_SQL,
         "redact_pii": _REDACT_SQL,
         "suggest_phrase": _SUGGEST_PHRASE_SQL,

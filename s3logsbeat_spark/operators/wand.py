@@ -722,6 +722,66 @@ def score_span_near(
     return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
 
 
+def score_intervals(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    terms: list[str],
+    max_gaps: int,
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """ES intervals ``all_of`` (ordered=false) kernel: docs containing
+    one occurrence of EVERY distinct term inside some token window whose
+    internal gap count ``(max_pos - min_pos + 1) - n_terms <= max_gaps``
+    (the ES intervals gap rule), in ANY order — the unordered complement
+    of :func:`score_span_near`. BM25-scored over the distinct terms.
+
+    Exact and fully vectorized: the left edge of a minimal valid window
+    is always itself a term occurrence, so every occurrence position is
+    tried as a window start (packed ``doc_index << 40 | position`` keys)
+    and each term checks "do I occur in [start, start + width]?" with one
+    ``searchsorted`` over its own sorted keys. Same 2^22-doc candidate
+    chunking as the phrase kernel, so packing never overflows int64."""
+    distinct = list(dict.fromkeys(terms))
+    per = _decode_positional(pdf, distinct)
+    if per is None:
+        return []
+    cand = per[distinct[0]][0]
+    for t in distinct[1:]:
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    if doc_filter is not None and cand.size:
+        cand = cand[doc_filter.mask(cand)]
+    if cand.size == 0:
+        return []
+
+    width = np.int64(max_gaps + len(distinct) - 1)
+    hit_chunks = []
+    for lo in range(0, cand.size, PHRASE_CAND_CHUNK):
+        chunk = cand[lo : lo + PHRASE_CAND_CHUNK]
+        streams = {t: _packed_keys(per, t, chunk) for t in distinct}
+        starts = np.sort(np.concatenate(list(streams.values())))
+        ok = np.ones(starts.shape[0], dtype=bool)
+        for t in distinct:
+            arr = streams[t]
+            idx = np.searchsorted(arr, starts, side="left")
+            has = idx < arr.size
+            nxt = arr[np.minimum(idx, arr.size - 1)]
+            # window stays inside the doc: other docs' keys sit >= 2^40
+            # away, so the <= starts+width test can only pass in-doc, but
+            # the explicit doc check keeps the guard independent of width
+            ok &= (
+                has
+                & (nxt <= starts + width)
+                & ((nxt >> _POS_SHIFT) == (starts >> _POS_SHIFT))
+            )
+            if not ok.any():
+                break
+        if ok.any():
+            hit_chunks.append(chunk[np.unique(starts[ok] >> _POS_SHIFT)])
+    return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
+
+
 def score_phrase_prefix(
     pdf,
     idf: dict,
@@ -1309,6 +1369,77 @@ class IndexReader:
             import pandas as pd
 
             top = score_span_near(pdf, idf, avgdl, terms, slop, k, filt)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        blocked_list = [int(x) for x in blocked]
+        return self._run_per_bucket(
+            self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
+        )
+
+    def intervals_query(
+        self,
+        terms: list[str],
+        max_gaps: int = 0,
+        ordered: bool = False,
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """ES intervals ``all_of`` query over the positional index: every
+        distinct term inside one token window with at most ``max_gaps``
+        internal gaps, unordered by default; ``ordered=True`` is exactly
+        the span_near (in_order) rule, so it delegates to
+        :meth:`span_near_query` with ``slop=max_gaps``. Same driver /
+        per-bucket-distributed split, filter context and tombstone
+        handling as the other positional queries; index-only, no content
+        scan."""
+        if ordered:
+            return self.span_near_query(
+                terms,
+                slop=max_gaps,
+                k=k,
+                distributed=distributed,
+                driver_bytes_limit=driver_bytes_limit,
+                doc_filter=doc_filter,
+            )
+        if not terms:
+            return []
+        import pyarrow.dataset as ds
+
+        distinct = list(dict.fromkeys(terms))
+        dfs = self._df_of(distinct)
+        if any(t not in dfs for t in distinct):
+            return []
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in distinct}
+        total_postings = sum(dfs[t] for t in distinct)
+        if distributed is None:
+            distributed = total_postings * 10 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
+        blocked = self._blocked()
+        if not distributed:
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
+            tbl = self._dataset().to_table(
+                columns=["term", "docs", "tfs", "dls", "poss"],
+                filter=ds.field("term").isin(distinct),
+            )
+            return score_intervals(
+                tbl.to_pandas(), idf, self.avgdl, terms, max_gaps, k, filt
+            )
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            import pandas as pd
+
+            top = score_intervals(pdf, idf, avgdl, terms, max_gaps, k, filt)
             return pd.DataFrame(
                 {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
             )

@@ -193,6 +193,31 @@ class BM25Oracle:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits if k is None else hits[:k]
 
+    def intervals_topk(
+        self, terms: list[str], max_gaps: int, k: int | None = 10
+    ) -> list[tuple[int, float]]:
+        """Brute-force intervals all_of (unordered) oracle: exhaustive
+        search over all position tuples (one per distinct term, any
+        order) with ``max(tup) - min(tup) + 1 - n_terms <= max_gaps``;
+        BM25 over the distinct terms."""
+        import itertools
+
+        pos_map = self._positions()
+        distinct = list(dict.fromkeys(terms))
+        width = max_gaps + len(distinct) - 1
+        hits = []
+        for did, pos in pos_map.items():
+            if any(t not in pos for t in distinct):
+                continue
+            found = any(
+                max(tup) - min(tup) <= width
+                for tup in itertools.product(*(pos[t] for t in distinct))
+            )
+            if found:
+                hits.append((did, round(self.score(did, distinct), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
     def phrase_prefix_topk(
         self,
         terms: list[str],

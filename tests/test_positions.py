@@ -322,3 +322,60 @@ def test_phrase_prefix_capped_expansion(spark, pos_built, oracle):
 def test_phrase_prefix_matches_exist(oracle):
     n = sum(1 for t, p in PP_CASES if oracle.phrase_prefix_topk(t, p, 5))
     assert n >= 2
+
+
+# ------------------------------------------------------------- intervals --
+
+INTERVALS_CASES = [
+    (["return", "the"], 0),
+    (["the", "return"], 0),       # unordered: order of terms irrelevant
+    (["return", "the"], 3),
+    (["def", "return", "x"], 4),  # three terms, any order
+    (["get", "response"], 0),     # same raw token -> same position
+    (["return", "zzz_not_there"], 5),
+]
+
+
+@pytest.mark.parametrize("terms,gaps", INTERVALS_CASES, ids=lambda s: str(s))
+def test_intervals_vs_oracle(spark, pos_built, oracle, terms, gaps):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    got = rdr.intervals_query(terms, max_gaps=gaps, k=10)
+    want = oracle.intervals_topk(terms, gaps, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (terms, gaps)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.intervals_query(terms, max_gaps=gaps, k=10, distributed=True)
+    assert dist == got, (terms, gaps)
+
+
+def test_intervals_unordered_is_term_order_invariant(spark, pos_built):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    a = rdr.intervals_query(["return", "the"], max_gaps=2, k=None)
+    b = rdr.intervals_query(["the", "return"], max_gaps=2, k=None)
+    assert a == b and a
+
+
+def test_intervals_superset_of_span_near(spark, pos_built):
+    """Every ordered span_near match is an unordered intervals match at
+    the same gap budget."""
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    for terms, slop in SPANS:
+        span = {d for d, _ in rdr.span_near_query(terms, slop=slop, k=None)}
+        intv = {d for d, _ in rdr.intervals_query(terms, max_gaps=slop, k=None)}
+        assert span <= intv, (terms, slop)
+
+
+def test_intervals_ordered_delegates_to_span_near(spark, pos_built):
+    out, _, _ = pos_built
+    rdr = IndexReader(spark, out)
+    assert rdr.intervals_query(
+        ["return", "the"], max_gaps=2, ordered=True, k=None
+    ) == rdr.span_near_query(["return", "the"], slop=2, k=None)
+
+
+def test_intervals_matches_exist(oracle):
+    n = sum(1 for t, g in INTERVALS_CASES if oracle.intervals_topk(t, g, 5))
+    assert n >= 3, [(t, g, len(oracle.intervals_topk(t, g, 5))) for t, g in INTERVALS_CASES]
