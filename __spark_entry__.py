@@ -398,6 +398,38 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILDCARD_PAT = "*er*"
+
+
+def q_wildcard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES wildcard query with a LEADING wildcard — the expensive rewrite
+    case: no literal prefix exists to range-prune the dictionary read, so
+    the expansion runs as a distributed Spark aggregation over the term
+    dictionary (rlike + df-ranked cap; only max_terms rows return to the
+    driver), then plain BM25 OR over the expansion."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.wildcard_query(WILDCARD_PAT, BM25_K, max_terms=1024)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+MLT_TEXT = "merge the window stream merge fast"
+MLT_TOP = 3
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this: tokenize the example text driver-side with the
+    index's tokenizer, keep its MLT_TOP highest tf*idf terms (dfs from
+    one term-pruned dictionary read — the corpus is never scanned to
+    form the query), then BM25 OR over the selection."""
+    rdr = _driver_index(spark, sf_dir)
+    top = rdr.more_like_this(MLT_TEXT, k=BM25_K, max_query_terms=MLT_TOP)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 def q_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES terms-aggregation-on-a-query analogue: per-lang doc counts of
     documents matching any query term — matched doc_ids decoded per
@@ -1654,6 +1686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
         "prefix_search": q_prefix_search,
+        "wildcard_search": q_wildcard_search,
+        "more_like_this": q_more_like_this,
         "fuzzy_search": q_fuzzy_search,
         "bool_search": q_bool_search,
         "facet_counts": q_facet_counts,
@@ -1809,6 +1843,33 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
 _PREFIX_SQL = _BM25_WAND_SQL.replace(
     "  SELECT unnest(['merge', 'window', 'spark']) AS term",
     f"  SELECT DISTINCT term FROM postings WHERE term LIKE '{PREFIX}%'",
+)
+
+# leading-wildcard '*er*': qterms = every vocabulary term containing
+# 'er' (customer/filter/merge/order/query on the word-soup vocab), BM25
+# OR over the expansion — the scoring CTEs are unchanged
+_WILDCARD_SQL = _BM25_WAND_SQL.replace(
+    "  SELECT unnest(['merge', 'window', 'spark']) AS term",
+    "  SELECT DISTINCT term FROM postings WHERE regexp_matches(term, '^.*er.*$')",
+)
+
+# more_like_this: qterms = the example text's MLT_TOP highest tf*idf
+# terms (Lucene idf over corpus dfs, tie-break term ASC), then plain
+# BM25 OR — mirrors IndexReader.more_like_this's selection rule exactly
+_MLT_ARR = "['" + "', '".join(MLT_TEXT.split()) + "']"
+_MLT_SQL = _BM25_WAND_SQL.replace(
+    "  SELECT unnest(['merge', 'window', 'spark']) AS term",
+    f"""  SELECT e.term FROM (
+    SELECT term, count(*)::BIGINT AS tf
+    FROM (SELECT unnest({_MLT_ARR}) AS term) GROUP BY 1
+  ) e
+  JOIN (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM postings GROUP BY 1
+  ) v USING (term)
+  CROSS JOIN stats s
+  ORDER BY e.tf * ln(1.0 + (s.n_docs - v.df + 0.5) / (v.df + 0.5)) DESC,
+           e.term ASC
+  LIMIT {MLT_TOP}""",
 )
 
 # bool query: score over must+should, require the must term, exclude
@@ -3323,6 +3384,8 @@ def oracle_sql() -> dict[str, str]:
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,
         "prefix_search": _PREFIX_SQL,
+        "wildcard_search": _WILDCARD_SQL,
+        "more_like_this": _MLT_SQL,
         "fuzzy_search": _FUZZY_SQL,
         "bool_search": _BOOL_SQL,
         "facet_counts": _FACETS_SQL,
