@@ -1171,6 +1171,92 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared date_histogram bucket frame for the pipeline aggs: one row
+    per day. Every pipeline agg below runs its window/filter over THIS
+    frame (tens of rows at any corpus size), never the raw events —
+    that's what keeps the single-task windows scale-safe."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("v"),
+        )
+    )
+
+
+def q_events_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script pipeline agg: a per-bucket expression over two
+    sibling metrics — mean event value per day = sum(value)/count."""
+    return _daily(spark, sf_dir).select(
+        "day", "n", "v", F.round(F.col("v") / F.col("n"), 6).alias("mean_v")
+    )
+
+
+BSEL_FACTOR = 1.017
+
+
+def q_events_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector pipeline agg: drop buckets failing a metric
+    predicate — keep days whose count exceeds BSEL_FACTOR x the mean
+    daily count. The threshold scalar comes from one agg over the
+    ~30-row bucket frame (cross-joined, broadcast), so the filter is a
+    bucket-local predicate exactly like ES's params.n > X."""
+    daily = _daily(spark, sf_dir).select("day", "n")
+    thr = daily.agg((F.avg("n") * F.lit(BSEL_FACTOR)).alias("thr"))
+    return (
+        daily.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") > F.col("thr"))
+        .select("day", "n")
+    )
+
+
+SDIFF_LAG = 7
+
+
+def q_events_serial_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES serial_diff pipeline agg: lag-7 differencing of the daily
+    counts (week-over-week seasonality removal)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day")
+    return (
+        _daily(spark, sf_dir)
+        .select("day", "n")
+        .withColumn(
+            "diff7", (F.col("n") - F.lag("n", SDIFF_LAG).over(w)).cast("long")
+        )
+    )
+
+
+def q_events_stats_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats_bucket sibling pipeline agg: min/max/avg/sum over the
+    date_histogram's per-bucket counts (one output row)."""
+    return _daily(spark, sf_dir).agg(
+        F.min("n").cast("long").alias("min_n"),
+        F.max("n").cast("long").alias("max_n"),
+        F.round(F.avg("n"), 6).alias("avg_n"),
+        F.sum("n").cast("long").alias("sum_n"),
+        F.count("*").cast("long").alias("n_buckets"),
+    )
+
+
+BSORT_K = 5
+
+
+def q_events_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_sort pipeline agg: order the histogram buckets by a
+    metric and truncate — top-5 days by count (TakeOrderedAndProject
+    over the bucket frame)."""
+    return (
+        _daily(spark, sf_dir)
+        .select("day", "n")
+        .orderBy(F.col("n").desc(), F.col("day").asc())
+        .limit(BSORT_K)
+    )
+
+
 COMPOSITE_AFTER = ("en", "src12")
 COMPOSITE_SIZE = 10
 
@@ -1741,6 +1827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget": q_token_budget,
         "date_histogram": q_date_histogram,
         "events_derivative": q_events_derivative,
+        "events_bucket_script": q_events_bucket_script,
+        "events_bucket_selector": q_events_bucket_selector,
+        "events_serial_diff": q_events_serial_diff,
+        "events_stats_bucket": q_events_stats_bucket,
+        "events_bucket_sort": q_events_bucket_sort,
         "events_moving_avg": q_events_moving_avg,
         "search_composite": q_search_composite,
         "fingerprint": q_fingerprint,
@@ -2352,6 +2443,42 @@ SELECT day, n,
          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg7
 FROM daily
 """
+
+_DAILY_CTE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS n,
+         round(sum(value), 6) AS v
+  FROM events GROUP BY 1
+)
+"""
+
+_EVENTS_BUCKET_SCRIPT_SQL = (
+    _DAILY_CTE + "SELECT day, n, v, round(v / n, 6) AS mean_v FROM daily"
+)
+
+_EVENTS_BUCKET_SELECTOR_SQL = (
+    _DAILY_CTE
+    + f"SELECT day, n FROM daily WHERE n > (SELECT avg(n) * {BSEL_FACTOR} FROM daily)"
+)
+
+_EVENTS_SERIAL_DIFF_SQL = (
+    _DAILY_CTE
+    + f"SELECT day, n, CAST(n - lag(n, {SDIFF_LAG}) OVER (ORDER BY day) AS BIGINT)"
+    " AS diff7 FROM daily"
+)
+
+_EVENTS_STATS_BUCKET_SQL = (
+    _DAILY_CTE
+    + "SELECT min(n)::BIGINT AS min_n, max(n)::BIGINT AS max_n,"
+    " round(avg(n), 6) AS avg_n, sum(n)::BIGINT AS sum_n,"
+    " count(*)::BIGINT AS n_buckets FROM daily"
+)
+
+_EVENTS_BUCKET_SORT_SQL = (
+    _DAILY_CTE
+    + f"SELECT day, n FROM daily ORDER BY n DESC, day ASC LIMIT {BSORT_K}"
+)
+
 
 _SEARCH_COMPOSITE_SQL = f"""
 SELECT lang, source, count(*)::BIGINT AS n
@@ -3462,6 +3589,11 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": _TOKEN_BUDGET_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "events_derivative": _EVENTS_DERIVATIVE_SQL,
+        "events_bucket_script": _EVENTS_BUCKET_SCRIPT_SQL,
+        "events_bucket_selector": _EVENTS_BUCKET_SELECTOR_SQL,
+        "events_serial_diff": _EVENTS_SERIAL_DIFF_SQL,
+        "events_stats_bucket": _EVENTS_STATS_BUCKET_SQL,
+        "events_bucket_sort": _EVENTS_BUCKET_SORT_SQL,
         "events_moving_avg": _EVENTS_MOVING_AVG_SQL,
         "search_composite": _SEARCH_COMPOSITE_SQL,
         "fingerprint": _fingerprint_sql(),
