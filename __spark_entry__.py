@@ -780,6 +780,18 @@ def q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_match_topk(docs, MM_TERMS, MM_FIELDS, k=BM25_K)
 
 
+def q_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES combined_fields: text^1 + lang^2 merged into one synthetic
+    term universe BEFORE scoring (weighted tf and length sums, combined
+    df/avgdl, single BM25 pass) — vs multi_match's per-field score
+    combine. One doc-table scan; the only shuffle is the per-doc TF
+    groupBy."""
+    from s3logsbeat_spark.operators.multifield import combined_fields_topk
+
+    docs = _docs(spark, sf_dir)
+    return combined_fields_topk(docs, MM_TERMS, MM_FIELDS, k=BM25_K)
+
+
 COLLAPSE_FIELD = "lang"
 RESCORE_PHRASE = "merge batch"
 RESCORE_WINDOW = 50
@@ -1805,6 +1817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "ann_filtered": q_ann_filtered,
         "multi_match": q_multi_match,
+        "combined_fields": q_combined_fields,
         "collapse": q_collapse,
         "function_score": q_function_score,
         "rescore": q_rescore,
@@ -2521,6 +2534,47 @@ sc_{tag} AS (
   GROUP BY p.doc_id
 )"""
 
+
+_COMBINED_FIELDS_SQL = f"""
+WITH occ AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term,
+         1.0 AS w
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(lang), '[a-z0-9_]+')) AS term,
+         2.0 AS w
+  FROM documents
+),
+postings AS (SELECT doc_id, term, sum(w) AS tf FROM occ GROUP BY 1, 2),
+doclen AS (SELECT doc_id, sum(w) AS dl FROM occ GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM doclen)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term IN ('merge', 'en') GROUP BY 1
+),
+scored AS (
+  SELECT p.doc_id,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+         ) AS raw
+  FROM postings p
+  JOIN dfs d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  WHERE p.term IN ('merge', 'en')
+  GROUP BY p.doc_id
+)
+SELECT doc_id, round(raw, 6) AS score FROM scored
+ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT {BM25_K}
+"""
 
 _MULTI_MATCH_SQL = f"""
 WITH {_mm_field_cte("text", "t", 1.0).lstrip()},
@@ -3544,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,
         "multi_match": _MULTI_MATCH_SQL,
+        "combined_fields": _COMBINED_FIELDS_SQL,
         "collapse": _COLLAPSE_SQL,
         "function_score": _FUNCTION_SCORE_SQL,
         "rescore": _RESCORE_SQL,

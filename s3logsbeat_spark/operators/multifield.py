@@ -76,3 +76,58 @@ def multi_match_topk(
     comb = F.sum("fscore") if mode == "most_fields" else F.max("fscore")
     scored = u.groupBy("doc_id").agg(F.round(comb, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def combined_fields_topk(
+    docs: DataFrame,
+    terms: list[str],
+    fields: dict[str, float],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES combined_fields query: unlike multi_match, the fields merge
+    into ONE synthetic term universe BEFORE scoring — per-doc tf is the
+    weight-scaled sum of per-field tfs, doc length the weighted sum of
+    field lengths, df/avgdl computed on the combined universe, then a
+    single BM25 pass (the principled BM25F-lite ES added in 7.13).
+
+    Plan shape: ONE scan of the docs table computes every field's token
+    array, the weighted occurrence stream and the combined length in the
+    same projection (all JVM expressions); the only shuffle is the
+    per-doc TF groupBy, then the usual broadcast-df-join scoring."""
+    if not fields:
+        raise ValueError("combined_fields requires at least one field")
+    cols = list(fields.items())
+    arr = [
+        F.expr(f"regexp_extract_all(lower({c}), '[a-z0-9_]+', 0)").alias(f"_a{i}")
+        for i, (c, _) in enumerate(cols)
+    ]
+    base = docs.select(F.col(id_col).alias("doc_id"), *arr)
+    dl = None
+    streams = []
+    def _tag(w: float):
+        # single-arg lambda: a 2-arg one would make F.transform pass the
+        # array index as the second argument
+        return lambda x: F.struct(x.alias("term"), F.lit(float(w)).alias("w"))
+
+    for i, (_, w) in enumerate(cols):
+        part = F.size(f"_a{i}").cast("double") * F.lit(float(w))
+        dl = part if dl is None else dl + part
+        streams.append(F.transform(F.col(f"_a{i}"), _tag(w)))
+    postings = (
+        base.select(
+            "doc_id",
+            dl.alias("doc_len"),
+            F.explode(F.concat(*streams)).alias("e"),
+        )
+        .groupBy("doc_id", "doc_len", F.col("e.term").alias("term"))
+        .agg(F.sum("e.w").alias("tf"))
+        .select("doc_id", "term", "tf", "doc_len")
+    )
+    n_docs, avgdl = corpus_stats(postings, docs.count())
+    scored = bm25_scores(postings, terms, n_docs, avgdl)
+    return (
+        scored.withColumn("score", F.round("score", 6))
+        .orderBy(F.round("score", 6).desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -73,3 +73,71 @@ def test_multi_match_bad_mode(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
     with pytest.raises(ValueError):
         multi_match_topk(df, ["alpha"], {"text": 1.0}, mode="nope")
+
+
+def _bm25_combined(terms, field_docs, weights):
+    """Python twin of combined_fields: weighted tf/length sums into one
+    universe, single BM25 pass."""
+    import math
+    import re
+
+    tfs, dls = {}, {}
+    for w, docs in zip(weights, field_docs):
+        for d, text in docs:
+            toks = re.findall(r"[a-z0-9_]+", text.lower())
+            dls[d] = dls.get(d, 0.0) + w * len(toks)
+            for t in toks:
+                tfs.setdefault(d, {})
+                tfs[d][t] = tfs[d].get(t, 0.0) + w
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    out = {}
+    for t in set(terms):
+        df = sum(1 for d in tfs if t in tfs[d])
+        if not df:
+            continue
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        for d in tfs:
+            tf = tfs[d].get(t, 0.0)
+            if tf:
+                c = idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dls[d] / avgdl))
+                out[d] = out.get(d, 0.0) + c
+    return out
+
+
+def test_combined_fields_vs_python(spark):
+    from s3logsbeat_spark.operators.multifield import combined_fields_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    terms = ["alpha", "news"]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in combined_fields_topk(
+            df, terms, {"text": 1.0, "tag": 3.0}, k=10
+        ).collect()
+    ]
+    ref = _bm25_combined(
+        terms,
+        [[(d, t) for d, t, _ in DOCS], [(d, g) for d, _, g in DOCS]],
+        [1.0, 3.0],
+    )
+    want = sorted(
+        ((d, round(s, 6)) for d, s in ref.items()), key=lambda x: (-x[1], x[0])
+    )
+    assert got == want
+
+
+def test_combined_fields_differs_from_most_fields(spark):
+    """combined_fields merges universes BEFORE scoring, so its scores
+    are not a weighted sum of per-field scores — the two queries must
+    not be trivially identical on a corpus with cross-field terms."""
+    from s3logsbeat_spark.operators.multifield import combined_fields_topk
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    terms = ["alpha", "news"]
+    fields = {"text": 1.0, "tag": 3.0}
+    a = {(r["doc_id"], r["score"])
+         for r in combined_fields_topk(df, terms, fields, k=10).collect()}
+    b = {(r["doc_id"], r["score"])
+         for r in multi_match_topk(df, terms, fields, k=10).collect()}
+    assert a != b
