@@ -1572,6 +1572,31 @@ def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alb_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-endpoints rollup over parsed ALB logs: request URLs
+    canonicalized (lowercased host, default port stripped, duplicate
+    slashes collapsed, query params sorted) then grouped by (host, path,
+    method) with request count, byte sum and error rate — the
+    log-analytics query the reference's users run on shipped events.
+    Pure JVM expressions end-to-end; one scan + one partial-agg
+    groupBy."""
+    from s3logsbeat_spark.operators.urlstats import url_rollup
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = parse_lines(ev.select(_alb_line_spark().alias("value")), FORMATS["alb"])
+    d = parsed.select(
+        F.col("request_method").alias("method"),
+        F.col("request_url").alias("url"),
+        F.col("elb_status_code").cast("long").alias("status"),
+        F.col("sent_bytes").cast("long").alias("bytes"),
+    )
+    return url_rollup(
+        d, "url", method_col="method", status_col="status", bytes_col="bytes"
+    )
+
+
 def q_alb_parse_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11 at the contract level: every 97th line is truncated to its
     first 40 chars (can't match the ALB pattern); those rows must come
@@ -1868,6 +1893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "alb_parse": q_alb_parse,
         "alb_parse_errors": q_alb_parse_errors,
+        "alb_url_stats": q_alb_url_stats,
         "cloudfront_parse": q_cloudfront_parse,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -3364,6 +3390,38 @@ SELECT sha256({_ALB_LINE_DUCK}) AS _id,
 FROM events
 """
 
+# alb_url_stats: rebuild the decoded request URL from events, then apply
+# the SAME normalization regexes as operators/urlstats.py in SQL
+_ALB_URL_STATS_SQL = """
+WITH urls AS (
+  SELECT 'https://ex.com/p q/' || event_type || '?k=' || (event_id % 100) AS u,
+         'GET' AS method,
+         (200 + (event_id % 4) * 100)::BIGINT AS status,
+         floor(abs(coalesce(value, 0.0)) * 100)::BIGINT AS bytes
+  FROM events
+),
+parts AS (
+  SELECT lower(regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS url_host,
+         regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0,
+         method, status, bytes
+  FROM urls
+),
+norm AS (
+  SELECT url_host,
+         CASE WHEN regexp_replace(regexp_replace(p0, '/{2,}', '/'), '/$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(regexp_replace(p0, '/{2,}', '/'), '/$', '')
+         END AS url_path,
+         method, status, bytes
+  FROM parts
+)
+SELECT url_host, url_path, method,
+       count(*)::BIGINT AS n_req,
+       sum(bytes)::BIGINT AS sum_bytes,
+       round(avg(CASE WHEN status >= 400 THEN 1.0 ELSE 0.0 END), 6) AS err_rate
+FROM norm GROUP BY 1, 2, 3
+"""
+
 _CF_LINE_DUCK = """
   strftime(ts, '%Y-%m-%d') || chr(9) || strftime(ts, '%H:%M:%S')
   || chr(9) || 'LAX1-' || event_type
@@ -3671,6 +3729,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
+        "alb_url_stats": _ALB_URL_STATS_SQL,
         "alb_parse_errors": _ALB_ERRORS_SQL,
         "cloudfront_parse": _CF_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

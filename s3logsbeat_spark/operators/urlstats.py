@@ -1,0 +1,106 @@
+"""URL analytics over parsed access logs (ALB / CloudFront request
+URLs — the reference's core event payload, `s3alblogparser.go:9-31`).
+
+Log-analytics engines answer "top endpoints, bytes and error-rate by
+normalized URL" constantly; this module provides the canonicalization
+and rollup as pure JVM column expressions (regexp + string built-ins —
+whole-stage codegen, no UDFs), so the rollup is one scan + one
+partial-agg groupBy at any scale.
+
+Normalization rule (deterministic, mirrored in the DuckDB contract
+oracle):
+- scheme and host lowercased
+- default ports stripped (``:80`` for http, ``:443`` for https)
+- fragment dropped
+- duplicate slashes in the path collapsed, trailing slash stripped
+  (except the root path)
+- query parameters sorted lexicographically (param ORDER never changes
+  response identity for well-behaved services; sorting makes
+  ``/p?a=1&b=2`` and ``/p?b=2&a=1`` the same endpoint key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one regex family shared with the DuckDB oracle (group-indexed there)
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)"
+_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:([0-9]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def split_url(df: DataFrame, url_col: str, prefix: str = "url_") -> DataFrame:
+    """Add ``{prefix}scheme/host/port/path/query`` columns extracted
+    from ``url_col`` — all JVM ``regexp_extract`` expressions. Missing
+    parts come back as empty string (port as null long)."""
+    u = F.col(url_col)
+    return df.withColumns(
+        {
+            f"{prefix}scheme": F.lower(F.regexp_extract(u, _SCHEME_RE, 1)),
+            f"{prefix}host": F.lower(F.regexp_extract(u, _HOST_RE, 1)),
+            f"{prefix}port": F.nullif(
+                F.regexp_extract(u, _PORT_RE, 1), F.lit("")
+            ).cast("long"),
+            f"{prefix}path": F.regexp_extract(u, _PATH_RE, 1),
+            f"{prefix}query": F.regexp_extract(u, _QUERY_RE, 1),
+        }
+    )
+
+
+def normalize_url(df: DataFrame, url_col: str, out_col: str = "url_norm") -> DataFrame:
+    """Add ``out_col`` with the canonical form of ``url_col`` (see
+    module docstring for the rule). Composes :func:`split_url`'s parts
+    back together; pure JVM expressions."""
+    tmp = "__un_"
+    d = split_url(df, url_col, prefix=tmp)
+    scheme = F.col(f"{tmp}scheme")
+    host = F.col(f"{tmp}host")
+    port = F.col(f"{tmp}port")
+    default_port = F.when(scheme == "https", F.lit(443)).otherwise(
+        F.when(scheme == "http", F.lit(80)).otherwise(F.lit(None))
+    )
+    port_part = F.when(
+        port.isNull() | (port == default_port), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port.cast("string")))
+    # collapse duplicate slashes -> at most one trailing slash remains,
+    # strip it, then restore the bare root
+    path = F.regexp_replace(F.col(f"{tmp}path"), "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.col(f"{tmp}query")
+    q_sorted = F.array_join(F.array_sort(F.split(q, "&")), "&")
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q_sorted))
+    norm = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return d.withColumn(out_col, norm).drop(
+        *[f"{tmp}{c}" for c in ("scheme", "host", "port", "path", "query")]
+    )
+
+
+def url_rollup(
+    df: DataFrame,
+    url_col: str,
+    method_col: str | None = None,
+    status_col: str | None = None,
+    bytes_col: str | None = None,
+) -> DataFrame:
+    """Endpoint rollup: group by (normalized host, normalized path[,
+    method]) with request count, optional byte sum and optional
+    error-rate (status >= 400). One scan, one partial-agg groupBy —
+    the canonical access-log top-endpoints plan."""
+    d = split_url(normalize_url(df, url_col, "url_norm"), "url_norm", "n_")
+    keys = [F.col("n_host").alias("url_host"), F.col("n_path").alias("url_path")]
+    if method_col:
+        keys.append(F.col(method_col).alias("method"))
+    aggs = [F.count("*").cast("long").alias("n_req")]
+    if bytes_col:
+        aggs.append(F.sum(bytes_col).cast("long").alias("sum_bytes"))
+    if status_col:
+        aggs.append(
+            F.round(
+                F.avg(F.when(F.col(status_col) >= 400, 1.0).otherwise(0.0)), 6
+            ).alias("err_rate")
+        )
+    return d.groupBy(*keys).agg(*aggs)

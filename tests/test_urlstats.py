@@ -1,0 +1,77 @@
+"""URL canonicalization + endpoint rollup (access-log analytics)."""
+
+from __future__ import annotations
+
+from s3logsbeat_spark.operators.urlstats import (
+    normalize_url,
+    split_url,
+    url_rollup,
+)
+
+CASES = [
+    # (raw, normalized)
+    ("https://Ex.COM:443/a/b?x=1", "https://ex.com/a/b?x=1"),
+    ("http://ex.com:80/", "http://ex.com/"),
+    ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+    ("https://ex.com//a///b/", "https://ex.com/a/b"),
+    ("https://ex.com/a/b/", "https://ex.com/a/b"),
+    ("https://ex.com", "https://ex.com/"),
+    ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),
+    ("https://ex.com/p?b=2&a=1#frag", "https://ex.com/p?a=1&b=2"),
+    ("HTTPS://ex.com/CaseKept", "https://ex.com/CaseKept"),
+    ("ftp://files.ex.com:21/x", "ftp://files.ex.com:21/x"),  # no default for ftp
+]
+
+
+def test_normalize_url_cases(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string")
+    got = {
+        r["i"]: r["url_norm"]
+        for r in normalize_url(df, "url").select("i", "url_norm").collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, (raw, got[i], want)
+
+
+def test_split_url_parts(spark):
+    df = spark.createDataFrame(
+        [(1, "https://Ex.com:8443/a/b?x=1&y=2#f")], "i long, url string"
+    )
+    r = split_url(df, "url").collect()[0]
+    assert r["url_scheme"] == "https"
+    assert r["url_host"] == "ex.com"
+    assert r["url_port"] == 8443
+    assert r["url_path"] == "/a/b"
+    assert r["url_query"] == "x=1&y=2"
+
+
+def test_url_rollup(spark):
+    rows = [
+        (1, "GET", "https://ex.com/a?b=2&a=1", 200, 100),
+        (2, "GET", "https://EX.com:443/a?a=1&b=2", 404, 50),
+        (3, "POST", "https://ex.com/a/", 500, 10),
+        (4, "GET", "https://other.com/a", 200, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "i long, method string, url string, status long, bytes long"
+    )
+    got = {
+        (r["url_host"], r["url_path"], r["method"]): (
+            r["n_req"], r["sum_bytes"], r["err_rate"]
+        )
+        for r in url_rollup(
+            df, "url", method_col="method", status_col="status",
+            bytes_col="bytes",
+        ).collect()
+    }
+    # rows 1+2 normalize to the same endpoint key
+    assert got[("ex.com", "/a", "GET")] == (2, 150, 0.5)
+    assert got[("ex.com", "/a", "POST")] == (1, 10, 1.0)
+    assert got[("other.com", "/a", "GET")] == (1, 7, 0.0)
+
+
+def test_rollup_plan_is_one_shuffle(spark):
+    df = spark.createDataFrame([(1, "https://ex.com/a")], "i long, url string")
+    plan = url_rollup(df, "url")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the partial-agg groupBy only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
