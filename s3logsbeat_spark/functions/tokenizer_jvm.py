@@ -1,0 +1,154 @@
+"""Pure-JVM twin of the code-aware tokenizer (`tokenizer.py`).
+
+Same emission semantics — lowercase raw identifiers, camel/snake
+sub-tokens when the split is non-trivial, lang-tagged keyword terms —
+expressed entirely with built-in column functions (regexp_extract_all /
+regexp_replace with zero-width camel boundaries / transform / flatten),
+so tokenization runs inside whole-stage codegen with no Python worker.
+
+The trade-off vs `tokenizer.doc_terms` (measured, see
+BENCH/BASELINE.md "tokenizer JVM-vs-Python A/B"): this path must explode
+the emission stream and groupBy (doc_id, term) to get per-doc TFs — an
+extra shuffle whose map side partially aggregates to the same
+cardinality the Python path emits directly. The Python path's memoized
+per-distinct-token loop is O(vocab) per batch; this path is O(tokens)
+but at JVM speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .tokenizer import CAMEL_RE, KEYWORDS
+
+_CAMEL_JVM = CAMEL_RE.pattern  # lookaround pattern is valid Java regex
+
+
+def _emissions_col(text_col: str, lang_col: str | None):
+    """array<string> of every emitted term for one document, in raw-token
+    order (sub-tokens and keyword tags grouped with their raw token) —
+    ordering does not matter for TF counting."""
+    raw = F.expr(f"regexp_extract_all({text_col}, '[A-Za-z_][A-Za-z0-9_]*', 0)")
+
+    def per_token(r):
+        low = F.lower(r)
+        # camel boundaries -> '_', then split on '_' and drop empties;
+        # original case is irrelevant after lowering each part
+        parts = F.filter(
+            F.split(F.regexp_replace(r, _CAMEL_JVM, "_"), "_"),
+            lambda p: p != "",
+        )
+        trivial = (F.size(parts) == 0) | (
+            (F.size(parts) == 1) & (F.element_at(parts, 1) == r)
+        )
+        subs = F.when(trivial, F.array().cast("array<string>")).otherwise(
+            F.transform(parts, F.lower)
+        )
+        out = F.concat(F.array(low), subs)
+        if lang_col is not None:
+            kw_map = F.create_map(
+                *[
+                    x
+                    for lang, words in sorted(KEYWORDS.items())
+                    for x in (
+                        F.lit(lang),
+                        F.array(*[F.lit(w) for w in sorted(words)]),
+                    )
+                ]
+            )
+            lang = F.col(lang_col)
+            tagged = F.when(
+                lang.isNotNull()
+                & F.array_contains(
+                    F.coalesce(
+                        kw_map[lang], F.array().cast("array<string>")
+                    ),
+                    low,
+                ),
+                F.array(F.concat(lang, F.lit(":"), low)),
+            ).otherwise(F.array().cast("array<string>"))
+            out = F.concat(out, tagged)
+        return out
+
+    return F.flatten(F.transform(raw, per_token))
+
+
+def doc_terms_jvm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """(id, text, lang) -> (doc_id, term, tf, doc_len) — identical rows
+    to `tokenizer.doc_terms` (no doc markers), computed JVM-side with
+    one groupBy(doc_id, term) shuffle (map-side partial agg)."""
+    em = _emissions_col(text_col, lang_col)
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(em).alias("doc_len"),
+        F.explode(em).alias("term"),
+    )
+    return (
+        exploded.groupBy("doc_id", "doc_len", "term")
+        .agg(F.count("*").cast("int").alias("tf"))
+        .select(
+            "doc_id", "term", "tf", F.col("doc_len").cast("int").alias("doc_len")
+        )
+    )
+
+
+def doc_terms_jvm_exploded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+) -> DataFrame:
+    """Codegen-friendly JVM variant: explode raw tokens FIRST, then do
+    lower/camel-split/keyword-tag as plain per-row column expressions
+    (whole-stage codegen — no higher-order lambdas, which Spark
+    evaluates interpreted). Keyword tagging is a broadcast join against
+    the (lang, keyword) table.
+
+    Cost model (why `tokenizer.doc_terms` stays the default): this path
+    shuffles the full emission stream twice (per-doc-TF groupBy + doc_len
+    groupBy) and joins lengths back (third shuffle-ish exchange), where
+    the Python path ships only packed per-doc counts with ZERO shuffles.
+    Kept for the measured A/B in BENCH/BASELINE.md."""
+    spark = df.sparkSession
+    raw = F.expr(f"regexp_extract_all({text_col}, '[A-Za-z_][A-Za-z0-9_]*', 0)")
+    cols = [F.col(id_col).alias("doc_id"), F.explode(raw).alias("tok")]
+    if lang_col:
+        cols.insert(1, F.col(lang_col).alias("_lang"))
+    toks = df.select(*cols)
+    low = F.lower(F.col("tok"))
+    marked = F.regexp_replace(F.col("tok"), _CAMEL_JVM, "_")
+    a = toks.select("doc_id", low.alias("term"))
+    subs = (
+        toks.filter(F.col("tok").contains("_") | (marked != F.col("tok")))
+        .select("doc_id", F.explode(F.split(marked, "_")).alias("p"))
+        .filter(F.col("p") != "")
+        .select("doc_id", F.lower("p").alias("term"))
+    )
+    occ = a.unionByName(subs)
+    if lang_col:
+        kws = spark.createDataFrame(
+            [(l, w) for l, ws in KEYWORDS.items() for w in ws],
+            "klang string, kw string",
+        )
+        tagged = (
+            toks.join(
+                F.broadcast(kws),
+                (F.col("_lang") == F.col("klang")) & (low == F.col("kw")),
+            )
+            .select(
+                "doc_id",
+                F.concat(F.col("_lang"), F.lit(":"), F.col("kw")).alias("term"),
+            )
+        )
+        occ = occ.unionByName(tagged)
+    postings = occ.groupBy("doc_id", "term").agg(
+        F.count("*").cast("int").alias("tf")
+    )
+    lens = occ.groupBy("doc_id").agg(F.count("*").cast("int").alias("doc_len"))
+    return postings.join(lens, "doc_id").select("doc_id", "term", "tf", "doc_len")

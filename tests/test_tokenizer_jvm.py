@@ -1,0 +1,56 @@
+"""JVM-expression tokenizer twins vs the Python mapInPandas tokenizer.
+
+These twins exist as the measured alternative in the BENCH/BASELINE.md
+"tokenizer JVM-vs-Python A/B": at 128k code docs / 32 cores the
+memoized Python path runs ~2.5-3x faster than the best JVM formulation
+(and ships ZERO shuffles, where the JVM path must shuffle the emission
+stream twice). The tests pin the semantic equivalence so the A/B stays
+honest if the tokenizer evolves.
+"""
+
+from __future__ import annotations
+
+from s3logsbeat_spark.functions.tokenizer import doc_terms
+from s3logsbeat_spark.functions.tokenizer_jvm import (
+    doc_terms_jvm,
+    doc_terms_jvm_exploded,
+)
+
+EDGE_DOCS = [
+    (0, "getHttpResponse ABCDef a_ __ _x x_ a__b", "py"),
+    (1, "def return class notakeyword Def RETURN", "py"),
+    (2, "func int64 fallthrough", "go"),
+    (3, "", "py"),
+    (4, "snake_case_id camelCase ALLCAPS XMLHttpRequest", None),
+    (5, "public static void", "java"),
+    (6, "def func", "zz"),  # unknown lang: no tags
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_jvm_twins_match_python_on_edges(spark):
+    df = spark.createDataFrame(EDGE_DOCS, "doc_id long, content string, lang string")
+    want = _rows(doc_terms(df))
+    assert _rows(doc_terms_jvm(df)) == want
+    assert _rows(doc_terms_jvm_exploded(df)) == want
+
+
+def test_jvm_twins_match_python_on_corpus(spark):
+    from s3logsbeat_spark.testing.corpus import corpus_df
+
+    df = corpus_df(spark, n_docs=150)
+    want = _rows(doc_terms(df))
+    assert _rows(doc_terms_jvm(df)) == want
+    assert _rows(doc_terms_jvm_exploded(df)) == want
+
+
+def test_jvm_twins_no_lang(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in EDGE_DOCS], "doc_id long, content string"
+    )
+    want = _rows(doc_terms(df, lang_col=None))
+    assert _rows(doc_terms_jvm(df, lang_col=None)) == want
+    assert _rows(doc_terms_jvm_exploded(df, lang_col=None)) == want
