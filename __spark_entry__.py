@@ -1087,6 +1087,28 @@ def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(docs)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style pre-training quality gate: word-count window,
+    mean-word-length window, symbol ratio cap, min distinct stopwords —
+    per-rule booleans + the conjunctive gopher_pass. One scan, pure JVM
+    expressions, no shuffle."""
+    from s3logsbeat_spark.operators.textstats import gopher_rules
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return gopher_rules(docs)
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail stratification: tercile cuts over the
+    unigram-LM mean NLL (two scalars from one agg), then a map-side
+    CASE — no global sort. Exact percentiles here (== DuckDB
+    quantile_cont); approx sketch at real scale."""
+    from s3logsbeat_spark.operators.textstats import perplexity_buckets
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return perplexity_buckets(docs)
+
+
 LD_TOKENS_PER_LINE = 10
 SAMPLE_RATES = {"en": 0.5, "zh": 0.8}
 SAMPLE_DEFAULT = 0.25
@@ -1859,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "repetition": q_repetition,
         "lm_nll": q_lm_nll,
+        "gopher_quality": q_gopher_quality,
+        "perplexity_buckets": q_perplexity_buckets,
         "term_vectors": q_term_vectors,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
@@ -2984,6 +3008,49 @@ FROM documents d LEFT JOIN nt USING (doc_id) LEFT JOIN s USING (doc_id)
 """
 
 
+_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks, text
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         round(length(list_aggr(toks, 'string_agg', ''))::DOUBLE
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round((length(text) - length(replace(text, '#', ''))
+                + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / greatest(len(toks), 1), 6) AS symbol_ratio,
+         len(list_intersect(list_distinct(toks),
+             ['the','a','and','of','to','is','in','it','that','for']))::BIGINT
+           AS n_stop_distinct
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_distinct,
+       (n_words BETWEEN 30 AND 80) AS ok_word_count,
+       (mean_word_len BETWEEN 3.0 AND 4.6) AS ok_mean_word_len,
+       (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+       (n_stop_distinct >= 2) AS ok_stopwords,
+       ((n_words BETWEEN 30 AND 80) AND (mean_word_len BETWEEN 3.0 AND 4.6)
+        AND (symbol_ratio <= 0.1) AND (n_stop_distinct >= 2)) AS gopher_pass
+FROM m
+"""
+
+_PPL_BUCKETS_SQL = f"""
+WITH base AS ({_LM_NLL_SQL}),
+cuts AS (
+  SELECT quantile_cont(mean_nll, 1.0/3) AS q1,
+         quantile_cont(mean_nll, 2.0/3) AS q2
+  FROM base
+)
+SELECT doc_id, n_tokens, mean_nll,
+       CASE WHEN mean_nll <= q1 THEN 'head'
+            WHEN mean_nll <= q2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM base CROSS JOIN cuts
+"""
+
+
 def _repetition_sql() -> str:
     """Unnest/GROUP BY statement of the repetition semantics the Spark
     side computes as per-doc sorted-array folds."""
@@ -3696,6 +3763,8 @@ def oracle_sql() -> dict[str, str]:
         "quality": _quality_sql(),
         "repetition": _repetition_sql(),
         "lm_nll": _LM_NLL_SQL,
+        "gopher_quality": _GOPHER_SQL,
+        "perplexity_buckets": _PPL_BUCKETS_SQL,
         "term_vectors": _TERM_VECTORS_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,

@@ -290,3 +290,95 @@ def token_counts(
         F.size(tokens_col(text_col)).cast("long").alias("n_word_tokens"),
         F.size(bpeish).cast("long").alias("n_bpeish_tokens"),
     )
+
+
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 80
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 4.6
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOP_DISTINCT = 2
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1-ish,
+    thresholds tuned to the corpus): word-count window, mean-word-length
+    window, symbol-to-word ratio cap (# and ellipsis), and a minimum
+    number of DISTINCT stopwords present. Emits one boolean per rule
+    plus the conjunctive ``gopher_pass`` — the standard pre-training
+    corpus gate.
+
+    All JVM expressions over one tokenization per doc; one scan, no
+    shuffle. Ratios round to 6 dp so the DuckDB oracle compares exactly.
+    """
+    toks = tokens_col(text_col)
+    n = F.size(toks).cast("long")
+    n_d = F.greatest(n, F.lit(1)).cast("double")
+    # sum of token lengths == length of the separator-free join: stays
+    # out of interpreted higher-order-function evaluation (see the
+    # tokenizer JVM A/B in BENCH/BASELINE.md)
+    mwl = F.round(F.length(F.array_join(toks, "")).cast("double") / n_d, 6)
+    t = F.col(text_col)
+    n_sym = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, "#", ""))
+        + (
+            F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+        ) / F.lit(3)
+    ).cast("double")
+    sym_ratio = F.round(n_sym / n_d, 6)
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in STOPWORDS]))
+    ).cast("long")
+    ok_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ok_mwl = (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+    ok_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_stop = n_stop >= GOPHER_MIN_STOP_DISTINCT
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        n_stop.alias("n_stop_distinct"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_stop).alias("gopher_pass"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style head/middle/tail split: rank every doc by its
+    unigram-LM mean NLL (:func:`unigram_nll`) and bucket at the corpus
+    terciles — the standard quality-stratification step before sampling
+    pre-training data (head = most LM-typical).
+
+    The tercile cuts are TWO scalars collected from one agg; bucket
+    assignment is then a map-side CASE expression — no global sort of
+    the corpus. ``exact=True`` uses exact linear-interpolation
+    percentiles (== DuckDB ``quantile_cont``, the oracle); at real
+    scale pass ``exact=False`` for the approx_percentile sketch (same
+    two-scalar plan shape, no exact-sort cost)."""
+    nll = unigram_nll(df, text_col, id_col)
+    pf = F.percentile if exact else (
+        lambda c, p: F.percentile_approx(c, p, 10_000)
+    )
+    row = nll.agg(
+        pf(F.col("mean_nll"), 1.0 / 3).alias("q1"),
+        pf(F.col("mean_nll"), 2.0 / 3).alias("q2"),
+    ).collect()[0]
+    q1, q2 = float(row["q1"]), float(row["q2"])
+    bucket = (
+        F.when(F.col("mean_nll") <= q1, F.lit("head"))
+        .when(F.col("mean_nll") <= q2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return nll.select("doc_id", "n_tokens", "mean_nll", bucket.alias("ppl_bucket"))
