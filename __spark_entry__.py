@@ -829,6 +829,61 @@ def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RF_PIVOT = 200.0
+DF_ORIGIN = 500.0
+DF_PIVOT = 100.0
+DIV_MAX_PER_LANG = 2
+
+
+def q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rank_feature (saturation): score + n_chars/(n_chars+pivot)."""
+    from s3logsbeat_spark.operators.searchext import rank_feature_topk
+
+    return rank_feature_topk(
+        _bm25_scored(spark, sf_dir), _docs(spark, sf_dir), "n_chars",
+        pivot=RF_PIVOT, k=BM25_K,
+    )
+
+
+def q_distance_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES distance_feature: score + pivot/(pivot + |n_chars - origin|)
+    — proximity-to-origin additive boost."""
+    from s3logsbeat_spark.operators.searchext import distance_feature_topk
+
+    return distance_feature_topk(
+        _bm25_scored(spark, sf_dir), _docs(spark, sf_dir), "n_chars",
+        origin=DF_ORIGIN, pivot=DF_PIVOT, k=BM25_K,
+    )
+
+
+def q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation: named predicate buckets counted in ONE
+    pass of conditional sums (docs can land in several buckets)."""
+    from s3logsbeat_spark.operators.searchext import filters_agg
+
+    d = _docs(spark, sf_dir)
+    return filters_agg(
+        d,
+        {
+            "short": F.col("n_chars") < 300,
+            "en": F.col("lang") == "en",
+            "long_en": (F.col("n_chars") >= 300) & (F.col("lang") == "en"),
+        },
+    )
+
+
+def q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES diversified_sampler: top-k BM25 hits with at most 2 docs per
+    lang — per-key window over the MATCHED set only, then deterministic
+    top-k."""
+    from s3logsbeat_spark.operators.searchext import diversified_topk
+
+    return diversified_topk(
+        _bm25_scored(spark, sf_dir), _docs(spark, sf_dir), "lang",
+        max_per_key=DIV_MAX_PER_LANG, k=BM25_K,
+    )
+
+
 def q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES rescore: re-rank the top-50 primary window with a literal
     phrase-containment bonus; the text probe touches exactly 50 docs
@@ -1867,6 +1922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": q_combined_fields,
         "collapse": q_collapse,
         "function_score": q_function_score,
+        "rank_feature": q_rank_feature,
+        "distance_feature": q_distance_feature,
+        "filters_agg": q_filters_agg,
+        "diversified_sampler": q_diversified_sampler,
         "rescore": q_rescore,
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
@@ -2408,6 +2467,41 @@ _FUNCTION_SCORE_SQL = f"""
 {_BM25_PREFIX}SELECT s.doc_id, round(s.raw * 1.0 * ln(1.0 + d.n_chars), 6) AS score
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_RANK_FEATURE_SQL = f"""
+{_BM25_PREFIX}SELECT s.doc_id,
+       round(s.raw + d.n_chars / (d.n_chars + {RF_PIVOT}), 6) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_DISTANCE_FEATURE_SQL = f"""
+{_BM25_PREFIX}SELECT s.doc_id,
+       round(s.raw + {DF_PIVOT} / ({DF_PIVOT} + abs(d.n_chars - {DF_ORIGIN})), 6)
+         AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_FILTERS_AGG_SQL = """
+SELECT 'short' AS filter_name, count(*) FILTER (n_chars < 300)::BIGINT AS doc_count FROM documents
+UNION ALL
+SELECT 'en', count(*) FILTER (lang = 'en')::BIGINT FROM documents
+UNION ALL
+SELECT 'long_en', count(*) FILTER (n_chars >= 300 AND lang = 'en')::BIGINT FROM documents
+"""
+
+_DIVERSIFIED_SQL = f"""
+{_BM25_PREFIX}, j AS (
+  SELECT s.doc_id, d.lang, s.raw,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.raw, 9) DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, round(raw, 6) AS score FROM j
+WHERE rn <= {DIV_MAX_PER_LANG}
+ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT {BM25_K}
 """
 
 _RESCORE_SQL = f"""
@@ -3726,6 +3820,10 @@ def oracle_sql() -> dict[str, str]:
         "combined_fields": _COMBINED_FIELDS_SQL,
         "collapse": _COLLAPSE_SQL,
         "function_score": _FUNCTION_SCORE_SQL,
+        "rank_feature": _RANK_FEATURE_SQL,
+        "distance_feature": _DISTANCE_FEATURE_SQL,
+        "filters_agg": _FILTERS_AGG_SQL,
+        "diversified_sampler": _DIVERSIFIED_SQL,
         "rescore": _RESCORE_SQL,
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,

@@ -17,7 +17,7 @@ value out).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -133,3 +133,107 @@ def rescore_topk(
         ).alias("score"),
     )
     return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def rank_feature_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    feature_col: str,
+    pivot: float,
+    k: int = 10,
+    boost: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES rank_feature query (saturation function, the default):
+    ``final = score + boost * x / (x + pivot)`` — the additive feature
+    bonus ES applies when a rank_feature clause sits in a bool should.
+    Same broadcast-able doc_id join shape as function_score; pivot is
+    explicit (ES's implicit default is a corpus statistic — explicit
+    keeps the query deterministic and the oracle exact)."""
+    j = scored.join(docs.select(id_col, feature_col), id_col)
+    x = F.col(feature_col).cast("double")
+    out = j.select(
+        id_col,
+        F.round(
+            F.col("score") + F.lit(float(boost)) * x / (x + F.lit(float(pivot))),
+            6,
+        ).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def distance_feature_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    origin_col: str,
+    origin: float,
+    pivot: float,
+    k: int = 10,
+    boost: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES distance_feature query over a numeric/date field:
+    ``final = score + boost * pivot / (pivot + |x - origin|)`` — docs
+    closer to ``origin`` get a larger additive bonus. Row-local after
+    the doc_id join."""
+    j = scored.join(docs.select(id_col, origin_col), id_col)
+    dist = F.abs(F.col(origin_col).cast("double") - F.lit(float(origin)))
+    out = j.select(
+        id_col,
+        F.round(
+            F.col("score")
+            + F.lit(float(boost)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist),
+            6,
+        ).alias("score"),
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def filters_agg(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES filters aggregation: one named bucket per predicate, counting
+    matching rows — computed as a SINGLE pass of conditional sums (no
+    per-filter scan), then unpivoted to (filter_name, doc_count) rows.
+    Buckets are independent (a row can land in several), exactly like
+    ES."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in filters.items()
+    ]
+    wide = df.agg(*aggs)
+    names = list(filters)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack}) as (filter_name, doc_count)")
+    )
+
+
+def diversified_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    diversity_col: str,
+    max_per_key: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES diversified_sampler: the top-k hits with at most
+    ``max_per_key`` docs sharing one value of ``diversity_col`` (e.g.
+    lang or domain) — de-clumped sampling for downstream aggs. One
+    window per diversity key (partitioned shuffle of the MATCHED set
+    only, never the corpus), then the usual deterministic top-k."""
+    from pyspark.sql import Window
+
+    j = scored.join(docs.select(id_col, diversity_col), id_col)
+    w = (
+        Window.partitionBy(diversity_col)
+        .orderBy(F.round(F.col("score"), 9).desc(), F.col(id_col).asc())
+    )
+    kept = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_key)
+        .drop("_rn")
+    )
+    return (
+        kept.select(id_col, diversity_col, F.round("score", 6).alias("score"))
+        .orderBy(F.round(F.col("score"), 9).desc(), F.col(id_col).asc())
+        .limit(k)
+    )
