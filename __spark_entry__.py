@@ -1032,6 +1032,20 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAMES_EVERY_MS = 400
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video twin: frame sampling every FRAMES_EVERY_MS over the declared
+    duration — one row per (media_id, ts) with a deterministic frame id
+    from the hex-hash chain (byte-budget Arrow re-batching; the decode
+    itself is the documented fake — no video libs in this container)."""
+    from s3logsbeat_spark.operators.multimodal import sample_frames, synthetic_media
+
+    media = synthetic_media(spark, n=32, kind="video")
+    return sample_frames(media, every_ms=FRAMES_EVERY_MS)
+
+
 SIG_SAMPLE = 25
 
 
@@ -1980,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cloudfront_parse": q_cloudfront_parse,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -3678,6 +3693,18 @@ FROM cells GROUP BY media_id, (i // L)::INT, L
 """
 
 
+_MULTIMODAL_FRAMES_SQL = f"""
+WITH media AS (
+  SELECT i AS media_id, 1000 * (1 + (i % 3)) AS dur,
+         repeat(sha256('media' || i), 4 + (i % 5)) AS payload_hex
+  FROM range(0, 32) t(i)
+)
+SELECT media_id, ts::INT AS ts_ms,
+       sha256(payload_hex || ':' || ts) AS frame_sha
+FROM media, unnest(range(0, greatest(dur, 1), {FRAMES_EVERY_MS})) u(ts)
+"""
+
+
 _ALB_ERRORS_SQL = f"""
 SELECT sha256(CASE WHEN event_id % 97 = 0
               THEN substr({_ALB_LINE_DUCK}, 1, 40)
@@ -3901,6 +3928,7 @@ def oracle_sql() -> dict[str, str]:
         "cloudfront_parse": _CF_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
+        "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     }
 
 

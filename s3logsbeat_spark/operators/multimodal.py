@@ -157,7 +157,12 @@ def sample_frames(
     media: DataFrame, every_ms: int = 1000, byte_budget: int = 64 << 20
 ) -> DataFrame:
     """Video frame sampling: one row per sampled timestamp (the decode is
-    the audio fake reinterpreted as a frame stream — plumbing-only)."""
+    the audio fake reinterpreted as a frame stream — plumbing-only).
+
+    The frame id hashes the payload's lowercase-hex string plus the
+    timestamp (``sha256(hex(payload) || ':' || ts)``) — the same
+    VARCHAR-only chain as :func:`_digest_bytes`, so the contract query
+    has an exact DuckDB value oracle."""
     from ..shipping import ensure_shipped
 
     ensure_shipped(media.sparkSession)
@@ -169,7 +174,7 @@ def sample_frames(
                 dur = int(row["duration_ms"] or 0)
                 for ts in range(0, max(dur, 1), every_ms):
                     h = hashlib.sha256(
-                        (row["payload"] or b"") + ts.to_bytes(8, "big")
+                        f"{(row['payload'] or b'').hex()}:{ts}".encode()
                     ).hexdigest()
                     out["media_id"].append(row["media_id"])
                     out["ts_ms"].append(ts)
