@@ -1208,6 +1208,20 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_TARGETS = {"en": 0.5, "es": 0.3, "zh": 0.2}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style static domain mixing: downsample-only keep
+    probabilities that move the per-lang mixture toward MIX_TARGETS
+    (the stratum furthest below target keeps everything), applied with
+    the deterministic sha draw; returns the per-stratum audit frame
+    (counts, fractions, keep prob, actual kept)."""
+    from s3logsbeat_spark.operators.sampling import domain_mix
+
+    return domain_mix(_docs(spark, sf_dir), MIX_TARGETS)
+
+
 TB_BUDGETS = {"en": 4000, "zh": 2500}
 TB_DEFAULT = 1500
 
@@ -1959,6 +1973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vectors": q_term_vectors,
         "line_dedup": q_line_dedup,
         "stratified_sample": q_stratified_sample,
+        "domain_mix": q_domain_mix,
         "token_budget": q_token_budget,
         "date_histogram": q_date_histogram,
         "events_derivative": q_events_derivative,
@@ -2569,6 +2584,32 @@ SELECT doc_id, lang FROM documents
 WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
         / 4294967296.0
       < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.8 ELSE 0.25 END
+"""
+
+_DOMAIN_MIX_SQL = """
+WITH c AS (SELECT lang AS stratum, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_docs)::DOUBLE AS t FROM c),
+tgt(tstratum, target) AS (VALUES ('en', 0.5), ('es', 0.3), ('zh', 0.2)),
+r AS (
+  SELECT c.stratum, c.n_docs, coalesce(g.target, 0.0)::DOUBLE AS target,
+         coalesce(g.target, 0.0)::DOUBLE / (c.n_docs / tot.t) AS ratio
+  FROM c LEFT JOIN tgt g ON g.tstratum = c.stratum CROSS JOIN tot
+),
+mx AS (SELECT max(ratio) AS m FROM r),
+k AS (SELECT r.*, r.ratio / mx.m AS keep_prob FROM r CROSS JOIN mx),
+kept AS (
+  SELECT d.lang AS stratum, count(*)::BIGINT AS kept_docs
+  FROM documents d JOIN k ON k.stratum = d.lang
+  WHERE CAST('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+          / 4294967296.0 < k.keep_prob
+  GROUP BY 1
+)
+SELECT k.stratum, k.n_docs,
+       round(k.n_docs / tot.t, 6) AS current_frac,
+       round(k.target, 6) AS target_frac,
+       round(k.keep_prob, 6) AS keep_prob,
+       coalesce(kept.kept_docs, 0)::BIGINT AS kept_docs
+FROM k LEFT JOIN kept USING (stratum) CROSS JOIN tot
 """
 
 _TOKEN_BUDGET_SQL = f"""
@@ -3893,6 +3934,7 @@ def oracle_sql() -> dict[str, str]:
         "term_vectors": _TERM_VECTORS_SQL,
         "line_dedup": _LINE_DEDUP_SQL,
         "stratified_sample": _STRAT_SAMPLE_SQL,
+        "domain_mix": _DOMAIN_MIX_SQL,
         "token_budget": _TOKEN_BUDGET_SQL,
         "date_histogram": _DATE_HISTOGRAM_SQL,
         "events_derivative": _EVENTS_DERIVATIVE_SQL,

@@ -151,3 +151,62 @@ def stratified_sample(
         docs.select(F.col(id_col).alias("doc_id"), F.col(strata_col))
         .filter(hash_u01(F.col("doc_id")) < rate)
     )
+
+
+def domain_mix(
+    docs: DataFrame,
+    targets: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Static domain-mixture reweighting (the DoReMi-style mixing step a
+    pre-training pipeline runs before packing): given TARGET fractions
+    per stratum, compute downsample-only keep probabilities
+    ``keep_s = (target_s / current_s) / max_s(target_s / current_s)``
+    (the stratum furthest below target keeps everything; the rest
+    downsample toward the target ratios), then keep each doc with its
+    stratum's probability via the deterministic sha draw.
+
+    Returns the per-stratum audit frame: current count, current/target
+    fraction, keep probability and the ACTUAL kept count under the
+    deterministic draw — the numbers a pipeline owner reviews before
+    committing a mixture. Two tiny aggs over per-stratum counts plus one
+    scan-local filter; no shuffle of the corpus itself.
+
+    Strata missing from ``targets`` get keep probability 0 (excluded
+    from the mixture), mirroring ``stratified_sample``'s default."""
+    counts = (
+        docs.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    rows = {r["stratum"]: int(r["n_docs"]) for r in counts.collect()}
+    total = sum(rows.values()) or 1
+    ratios = {
+        s: (targets.get(s, 0.0) / (n / total)) for s, n in rows.items() if n
+    }
+    mx = max(ratios.values(), default=1.0) or 1.0
+    keep = {s: r / mx for s, r in ratios.items()}
+    keep_col = F.lit(0.0)
+    for s, p in sorted(keep.items()):
+        keep_col = F.when(F.col(strata_col) == s, F.lit(float(p))).otherwise(keep_col)
+    kept = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(strata_col).alias("stratum"))
+        .filter(hash_u01(F.col("doc_id")) < keep_col)
+        .groupBy("stratum")
+        .agg(F.count("*").cast("long").alias("kept_docs"))
+    )
+    audit = counts.join(kept, "stratum", "left")
+    tgt_col = F.lit(0.0)
+    kp_col = F.lit(0.0)
+    for s, t in sorted(targets.items()):
+        tgt_col = F.when(F.col("stratum") == s, F.lit(float(t))).otherwise(tgt_col)
+    for s, p in sorted(keep.items()):
+        kp_col = F.when(F.col("stratum") == s, F.lit(float(p))).otherwise(kp_col)
+    return audit.select(
+        "stratum",
+        "n_docs",
+        F.round(F.col("n_docs") / F.lit(float(total)), 6).alias("current_frac"),
+        F.round(tgt_col, 6).alias("target_frac"),
+        F.round(kp_col, 6).alias("keep_prob"),
+        F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+    )
