@@ -912,6 +912,20 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([ra, rb], k=60, topn=BM25_K)
 
 
+SPARSE_Q = {"merge": 1.2, "window": 1.0, "spark": 0.8}
+
+
+def q_sparse_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sparse_vector / ELSER-shape retrieval: per-doc term->weight
+    maps (deterministic log-TF stand-in for the learned expansion),
+    scored by dot product with the query expansion — term-filtered scan,
+    broadcast query join, partial-agg sum, TakeOrdered top-k."""
+    from s3logsbeat_spark.operators.sparsevec import log_tf_weights, sparse_dot_topk
+
+    w = log_tf_weights(_simple_postings(spark, sf_dir))
+    return sparse_dot_topk(w, SPARSE_Q, k=BM25_K)
+
+
 def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered kNN (ES 8 knn+filter): exact cosine top-k restricted to
     a metadata predicate applied BEFORE scoring — the filter reaches the
@@ -1945,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_term": q_suggest_term,
         "suggest_complete": q_suggest_complete,
         "hybrid_rrf": q_hybrid_rrf,
+        "sparse_vector": q_sparse_vector,
         "ann_filtered": q_ann_filtered,
         "multi_match": q_multi_match,
         "combined_fields": q_combined_fields,
@@ -2611,6 +2626,22 @@ SELECT k.stratum, k.n_docs,
        coalesce(kept.kept_docs, 0)::BIGINT AS kept_docs
 FROM k LEFT JOIN kept USING (stratum) CROSS JOIN tot
 """
+
+_SPARSE_VECTOR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+w AS (SELECT doc_id, term, round(ln(1.0 + tf), 6) AS weight FROM p),
+q(term, qw) AS (VALUES ('merge', 1.2), ('spark', 0.8), ('window', 1.0)),
+scored AS (
+  SELECT w.doc_id, round(sum(w.weight * q.qw::DOUBLE), 6) AS score
+  FROM w JOIN q USING (term) GROUP BY 1
+)
+SELECT doc_id, score FROM scored
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
 
 _TOKEN_BUDGET_SQL = f"""
 WITH t AS (
@@ -3883,6 +3914,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_term": _SUGGEST_TERM_SQL,
         "suggest_complete": _SUGGEST_COMPLETE_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
+        "sparse_vector": _SPARSE_VECTOR_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,
         "multi_match": _MULTI_MATCH_SQL,
         "combined_fields": _COMBINED_FIELDS_SQL,

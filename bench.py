@@ -532,6 +532,10 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     surface["span_near_sec"] = round(time.perf_counter() - t0, 4)
     surface["span_near_hits"] = len(sn)
     t0 = time.perf_counter()
+    iv = prdr.intervals_query(["return", "the"], max_gaps=3, k=10)
+    surface["intervals_sec"] = round(time.perf_counter() - t0, 4)
+    surface["intervals_hits"] = len(iv)
+    t0 = time.perf_counter()
     pp = prdr.phrase_prefix_query(["return"], "th", k=10, max_expansions=50)
     surface["phrase_prefix_sec"] = round(time.perf_counter() - t0, 4)
     surface["phrase_prefix_hits"] = len(pp)

@@ -1,0 +1,56 @@
+"""Learned-sparse retrieval (the ES ELSER / sparse_vector query shape).
+
+ES 8's `sparse_vector` field stores per-document term->weight maps from
+a learned expansion model and scores a query expansion by the dot
+product over overlapping terms. The engine analogue keeps the exact
+query/scoring semantics with a transparent, deterministic weighting
+(log-scaled TF) standing in for the model output — the retrieval plan
+is identical either way:
+
+  (doc_id, term, weight) rows -> filter to query terms (pushed to the
+  scan when stored term-sorted) -> broadcast-join the tiny query
+  expansion -> partial-agg dot product -> TakeOrderedAndProject top-k.
+
+That is the same proven shape as `postings.bm25_scores`; a real model's
+weights would just replace `log_tf_weights`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def log_tf_weights(postings: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, ...) -> (doc_id, term, weight) with the
+    deterministic stand-in weighting w = round(ln(1 + tf), 6)."""
+    return postings.select(
+        "doc_id", "term", F.round(F.log(1.0 + F.col("tf")), 6).alias("weight")
+    )
+
+
+def sparse_dot_topk(
+    doc_weights: DataFrame,
+    query_weights: dict[str, float],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs by sparse dot product with the query expansion:
+    ``score = sum_t w_doc(t) * w_query(t)`` over overlapping terms.
+    Returns (doc_id, score) rounded 6dp, (score DESC, doc_id ASC)."""
+    if not query_weights:
+        return doc_weights.select(
+            F.col("doc_id"), F.lit(0.0).alias("score")
+        ).limit(0)
+    spark = doc_weights.sparkSession
+    q = spark.createDataFrame(
+        sorted(query_weights.items()), "term string, qw double"
+    )
+    scored = (
+        doc_weights.filter(F.col("term").isin(list(query_weights)))
+        .join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("weight") * F.col("qw")), 6).alias("score"))
+    )
+    return scored.orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+    ).limit(k)
