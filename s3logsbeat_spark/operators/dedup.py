@@ -84,19 +84,29 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(doc_id, sig array<long>[n_hashes]) — min over shingles of
-    (a_i * h + b_i) mod P. Entirely JVM expressions."""
+    (a_i * h + b_i) mod P.
+
+    Plan shape: explode the shingle array, hash + all 16 affine maps as
+    ROW-WISE codegen expressions, one partial-agg groupBy(doc_id) of 16
+    mins (shuffles ~one 128-byte row per doc). The previous
+    array_min(transform(...)) x16 formulation evaluated interpreted
+    higher-order lambdas and re-derived the shingle hashes per hash
+    function — measured 33x slower (see BENCH/BASELINE.md "minhash
+    signature HOF fix"; same trap as the tokenizer JVM A/B). Docs with
+    no shingles keep their null-element signature via explode_outer +
+    min-over-empty = null."""
     params = _hash_params(n_hashes)
     sh = shingles_col(content_col, shingle_k)
-    hs = F.transform(sh, lambda s: shingle_hash(s))
-    sig = F.array(
+    ex = df.select(F.col(id_col).alias("doc_id"), F.explode_outer(sh).alias("s"))
+    h = shingle_hash(F.col("s"))
+    mins = ex.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(hs, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P))
-            )
-            for a, b in params
+            F.min((h * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"_m{i}")
+            for i, (a, b) in enumerate(params)
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    sig = F.array(*[F.col(f"_m{i}") for i in range(n_hashes)])
+    return mins.select("doc_id", sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
