@@ -72,9 +72,9 @@ def quality_scores(
     digit = F.length(F.regexp_replace(t, "[^0-9]", "")) / n
     space = F.length(F.regexp_replace(t, r"[^ \t\n]", "")) / n
     stop = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / n_toks
-    mean_tok = F.aggregate(
-        toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")
-    ) / n_toks
+    # sum of token lengths via the separator-free join: codegen, not an
+    # interpreted aggregate() fold (BENCH/BASELINE.md HOF lessons)
+    mean_tok = F.length(F.array_join(toks, "")).cast("double") / n_toks
     quality = F.least(
         F.lit(1.0),
         alpha * 0.5 + stop * 0.3 + F.least(mean_tok / F.lit(10.0), F.lit(1.0)) * 0.2,
