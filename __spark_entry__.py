@@ -332,6 +332,54 @@ def q_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_FIRST_END = 40
+SPAN_OR_CLAUSES = [["merge", "window"], ["filter", "order"]]
+SPAN_NOT_EXCLUDE = "stream"
+
+
+def q_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_first over the positional index: a 'merge'→'window'
+    in-order span (gap <= SPAN_SLOP) contained in the document's first
+    SPAN_FIRST_END tokens (last position + 1 <= end). Index-only — the
+    greedy minimal-end chain walk decides the boundary exactly because
+    minimizing the span end also minimizes the gap for a fixed start."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.span_first_query(
+        SPAN_TERMS, end=SPAN_FIRST_END, slop=SPAN_SLOP, k=BM25_K
+    )
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+def q_span_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_or with dis_max scoring: docs matching EITHER
+    in-order span clause ('merge'→'window' or 'filter'→'order', gap <=
+    SPAN_SLOP); score = max over the matching clauses' BM25 (each clause
+    over its own terms). Index-only; a clause dead in a bucket never
+    vetoes the other."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.span_or_query(SPAN_OR_CLAUSES, slop=SPAN_SLOP, k=BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_not: docs with a 'merge'→'window' span (gap <=
+    SPAN_SLOP) holding NO 'stream' inside the span — needs the
+    non-greedy all-pairs enumeration (a minimal span may be dirty while
+    a longer span from the same start is clean). Index-only, vectorized
+    ragged range-gather bounded by |occ| * (slop+1) pairs."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.span_not_query(
+        SPAN_TERMS, SPAN_NOT_EXCLUDE, slop=SPAN_SLOP, k=BM25_K
+    )
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 QS_STRING = '+window "merge group" -stream value s*'
 
 
@@ -1938,6 +1986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_cardinality": q_search_cardinality,
         "search_percentiles": q_search_percentiles,
         "span_near": q_span_near,
+        "span_first": q_span_first,
+        "span_or": q_span_or,
+        "span_not": q_span_not,
         "intervals": q_intervals,
         "query_string": q_query_string,
         "redact_pii": q_redact_pii,
@@ -2983,6 +3034,103 @@ _INTERVALS_SQL = _PHRASE_IDX_SQL.replace(
     " j -> t2.a[j] = 'window')) > 0",
 )
 
+# span_first end=40: the merge→window span's last token must sit at
+# 1-based array index <= end (kernel: 0-based last position + 1 <= end);
+# the j bound alone suffices since i < j
+_SPAN_FIRST_SQL = _PHRASE_IDX_SQL.replace(
+    "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'",
+    "t2.a[i] = 'merge' AND len(list_filter(range(i + 1, least(i + "
+    f"{SPAN_SLOP + 2}, {SPAN_FIRST_END + 1})), j -> t2.a[j] = 'window')) > 0",
+)
+
+# span_not exclude='stream': some (i, j) pair within slop such that NO
+# 'stream' occurs at any position in [i .. j] (nested lambda captures i, j)
+_SPAN_NOT_SQL = _PHRASE_IDX_SQL.replace(
+    "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'",
+    "t2.a[i] = 'merge' AND len(list_filter(range(i + 1, i + "
+    f"{SPAN_SLOP + 2}), j -> t2.a[j] = 'window' AND "
+    f"len(list_filter(range(i, j + 1), s -> t2.a[s] = '{SPAN_NOT_EXCLUDE}'"
+    ")) = 0)) > 0",
+)
+
+# span_or dis_max: per clause, BM25 over the clause's own terms rounded
+# to 6dp (matching the kernel's per-clause rounding), then max per doc
+_SPAN_OR_COND_1 = (
+    "len(list_filter(range(1, len(t.a)), i -> t.a[i] = 'merge' AND "
+    f"len(list_filter(range(i + 1, i + {SPAN_SLOP + 2}), "
+    "j -> t.a[j] = 'window')) > 0)) > 0"
+)
+_SPAN_OR_COND_2 = (
+    "len(list_filter(range(1, len(t.a)), i -> t.a[i] = 'filter' AND "
+    f"len(list_filter(range(i + 1, i + {SPAN_SLOP + 2}), "
+    "j -> t.a[j] = 'order')) > 0)) > 0"
+)
+_SPAN_OR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM doclen)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term IN ('merge', 'window', 'filter', 'order') GROUP BY 1
+),
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*') AS a
+  FROM documents
+),
+sc1 AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.doc_len / st.avgdl))
+         ), 6) AS s
+  FROM postings p
+  JOIN dfs d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats st
+  WHERE p.term IN ('merge', 'window')
+  GROUP BY p.doc_id
+),
+sc2 AS (
+  SELECT p.doc_id,
+         round(sum(
+           ln(1.0 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.doc_len / st.avgdl))
+         ), 6) AS s
+  FROM postings p
+  JOIN dfs d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats st
+  WHERE p.term IN ('filter', 'order')
+  GROUP BY p.doc_id
+),
+m1 AS (
+  SELECT c.doc_id, c.s FROM sc1 c JOIN tokarr t USING (doc_id)
+  WHERE {_SPAN_OR_COND_1}
+),
+m2 AS (
+  SELECT c.doc_id, c.s FROM sc2 c JOIN tokarr t USING (doc_id)
+  WHERE {_SPAN_OR_COND_2}
+)
+SELECT doc_id,
+       greatest(coalesce(m1.s, -1e18), coalesce(m2.s, -1e18)) AS score
+FROM m1 FULL JOIN m2 USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
 # query_string '+window "merge group" -stream value s*': scoring terms =
 # must + phrase + should + s* expansion (minus the must_not 'stream');
 # doc must have all of window/merge/group, the adjacency, and no 'stream'
@@ -3893,6 +4041,9 @@ def oracle_sql() -> dict[str, str]:
         "search_cardinality": _SEARCH_CARD_SQL,
         "search_percentiles": _SEARCH_PCTS_SQL,
         "span_near": _SPAN_NEAR_SQL,
+        "span_first": _SPAN_FIRST_SQL,
+        "span_or": _SPAN_OR_SQL,
+        "span_not": _SPAN_NOT_SQL,
         "intervals": _INTERVALS_SQL,
         "query_string": _QUERY_STRING_SQL,
         "redact_pii": _REDACT_SQL,

@@ -536,6 +536,18 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     surface["intervals_sec"] = round(time.perf_counter() - t0, 4)
     surface["intervals_hits"] = len(iv)
     t0 = time.perf_counter()
+    sf = prdr.span_first_query(["return", "the"], end=40, slop=3, k=10)
+    surface["span_first_sec"] = round(time.perf_counter() - t0, 4)
+    surface["span_first_hits"] = len(sf)
+    t0 = time.perf_counter()
+    so = prdr.span_or_query([["return", "the"], ["return", "int"]], slop=3, k=10)
+    surface["span_or_sec"] = round(time.perf_counter() - t0, 4)
+    surface["span_or_hits"] = len(so)
+    t0 = time.perf_counter()
+    sx = prdr.span_not_query(["return", "the"], "def", slop=3, k=10)
+    surface["span_not_sec"] = round(time.perf_counter() - t0, 4)
+    surface["span_not_hits"] = len(sx)
+    t0 = time.perf_counter()
     pp = prdr.phrase_prefix_query(["return"], "th", k=10, max_expansions=50)
     surface["phrase_prefix_sec"] = round(time.perf_counter() - t0, 4)
     surface["phrase_prefix_hits"] = len(pp)

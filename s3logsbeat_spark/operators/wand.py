@@ -853,6 +853,168 @@ def score_phrase_prefix(
     return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
 
 
+def score_span_first(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    terms: list[str],
+    slop: int,
+    end: int,
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """Lucene/ES span_first kernel: an in-order span of ``terms`` (total
+    gap <= ``slop``, exactly the span_near rule) whose END boundary
+    satisfies ``last_position + 1 <= end`` — i.e. the whole span sits
+    inside the document's first ``end`` tokens (Lucene's
+    ``SpanFirstQuery(match, end)``). BM25-scored over the distinct terms.
+
+    Reuses the greedy minimal-span chain walk of :func:`score_span_near`:
+    per start occurrence the walk minimizes the span end, and for a fixed
+    start the minimal end simultaneously minimizes the gap, so "exists a
+    span with gap <= slop AND end <= boundary" is decided exactly by the
+    minimal chain. Same 2^22-doc candidate chunking (no int64 overflow).
+    """
+    distinct = list(dict.fromkeys(terms))
+    per = _decode_positional(pdf, distinct)
+    if per is None:
+        return []
+    cand = per[distinct[0]][0]
+    for t in distinct[1:]:
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    if doc_filter is not None and cand.size:
+        cand = cand[doc_filter.mask(cand)]
+    if cand.size == 0:
+        return []
+
+    last_ok = np.int64(end - 1)  # 0-based last-token position bound
+    hit_chunks = []
+    for lo in range(0, cand.size, PHRASE_CAND_CHUNK):
+        chunk = cand[lo : lo + PHRASE_CAND_CHUNK]
+        cur = _packed_keys(per, terms[0], chunk)
+        # starts past the boundary can never finish inside it
+        cur = cur[(cur & _POS_MASK) <= last_ok]
+        start = cur.copy()
+        for t in terms[1:]:
+            if cur.size == 0:
+                break
+            arr = _packed_keys(per, t, chunk)
+            idx = np.searchsorted(arr, cur, side="right")
+            ok = idx < arr.size
+            nxt = arr[np.minimum(idx, arr.size - 1)]
+            ok &= (nxt >> _POS_SHIFT) == (cur >> _POS_SHIFT)
+            cur, start = nxt[ok], start[ok]
+        if cur.size == 0:
+            continue
+        gap = (cur & _POS_MASK) - (start & _POS_MASK) - np.int64(len(terms) - 1)
+        good = (gap <= np.int64(slop)) & ((cur & _POS_MASK) <= last_ok)
+        if good.any():
+            hit_chunks.append(chunk[np.unique(start[good] >> _POS_SHIFT)])
+    return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
+
+
+def score_span_not(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    include: list[str],
+    exclude: str,
+    slop: int,
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+    pre: int = 0,
+    post: int = 0,
+) -> list[tuple[int, float]]:
+    """Lucene/ES span_not kernel for a TWO-term in-order include span:
+    docs holding at least one span ``include[0] .. include[1]`` (gap <=
+    ``slop``) that does NOT overlap any occurrence of ``exclude`` — the
+    exclusion window is ``[start - pre, end + post]`` (ES's pre/post
+    knobs; 0/0 = overlap only). BM25-scored over the include terms.
+
+    Unlike span_near's greedy walk, exclusion needs EVERY (start, end)
+    pair within slop, not just the minimal one (the minimal span may be
+    dirty while a longer span from the same start is clean), so the
+    kernel enumerates all pairs with one vectorized ragged range-gather —
+    bounded by |occ(include[0])| * (slop + 1) pairs per chunk. An
+    ``exclude`` term absent from these buckets simply excludes nothing.
+    Cross-doc contamination is impossible: packed keys of different docs
+    differ by >= 2^40, far beyond any sane slop/pre/post."""
+    if len(include) != 2:
+        raise ValueError("span_not kernel supports exactly 2 include terms")
+    t1, t2 = include
+    distinct = list(dict.fromkeys(include))
+    per = _decode_positional(pdf, distinct)
+    if per is None:
+        return []
+    perx = _decode_positional(pdf, [exclude]) if exclude not in per else per
+    cand = per[distinct[0]][0]
+    for t in distinct[1:]:
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    if doc_filter is not None and cand.size:
+        cand = cand[doc_filter.mask(cand)]
+    if cand.size == 0:
+        return []
+
+    hit_chunks = []
+    for lo in range(0, cand.size, PHRASE_CAND_CHUNK):
+        chunk = cand[lo : lo + PHRASE_CAND_CHUNK]
+        s_keys = _packed_keys(per, t1, chunk)
+        e_keys = _packed_keys(per, t2, chunk)
+        if s_keys.size == 0 or e_keys.size == 0:
+            continue
+        x_keys = (
+            _packed_keys(perx, exclude, chunk)
+            if perx is not None
+            else np.empty(0, dtype=np.int64)
+        )
+        # all ends in (start, start + slop + 1] per start (ragged gather)
+        lo_i = np.searchsorted(e_keys, s_keys, side="right")
+        hi_i = np.searchsorted(e_keys, s_keys + np.int64(slop + 1), side="right")
+        cnt = hi_i - lo_i
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        starts_rep = np.repeat(s_keys, cnt)
+        grp_starts = np.cumsum(cnt) - cnt
+        flat = np.repeat(lo_i, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(grp_starts, cnt)
+        )
+        ends = e_keys[flat]
+        good = (ends >> _POS_SHIFT) == (starts_rep >> _POS_SHIFT)
+        if x_keys.size:
+            n_x = np.searchsorted(
+                x_keys, ends + np.int64(post), side="right"
+            ) - np.searchsorted(x_keys, starts_rep - np.int64(pre), side="left")
+            good &= n_x == 0
+        if good.any():
+            hit_chunks.append(chunk[np.unique(starts_rep[good] >> _POS_SHIFT)])
+    return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
+
+
+def score_span_or(
+    pdf,
+    idfs: list[dict],
+    avgdl: float,
+    clauses: list[list[str]],
+    slop: int,
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+) -> list[tuple[int, float]]:
+    """Lucene/ES span_or kernel (dis_max combine): a doc matches when ANY
+    clause matches as an in-order span with gap <= ``slop``; its score is
+    the MAX over its matching clauses' BM25 scores (each clause scored
+    over its own distinct terms, exactly like a standalone span_near).
+    A clause whose terms are absent from these buckets is simply dead
+    here — it does not veto the others."""
+    best: dict[int, float] = {}
+    for cl, idf in zip(clauses, idfs):
+        for d, s in score_span_near(pdf, idf, avgdl, cl, slop, None, doc_filter):
+            if d not in best or s > best[d]:
+                best[d] = s
+    hits = sorted(best.items(), key=lambda x: (-x[1], x[0]))
+    return hits if k is None else hits[:k]
+
+
 def _score_positional_hits(
     per: dict,
     distinct: list[str],
@@ -1447,6 +1609,159 @@ class IndexReader:
         blocked_list = [int(x) for x in blocked]
         return self._run_per_bucket(
             self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
+        )
+
+    def _dispatch_positional(
+        self,
+        present: list[str],
+        kernel,
+        k: int | None,
+        distributed: bool | None,
+        driver_bytes_limit: int,
+        doc_filter: dict | None,
+        dfs: dict[str, int],
+    ):
+        """Shared routing tail of the positional query family
+        (span_first / span_or / span_not): run the driver kernel when the
+        pruned postings fit the byte budget, else the per-bucket
+        distributed pass with a k-row merge — filter context, tombstones
+        and the budget rule identical to :meth:`phrase_query`. ``kernel``
+        is ``(pdf, DocFilter|None) -> list[(doc_id, score)]`` and must be
+        per-bucket exact (buckets partition docs, so it is)."""
+        import pyarrow.dataset as ds
+
+        total_postings = sum(dfs[t] for t in present)
+        if distributed is None:
+            distributed = total_postings * 10 > driver_bytes_limit
+            if not distributed and doc_filter is not None:
+                distributed = self._filter_count(doc_filter) * 8 > driver_bytes_limit
+        blocked = self._blocked()
+        if not distributed:
+            filt: DocFilter | None = None
+            if doc_filter is not None or blocked.size:
+                allowed = self._allowed_ids(doc_filter) if doc_filter else None
+                filt = DocFilter(allowed, blocked)
+                if filt.is_empty():
+                    return []
+            tbl = self._dataset().to_table(
+                columns=["term", "docs", "tfs", "dls", "poss"],
+                filter=ds.field("term").isin(present),
+            )
+            return kernel(tbl.to_pandas(), filt)
+
+        def kfn(pdf, filt):
+            import pandas as pd
+
+            top = kernel(pdf, filt)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        blocked_list = [int(x) for x in blocked]
+        return self._run_per_bucket(
+            self._segment_rows(present), kfn, doc_filter, blocked_list, k
+        )
+
+    def span_first_query(
+        self,
+        terms: list[str],
+        end: int,
+        slop: int = 0,
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene/ES span_first: an in-order span of ``terms`` (gap <=
+        ``slop``) contained in the document's first ``end`` tokens
+        (``last_position + 1 <= end``). BM25 over the distinct terms;
+        index-only, same routing/filter semantics as span_near."""
+        if not terms or end <= 0:
+            return []
+        distinct = list(dict.fromkeys(terms))
+        dfs = self._df_of(distinct)
+        if any(t not in dfs for t in distinct):
+            return []
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in distinct}
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            return score_span_first(pdf, idf, avgdl, terms, slop, end, k, filt)
+
+        return self._dispatch_positional(
+            distinct, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
+        )
+
+    def span_or_query(
+        self,
+        clauses: list[list[str]],
+        slop: int = 0,
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene/ES span_or with dis_max scoring: a doc matches when ANY
+        clause matches as an in-order span (gap <= ``slop``); score = max
+        over matching clauses' BM25 (each clause over its own distinct
+        terms). Clauses with a term absent from the index are dead, not
+        vetoes. Index-only, same routing/filter semantics as span_near."""
+        all_terms = list(dict.fromkeys(t for cl in clauses for t in cl))
+        if not all_terms:
+            return []
+        dfs = self._df_of(all_terms)
+        live = [cl for cl in clauses if cl and all(t in dfs for t in cl)]
+        if not live:
+            return []
+        idfs = [
+            {t: bm25_idf(self.n_docs, dfs[t]) for t in dict.fromkeys(cl)}
+            for cl in live
+        ]
+        present = list(dict.fromkeys(t for cl in live for t in cl))
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            return score_span_or(pdf, idfs, avgdl, live, slop, k, filt)
+
+        return self._dispatch_positional(
+            present, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
+        )
+
+    def span_not_query(
+        self,
+        include: list[str],
+        exclude: str,
+        slop: int = 0,
+        k: int | None = 10,
+        pre: int = 0,
+        post: int = 0,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene/ES span_not for a two-term in-order include span: docs
+        with at least one ``include[0]..include[1]`` span (gap <=
+        ``slop``) whose ``[start - pre, end + post]`` window holds NO
+        occurrence of ``exclude``. BM25 over the include terms. An
+        ``exclude`` term absent from the index excludes nothing.
+        Index-only, same routing/filter semantics as span_near."""
+        if len(include) != 2:
+            raise ValueError("span_not_query supports exactly 2 include terms")
+        distinct = list(dict.fromkeys(include))
+        dfs = self._df_of(distinct + [exclude])
+        if any(t not in dfs for t in distinct):
+            return []
+        present = distinct + ([exclude] if exclude in dfs else [])
+        idf = {t: bm25_idf(self.n_docs, dfs[t]) for t in distinct}
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            return score_span_not(
+                pdf, idf, avgdl, include, exclude, slop, k, filt, pre, post
+            )
+
+        return self._dispatch_positional(
+            present, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
         )
 
     def phrase_prefix_query(

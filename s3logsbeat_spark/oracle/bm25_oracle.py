@@ -193,6 +193,75 @@ class BM25Oracle:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits if k is None else hits[:k]
 
+    def span_first_topk(
+        self, terms: list[str], slop: int, end: int, k: int | None = 10
+    ) -> list[tuple[int, float]]:
+        """Brute-force span_first oracle: an in-order span (gap <= slop)
+        with ``last_position + 1 <= end``; BM25 over distinct terms."""
+        import itertools
+
+        pos_map = self._positions()
+        distinct = list(dict.fromkeys(terms))
+        hits = []
+        for did, pos in pos_map.items():
+            if any(t not in pos for t in distinct):
+                continue
+            found = any(
+                all(b > a for a, b in zip(tup, tup[1:]))
+                and tup[-1] - tup[0] - (len(terms) - 1) <= slop
+                and tup[-1] + 1 <= end
+                for tup in itertools.product(*(pos[t] for t in terms))
+            )
+            if found:
+                hits.append((did, round(self.score(did, distinct), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
+    def span_or_topk(
+        self, clauses: list[list[str]], slop: int, k: int | None = 10
+    ) -> list[tuple[int, float]]:
+        """Brute-force span_or (dis_max) oracle: per doc, the MAX over
+        matching clauses' span_near scores."""
+        best: dict[int, float] = {}
+        for cl in clauses:
+            for did, s in self.span_near_topk(cl, slop, None):
+                if did not in best or s > best[did]:
+                    best[did] = s
+        hits = sorted(best.items(), key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
+    def span_not_topk(
+        self,
+        include: list[str],
+        exclude: str,
+        slop: int,
+        k: int | None = 10,
+        pre: int = 0,
+        post: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Brute-force span_not oracle (2-term include span): some
+        in-order (p1, p2) with gap <= slop and NO exclude occurrence in
+        ``[p1 - pre, p2 + post]``; BM25 over the include terms."""
+        import itertools
+
+        pos_map = self._positions()
+        distinct = list(dict.fromkeys(include))
+        hits = []
+        for did, pos in pos_map.items():
+            if any(t not in pos for t in distinct):
+                continue
+            xs = pos.get(exclude, [])
+            found = any(
+                p2 > p1
+                and p2 - p1 - 1 <= slop
+                and not any(p1 - pre <= x <= p2 + post for x in xs)
+                for p1, p2 in itertools.product(pos[include[0]], pos[include[1]])
+            )
+            if found:
+                hits.append((did, round(self.score(did, distinct), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
     def intervals_topk(
         self, terms: list[str], max_gaps: int, k: int | None = 10
     ) -> list[tuple[int, float]]:

@@ -1,0 +1,175 @@
+"""span_first / span_or / span_not — the rest of the Lucene span family
+(reference delegates all querying to ES; these are the span queries the
+ES DSL exposes beyond span_near). All three are index-only positional
+kernels verified against the brute-force BM25Oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def pos_built(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("spanidx"))
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=4, hot_df_threshold=10, with_positions=True
+    )
+    build_index(corpus_df, cfg)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+# ------------------------------------------------------------ span_first --
+
+FIRST_CASES = [
+    (["def"], 0, 1),           # very first token only
+    (["def"], 0, 5),
+    (["return", "the"], 0, 30),
+    (["return", "the"], 2, 30),
+    (["return", "the"], 2, 10_000),  # boundary beyond any doc == span_near
+    (["the", "the"], 3, 40),
+    (["return", "zzz_not_there"], 2, 50),  # absent term -> empty
+]
+
+
+@pytest.mark.parametrize("terms,slop,end", FIRST_CASES, ids=lambda c: str(c))
+def test_span_first_vs_oracle(spark, pos_built, oracle, terms, slop, end):
+    rdr = IndexReader(spark, pos_built)
+    got = rdr.span_first_query(terms, end=end, slop=slop, k=10)
+    want = oracle.span_first_topk(terms, slop, end, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (terms, slop, end)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.span_first_query(terms, end=end, slop=slop, k=10, distributed=True)
+    assert dist == got, (terms, slop, end)
+
+
+def test_span_first_wide_boundary_equals_span_near(spark, pos_built):
+    rdr = IndexReader(spark, pos_built)
+    assert rdr.span_first_query(["return", "the"], end=1 << 30, slop=2, k=None) == \
+        rdr.span_near_query(["return", "the"], slop=2, k=None)
+
+
+def test_span_first_boundary_is_tight(spark, pos_built, oracle):
+    """Shrinking the boundary must be monotonically restrictive and hit
+    a non-vacuous middle ground somewhere."""
+    rdr = IndexReader(spark, pos_built)
+    all_n = len(rdr.span_first_query(["return", "the"], end=1 << 30, slop=2, k=None))
+    assert all_n > 0
+    sizes = [
+        len(rdr.span_first_query(["return", "the"], end=e, slop=2, k=None))
+        for e in (2, 10, 40, 1 << 30)
+    ]
+    assert sizes == sorted(sizes)
+    assert sizes[-1] == all_n
+    assert any(0 < s < all_n for s in sizes[:-1]), sizes
+
+
+def test_span_first_matches_exist(oracle):
+    n = sum(1 for t, s, e in FIRST_CASES if oracle.span_first_topk(t, s, e, 5))
+    assert n >= 3, [(c, len(oracle.span_first_topk(c[0], c[1], c[2], 5)))
+                    for c in FIRST_CASES]
+
+
+# -------------------------------------------------------------- span_or --
+
+OR_CASES = [
+    ([["return", "the"], ["return", "int"]], 0),
+    ([["return", "the"], ["get", "response"]], 1),
+    ([["return", "zzz_not_there"], ["return", "the"]], 2),  # dead clause
+    ([["zzz_a", "zzz_b"], ["zzz_c", "zzz_d"]], 1),          # all dead
+]
+
+
+@pytest.mark.parametrize("clauses,slop", OR_CASES, ids=lambda c: str(c)[:40])
+def test_span_or_vs_oracle(spark, pos_built, oracle, clauses, slop):
+    rdr = IndexReader(spark, pos_built)
+    got = rdr.span_or_query(clauses, slop=slop, k=10)
+    want = oracle.span_or_topk(clauses, slop, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (clauses, slop)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.span_or_query(clauses, slop=slop, k=10, distributed=True)
+    assert dist == got, (clauses, slop)
+
+
+def test_span_or_single_clause_equals_span_near(spark, pos_built):
+    rdr = IndexReader(spark, pos_built)
+    assert rdr.span_or_query([["return", "the"]], slop=2, k=None) == \
+        rdr.span_near_query(["return", "the"], slop=2, k=None)
+
+
+def test_span_or_is_dismax_union(spark, pos_built):
+    """Hit set = union of clause hit sets; score = max of clause scores."""
+    rdr = IndexReader(spark, pos_built)
+    a = dict(rdr.span_near_query(["return", "the"], slop=1, k=None))
+    b = dict(rdr.span_near_query(["return", "int"], slop=1, k=None))
+    got = dict(rdr.span_or_query([["return", "the"], ["return", "int"]],
+                                 slop=1, k=None))
+    assert set(got) == set(a) | set(b)
+    for d, s in got.items():
+        assert abs(s - max(a.get(d, -1), b.get(d, -1))) < 1e-9
+
+
+# ------------------------------------------------------------- span_not --
+
+NOT_CASES = [
+    (["return", "the"], "def", 2, 0, 0),
+    (["return", "the"], "x", 2, 0, 0),
+    (["return", "the"], "zzz_not_there", 2, 0, 0),  # exclude absent
+    (["return", "the"], "def", 3, 2, 2),            # pre/post widening
+    (["the", "the"], "return", 4, 0, 0),
+]
+
+
+@pytest.mark.parametrize("inc,exc,slop,pre,post", NOT_CASES,
+                         ids=lambda c: str(c)[:40])
+def test_span_not_vs_oracle(spark, pos_built, oracle, inc, exc, slop, pre, post):
+    rdr = IndexReader(spark, pos_built)
+    got = rdr.span_not_query(inc, exc, slop=slop, k=10, pre=pre, post=post)
+    want = oracle.span_not_topk(inc, exc, slop, 10, pre=pre, post=post)
+    assert [d for d, _ in got] == [d for d, _ in want], (inc, exc, slop)
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    dist = rdr.span_not_query(inc, exc, slop=slop, k=10, pre=pre, post=post,
+                              distributed=True)
+    assert dist == got, (inc, exc, slop)
+
+
+def test_span_not_absent_exclude_equals_span_near(spark, pos_built):
+    rdr = IndexReader(spark, pos_built)
+    assert rdr.span_not_query(["return", "the"], "zzz_not_there",
+                              slop=2, k=None) == \
+        rdr.span_near_query(["return", "the"], slop=2, k=None)
+
+
+def test_span_not_actually_excludes(spark, pos_built, oracle):
+    """Non-vacuous: some exclude term must remove at least one doc from
+    the span_near hit set while keeping at least one — a longer-but-clean
+    span from the same doc must survive (the non-greedy enumeration)."""
+    rdr = IndexReader(spark, pos_built)
+    base = {d for d, _ in rdr.span_near_query(["return", "the"], slop=3, k=None)}
+    assert base
+    shrunk = False
+    for exc in ("def", "x", "int", "the"):
+        kept = {d for d, _ in rdr.span_not_query(["return", "the"], exc,
+                                                 slop=3, k=None, pre=1, post=1)}
+        assert kept <= base
+        if kept < base and kept:
+            shrunk = True
+    assert shrunk
+
+
+def test_span_not_requires_two_terms(spark, pos_built):
+    rdr = IndexReader(spark, pos_built)
+    with pytest.raises(ValueError, match="2 include"):
+        rdr.span_not_query(["return"], "x", k=5)
