@@ -547,6 +547,37 @@ def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES median_absolute_deviation aggregation on a query: exact
+    median(|n_chars - median(n_chars)|) over docs matching any query
+    term (ES's is TDigest-approximate; exact mode is the oracle-checkable
+    contract, approx_percentile is the unbounded-cardinality scale knob)."""
+    rdr = _driver_index(spark, sf_dir)
+    mad = rdr.mad_agg(BM25_TERMS, "n_chars")
+    return spark.createDataFrame(
+        [(round(float(mad), 6),)], "mad double"
+    )
+
+
+MULTI_TERMS_SIZE = 10
+
+
+def q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation on a query: matching-doc counts per
+    (lang, repo) combination, count desc then keys asc, top 10 — the
+    composite-key terms agg (one groupBy shuffle, map-side partials,
+    TakeOrderedAndProject). ``repo`` is the canonical name of the
+    testdata's ``source`` column (sources/documents.py normalization)."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.multi_terms_agg(
+        BM25_TERMS, ["lang", "repo"], size=MULTI_TERMS_SIZE
+    )
+    return spark.createDataFrame(
+        [(str(a), str(b), int(c)) for a, b, c in rows],
+        "lang string, repo string, doc_count long",
+    )
+
+
 PCTS = (25.0, 50.0, 75.0, 95.0, 99.0)
 
 
@@ -1135,6 +1166,34 @@ def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rdr.query(BM25_TERMS, BM25_K, min_should_match=MSM)
     return spark.createDataFrame(
         [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+TERMS_SET_TERMS = ["merge", "window", "spark", "query"]
+
+
+def q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms_set query: docs matching at least a PER-DOC number of the
+    4 query terms — required = 1 + (doc_len % 3), the
+    minimum_should_match_field analogue (vs q_bm25_msm's one global m).
+    DataFrame-native: the requirement is computed from doc_len already on
+    the postings rows, so the plan is the bm25 plan plus one filter — no
+    join against the raw table, one shuffle total."""
+    from s3logsbeat_spark.operators.postings import terms_set_scores
+
+    p = _simple_postings(spark, sf_dir)
+    n_docs, avgdl = _contract_stats(spark, sf_dir, p)
+    scored = terms_set_scores(
+        p,
+        TERMS_SET_TERMS,
+        n_docs,
+        avgdl,
+        lambda dl: F.lit(1) + F.pmod(dl, F.lit(3)),
+    )
+    return (
+        scored.withColumn("score", F.round("score", 6))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_K)
     )
 
 
@@ -1975,6 +2034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
+        "terms_set": q_terms_set,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "more_like_this": q_more_like_this,
@@ -1984,6 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_stats": q_search_stats,
         "search_histogram": q_search_histogram,
         "search_cardinality": q_search_cardinality,
+        "search_mad": q_search_mad,
+        "multi_terms": q_multi_terms,
         "search_percentiles": q_search_percentiles,
         "span_near": q_span_near,
         "span_first": q_span_first,
@@ -2398,6 +2460,24 @@ SELECT doc_id,
            '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '[IP]', 'g')
        ) AS red_sha
 FROM planted
+"""
+
+# median_absolute_deviation: both Spark percentile(0.5) and DuckDB
+# median interpolate the even-count middle, so exact equality holds
+_SEARCH_MAD_SQL = f"""
+WITH m AS (
+  SELECT n_chars::DOUBLE AS v FROM documents
+  WHERE doc_id IN ({_MATCHING_DOCS})
+)
+SELECT round(median(abs(v - (SELECT median(v) FROM m))), 6) AS mad FROM m
+"""
+
+_MULTI_TERMS_SQL = f"""
+SELECT lang, source AS repo, count(*)::BIGINT AS doc_count
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY lang, source
+ORDER BY doc_count DESC, lang ASC, repo ASC
+LIMIT 10
 """
 
 _XSTATS_SQL = f"""
@@ -2959,6 +3039,17 @@ _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
     "  GROUP BY p.doc_id\n",
     "  GROUP BY p.doc_id\n"
     f"  HAVING count(DISTINCT p.term) >= {MSM}\n",
+)
+
+# terms_set: per-doc required = 1 + (doc_len % 3); doc_len is constant
+# per doc so min() just lifts it through the GROUP BY
+_TERMS_SET_SQL = _BM25_SQL.replace(
+    "  SELECT unnest(['merge', 'window', 'spark']) AS term",
+    "  SELECT unnest(['merge', 'window', 'spark', 'query']) AS term",
+).replace(
+    "  GROUP BY p.doc_id\n",
+    "  GROUP BY p.doc_id\n"
+    "  HAVING count(DISTINCT p.term) >= 1 + (min(l.doc_len) % 3)\n",
 )
 
 
@@ -4030,6 +4121,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,
+        "terms_set": _TERMS_SET_SQL,
         "prefix_search": _PREFIX_SQL,
         "wildcard_search": _WILDCARD_SQL,
         "more_like_this": _MLT_SQL,
@@ -4039,6 +4131,8 @@ def oracle_sql() -> dict[str, str]:
         "search_stats": _SEARCH_STATS_SQL,
         "search_histogram": _SEARCH_HIST_SQL,
         "search_cardinality": _SEARCH_CARD_SQL,
+        "search_mad": _SEARCH_MAD_SQL,
+        "multi_terms": _MULTI_TERMS_SQL,
         "search_percentiles": _SEARCH_PCTS_SQL,
         "span_near": _SPAN_NEAR_SQL,
         "span_first": _SPAN_FIRST_SQL,

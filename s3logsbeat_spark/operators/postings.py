@@ -110,6 +110,53 @@ def bm25_scores(
     )
 
 
+def terms_set_scores(
+    postings: DataFrame,
+    terms: list[str],
+    n_docs: int,
+    avgdl: float,
+    required_of,
+) -> DataFrame:
+    """ES ``terms_set`` query: docs matching at least a PER-DOC number of
+    the query terms — the ``minimum_should_match_field`` / ``_script``
+    analogue, vs ``bm25_scores(min_match=m)``'s one global m. Returns
+    (doc_id, score) BM25-scored over the doc's matched query terms.
+
+    ``required_of`` maps the doc-length Column to the doc's required
+    match count (any deterministic expression over per-doc columns; ES
+    reads an integer field — doc_len stands in for it here since it rides
+    the postings rows for free). A doc whose requirement exceeds the
+    number of distinct query terms can never match, exactly like ES.
+
+    Plan shape is bm25_scores' plus two agg columns: term-filter →
+    broadcast df-join → ONE shuffle on doc_id → filter matched >=
+    required. No join against the raw table — the per-doc requirement is
+    computed from values already on the postings rows, so the whole query
+    stays one wide stage at any scale."""
+    if not terms:
+        return (
+            postings.select(F.col("doc_id"), F.lit(0.0).alias("score")).limit(0)
+        )
+    matched = postings.filter(F.col("term").isin(terms))
+    dfs = matched.groupBy("term").agg(F.count("*").alias("df"))
+    q = dfs.withColumn("idf", idf_col(n_docs)).select("term", "idf")
+    denom = F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl))
+    contrib = F.col("idf") * (F.col("tf") * (K1 + 1.0)) / denom
+    return (
+        matched.join(F.broadcast(q), "term")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("contrib").alias("score"),
+            F.count_distinct("term").alias("_nt"),
+            F.first("doc_len").alias("_dl"),
+        )
+        .withColumn("_req", required_of(F.col("_dl")))
+        .filter((F.col("_req") >= F.lit(1)) & (F.col("_nt") >= F.col("_req")))
+        .select("doc_id", "score")
+    )
+
+
 def topk(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic top-k: score desc (rounded to 9 dp) then doc_id asc.
 

@@ -2347,6 +2347,78 @@ class IndexReader:
             return empty
         return out
 
+    def mad_agg(
+        self,
+        terms: list[str],
+        field: str,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        approx: bool = False,
+    ) -> float | None:
+        """ES median_absolute_deviation aggregation on a query:
+        median(|x - median(x)|) of a numeric sidecar attribute over the
+        matching docs. Exact by default (two percentile aggs over the
+        bucket-aligned sidecar join — deterministic, oracle-checkable;
+        ES's own is TDigest-approximate). ``approx=True`` swaps both
+        passes to ``approx_percentile`` for unbounded-cardinality fields
+        at extreme scale, where exact percentile's per-group value map
+        stops fitting."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return None
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        pct = "approx_percentile" if approx else "percentile"
+        vals = matched.join(attrs, ["bucket", "doc_id"]).select(
+            F.col(field).cast("double").alias("v")
+        )
+        med_row = vals.agg(F.expr(f"{pct}(v, 0.5)").alias("m")).collect()[0]
+        if med_row["m"] is None:
+            return None
+        med = float(med_row["m"])
+        out = (
+            vals.select(F.abs(F.col("v") - F.lit(med)).alias("d"))
+            .agg(F.expr(f"{pct}(d, 0.5)").alias("mad"))
+            .collect()[0]["mad"]
+        )
+        return None if out is None else float(out)
+
+    def multi_terms_agg(
+        self,
+        terms: list[str],
+        fields: list[str],
+        size: int = 10,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple]:
+        """ES multi_terms aggregation on a query: matching-doc counts per
+        COMBINATION of 2+ keyword sidecar attributes (the composite-key
+        terms agg). Returns [( *field_values, doc_count )] ordered by
+        count desc then keys asc, top ``size``. One groupBy shuffle with
+        map-side partial agg; top-size is TakeOrderedAndProject."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", *fields
+        )
+        rows = (
+            matched.join(attrs, ["bucket", "doc_id"])
+            .groupBy(*fields)
+            .agg(F.count("*").alias("doc_count"))
+            .orderBy(
+                F.col("doc_count").desc(), *[F.col(f).asc() for f in fields]
+            )
+            .limit(size)
+            .collect()
+        )
+        return [tuple(r[f] for f in fields) + (int(r["doc_count"]),) for r in rows]
+
     def histogram_agg(
         self,
         terms: list[str],

@@ -1,0 +1,151 @@
+"""terms_set query (per-doc dynamic minimum_should_match), plus the
+median_absolute_deviation and multi_terms aggregations — vs brute-force
+python twins on the deterministic test corpus."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    terms_set_scores,
+    topk,
+)
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus_df, tmp_path_factory):
+    docs = corpus_df.withColumn("n_chars", F.length("content"))
+    out = str(tmp_path_factory.mktemp("tsidx"))
+    build_index(docs, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    rows = [r.asDict() for r in docs.select("doc_id", "lang", "n_chars").collect()]
+    return out, rows
+
+
+# ------------------------------------------------------------- terms_set --
+
+TS_TERMS = ["return", "value", "int", "def"]
+
+
+def _brute_terms_set(oracle, terms, req_of, k):
+    hits = []
+    for did, tfs in oracle.tfs.items():
+        matched = [t for t in dict.fromkeys(terms) if tfs.get(t)]
+        dl = oracle.doc_len[did]
+        req = req_of(dl)
+        if req >= 1 and len(matched) >= req:
+            hits.append((did, round(oracle.score(did, matched), 9)))
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return hits[:k]
+
+
+@pytest.mark.parametrize("mod", [2, 3, 5])
+def test_terms_set_vs_brute(spark, corpus_df, oracle, mod):
+    p = build_postings(corpus_df).cache()
+    n_docs = corpus_df.count()
+    _, avgdl = corpus_stats(p, n_docs)
+    scored = terms_set_scores(
+        p, TS_TERMS, n_docs, avgdl,
+        lambda dl: F.lit(1) + F.pmod(dl, F.lit(mod)),
+    )
+    got = [(r["doc_id"], r["score"]) for r in topk(scored, 20).collect()]
+    want = _brute_terms_set(oracle, TS_TERMS, lambda dl: 1 + dl % mod, 20)
+    assert [d for d, _ in got] == [d for d, _ in want], mod
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-6
+
+
+def test_terms_set_requirement_filters_someone(spark, corpus_df, oracle):
+    """Non-vacuous: the per-doc requirement must drop at least one doc
+    that plain OR keeps, and keep at least one."""
+    want_all = _brute_terms_set(oracle, TS_TERMS, lambda dl: 1, 10_000)
+    # mod 5 pushes some docs' requirement above the 4 query terms, so
+    # they can never match — guaranteed non-vacuous on any corpus
+    want_dyn = _brute_terms_set(oracle, TS_TERMS, lambda dl: 1 + dl % 5, 10_000)
+    assert want_dyn and len(want_dyn) < len(want_all)
+
+
+def test_terms_set_req_above_nterms_empty(spark, corpus_df):
+    p = build_postings(corpus_df)
+    n_docs = corpus_df.count()
+    _, avgdl = corpus_stats(p, n_docs)
+    scored = terms_set_scores(
+        p, TS_TERMS, n_docs, avgdl, lambda dl: F.lit(len(TS_TERMS) + 1)
+    )
+    assert scored.count() == 0
+
+
+# -------------------------------------------------------------- mad_agg --
+
+
+def _matched_vals(oracle, rows, terms, field):
+    ids = {d for d, tfs in oracle.tfs.items() if any(tfs.get(t) for t in terms)}
+    return [r[field] for r in rows if r["doc_id"] in ids]
+
+
+def _median(vals):
+    return statistics.median(vals)  # interpolates even counts, like Spark
+
+
+def test_mad_agg_vs_brute(spark, built, oracle):
+    out, rows = built
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    vals = _matched_vals(oracle, rows, terms, "n_chars")
+    med = _median([float(v) for v in vals])
+    want = _median([abs(v - med) for v in vals])
+    got = rdr.mad_agg(terms, "n_chars")
+    assert abs(got - want) < 1e-9
+    # approx mode returns something sane (within half the exact spread)
+    ga = rdr.mad_agg(terms, "n_chars", approx=True)
+    assert ga is not None and 0 <= ga <= max(vals) - min(vals)
+
+
+def test_mad_agg_empty(spark, built):
+    out, _ = built
+    rdr = IndexReader(spark, out)
+    assert rdr.mad_agg(["zzz_missing"], "n_chars") is None
+
+
+# -------------------------------------------------------- multi_terms --
+
+
+def test_multi_terms_vs_brute(spark, built, oracle, corpus_df):
+    out, _ = built
+    rows = [
+        r.asDict()
+        for r in corpus_df.select("doc_id", "lang", "repo").collect()
+    ]
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    ids = {d for d, tfs in oracle.tfs.items() if any(tfs.get(t) for t in terms)}
+    counts: dict = {}
+    for r in rows:
+        if r["doc_id"] in ids:
+            key = (r["lang"], r["repo"])
+            counts[key] = counts.get(key, 0) + 1
+    want = sorted(
+        ((k[0], k[1], c) for k, c in counts.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:5]
+    got = rdr.multi_terms_agg(terms, ["lang", "repo"], size=5)
+    assert got == want
+
+
+def test_multi_terms_absent_term_empty(spark, built):
+    out, _ = built
+    rdr = IndexReader(spark, out)
+    assert rdr.multi_terms_agg(["zzz_missing"], ["lang", "repo"], size=5) == []
