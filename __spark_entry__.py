@@ -243,6 +243,31 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MSEARCH_SPECS = [
+    {"terms": ["merge", "window", "spark"], "k": 10},
+    {"terms": ["stream", "query"], "k": 10},
+    {"terms": ["filter", "order"], "k": 10, "mode": "and"},
+    {"terms": ["customer", "order", "query"], "k": 10, "min_should_match": 2},
+]
+
+
+def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _msearch: a BATCH of 4 queries (plain OR, conjunctive AND,
+    minimum_should_match) answered in ONE pass over the compressed index
+    — one term-pruned df lookup + one pruned postings read for the union
+    of all query terms, shared payload decode, per-query kernels. The
+    scale win: batching N dashboard queries costs one query's I/O plus N
+    kernels' CPU. Each member is rank-identical to running it alone."""
+    rdr = _driver_index(spark, sf_dir)
+    res = rdr.msearch(MSEARCH_SPECS)
+    rows = [
+        (qi, int(d), round(s, 6))
+        for qi, top in enumerate(res)
+        for d, s in top
+    ]
+    return spark.createDataFrame(rows, "qid int, doc_id long, score double")
+
+
 HL_WINDOW = 40
 
 
@@ -2035,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
         "terms_set": q_terms_set,
+        "msearch": q_msearch,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "more_like_this": q_more_like_this,
@@ -3040,6 +3066,30 @@ _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
     "  GROUP BY p.doc_id\n"
     f"  HAVING count(DISTINCT p.term) >= {MSM}\n",
 )
+
+def _msearch_sql() -> str:
+    """UNION ALL of one BM25 block per MSEARCH_SPECS member, each tagged
+    with its qid; AND => HAVING all terms, msm => HAVING >= m."""
+    parts = []
+    for i, spec in enumerate(MSEARCH_SPECS):
+        body = _BM25_WAND_SQL.replace(
+            "unnest(['merge', 'window', 'spark'])",
+            "unnest([" + ", ".join(f"'{t}'" for t in spec["terms"]) + "])",
+        )
+        req = None
+        if spec.get("mode") == "and":
+            req = len(spec["terms"])
+        elif spec.get("min_should_match"):
+            req = spec["min_should_match"]
+        if req:
+            body = body.replace(
+                "  GROUP BY p.doc_id\n",
+                "  GROUP BY p.doc_id\n"
+                f"  HAVING count(DISTINCT p.term) >= {req}\n",
+            )
+        parts.append(f"SELECT {i} AS qid, * FROM (\n{body}\n)")
+    return "\nUNION ALL\n".join(parts)
+
 
 # terms_set: per-doc required = 1 + (doc_len % 3); doc_len is constant
 # per doc so min() just lifts it through the GROUP BY
@@ -4122,6 +4172,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,
         "terms_set": _TERMS_SET_SQL,
+        "msearch": _msearch_sql(),
         "prefix_search": _PREFIX_SQL,
         "wildcard_search": _WILDCARD_SQL,
         "more_like_this": _MLT_SQL,

@@ -113,7 +113,13 @@ class PostingList:
         )
 
     def decode_all(self):
-        return decode_posting_list(self.payload)
+        # memoized on the payload dict so PostingLists sharing one payload
+        # (msearch: same posting row scored by several queries) decode once
+        d = self.payload.get("_decoded")
+        if d is None:
+            d = decode_posting_list(self.payload)
+            self.payload["_decoded"] = d
+        return d
 
 
 def score_exact_taat(
@@ -1308,6 +1314,198 @@ class IndexReader:
             )
 
         return self._run_per_bucket(rows_df, score_rows, doc_filter, blocked_list, k)
+
+    def msearch(
+        self,
+        searches: list[dict],
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+    ) -> list[list[tuple[int, float]]]:
+        """ES ``_msearch``: execute a BATCH of term-queries in one pass
+        over the index, amortizing the dominant per-query cost — the
+        term-pruned segment read — across the batch (reference analogue:
+        the ES bulk-search API its Kibana dashboards issue;
+        `s3logsbeat.reference.yml` ships to one ES output that serves
+        many concurrent queries).
+
+        Each search: ``{"terms": [...], "k": 10, "mode": "or"|"and",
+        "min_should_match": m, "boosts": {term: w},
+        "doc_filter": {col: v}}``. Returns one top-k list per search, in
+        order — each rank-identical to ``self.query(**search)``.
+
+        Scale shape: ONE pruned df lookup and ONE pruned postings read
+        for the UNION of all query terms (the per-term bytes are copied
+        and decoded once, shared across queries via the payload memo);
+        then each query runs its own kernel over the shared lists. On the
+        distributed path this is one segment scan + one shuffle for the
+        whole batch — per-bucket kernels score every query against the
+        bucket's rows and emit (qid, doc_id, score), so batching N
+        queries costs one query's I/O plus N kernels' CPU.
+        ``doc_filter`` is driver-path only (per-query allowed-sets don't
+        share a cogroup); such searches fall back to ``self.query``."""
+        if not searches:
+            return []
+        union_terms: list[str] = []
+        for s in searches:
+            union_terms.extend(s.get("terms") or [])
+        union_terms = list(dict.fromkeys(union_terms))
+        if not union_terms:
+            return [[] for _ in searches]
+        dfsum = self._df_of(union_terms)
+
+        def _meta(s: dict):
+            """Resolve one search's idf/k/mode; None => provably empty."""
+            terms = list(dict.fromkeys(s.get("terms") or []))
+            present = {t: dfsum[t] for t in terms if t in dfsum}
+            mode = s.get("mode", "or")
+            msm = s.get("min_should_match")
+            if not present:
+                return None
+            if mode == "and" and len(present) < len(terms):
+                return None
+            if msm is not None:
+                if mode == "and":
+                    raise ValueError("min_should_match conflicts with mode='and'")
+                if msm > 1 and len(present) < msm:
+                    return None
+                if msm <= 1:
+                    msm = None
+            idf = {t: bm25_idf(self.n_docs, d) for t, d in present.items()}
+            boosts = s.get("boosts")
+            if boosts:
+                idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
+            return {"idf": idf, "k": int(s.get("k", 10)), "mode": mode,
+                    "msm": msm, "doc_filter": s.get("doc_filter")}
+
+        metas = [_meta(s) for s in searches]
+        live = [m for m in metas if m is not None]
+        if not live:
+            return [[] for _ in searches]
+        live_terms = sorted({t for m in live for t in m["idf"]})
+        total_postings = sum(dfsum[t] for t in live_terms)
+        if distributed is None:
+            distributed = total_postings * 5 > driver_bytes_limit
+        blocked = self._blocked()
+        results: list[list[tuple[int, float]]] = [[] for _ in searches]
+        if distributed and any(m["doc_filter"] for m in live):
+            # per-query filters don't share one cogroup; run those alone
+            for i, (s, m) in enumerate(zip(searches, metas)):
+                if m is not None and m["doc_filter"]:
+                    results[i] = self.query(**{**s, "distributed": True})
+                    metas[i] = None
+            live = [m for m in metas if m is not None]
+            if not live:
+                return results
+            live_terms = sorted({t for m in live for t in m["idf"]})
+        if not distributed:
+            import pyarrow.dataset as ds
+
+            tbl = self._dataset().to_table(
+                columns=["term", "docs", "tfs", "dls", "blocks"],
+                filter=ds.field("term").isin(live_terms),
+            )
+            rows = tbl.to_pylist()
+            by_term: dict[str, list] = {}
+            for row in rows:
+                by_term.setdefault(row["term"], []).append(_row_payload(row))
+            for i, m in enumerate(metas):
+                if m is None:
+                    continue
+                filt: DocFilter | None = None
+                if m["doc_filter"] is not None or blocked.size:
+                    allowed = (
+                        self._allowed_ids(m["doc_filter"])
+                        if m["doc_filter"] else None
+                    )
+                    filt = DocFilter(allowed, blocked)
+                    if filt.is_empty():
+                        continue
+                lists, lterms = [], []
+                for t, w in m["idf"].items():
+                    for payload in by_term.get(t, ()):
+                        lists.append(PostingList(payload, w, self.avgdl))
+                        lterms.append(t)
+                if m["mode"] == "and" or m["msm"] is not None:
+                    results[i] = score_conjunctive(
+                        lists, lterms, m["k"], doc_filter=filt,
+                        min_match=m["msm"],
+                    )
+                else:
+                    kern = pick_kernel(
+                        len(m["idf"]),
+                        sum(dfsum[t] for t in m["idf"]),
+                        "auto",
+                    )
+                    results[i] = kern(lists, m["k"], doc_filter=filt)
+            return results
+        return self._msearch_distributed(
+            metas, live_terms, dfsum, blocked, results
+        )
+
+    def _msearch_distributed(
+        self, metas, live_terms, dfsum, blocked, results
+    ):
+        """One segment scan + one bucket shuffle for the whole batch;
+        per-bucket kernels score every live query and emit
+        (qid, doc_id, score); exact per-query k-row merge on ≤
+        n_buckets·Σk rows."""
+        import pandas as pd
+
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(self.spark)
+        avgdl = self.avgdl
+        blocked_list = [int(x) for x in blocked] if blocked.size else []
+        qmetas = [
+            (i, m["idf"], m["k"], m["mode"], m["msm"])
+            for i, m in enumerate(metas) if m is not None
+        ]
+
+        def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            filt = (
+                DocFilter(None, np.asarray(blocked_list, dtype=np.int64))
+                if blocked_list else None
+            )
+            payloads = [
+                (row["term"], int(row["df"]), _row_payload(row))
+                for _, row in pdf.iterrows()
+            ]
+            qid, did, sc = [], [], []
+            for i, idf, k, mode, msm in qmetas:
+                mine = [(t, d, p) for t, d, p in payloads if t in idf]
+                if not mine:
+                    continue
+                lists = [PostingList(p, idf[t], avgdl) for t, _, p in mine]
+                lterms = [t for t, _, _ in mine]
+                if mode == "and" or msm is not None:
+                    top = score_conjunctive(
+                        lists, lterms, k, n_terms=len(idf),
+                        doc_filter=filt, min_match=msm,
+                    )
+                else:
+                    kern = pick_kernel(
+                        len(set(lterms)),
+                        sum(d for _, d, _ in mine),
+                        "auto",
+                    )
+                    top = kern(lists, k, doc_filter=filt)
+                for d, s in top:
+                    qid.append(i); did.append(d); sc.append(s)
+            return pd.DataFrame({"qid": qid, "doc_id": did, "score": sc})
+
+        per_b = (
+            self._segment_rows(live_terms)
+            .groupBy("bucket")
+            .applyInPandas(per_bucket, schema="qid int, doc_id long, score double")
+        )
+        rows = per_b.orderBy(
+            F.col("qid").asc(), F.col("score").desc(), F.col("doc_id").asc()
+        ).collect()
+        for r in rows:
+            i = r["qid"]
+            if len(results[i]) < metas[i]["k"]:
+                results[i].append((r["doc_id"], r["score"]))
+        return results
 
     def search(
         self,
@@ -3222,7 +3420,11 @@ class IndexReader:
         return [(r["doc_id"], r["score"]) for r in rows]
 
 
-def _row_to_plist(row, idf: float, avgdl: float) -> PostingList:
+def _row_payload(row) -> dict:
+    """Materialize one segment row's compressed streams as a PostingList
+    payload. Split from ``_row_to_plist`` so a batch (msearch) can share
+    ONE payload — one bytes copy, one memoized decode — across the
+    several PostingLists that score it under different idf weights."""
     blocks = [
         {
             "last_doc": b["last_doc"], "max_tf": b["max_tf"], "min_dl": b["min_dl"],
@@ -3231,10 +3433,13 @@ def _row_to_plist(row, idf: float, avgdl: float) -> PostingList:
         }
         for b in row["blocks"]
     ]
-    payload = {
+    return {
         "docs": bytes(row["docs"]),
         "tfs": bytes(row["tfs"]),
         "dls": bytes(row["dls"]),
         "blocks": blocks,
     }
-    return PostingList(payload, idf, avgdl)
+
+
+def _row_to_plist(row, idf: float, avgdl: float) -> PostingList:
+    return PostingList(_row_payload(row), idf, avgdl)

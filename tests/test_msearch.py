@@ -1,0 +1,93 @@
+"""msearch (ES _msearch batch API): one pruned read for the union of all
+query terms, per-query kernels over shared payloads — must be
+rank-identical to running each query alone, on both paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+@pytest.fixture(scope="module")
+def mbuilt(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("msidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    return out
+
+
+SEARCHES = [
+    {"terms": ["return", "value"], "k": 10},
+    {"terms": ["return", "int"], "k": 5, "mode": "and"},
+    {"terms": ["get", "http", "response"], "k": 10, "min_should_match": 2},
+    {"terms": ["return"], "k": 10, "boosts": {"return": 2.0}},
+    {"terms": ["zzz_absent"], "k": 10},
+    {"terms": [], "k": 10},
+    {"terms": ["def", "zzz_absent"], "k": 7},
+]
+
+
+def _solo(rdr, s, **kw):
+    if not s.get("terms"):
+        return []
+    return rdr.query(
+        s["terms"], k=s.get("k", 10), mode=s.get("mode", "or"),
+        min_should_match=s.get("min_should_match"),
+        boosts=s.get("boosts"), doc_filter=s.get("doc_filter"), **kw,
+    )
+
+
+@pytest.mark.parametrize("distributed", [False, True], ids=["driver", "dist"])
+def test_msearch_matches_solo(spark, mbuilt, distributed):
+    rdr = IndexReader(spark, mbuilt)
+    got = rdr.msearch(SEARCHES, distributed=distributed)
+    assert len(got) == len(SEARCHES)
+    for s, g in zip(SEARCHES, got):
+        want = _solo(rdr, s)
+        assert [d for d, _ in g] == [d for d, _ in want], s
+        for (_, gs), (_, ws) in zip(g, want):
+            assert abs(gs - ws) < 1e-9
+
+
+def test_msearch_doc_filter(spark, mbuilt, corpus_df):
+    lang = corpus_df.select("lang").first()["lang"]
+    rdr = IndexReader(spark, mbuilt)
+    searches = [
+        {"terms": ["return", "value"], "k": 10, "doc_filter": {"lang": lang}},
+        {"terms": ["return", "value"], "k": 10},
+    ]
+    for dist in (False, True):
+        got = rdr.msearch(searches, distributed=dist)
+        assert got[0] == _solo(rdr, searches[0])
+        assert got[1] == _solo(rdr, searches[1])
+    # the filtered result must differ from unfiltered unless all docs share lang
+    n_lang = corpus_df.filter(corpus_df.lang == lang).count()
+    if n_lang < corpus_df.count():
+        assert got[0] != got[1] or not got[0]
+
+
+def test_msearch_empty_batch(spark, mbuilt):
+    rdr = IndexReader(spark, mbuilt)
+    assert rdr.msearch([]) == []
+    assert rdr.msearch([{"terms": []}, {"terms": ["zzz"]}]) == [[], []]
+
+
+def test_msearch_and_with_absent_term_empty(spark, mbuilt):
+    rdr = IndexReader(spark, mbuilt)
+    got = rdr.msearch([{"terms": ["return", "zzz_absent"], "mode": "and"}])
+    assert got == [[]]
+
+
+def test_msearch_payload_shared_decode(spark, mbuilt):
+    """Two queries over the same term share payloads: the decode memo
+    must not corrupt the second query's scores."""
+    rdr = IndexReader(spark, mbuilt)
+    a, b = rdr.msearch(
+        [{"terms": ["return"], "k": 10},
+         {"terms": ["return"], "k": 10, "boosts": {"return": 3.0}}],
+        distributed=False,
+    )
+    assert [d for d, _ in a] == [d for d, _ in b]  # same ranking, scaled scores
+    for (_, sa), (_, sb) in zip(a, b):
+        assert abs(sb - 3.0 * sa) < 1e-6
