@@ -933,6 +933,35 @@ def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANDOM_SEED = 42
+PIN_N = 2
+
+
+def q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score random_score (seeded, field:_id, multiply):
+    score * u01(seed, doc_id) — deterministic hash randomness, so the
+    ranking is reproducible across cluster sizes and partitionings."""
+    from s3logsbeat_spark.operators.searchext import random_score_topk
+
+    return random_score_topk(
+        _bm25_scored(spark, sf_dir), RANDOM_SEED, k=BM25_K
+    )
+
+
+def q_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pinned query: the PIN_N smallest doc_ids rank first (in pin
+    order), organic BM25 hits follow with pins removed; returns
+    (rank, doc_id)."""
+    from s3logsbeat_spark.operators.searchext import pinned_topk
+
+    pins = [
+        r["doc_id"]
+        for r in _docs(spark, sf_dir)
+        .select("doc_id").orderBy("doc_id").limit(PIN_N).collect()
+    ]
+    return pinned_topk(_bm25_scored(spark, sf_dir), pins, k=BM25_K)
+
+
 RF_PIVOT = 200.0
 DF_ORIGIN = 500.0
 DF_PIVOT = 100.0
@@ -2104,6 +2133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combined_fields": q_combined_fields,
         "collapse": q_collapse,
         "function_score": q_function_score,
+        "random_score": q_random_score,
+        "pinned": q_pinned,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "filters_agg": q_filters_agg,
@@ -2669,6 +2700,34 @@ _FUNCTION_SCORE_SQL = f"""
 {_BM25_PREFIX}SELECT s.doc_id, round(s.raw * 1.0 * ln(1.0 + d.n_chars), 6) AS score
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_RANDOM_SCORE_SQL = f"""
+{_BM25_PREFIX}SELECT s.doc_id,
+       round(s.raw * (CAST('0x' || substr(sha256('{RANDOM_SEED}:' ||
+         CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT) / 4294967296.0), 6)
+         AS score
+FROM scored s
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_PINNED_SQL = f"""
+{_BM25_PREFIX}, pins AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pidx
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {PIN_N})
+),
+org AS (
+  SELECT doc_id, round(raw, 6) AS s6 FROM scored
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+  ORDER BY s6 DESC, doc_id ASC LIMIT {BM25_K}
+),
+u AS (
+  SELECT doc_id, 0 AS sec, pidx::DOUBLE AS key1 FROM pins
+  UNION ALL
+  SELECT doc_id, 1, -s6 FROM org
+)
+SELECT row_number() OVER (ORDER BY sec, key1, doc_id)::INT AS rank, doc_id
+FROM u ORDER BY rank LIMIT {BM25_K}
 """
 
 _RANK_FEATURE_SQL = f"""
@@ -4216,6 +4275,8 @@ def oracle_sql() -> dict[str, str]:
         "combined_fields": _COMBINED_FIELDS_SQL,
         "collapse": _COLLAPSE_SQL,
         "function_score": _FUNCTION_SCORE_SQL,
+        "random_score": _RANDOM_SCORE_SQL,
+        "pinned": _PINNED_SQL,
         "rank_feature": _RANK_FEATURE_SQL,
         "distance_feature": _DISTANCE_FEATURE_SQL,
         "filters_agg": _FILTERS_AGG_SQL,

@@ -92,6 +92,89 @@ def function_score_topk(
     return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def random_score_topk(
+    scored: DataFrame,
+    seed: int | str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES function_score ``random_score`` (seeded, ``field: _id``,
+    multiply boost_mode): ``score * u01`` where u01 in [0,1) is a
+    deterministic hash of (seed, doc_id) — the first 8 hex digits of
+    sha256(\"{seed}:{doc_id}\") over 2^32. Row-local JVM expression
+    (sha2 + conv), zero extra shuffle, and reproducible across cluster
+    sizes/partitionings because it depends only on (seed, doc_id) —
+    exactly why ES requires a field for reproducible random_score."""
+    u01 = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit(f"{seed}:"), F.col(id_col).cast("string")
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    out = scored.select(
+        id_col, F.round(F.col("score") * u01, 6).alias("score")
+    )
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def pinned_topk(
+    scored: DataFrame,
+    pinned_ids: list[int],
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``pinned`` query: the given ids rank first, in the given
+    order; organic hits follow by score desc (pinned ids removed from
+    the organic section). Returns ``(rank, doc_id)``, rank 1..k.
+
+    Scale shape: the pin list is tiny (ES caps it at 100 ids) and rides
+    a broadcast anti-join; the organic side is the usual
+    TakeOrderedAndProject top-k, so the union/rank window runs on ≤
+    len(pins)+k rows on the driver-adjacent final stage."""
+    spark = scored.sparkSession
+    pins = spark.createDataFrame(
+        [(int(p), i) for i, p in enumerate(pinned_ids)],
+        f"{id_col} long, pidx int",
+    )
+    # order by 6dp-rounded score so the ranking is reproducible across
+    # engines/float-sum orders (ties broken by doc_id)
+    organic = (
+        scored.join(F.broadcast(pins), id_col, "left_anti")
+        .withColumn("_s6", F.round("score", 6))
+        .orderBy(F.col("_s6").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    u = pins.select(
+        id_col,
+        F.lit(0).alias("sec"),
+        F.col("pidx").cast("double").alias("key1"),
+    ).unionByName(
+        organic.select(
+            id_col, F.lit(1).alias("sec"), (-F.col("_s6")).alias("key1")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("sec", "key1", F.col(id_col).asc())
+    return (
+        u.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy("rank")
+        .limit(k)
+        .select("rank", id_col)
+    )
+
+
 def rescore_topk(
     scored: DataFrame,
     docs: DataFrame,

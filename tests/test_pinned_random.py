@@ -1,0 +1,51 @@
+"""pinned query and seeded random_score — unit semantics (the sf0.01
+DuckDB contract oracles cover numeric parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.searchext import pinned_topk, random_score_topk
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rows = [(i, float(100 - i)) for i in range(1, 21)]  # doc 1 best
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def test_pinned_order_and_dedup(spark, scored):
+    # doc 3 is both pinned and a strong organic hit: appears once, at its
+    # pinned position; pin order preserved even against score order
+    got = [(r["rank"], r["doc_id"]) for r in pinned_topk(scored, [7, 3], k=6).collect()]
+    assert got == [(1, 7), (2, 3), (3, 1), (4, 2), (5, 4), (6, 5)]
+
+
+def test_pinned_no_pins_is_organic(spark, scored):
+    got = [r["doc_id"] for r in pinned_topk(scored, [], k=3).collect()]
+    assert got == [1, 2, 3]
+
+
+def test_random_score_deterministic_and_seed_sensitive(spark, scored):
+    a = [(r["doc_id"], r["score"]) for r in random_score_topk(scored, 42, k=20).collect()]
+    b = [(r["doc_id"], r["score"]) for r in random_score_topk(scored, 42, k=20).collect()]
+    c = [(r["doc_id"], r["score"]) for r in random_score_topk(scored, 43, k=20).collect()]
+    assert a == b
+    assert a != c
+    # every score is in (0, original]: u01 in [0,1)
+    orig = {i: float(100 - i) for i in range(1, 21)}
+    for d, s in a:
+        assert 0.0 <= s <= orig[d]
+
+
+def test_random_score_python_twin(spark, scored):
+    import hashlib
+
+    def u01(seed, d):
+        h = hashlib.sha256(f"{seed}:{d}".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    got = {r["doc_id"]: r["score"] for r in random_score_topk(scored, 7, k=20).collect()}
+    for d in range(1, 21):
+        assert abs(got[d] - round((100.0 - d) * u01(7, d), 6)) < 1e-9
