@@ -1293,6 +1293,28 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir), text_col="text")
 
 
+QC_WEIGHTS = {
+    "spark": 18.0, "merge": 9.0, "query": 6.0, "window": 5.0,
+    "stream": -6.0, "the": -10.0, "a": -5.0, "order": 3.0,
+}
+QC_BIAS = -0.05
+QC_THRESHOLD = 0.5
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (fasttext-style linear classifier):
+    prob = sigmoid(bias + Σ tf·w / doc_len), keep = prob >= 0.5 — the
+    CCNet/FineWeb pipeline step. Broadcast weight dim + one doc-keyed
+    groupBy shuffle; weights are a literal stand-in for a trained model
+    table."""
+    from s3logsbeat_spark.operators.textstats import classifier_scores
+
+    return classifier_scores(
+        _docs(spark, sf_dir), QC_WEIGHTS, bias=QC_BIAS,
+        threshold=QC_THRESHOLD, text_col="text",
+    )
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-line fraction/chars,
     top-2/3-gram char fraction, duplicated-5-gram char fraction. Pure
@@ -2151,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "lang_id": q_lang_id,
         "quality": q_quality,
+        "quality_classifier": q_quality_classifier,
         "repetition": q_repetition,
         "lm_nll": q_lm_nll,
         "gopher_quality": q_gopher_quality,
@@ -3631,6 +3654,31 @@ LEFT JOIN g5s USING (doc_id)
 """
 
 
+def _quality_classifier_sql() -> str:
+    wvals = ", ".join(
+        f"('{t}', {w}::DOUBLE)" for t, w in sorted(QC_WEIGHTS.items())
+    )
+    return f"""
+WITH w(term, wt) AS (VALUES {wvals}),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT t.doc_id, sum(coalesce(w.wt, 0.0))::DOUBLE AS sw,
+         count(t.tok)::BIGINT AS dl
+  FROM toks t LEFT JOIN w ON t.tok = w.term GROUP BY t.doc_id
+),
+p AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-({QC_BIAS} + coalesce(a.sw, 0.0)
+           / greatest(coalesce(a.dl, 0), 1)))), 6) AS prob
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, prob, (prob >= {QC_THRESHOLD})::INT AS keep FROM p
+"""
+
+
 def _quality_sql() -> str:
     from s3logsbeat_spark.operators.textstats import STOPWORDS
 
@@ -4316,6 +4364,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _JACCARD_SQL,
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "repetition": _repetition_sql(),
         "lm_nll": _LM_NLL_SQL,
         "gopher_quality": _GOPHER_SQL,

@@ -90,6 +90,54 @@ def quality_scores(
     )
 
 
+def classifier_scores(
+    df: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FastText-style linear bag-of-words quality classifier — the
+    model-based filtering step of web-scale training pipelines (CCNet /
+    GPT-3 WebText-similarity / FineWeb-edu): ``prob = sigmoid(bias +
+    (Σ_t tf_t · w_t) / doc_len)``, ``keep = prob >= threshold``.
+
+    Returns (doc_id, prob, keep:int). The weight table is the trained
+    model (a real deployment loads ~10^5 rows from parquet); here it's a
+    literal dict. Plan shape: codegen tokenize → explode → BROADCAST
+    hash join against the weight dim → ONE groupBy(doc) shuffle with
+    map-side partial sums → row-local sigmoid. No Python anywhere, so it
+    holds at 100 TB: cost is one pass over tokens + one doc-keyed
+    shuffle, the same shape as the index build's light half."""
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        [(t, float(w)) for t, w in sorted(weights.items())],
+        "term string, wt double",
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_col(text_col)).alias("tok"),
+    )
+    agg = (
+        toks.join(F.broadcast(w_df), toks.tok == w_df.term, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("wt"), F.lit(0.0))).alias("sw"),
+            F.count("tok").alias("dl"),
+        )
+    )
+    logit = F.lit(float(bias)) + F.col("sw") / F.greatest(
+        F.col("dl"), F.lit(1)
+    ).cast("double")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return agg.select(
+        "doc_id",
+        F.round(prob, 6).alias("prob"),
+        (F.round(prob, 6) >= F.lit(float(threshold))).cast("int").alias("keep"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:

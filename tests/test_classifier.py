@@ -1,0 +1,38 @@
+"""Linear bag-of-words quality classifier — python-twin and edge cases
+(the sf0.01 DuckDB contract oracle covers corpus-level parity)."""
+
+from __future__ import annotations
+
+import math
+
+from s3logsbeat_spark.operators.textstats import classifier_scores
+
+W = {"good": 5.0, "fine": 2.0, "bad": -4.0}
+
+
+def _twin(text, bias=0.0):
+    import re
+
+    toks = re.findall(r"[a-z0-9_]+", text.lower())
+    sw = sum(W.get(t, 0.0) for t in toks)
+    return 1.0 / (1.0 + math.exp(-(bias + sw / max(len(toks), 1))))
+
+
+def test_classifier_vs_twin(spark):
+    rows = [
+        (1, "good good fine stuff"),
+        (2, "bad bad bad"),
+        (3, "neutral words only here"),
+        (4, ""),
+        (5, "good bad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = {r["doc_id"]: (r["prob"], r["keep"]) for r in
+           classifier_scores(df, W, bias=0.1).collect()}
+    assert len(got) == 5  # empty doc not dropped
+    for d, text in rows:
+        want = round(_twin(text, 0.1), 6)
+        assert abs(got[d][0] - want) < 1e-9, d
+        assert got[d][1] == int(want >= 0.5), d
+    # zero-weight tokens and empty text both leave logit = bias
+    assert got[3][0] == round(_twin("", 0.1), 6) == got[4][0]
