@@ -2006,6 +2006,17 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-key spike detection (ES watcher analogue): per
+    event_type z-score of the LAST hour's count vs the dense hourly
+    baseline (missing hours = zero counts, folded in closed form from
+    integer S1/S2 sums — exact, partitioning-independent)."""
+    from s3logsbeat_spark.operators.trending import trending_scores
+
+    ev = _read(spark, sf_dir, "events")
+    return trending_scores(ev)
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 analogue on the events table: JSON props extraction + agg."""
     ev = _read(spark, sf_dir, "events")
@@ -2196,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
         "events_hourly": q_events_hourly,
+        "trending": q_trending,
         "events_json": q_events_json,
         "events_sessions": q_events_sessions,
         "events_cumsum": q_events_cumsum,
@@ -4185,6 +4197,40 @@ FROM events
 """
 
 
+# trending: z of the last hour's count vs the DENSE hourly baseline —
+# n slots = hours between first and last bucket; missing hours are zero
+# counts, folded via S1/S2 integer sums (same op order as the Spark side
+# so the doubles match bit-for-bit)
+_TRENDING_SQL = """
+WITH c AS (
+  SELECT event_type AS key, date_trunc('hour', ts) AS h, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT max(h) AS h1,
+         CAST((epoch(max(h)) - epoch(min(h))) / 3600 AS BIGINT) AS n FROM c
+),
+a AS (
+  SELECT key,
+         sum(CASE WHEN h = (SELECT h1 FROM b) THEN c ELSE 0 END)::BIGINT AS c_last,
+         sum(CASE WHEN h <> (SELECT h1 FROM b) THEN c ELSE 0 END)::BIGINT AS s1,
+         sum(CASE WHEN h <> (SELECT h1 FROM b) THEN c * c ELSE 0 END)::BIGINT AS s2
+  FROM c GROUP BY key
+),
+m AS (
+  SELECT key, c_last,
+         s1::DOUBLE / (SELECT n FROM b) AS mu,
+         s2::DOUBLE / (SELECT n FROM b)
+           - (s1::DOUBLE / (SELECT n FROM b)) * (s1::DOUBLE / (SELECT n FROM b))
+           AS var
+  FROM a
+)
+SELECT key AS event_type, c_last AS count_last,
+       round(mu, 6) AS baseline_mean,
+       round((c_last::DOUBLE - mu) / sqrt(var), 6) AS z
+FROM m WHERE var > 0
+"""
+
 _EVENTS_HOURLY_SQL = """
 SELECT date_trunc('hour', ts) AS hour_start, event_type,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
@@ -4387,6 +4433,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
+        "trending": _TRENDING_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_cumsum": _EVENTS_CUMSUM_SQL,

@@ -1,0 +1,120 @@
+"""Trending-key detection over timestamped streams (the ES watcher /
+"significant change" alerting shape the reference's Kibana users build
+on top of shipped logs — reference parity: s3logsbeat ships events with
+``@timestamp`` lifted per parser, `parsers.go`; the alerting itself is
+outsourced to the ES stack).
+
+``trending_scores`` flags keys whose CURRENT bucket count spikes vs
+their own history: z = (c_last - mu) / sigma, where mu/sigma are the
+population mean/std of the key's count over the dense baseline buckets
+(every bucket slot from the corpus' first hour to the one before last —
+missing buckets ARE zero counts, folded in closed form from the sparse
+groupBy via S1/S2 sums, so the plan never materializes the dense grid).
+
+Scale shape: one groupBy(key, bucket) shuffle with map-side partials
+(sparse — bounded by observed (key,bucket) pairs, not slots), then a
+key-level re-agg. Integer S1/S2 sums keep the float math at the very
+end, so scores are partitioning-independent and exactly reproducible by
+a SQL oracle. The streaming twin keeps the heavy stateful windowed
+count in Structured Streaming; the z fold is the same closed form over
+the materialized counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+
+def bucket_counts(
+    df: DataFrame, time_col: str = "ts", key_col: str = "event_type",
+    granularity: str = "hour",
+) -> DataFrame:
+    """Sparse (key, bucket, c) counts — the shuffle stage shared by the
+    batch scorer and the streaming twin's per-batch update."""
+    return (
+        df.select(
+            F.date_trunc(granularity, F.col(time_col)).alias("h"),
+            F.col(key_col).alias("key"),
+        )
+        .groupBy("key", "h")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def trending_scores(
+    df: DataFrame,
+    time_col: str = "ts",
+    key_col: str = "event_type",
+    granularity: str = "hour",
+) -> DataFrame:
+    """(key, count_last, baseline_mean, z) for every key with non-zero
+    baseline variance; z desc ranks the spikes. Exact, deterministic,
+    partitioning-independent (integer sums, float only at the end)."""
+    counts = bucket_counts(df, time_col, key_col, granularity)
+    return scores_from_counts(counts, granularity).withColumnRenamed(
+        "key", key_col
+    )
+
+
+def trending_stream_counts(
+    stream_df: DataFrame, time_col: str = "ts", key_col: str = "event_type",
+    granularity: str = "hour", watermark: str = "2 hours",
+):
+    """Streaming half of the twin: stateful windowed counts with a
+    watermark (late data beyond it is dropped, state is bounded). Score
+    the materialized counts with the same closed-form fold as batch —
+    see tests/test_trending.py for the foreachBatch wiring."""
+    w = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}[granularity]
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), w).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("c"))
+        .select(F.col("w.start").alias("h"), "key", "c")
+    )
+
+
+def scores_from_counts(counts: DataFrame, granularity: str = "hour") -> DataFrame:
+    """The closed-form z fold over an already-materialized (key, h, c)
+    frame (batch or streamed) — shared so the streaming twin provably
+    computes the batch semantics."""
+    sec = _SECONDS[granularity]
+    bounds = counts.agg(F.min("h").alias("h0"), F.max("h").alias("h1")).collect()[0]
+    h0, h1 = bounds["h0"], bounds["h1"]
+    empty = counts.sparkSession.createDataFrame(
+        [], "key string, count_last long, baseline_mean double, z double"
+    )
+    if h0 is None:
+        return empty
+    n_slots = int((h1 - h0).total_seconds() // sec)
+    if n_slots <= 0:
+        return empty
+    last = F.col("h") == F.lit(h1)
+    agg = counts.groupBy("key").agg(
+        F.sum(F.when(last, F.col("c")).otherwise(F.lit(0))).alias("c_last"),
+        F.sum(F.when(~last, F.col("c")).otherwise(F.lit(0))).alias("s1"),
+        F.sum(F.when(~last, F.col("c") * F.col("c")).otherwise(F.lit(0))).alias("s2"),
+    )
+    h_lit = F.lit(float(n_slots))
+    mu = F.col("s1").cast("double") / h_lit
+    var = F.col("s2").cast("double") / h_lit - mu * mu
+    return (
+        agg.withColumn("mu", mu)
+        .withColumn("var", var)
+        .filter(F.col("var") > 0)
+        .select(
+            "key",
+            F.col("c_last").cast("long").alias("count_last"),
+            F.round("mu", 6).alias("baseline_mean"),
+            F.round(
+                (F.col("c_last").cast("double") - F.col("mu"))
+                / F.sqrt(F.col("var")),
+                6,
+            ).alias("z"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Trending-key z-score detection — hand-computed twin, dense-baseline
+(missing hours = zeros) semantics, and the streaming twin (watermarked
+windowed counts scored with the same closed-form fold)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.trending import (
+    bucket_counts,
+    scores_from_counts,
+    trending_scores,
+    trending_stream_counts,
+)
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+SCHEMA = "ts timestamp, event_type string"
+
+
+def _rows():
+    rows = []
+
+    def add(key, hour, n, minute=7):
+        for i in range(n):
+            rows.append((BASE + dt.timedelta(hours=hour, minutes=minute + i % 40), key))
+
+    # key a: baseline [2,1,3,1,2] then a spike of 9 in the last hour
+    for h, n in enumerate([2, 1, 3, 1, 2]):
+        add("a", h, n)
+    add("a", 5, 9)
+    # key b: constant 2 every hour -> zero variance -> dropped
+    for h in range(6):
+        add("b", h, 2)
+    # key c: sparse baseline (hours 1 and 4 only), absent in the last hour
+    add("c", 1, 4)
+    add("c", 4, 2)
+    return rows
+
+
+def _expected():
+    # n_slots = 5 baseline hours (h0..h4); missing hours are zeros
+    def ms(counts, last):
+        n = 5
+        mu = sum(counts) / n
+        var = sum(c * c for c in counts) / n - mu * mu
+        return mu, var, (last - mu) / math.sqrt(var) if var > 0 else None
+
+    out = {}
+    mu, var, z = ms([2, 1, 3, 1, 2], 9)
+    out["a"] = (9, round(mu, 6), round(z, 6))
+    mu, var, z = ms([4, 0, 0, 2, 0], 0)  # c: zeros folded in
+    out["c"] = (0, round(mu, 6), round(z, 6))
+    return out
+
+
+def test_trending_vs_twin(spark):
+    df = spark.createDataFrame(_rows(), SCHEMA)
+    got = {
+        r["event_type"]: (r["count_last"], r["baseline_mean"], r["z"])
+        for r in trending_scores(df).collect()
+    }
+    want = _expected()
+    assert set(got) == set(want)  # b (zero variance) dropped
+    for k, (cl, mu, z) in want.items():
+        assert got[k][0] == cl, k
+        assert abs(got[k][1] - mu) < 1e-9, k
+        assert abs(got[k][2] - z) < 1e-6, k
+
+
+def test_trending_empty_and_single_bucket(spark):
+    empty = spark.createDataFrame([], SCHEMA)
+    assert trending_scores(empty).count() == 0
+    one = spark.createDataFrame([(BASE, "a"), (BASE, "b")], SCHEMA)
+    assert trending_scores(one).count() == 0  # no baseline slots
+
+
+def test_trending_streaming_matches_batch(spark, tmp_path):
+    rows = _rows()
+    probe = [(BASE + dt.timedelta(hours=40), "probe")]  # closes every window
+    src = tmp_path / "ev"
+    src.mkdir()
+    waves = [rows[: len(rows) // 2], rows[len(rows) // 2 :], probe]
+    for i, w in enumerate(waves):
+        spark.createDataFrame(w, SCHEMA).coalesce(1).write.parquet(
+            str(src / f"w{i}")
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    counts = trending_stream_counts(stream, watermark="2 hours")
+    sink = str(tmp_path / "sink")
+
+    def _sink(batch_df, epoch_id):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        counts.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.read.parquet(sink).filter(
+        F.col("h") < F.lit(BASE + dt.timedelta(hours=40))
+    )
+    got = {
+        r["key"]: (r["count_last"], r["baseline_mean"], r["z"])
+        for r in scores_from_counts(streamed).collect()
+    }
+    batch_counts = bucket_counts(spark.createDataFrame(rows, SCHEMA))
+    want = {
+        r["key"]: (r["count_last"], r["baseline_mean"], r["z"])
+        for r in scores_from_counts(batch_counts).collect()
+    }
+    assert got == want and "a" in got
