@@ -584,6 +584,33 @@ def q_search_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES boxplot aggregation on a query: min/q1/q2/q3/max of n_chars
+    over the matching docs (exact percentile contract mode; the approx
+    knob is the TDigest-analogue scale path)."""
+    rdr = _driver_index(spark, sf_dir)
+    b = rdr.boxplot_agg(BM25_TERMS, "n_chars")
+    return spark.createDataFrame(
+        [(b["min"], round(b["q1"], 6), round(b["q2"], 6),
+          round(b["q3"], 6), b["max"])],
+        "min double, q1 double, q2 double, q3 double, max double",
+    )
+
+
+def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES string_stats aggregation on a query (show_distribution
+    semantics): length stats of the repo keyword attribute over matching
+    docs + Shannon entropy of its character distribution."""
+    rdr = _driver_index(spark, sf_dir)
+    s = rdr.string_stats_agg(BM25_TERMS, "repo")
+    return spark.createDataFrame(
+        [(s["count"], s["min_length"], s["max_length"],
+          round(s["avg_length"], 6), round(s["entropy"], 6))],
+        "count long, min_length long, max_length long, "
+        "avg_length double, entropy double",
+    )
+
+
 MULTI_TERMS_SIZE = 10
 
 
@@ -2133,6 +2160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_histogram": q_search_histogram,
         "search_cardinality": q_search_cardinality,
         "search_mad": q_search_mad,
+        "search_boxplot": q_search_boxplot,
+        "string_stats": q_string_stats,
         "multi_terms": q_multi_terms,
         "search_percentiles": q_search_percentiles,
         "span_near": q_span_near,
@@ -2562,6 +2591,34 @@ WITH m AS (
   WHERE doc_id IN ({_MATCHING_DOCS})
 )
 SELECT round(median(abs(v - (SELECT median(v) FROM m))), 6) AS mad FROM m
+"""
+
+_SEARCH_BOXPLOT_SQL = f"""
+WITH m AS (
+  SELECT n_chars::DOUBLE AS v FROM documents
+  WHERE doc_id IN ({_MATCHING_DOCS})
+)
+SELECT min(v) AS min, round(quantile_cont(v, 0.25), 6) AS q1,
+       round(quantile_cont(v, 0.50), 6) AS q2,
+       round(quantile_cont(v, 0.75), 6) AS q3, max(v) AS max
+FROM m
+"""
+
+_STRING_STATS_SQL = f"""
+WITH m AS (
+  SELECT source AS v FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+),
+cc AS (
+  SELECT ch, count(*)::DOUBLE AS c
+  FROM (SELECT unnest(regexp_extract_all(v, '.')) AS ch FROM m) GROUP BY 1
+)
+SELECT (SELECT count(*) FROM m)::BIGINT AS count,
+       (SELECT min(length(v)) FROM m)::BIGINT AS min_length,
+       (SELECT max(length(v)) FROM m)::BIGINT AS max_length,
+       round((SELECT avg(length(v)) FROM m), 6) AS avg_length,
+       round(-sum((c / (SELECT sum(c) FROM cc))
+                  * log2(c / (SELECT sum(c) FROM cc))), 6) AS entropy
+FROM cc
 """
 
 _MULTI_TERMS_SQL = f"""
@@ -4336,6 +4393,8 @@ def oracle_sql() -> dict[str, str]:
         "search_histogram": _SEARCH_HIST_SQL,
         "search_cardinality": _SEARCH_CARD_SQL,
         "search_mad": _SEARCH_MAD_SQL,
+        "search_boxplot": _SEARCH_BOXPLOT_SQL,
+        "string_stats": _STRING_STATS_SQL,
         "multi_terms": _MULTI_TERMS_SQL,
         "search_percentiles": _SEARCH_PCTS_SQL,
         "span_near": _SPAN_NEAR_SQL,

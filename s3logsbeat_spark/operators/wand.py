@@ -2584,6 +2584,105 @@ class IndexReader:
         )
         return None if out is None else float(out)
 
+    def boxplot_agg(
+        self,
+        terms: list[str],
+        field: str,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        exact: bool = True,
+        accuracy: int = 10000,
+    ) -> dict | None:
+        """ES boxplot aggregation on a query: min/q1/q2/q3/max of a
+        numeric sidecar attribute over the matching docs. Exact
+        percentile by default (linear interpolation == SQL
+        ``quantile_cont``, DuckDB-oracle-checkable); ``exact=False``
+        swaps to the mergeable Greenwald-Khanna sketch for
+        unbounded-cardinality fields at scale (ES's own is TDigest)."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return None
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"]).select(
+            F.col(field).cast("double").alias("v")
+        )
+        pct = "percentile" if exact else "percentile_approx"
+        acc = "" if exact else f", {accuracy}"
+        row = j.agg(
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.expr(f"{pct}(v, array(0.25, 0.5, 0.75){acc})").alias("q"),
+        ).collect()[0]
+        if row["mn"] is None or row["q"] is None:
+            return None
+        return {
+            "min": float(row["mn"]),
+            "q1": float(row["q"][0]),
+            "q2": float(row["q"][1]),
+            "q3": float(row["q"][2]),
+            "max": float(row["mx"]),
+        }
+
+    def string_stats_agg(
+        self,
+        terms: list[str],
+        field: str,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> dict | None:
+        """ES string_stats aggregation on a query: count / min_length /
+        max_length / avg_length of a keyword sidecar attribute over the
+        matching docs, plus the Shannon entropy (bits) of the CHARACTER
+        distribution across all values (ES ``show_distribution``
+        semantics). Distributed shape: the char histogram is one
+        explode + groupBy(char) with map-side partials — alphabet-sized
+        output, never a per-doc collect."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return None
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"]).select(
+            F.col(field).cast("string").alias("v")
+        )
+        row = j.agg(
+            F.count("v").alias("n"),
+            F.min(F.length("v")).alias("mn"),
+            F.max(F.length("v")).alias("mx"),
+            F.avg(F.length("v")).alias("avg"),
+        ).collect()[0]
+        if not row["n"]:
+            return None
+        cc = (
+            j.select(
+                F.explode(F.expr("regexp_extract_all(v, '.', 0)")).alias("ch")
+            )
+            .groupBy("ch")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        tot = float(sum(r["c"] for r in cc))
+        import math
+
+        ent = 0.0
+        for r in sorted(cc, key=lambda r: r["ch"]):
+            p = r["c"] / tot
+            ent -= p * math.log2(p)
+        return {
+            "count": int(row["n"]),
+            "min_length": int(row["mn"]),
+            "max_length": int(row["mx"]),
+            "avg_length": float(row["avg"]),
+            "entropy": ent,
+        }
+
     def multi_terms_agg(
         self,
         terms: list[str],

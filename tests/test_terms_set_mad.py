@@ -120,6 +120,52 @@ def test_mad_agg_empty(spark, built):
     assert rdr.mad_agg(["zzz_missing"], "n_chars") is None
 
 
+# ------------------------------------------------ boxplot/string_stats --
+
+
+def _quantile_cont(vals, q):
+    vals = sorted(vals)
+    pos = (len(vals) - 1) * q
+    lo, hi = int(pos), min(int(pos) + 1, len(vals) - 1)
+    return vals[lo] + (pos - lo) * (vals[hi] - vals[lo])
+
+
+def test_boxplot_vs_brute(spark, built, oracle):
+    out, rows = built
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    vals = [float(v) for v in _matched_vals(oracle, rows, terms, "n_chars")]
+    got = rdr.boxplot_agg(terms, "n_chars")
+    assert got["min"] == min(vals) and got["max"] == max(vals)
+    for key, q in (("q1", 0.25), ("q2", 0.5), ("q3", 0.75)):
+        assert abs(got[key] - _quantile_cont(vals, q)) < 1e-9, key
+    # approx mode stays inside the exact envelope
+    ga = rdr.boxplot_agg(terms, "n_chars", exact=False)
+    assert min(vals) <= ga["q1"] <= ga["q2"] <= ga["q3"] <= max(vals)
+    assert rdr.boxplot_agg(["zzz_missing"], "n_chars") is None
+
+
+def test_string_stats_vs_brute(spark, built, oracle, corpus_df):
+    import math
+    from collections import Counter
+
+    out, _ = built
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "lang").collect()]
+    rdr = IndexReader(spark, out)
+    terms = ["return", "value"]
+    vals = _matched_vals(oracle, rows, terms, "lang")
+    got = rdr.string_stats_agg(terms, "lang")
+    assert got["count"] == len(vals)
+    lens = [len(v) for v in vals]
+    assert got["min_length"] == min(lens) and got["max_length"] == max(lens)
+    assert abs(got["avg_length"] - sum(lens) / len(lens)) < 1e-9
+    cc = Counter("".join(vals))
+    tot = sum(cc.values())
+    ent = -sum((c / tot) * math.log2(c / tot) for c in cc.values())
+    assert abs(got["entropy"] - ent) < 1e-9
+    assert rdr.string_stats_agg(["zzz_missing"], "lang") is None
+
+
 # -------------------------------------------------------- multi_terms --
 
 
