@@ -200,6 +200,20 @@ def run_default() -> dict:
         t0 = time.perf_counter()
         duplicate_spans(docs, width=8, min_docs=2, hashed=True).count()
         dops["dedup_spans"] = round(time.perf_counter() - t0, 3)
+        from s3logsbeat_spark.operators.textstats import classifier_scores
+        from s3logsbeat_spark.operators.trending import trending_scores
+
+        t0 = time.perf_counter()
+        classifier_scores(
+            docs, {"merge": 9.0, "spark": 18.0, "the": -10.0}, bias=-0.05
+        ).agg(F.sum("keep")).collect()
+        dops["quality_classifier"] = round(time.perf_counter() - t0, 3)
+        ev_path = os.path.join(SF_DIR, "events.parquet")
+        if os.path.exists(ev_path):
+            ev = spark.read.parquet(ev_path)
+            t0 = time.perf_counter()
+            trending_scores(ev).count()
+            dops["trending"] = round(time.perf_counter() - t0, 3)
         out["data_ops"] = dops
     if os.environ.get("SPARK_GRAFT_SKIP_CODE_CORPUS") != "1":
         # north-rule evidence inline: build + rank-identity on the
@@ -488,6 +502,20 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     t0 = time.perf_counter()
     rdr.significant_terms(["return"], 10, sample_size=200)
     surface["sig_terms_sampled_sec"] = round(time.perf_counter() - t0, 4)
+    # --- msearch batching: the 7 reference queries in ONE pass (union-
+    # pruned read, shared payload decode) vs the sum of their solo runs
+    # above; a fresh reader so the df cache doesn't flatter the batch
+    rdr_b = IndexReader(spark, out)
+    rdr_b.query(["value"], 10)  # same warm-open the solo path got
+    t0 = time.perf_counter()
+    batched = rdr_b.msearch(
+        [{"terms": q["terms"], "k": q["k"]} for q in REFERENCE_QUERIES]
+    )
+    msearch_s = time.perf_counter() - t0
+    assert batched == [wand_results[q["query_id"]] for q in REFERENCE_QUERIES]
+    surface["msearch_batch_sec"] = round(msearch_s, 4)
+    surface["msearch_solo_sum_sec"] = round(sum(lat), 4)
+    surface["msearch_speedup"] = round(sum(lat) / max(msearch_s, 1e-9), 2)
     # result post-processing composed over the indexed ranking: the input
     # is the k-row WAND result, so these measure the compose overhead
     # (broadcast join against the corpus), not another corpus scan
