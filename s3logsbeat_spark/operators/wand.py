@@ -2584,6 +2584,19 @@ class IndexReader:
         )
         return None if out is None else float(out)
 
+    def matching_doc_ids(
+        self, terms: list[str], mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[int]:
+        """Sorted doc_ids of every doc matching the query — the
+        ids-of-hits surface (used e.g. to derive rank_eval rating sets).
+        Collects ids to the driver: intended for selective queries;
+        broad result sets should stay distributed (_matched_docs_df)."""
+        m = self._matched_docs_df(terms, mode, doc_filter)
+        if m is None:
+            return []
+        return sorted(r["doc_id"] for r in m.select("doc_id").collect())
+
     def boxplot_agg(
         self,
         terms: list[str],

@@ -1,0 +1,59 @@
+"""rank_eval metric math (hand-computed) + msearch composition on the
+module index (the sf0.01 DuckDB contract oracle covers end-to-end)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from s3logsbeat_spark.operators.rankeval import _metrics, rank_eval
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+def test_metrics_hand_computed():
+    ranked = [10, 20, 30, 40, 50]
+    ratings = {20: 1.0, 40: 1.0, 99: 1.0}  # ranks 2 and 4 hit, one missed
+    m = _metrics(ranked, ratings, k=5)
+    assert m["precision"] == 2 / 5
+    assert m["recall"] == 2 / 3
+    assert m["mrr"] == 1 / 2
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(m["dcg"] - dcg) < 1e-12
+    assert abs(m["ndcg"] - dcg / idcg) < 1e-12
+
+
+def test_metrics_graded_gains_and_empty():
+    m = _metrics([1, 2], {1: 3.0, 2: 1.0}, k=2)
+    dcg = 3 / math.log2(2) + 1 / math.log2(3)
+    assert abs(m["dcg"] - dcg) < 1e-12 and abs(m["ndcg"] - 1.0) < 1e-12
+    z = _metrics([1, 2], {}, k=2)
+    assert z == {"precision": 0.0, "recall": 0.0, "mrr": 0.0, "dcg": 0.0, "ndcg": 0.0}
+    e = _metrics([], {1: 1.0}, k=2)
+    assert e["precision"] == 0.0 and e["recall"] == 0.0 and e["ndcg"] == 0.0
+
+
+@pytest.fixture(scope="module")
+def rbuilt(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("reidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    return out
+
+
+def test_rank_eval_composes_msearch(spark, rbuilt):
+    rdr = IndexReader(spark, rbuilt)
+    rel = rdr.matching_doc_ids(["return", "value"], mode="and")
+    assert rel == sorted(rel) and rel
+    reqs = [
+        {"id": "a", "terms": ["return", "value"], "mode": "and",
+         "ratings": {d: 1.0 for d in rel}},
+        {"id": "b", "terms": ["zzz_absent"], "ratings": {1: 1.0}},
+    ]
+    out = rank_eval(rdr, reqs, k=10)
+    # every retrieved doc for the conjunctive query IS relevant
+    assert out[0]["precision"] == 1.0 and out[0]["mrr"] == 1.0
+    assert abs(out[0]["ndcg"] - 1.0) < 1e-12
+    assert out[1] == {"id": "b", "precision": 0.0, "recall": 0.0,
+                      "mrr": 0.0, "dcg": 0.0, "ndcg": 0.0}
