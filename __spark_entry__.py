@@ -647,6 +647,22 @@ def q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TTEST_A = ["merge"]
+TTEST_B = ["stream"]
+
+
+def q_search_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES t_test aggregation (Welch): t statistic of n_chars between
+    docs matching 'merge' and docs matching 'stream' (sample variance,
+    ES parity)."""
+    rdr = _driver_index(spark, sf_dir)
+    r = rdr.t_test_agg(TTEST_A, TTEST_B, "n_chars")
+    return spark.createDataFrame(
+        [(round(r["t"], 6), r["n_a"], r["n_b"])],
+        "t double, n_a long, n_b long",
+    )
+
+
 MULTI_TERMS_SIZE = 10
 
 
@@ -2198,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_cardinality": q_search_cardinality,
         "search_mad": q_search_mad,
         "search_boxplot": q_search_boxplot,
+        "search_ttest": q_search_ttest,
         "string_stats": q_string_stats,
         "multi_terms": q_multi_terms,
         "search_percentiles": q_search_percentiles,
@@ -2639,6 +2656,29 @@ SELECT min(v) AS min, round(quantile_cont(v, 0.25), 6) AS q1,
        round(quantile_cont(v, 0.50), 6) AS q2,
        round(quantile_cont(v, 0.75), 6) AS q3, max(v) AS max
 FROM m
+"""
+
+# t_test (Welch): the two matched-doc sets use single-term containment;
+# var_samp in both engines, same formula order
+_SEARCH_TTEST_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(regexp_extract_all(lower(text),
+           '[a-z_][a-z0-9_]*')) AS ts,
+         n_chars::DOUBLE AS v
+  FROM documents
+),
+a AS (
+  SELECT count(*)::BIGINT AS n, avg(v) AS mean, var_samp(v) AS var
+  FROM t WHERE list_contains(ts, 'merge')
+),
+b AS (
+  SELECT count(*)::BIGINT AS n, avg(v) AS mean, var_samp(v) AS var
+  FROM t WHERE list_contains(ts, 'stream')
+)
+SELECT round((a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n), 6) AS t,
+       a.n AS n_a, b.n AS n_b
+FROM a, b
 """
 
 _STRING_STATS_SQL = f"""
@@ -4484,6 +4524,7 @@ def oracle_sql() -> dict[str, str]:
         "search_cardinality": _SEARCH_CARD_SQL,
         "search_mad": _SEARCH_MAD_SQL,
         "search_boxplot": _SEARCH_BOXPLOT_SQL,
+        "search_ttest": _SEARCH_TTEST_SQL,
         "string_stats": _STRING_STATS_SQL,
         "multi_terms": _MULTI_TERMS_SQL,
         "search_percentiles": _SEARCH_PCTS_SQL,

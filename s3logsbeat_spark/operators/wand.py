@@ -2696,6 +2696,69 @@ class IndexReader:
             "entropy": ent,
         }
 
+    def t_test_agg(
+        self,
+        terms_a: list[str],
+        terms_b: list[str],
+        field: str,
+        mode: str = "or",
+        test_type: str = "heteroscedastic",
+        doc_filter: dict | None = None,
+    ) -> dict | None:
+        """ES t_test aggregation: two-sample t statistic of a numeric
+        sidecar attribute between the docs matching query A and query B.
+        ``heteroscedastic`` (default, Welch — ES's default for unpaired
+        filters): t = (mean_a - mean_b) / sqrt(s2_a/n_a + s2_b/n_b);
+        ``homoscedastic`` pools the sample variances. Sample variance
+        throughout (ES parity). Returns {"t", "n_a", "n_b"}; None when
+        either side has < 2 values or the denominator is zero.
+
+        Scale shape: each side is the shared _matched_docs_df candidate
+        stage + one skinny sidecar join and a single agg — two passes
+        over query-pruned postings, never over the corpus."""
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+
+        def side(terms):
+            m = self._matched_docs_df(terms, mode, doc_filter)
+            if m is None:
+                return None
+            r = (
+                m.join(attrs, ["bucket", "doc_id"])
+                .agg(
+                    F.count(field).alias("n"),
+                    F.avg(F.col(field).cast("double")).alias("mean"),
+                    F.var_samp(F.col(field).cast("double")).alias("var"),
+                )
+                .collect()[0]
+            )
+            return None if not r["n"] or r["n"] < 2 else r
+
+        a, b = side(terms_a), side(terms_b)
+        if a is None or b is None:
+            return None
+        import math
+
+        if test_type == "heteroscedastic":
+            denom2 = a["var"] / a["n"] + b["var"] / b["n"]
+        elif test_type == "homoscedastic":
+            pooled = (
+                (a["n"] - 1) * a["var"] + (b["n"] - 1) * b["var"]
+            ) / (a["n"] + b["n"] - 2)
+            denom2 = pooled * (1.0 / a["n"] + 1.0 / b["n"])
+        else:
+            raise ValueError(f"unknown t_test type {test_type!r}")
+        if denom2 <= 0:
+            return None
+        return {
+            "t": (a["mean"] - b["mean"]) / math.sqrt(denom2),
+            "n_a": int(a["n"]),
+            "n_b": int(b["n"]),
+        }
+
     def multi_terms_agg(
         self,
         terms: list[str],

@@ -166,6 +166,36 @@ def test_string_stats_vs_brute(spark, built, oracle, corpus_df):
     assert rdr.string_stats_agg(["zzz_missing"], "lang") is None
 
 
+# ------------------------------------------------------------- t_test --
+
+
+def test_ttest_vs_brute(spark, built, oracle):
+    out, rows = built
+    rdr = IndexReader(spark, out)
+    ta, tb = ["return"], ["def"]
+    va = [float(v) for v in _matched_vals(oracle, rows, ta, "n_chars")]
+    vb = [float(v) for v in _matched_vals(oracle, rows, tb, "n_chars")]
+
+    def mv(v):
+        m = sum(v) / len(v)
+        return m, sum((x - m) ** 2 for x in v) / (len(v) - 1)
+
+    ma, s2a = mv(va)
+    mb, s2b = mv(vb)
+    import math
+
+    got = rdr.t_test_agg(ta, tb, "n_chars")
+    assert got["n_a"] == len(va) and got["n_b"] == len(vb)
+    want = (ma - mb) / math.sqrt(s2a / len(va) + s2b / len(vb))
+    assert abs(got["t"] - want) < 1e-9
+    # homoscedastic variant
+    pooled = ((len(va) - 1) * s2a + (len(vb) - 1) * s2b) / (len(va) + len(vb) - 2)
+    want_h = (ma - mb) / math.sqrt(pooled * (1 / len(va) + 1 / len(vb)))
+    goth = rdr.t_test_agg(ta, tb, "n_chars", test_type="homoscedastic")
+    assert abs(goth["t"] - want_h) < 1e-9
+    assert rdr.t_test_agg(["zzz_missing"], tb, "n_chars") is None
+
+
 # -------------------------------------------------------- multi_terms --
 
 
