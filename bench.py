@@ -516,6 +516,22 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     surface["msearch_batch_sec"] = round(msearch_s, 4)
     surface["msearch_solo_sum_sec"] = round(sum(lat), 4)
     surface["msearch_speedup"] = round(sum(lat) / max(msearch_s, 1e-9), 2)
+    # distributed path: one segment scan + one bucket shuffle for the
+    # whole batch vs one scan+shuffle PER query — the 100 TB shape
+    live = [q for q in REFERENCE_QUERIES if q["query_id"] != 3]  # absent-term q3 is a no-op
+    t0 = time.perf_counter()
+    for q in live:
+        rdr_b.query(q["terms"], q["k"], distributed=True)
+    solo_dist = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bd = rdr_b.msearch(
+        [{"terms": q["terms"], "k": q["k"]} for q in live], distributed=True
+    )
+    mdist_s = time.perf_counter() - t0
+    assert bd == [wand_results[q["query_id"]] for q in live]
+    surface["msearch_dist_batch_sec"] = round(mdist_s, 4)
+    surface["msearch_dist_solo_sum_sec"] = round(solo_dist, 4)
+    surface["msearch_dist_speedup"] = round(solo_dist / max(mdist_s, 1e-9), 2)
     # result post-processing composed over the indexed ranking: the input
     # is the k-row WAND result, so these measure the compose overhead
     # (broadcast join against the corpus), not another corpus scan
