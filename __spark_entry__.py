@@ -1016,6 +1016,20 @@ RANDOM_SEED = 42
 PIN_N = 2
 
 
+def q_ids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ids query: membership of an explicit id list (the PIN_N*3
+    smallest doc ids plus two nonexistent probes) against the index
+    sidecar — IN filter pushed to the parquet scan, tombstone-aware."""
+    ids = [
+        r["doc_id"]
+        for r in _docs(spark, sf_dir)
+        .select("doc_id").orderBy("doc_id").limit(6).collect()
+    ]
+    rdr = _driver_index(spark, sf_dir)
+    got = rdr.ids_query(ids + [max(ids) + 10**15, -1])
+    return spark.createDataFrame([(int(d),) for d in got], "doc_id long")
+
+
 def q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES function_score random_score (seeded, field:_id, multiply):
     score * u01(seed, doc_id) — deterministic hash randomness, so the
@@ -2134,6 +2148,22 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rate aggregation inside a date_histogram: daily buckets, each
+    reporting events-per-HOUR (count/24) and value-per-hour (sum/24) —
+    the unit-normalized rate ES computes from bucket span vs rate unit.
+    One groupBy shuffle; the division is a bucket-frame transform."""
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    return daily.select(
+        "day",
+        F.round(F.col("n") / F.lit(24.0), 6).alias("rate_per_hour"),
+        F.round(F.col("v") / F.lit(24.0), 6).alias("value_rate_per_hour"),
+    )
+
+
 def q_events_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cumulative_sum pipeline agg: daily histogram of events, then a
     running count + running value total. The window runs over the
@@ -2251,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score": q_function_score,
         "random_score": q_random_score,
         "pinned": q_pinned,
+        "ids_query": q_ids_query,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "filters_agg": q_filters_agg,
@@ -2293,6 +2324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending": q_trending,
         "events_json": q_events_json,
         "events_sessions": q_events_sessions,
+        "events_rate": q_events_rate,
         "events_cumsum": q_events_cumsum,
         "events_weighted_avg": q_events_weighted_avg,
         "events_top_metrics": q_events_top_metrics,
@@ -4442,6 +4474,17 @@ SELECT user_id, min(ts) AS session_start,
 FROM s GROUP BY user_id, sid
 """
 
+_EVENTS_RATE_SQL = """
+WITH d AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         count(*)::BIGINT AS n, sum(value) AS v
+  FROM events GROUP BY 1
+)
+SELECT day, round(n / 24.0, 6) AS rate_per_hour,
+       round(v / 24.0, 6) AS value_rate_per_hour
+FROM d
+"""
+
 _EVENTS_CUMSUM_SQL = """
 WITH d AS (
   SELECT date_trunc('day', ts)::TIMESTAMP AS day,
@@ -4561,6 +4604,10 @@ def oracle_sql() -> dict[str, str]:
         "function_score": _FUNCTION_SCORE_SQL,
         "random_score": _RANDOM_SCORE_SQL,
         "pinned": _PINNED_SQL,
+        "ids_query": (
+            "SELECT doc_id FROM documents WHERE doc_id IN "
+            "(SELECT doc_id FROM documents ORDER BY doc_id LIMIT 6)"
+        ),
         "rank_feature": _RANK_FEATURE_SQL,
         "distance_feature": _DISTANCE_FEATURE_SQL,
         "filters_agg": _FILTERS_AGG_SQL,
@@ -4626,6 +4673,7 @@ def oracle_sql() -> dict[str, str]:
         "trending": _TRENDING_SQL,
         "events_json": _EVENTS_JSON_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
+        "events_rate": _EVENTS_RATE_SQL,
         "events_cumsum": _EVENTS_CUMSUM_SQL,
         "events_weighted_avg": _EVENTS_WAVG_SQL,
         "events_top_metrics": _EVENTS_TOP_METRICS_SQL,

@@ -2584,6 +2584,28 @@ class IndexReader:
         )
         return None if out is None else float(out)
 
+    def ids_query(self, ids: list[int]) -> list[int]:
+        """ES ids query: which of the given doc ids exist in the index
+        (and aren't delete-tombstoned). Resolved against the doc_attrs
+        sidecar with the IN filter pushed to the parquet scan — never
+        touches postings. Returns the sorted existing ids (ES scores
+        ids-query hits a constant 1.0, so membership IS the result)."""
+        if not ids:
+            return []
+        from .segments import load_doc_attrs
+
+        blocked = set(int(x) for x in self._blocked())
+        rows = (
+            load_doc_attrs(self.spark, self.out_dir)
+            .filter(F.col("doc_id").isin([int(i) for i in ids]))
+            .select("doc_id")
+            .distinct()
+            .collect()
+        )
+        return sorted(
+            r["doc_id"] for r in rows if r["doc_id"] not in blocked
+        )
+
     def matching_doc_ids(
         self, terms: list[str], mode: str = "or",
         doc_filter: dict | None = None,
