@@ -1012,6 +1012,36 @@ def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GEO_ORIGIN = (10.0, 20.0)
+GEO_RADIUS_M = 3_000_000.0
+GEO_ZOOM = 4
+
+
+def q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_distance filter + geo_bounds/geo_centroid aggs: docs whose
+    derived coordinates fall within 3000 km of (10, 20), summarized as
+    count + bounding box + centroid. Coordinates are deterministic
+    sha256-derived (testdata has no geo column; operators are
+    column-generic — operators/geo.py)."""
+    from s3logsbeat_spark.operators.geo import (
+        derived_coords, geo_bounds_centroid, geo_distance,
+    )
+
+    pts = derived_coords(_docs(spark, sf_dir).select("doc_id"))
+    hits = geo_distance(pts, GEO_ORIGIN[0], GEO_ORIGIN[1], GEO_RADIUS_M)
+    return geo_bounds_centroid(hits)
+
+
+def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geotile_grid aggregation at zoom 4 over the derived
+    coordinates: Web-Mercator tile per doc, doc counts per tile
+    (|lat| > 85.05112878 excluded, like ES)."""
+    from s3logsbeat_spark.operators.geo import derived_coords, geotile_grid
+
+    pts = derived_coords(_docs(spark, sf_dir).select("doc_id"))
+    return geotile_grid(pts, GEO_ZOOM)
+
+
 RANDOM_SEED = 42
 PIN_N = 2
 
@@ -2282,6 +2312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_score": q_random_score,
         "pinned": q_pinned,
         "ids_query": q_ids_query,
+        "geo_distance": q_geo_distance,
+        "geo_grid": q_geo_grid,
         "rank_feature": q_rank_feature,
         "distance_feature": q_distance_feature,
         "filters_agg": q_filters_agg,
@@ -2901,6 +2933,49 @@ _FUNCTION_SCORE_SQL = f"""
 {_BM25_PREFIX}SELECT s.doc_id, round(s.raw * 1.0 * ln(1.0 + d.n_chars), 6) AS score
 FROM scored s JOIN documents d USING (doc_id)
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+# geo: coordinates derived exactly like the Spark side (sha256 u01),
+# haversine with IDENTICAL op order so the doubles match at 6 dp
+_GEO_PTS = """
+  SELECT doc_id,
+         CAST('0x' || substr(sha256('lat:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) / 4294967296.0 * 180.0 - 90.0 AS lat,
+         CAST('0x' || substr(sha256('lon:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) / 4294967296.0 * 360.0 - 180.0 AS lon
+  FROM documents
+"""
+
+_GEO_DISTANCE_SQL = f"""
+WITH pts AS ({_GEO_PTS}),
+d AS (
+  SELECT lat, lon,
+         2.0 * 6371000.0 * asin(sqrt(
+           sin(radians({GEO_ORIGIN[0]} - lat) / 2)
+             * sin(radians({GEO_ORIGIN[0]} - lat) / 2)
+           + cos(radians(lat)) * cos(radians({GEO_ORIGIN[0]}))
+             * sin(radians({GEO_ORIGIN[1]} - lon) / 2)
+             * sin(radians({GEO_ORIGIN[1]} - lon) / 2)
+         )) AS dist
+  FROM pts
+),
+h AS (SELECT * FROM d WHERE dist <= {GEO_RADIUS_M})
+SELECT count(*)::BIGINT AS doc_count,
+       round(max(lat), 6) AS top, round(min(lat), 6) AS bottom,
+       round(min(lon), 6) AS left, round(max(lon), 6) AS right,
+       round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
+FROM h
+"""
+
+_GEO_GRID_SQL = f"""
+WITH pts AS ({_GEO_PTS})
+SELECT {GEO_ZOOM} AS zoom,
+       CAST(floor((lon + 180.0) / 360.0 * {1 << GEO_ZOOM}.0) AS BIGINT) AS x,
+       CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat)))
+           / 3.141592653589793) / 2.0 * {1 << GEO_ZOOM}.0) AS BIGINT) AS y,
+       count(*)::BIGINT AS doc_count
+FROM pts WHERE abs(lat) <= 85.05112878
+GROUP BY 1, 2, 3
 """
 
 _RANDOM_SCORE_SQL = f"""
@@ -4608,6 +4683,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE doc_id IN "
             "(SELECT doc_id FROM documents ORDER BY doc_id LIMIT 6)"
         ),
+        "geo_distance": _GEO_DISTANCE_SQL,
+        "geo_grid": _GEO_GRID_SQL,
         "rank_feature": _RANK_FEATURE_SQL,
         "distance_feature": _DISTANCE_FEATURE_SQL,
         "filters_agg": _FILTERS_AGG_SQL,

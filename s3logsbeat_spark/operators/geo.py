@@ -1,0 +1,138 @@
+"""Geo query family (ES parity: geo_distance / geo_bounding_box
+filters, geotile_grid aggregation, geo_bounds + geo_centroid aggs).
+
+Reference parity: s3logsbeat ships ALB/CloudFront logs whose client IPs
+Kibana commonly geo-enriches; the geo queries live in the ES stack this
+engine replaces. The operators are column-generic over (lat, lon)
+DOUBLE columns; because the driver testdata carries no geo columns,
+:func:`derived_coords` synthesizes deterministic coordinates from the
+doc id (sha256-hash uniform — the same u01 trick as random_score), so
+every contract query is DuckDB-reproducible. A real deployment points
+the same operators at true geo_point columns.
+
+All row-local JVM expressions (haversine, Web-Mercator tiling) — zero
+shuffles beyond the final agg, so the family scales like any codegen
+filter + groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_R_M = 6371000.0
+
+
+def _u01(prefix: str, id_col: Column) -> Column:
+    h = F.sha2(F.concat(F.lit(prefix), id_col.cast("string")), 256)
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+
+
+def derived_coords(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic (lat, lon): lat in [-90, 90), lon in
+    [-180, 180), both uniform from sha256(prefix:id)."""
+    c = F.col(id_col)
+    return df.withColumn(
+        "lat", _u01("lat:", c) * F.lit(180.0) - F.lit(90.0)
+    ).withColumn("lon", _u01("lon:", c) * F.lit(360.0) - F.lit(180.0))
+
+
+def haversine_m(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in meters (haversine; the formula ES's
+    arc distance uses). Pure row-local trig — codegen."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dp, dl = F.radians(lat2 - lat1), F.radians(lon2 - lon1)
+    a = (
+        F.sin(dp / 2) * F.sin(dp / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
+    )
+    return F.lit(2.0 * EARTH_R_M) * F.asin(F.sqrt(a))
+
+
+def geo_distance(
+    df: DataFrame,
+    origin_lat: float,
+    origin_lon: float,
+    radius_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geo_distance filter: rows within ``radius_m`` of the origin.
+    Adds a ``distance_m`` column (kept for sort-by-distance composes)."""
+    d = haversine_m(
+        F.col(lat_col), F.col(lon_col),
+        F.lit(float(origin_lat)), F.lit(float(origin_lon)),
+    )
+    return df.withColumn("distance_m", d).filter(
+        F.col("distance_m") <= F.lit(float(radius_m))
+    )
+
+
+def geo_bounding_box(
+    df: DataFrame,
+    top: float, left: float, bottom: float, right: float,
+    lat_col: str = "lat", lon_col: str = "lon",
+) -> DataFrame:
+    """ES geo_bounding_box filter (non-dateline-crossing box)."""
+    return df.filter(
+        (F.col(lat_col) <= F.lit(float(top)))
+        & (F.col(lat_col) >= F.lit(float(bottom)))
+        & (F.col(lon_col) >= F.lit(float(left)))
+        & (F.col(lon_col) <= F.lit(float(right)))
+    )
+
+
+def geotile_grid(
+    df: DataFrame,
+    zoom: int,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """ES geotile_grid aggregation: Web-Mercator (slippy-map) tile per
+    row at ``zoom``, then doc counts per tile — ``(zoom, x, y,
+    doc_count)``. Rows outside the Mercator lat range (|lat| >
+    85.05112878) are excluded, exactly like ES. One map-side-combinable
+    groupBy; cell cardinality is bounded by 4^zoom, not the data."""
+    n = float(1 << zoom)
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n))
+    lat_r = F.radians(lat)
+    y = F.floor(
+        (
+            F.lit(1.0)
+            - F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r)) / F.lit(3.141592653589793)
+        )
+        / F.lit(2.0)
+        * F.lit(n)
+    )
+    return (
+        df.filter(F.abs(lat) <= F.lit(85.05112878))
+        .select(
+            F.lit(int(zoom)).alias("zoom"),
+            x.cast("long").alias("x"),
+            y.cast("long").alias("y"),
+        )
+        .groupBy("zoom", "x", "y")
+        .agg(F.count("*").alias("doc_count"))
+    )
+
+
+def geo_bounds_centroid(
+    df: DataFrame, lat_col: str = "lat", lon_col: str = "lon"
+) -> DataFrame:
+    """ES geo_bounds + geo_centroid in one agg: bounding box of all
+    points and their mean location (non-dateline-wrapping form)."""
+    return df.agg(
+        F.count("*").alias("doc_count"),
+        F.round(F.max(lat_col), 6).alias("top"),
+        F.round(F.min(lat_col), 6).alias("bottom"),
+        F.round(F.min(lon_col), 6).alias("left"),
+        F.round(F.max(lon_col), 6).alias("right"),
+        F.round(F.avg(lat_col), 6).alias("centroid_lat"),
+        F.round(F.avg(lon_col), 6).alias("centroid_lon"),
+    )

@@ -1,0 +1,68 @@
+"""Geo family — hand-computed haversine/tile twins (the sf0.01 DuckDB
+contract oracles cover corpus-level parity)."""
+
+from __future__ import annotations
+
+import math
+
+from s3logsbeat_spark.operators.geo import (
+    EARTH_R_M,
+    derived_coords,
+    geo_bounding_box,
+    geo_distance,
+    geotile_grid,
+)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * EARTH_R_M * math.asin(math.sqrt(a))
+
+
+def test_geo_distance_vs_twin(spark):
+    pts = [
+        (1, 0.0, 0.0),      # ~1111 km from origin (10, 0) -> inside 2000 km
+        (2, 10.0, 0.001),   # essentially at origin
+        (3, -60.0, 100.0),  # far away
+        (4, 28.0, 0.0),     # exactly 18 deg north: ~2001 km -> outside
+    ]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    got = {
+        r["doc_id"]: r["distance_m"]
+        for r in geo_distance(df, 10.0, 0.0, 2_000_000.0).collect()
+    }
+    assert set(got) == {1, 2}
+    for d, lat, lon in [(1, 0.0, 0.0), (2, 10.0, 0.001)]:
+        assert abs(got[d] - _hav(lat, lon, 10.0, 0.0)) < 1e-6
+
+
+def test_geotile_known_cells(spark):
+    # zoom 1: 2x2 tiles; slippy-map y=0 is the NORTH half, x=0 the west
+    pts = [(1, 40.0, -100.0), (2, 40.0, 100.0), (3, -40.0, 100.0), (4, 0.01, 0.01)]
+    df = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    got = {(r["x"], r["y"]): r["doc_count"] for r in geotile_grid(df, 1).collect()}
+    assert got == {(0, 0): 1, (1, 0): 2, (1, 1): 1}
+    # out-of-mercator rows are excluded, like ES
+    df2 = spark.createDataFrame(
+        [(1, 89.0, 0.0), (2, 10.0, 0.0)], "doc_id long, lat double, lon double"
+    )
+    assert sum(r["doc_count"] for r in geotile_grid(df2, 1).collect()) == 1
+
+
+def test_bounding_box_and_derived_coords(spark):
+    df = derived_coords(
+        spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    )
+    rows = df.collect()
+    assert all(-90 <= r["lat"] < 90 and -180 <= r["lon"] < 180 for r in rows)
+    # deterministic: same ids -> same coords
+    again = {r["doc_id"]: (r["lat"], r["lon"]) for r in df.collect()}
+    assert all(again[r["doc_id"]] == (r["lat"], r["lon"]) for r in rows)
+    boxed = geo_bounding_box(df, top=45.0, left=-90.0, bottom=-45.0, right=90.0)
+    brows = boxed.collect()
+    assert 0 < len(brows) < len(rows)
+    assert all(
+        -45 <= r["lat"] <= 45 and -90 <= r["lon"] <= 90 for r in brows
+    )
