@@ -79,6 +79,36 @@ def test_msearch_and_with_absent_term_empty(spark, mbuilt):
     assert got == [[]]
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _POOL = ["return", "value", "int", "def", "get", "http", "response",
+             "the", "literal", "parse", "zzz_absent"]
+
+    _search_st = st.fixed_dictionaries(
+        {
+            "terms": st.lists(st.sampled_from(_POOL), min_size=0, max_size=4),
+            "k": st.integers(min_value=1, max_value=15),
+        }
+    ).flatmap(
+        lambda s: st.sampled_from(
+            [s, {**s, "mode": "and"},
+             {**s, "min_should_match": max(1, len(s["terms"]) - 1)}]
+        )
+    )
+
+    @given(st.lists(_search_st, min_size=1, max_size=5))
+    @settings(max_examples=12, deadline=None)
+    def test_msearch_property_matches_solo(spark, mbuilt, batch):
+        rdr = IndexReader(spark, mbuilt)
+        got = rdr.msearch(batch, distributed=False)
+        for s, g in zip(batch, got):
+            assert g == _solo(rdr, s), s
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_msearch_payload_shared_decode(spark, mbuilt):
     """Two queries over the same term share payloads: the decode memo
     must not corrupt the second query's scores."""
