@@ -1741,6 +1741,20 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_DIM = 8
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas Rademacher):
+    64-dim embeddings -> 8 dims via a hash-derived ±1 sign matrix, long
+    format (vec_id, j, val). One mapInPandas GEMM, zero shuffles; the
+    sign matrix is rebuilt from sha256 anywhere (oracle included)."""
+    from s3logsbeat_spark.operators.similarity import random_projection
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return random_projection(emb, RP_DIM)
+
+
 def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around vec_id=0 (JVM zip_with/aggregate)."""
     from s3logsbeat_spark.operators.similarity import cosine_topk_exact
@@ -2352,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
+        "random_projection": q_random_projection,
         "events_hourly": q_events_hourly,
         "trending": q_trending,
         "events_json": q_events_json,
@@ -4746,6 +4761,24 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
+        "random_projection": f"""
+WITH s AS (
+  SELECT i, j,
+         CASE WHEN CAST('0x' || substr(sha256('rp:' || i || ':' || j), 1, 8)
+                AS BIGINT) / 4294967296.0 >= 0.5
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM (SELECT unnest(generate_series(0, 63)) AS i),
+       (SELECT unnest(generate_series(0, {RP_DIM - 1})) AS j)
+),
+e AS (
+  SELECT vec_id, i, (embedding::DOUBLE[])[i + 1] AS v
+  FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
+)
+SELECT e.vec_id, s.j,
+       round(sum(e.v * s.sgn) / sqrt({RP_DIM}.0), 6) AS val
+FROM e JOIN s USING (i)
+GROUP BY 1, 2
+""",
         "events_hourly": _EVENTS_HOURLY_SQL,
         "trending": _TRENDING_SQL,
         "events_json": _EVENTS_JSON_SQL,

@@ -132,6 +132,78 @@ def hyperplane_bucket(vec_col, planes: np.ndarray):
     return b
 
 
+def projection_signs(dim: int, out_dim: int, prefix: str = "rp") -> np.ndarray:
+    """Deterministic Rademacher sign matrix (dim, out_dim): s_ij = +1
+    when u01(sha256(f"{prefix}:{i}:{j}")) >= 0.5 else -1. Hash-derived
+    so ANY engine (the DuckDB oracle, a future reader) rebuilds the
+    identical matrix without shipping it."""
+    import hashlib
+
+    s = np.empty((dim, out_dim), dtype=np.float64)
+    for i in range(dim):
+        for j in range(out_dim):
+            h = hashlib.sha256(f"{prefix}:{i}:{j}".encode()).hexdigest()
+            s[i, j] = 1.0 if int(h[:8], 16) / 4294967296.0 >= 0.5 else -1.0
+    return s
+
+
+def random_projection(
+    vecs: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prefix: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction (Achlioptas
+    Rademacher form): proj = (V @ S) / sqrt(out_dim), S in {-1,+1} —
+    the standard pre-ANN shrink for embedding pipelines (pairwise
+    distances preserved within 1±eps at out_dim = O(log n / eps^2)).
+
+    Returns LONG format (id, j, val) with val rounded to 6 dp (the
+    cross-engine-stable contract shape). Scale shape: one mapInPandas
+    GEMM per Arrow batch — zero shuffles, the sign matrix is rebuilt
+    per executor from hashes (nothing broadcast), throughput is BLAS."""
+    import pandas as pd
+
+    from ..shipping import ensure_shipped
+
+    spark = vecs.sparkSession
+    ensure_shipped(spark)
+    k = int(out_dim)
+    pfx = prefix
+
+    def gen(batches):
+        signs = None
+        scale = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if signs is None:
+                signs = projection_signs(mat.shape[1], k, pfx)
+                scale = 1.0 / float(np.sqrt(k))
+            proj = mat @ signs * scale
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(np.int64), k),
+                    "j": np.tile(np.arange(k, dtype=np.int64), n),
+                    "val": proj.reshape(-1),
+                }
+            )
+
+    out = vecs.select(id_col, vec_col).mapInPandas(
+        gen, schema="id long, j long, val double"
+    )
+    # round JVM-side (HALF_UP, like every other contract column — numpy
+    # would round half-even)
+    return out.select(
+        F.col("id").alias(id_col), "j", F.round("val", 6).alias("val")
+    )
+
+
 def random_planes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim)

@@ -160,3 +160,38 @@ def test_ivf_index_recall_and_pruning(spark, emb, emb_np, tmp_path):
 
     pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
     assert "centroid" in pf  # pruned at listing
+
+
+def test_random_projection_twin_and_jl(spark, emb, emb_np):
+    from s3logsbeat_spark.operators.similarity import (
+        projection_signs,
+        random_projection,
+    )
+
+    ids, M = emb_np
+    k = 8
+    got = random_projection(emb, k).collect()
+    assert len(got) == len(ids) * k
+    proj = {}
+    for r in got:
+        proj.setdefault(r["vec_id"], [0.0] * k)[r["j"]] = r["val"]
+    S = projection_signs(M.shape[1], k)
+    want = M @ S / np.sqrt(k)
+    by_id = {int(i): want[n] for n, i in enumerate(ids)}
+    for vid, vals in proj.items():
+        assert np.allclose(vals, np.round(by_id[vid], 6), atol=1e-6)
+    # JL sanity: projected pairwise sq-distances approximate originals
+    # (loose bound — k=8 is small; check median ratio, not worst case)
+    P = np.stack([np.array(proj[int(i)]) for i in ids])
+    rng = np.random.RandomState(0)
+    pairs = rng.choice(len(ids), size=(50, 2))
+    ratios = []
+    for a, b in pairs:
+        if a == b:
+            continue
+        d0 = np.sum((M[a] - M[b]) ** 2)
+        d1 = np.sum((P[a] - P[b]) ** 2)
+        if d0 > 0:
+            ratios.append(d1 / d0)
+    med = float(np.median(ratios))
+    assert 0.5 < med < 2.0, med
