@@ -1741,6 +1741,31 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+SHUFFLE_SHARDS = 8
+
+
+def q_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker: per-doc token windows of 64 with
+    stride 48 (boundaries preserved, final chunk short) — zero-shuffle
+    codegen map."""
+    from s3logsbeat_spark.operators.packing import sliding_chunks
+
+    return sliding_chunks(
+        _docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE, text_col="text"
+    )
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded shuffle + sharding (FineWeb/llm.c output
+    step): shard = floor(u01(seed:id) * 8), pos = rank within shard —
+    a pure function of (seed, id), independent of partitioning."""
+    from s3logsbeat_spark.operators.sampling import training_order
+
+    return training_order(_docs(spark, sf_dir), SHUFFLE_SHARDS, seed=0)
+
+
 RP_DIM = 8
 
 
@@ -2367,6 +2392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
         "random_projection": q_random_projection,
+        "sliding_chunks": q_sliding_chunks,
+        "training_order": q_training_order,
         "events_hourly": q_events_hourly,
         "trending": q_trending,
         "events_json": q_events_json,
@@ -4761,6 +4788,34 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
+        "sliding_chunks": f"""
+WITH b AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n
+  FROM documents
+)
+SELECT doc_id, c AS chunk_id, c * {CHUNK_STRIDE} AS start,
+       least(c * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)::BIGINT AS end,
+       n::BIGINT AS n_tokens
+FROM b, LATERAL (
+  SELECT unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS c
+)
+WHERE n > 0
+""",
+        "training_order": f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST('0x' || substr(sha256('0:' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor(u * {SHUFFLE_SHARDS}.0) AS INT) AS shard,
+       (row_number() OVER (
+          PARTITION BY floor(u * {SHUFFLE_SHARDS}.0)
+          ORDER BY u ASC, doc_id ASC) - 1)::BIGINT AS pos
+FROM k
+""",
         "random_projection": f"""
 WITH s AS (
   SELECT i, j,

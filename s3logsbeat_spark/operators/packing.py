@@ -26,6 +26,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def sliding_chunks(
+    docs: DataFrame,
+    size: int,
+    stride: int,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping chunking: per-doc token windows
+    ``[c*stride, min(c*stride + size, n))`` for ``c = 0 ..
+    floor((n-1)/stride)`` (0-based token indices; empty docs emit no
+    chunks; the final chunk may be short). Returns (doc_id, chunk_id,
+    start, end, n_tokens).
+
+    Contrast with ``pack_offsets`` (cross-doc concat-and-chunk for
+    pretraining): this keeps document boundaries — the retrieval /
+    fine-tuning chunker. Pure codegen (tokenize + sequence + explode),
+    ZERO shuffles: chunk math is row-local, so it scales as a map."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.size(toks).alias("n")
+    ).filter(F.col("n") > 0)
+    c = F.explode(
+        F.sequence(F.lit(0), F.floor((F.col("n") - 1) / stride).cast("int"))
+    ).alias("chunk_id")
+    out = base.select("doc_id", "n", c)
+    start = F.col("chunk_id").cast("long") * stride
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.alias("start"),
+        F.least(start + size, F.col("n").cast("long")).alias("end"),
+        F.col("n").cast("long").alias("n_tokens"),
+    )
+
+
 def pack_offsets(
     df: DataFrame,
     n_tokens_col: str = "n_tokens",

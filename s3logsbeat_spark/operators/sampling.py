@@ -34,6 +34,41 @@ def hash_u01(col: Column) -> Column:
     )
 
 
+def training_order(
+    docs: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic seeded global shuffle + sharding for training-data
+    output (the FineWeb/llm.c 'shuffle then shard' step): each doc gets
+    a hash key u = u01(seed:id), shard = floor(u * n_shards), and pos =
+    its rank within the shard by (u, id). Reproducible on any engine or
+    cluster size — the order is a pure function of (seed, id), never of
+    partition layout.
+
+    Scale shape: one window per shard partition (rows are hash-spread,
+    so shards are balanced by construction); no global sort — ordering
+    is only ever established WITHIN a shard, which is the unit a
+    training job reads sequentially anyway."""
+    from pyspark.sql.window import Window
+
+    u = hash_u01(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    with_key = docs.select(
+        F.col(id_col),
+        u.alias("_u"),
+        F.floor(u * F.lit(float(n_shards))).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_u").asc(), F.col(id_col).asc()
+    )
+    return with_key.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("pos"),
+    )
+
+
 def token_budget_sample(
     docs: DataFrame,
     budgets: dict[str, int],

@@ -58,3 +58,32 @@ def test_pack_offsets_property(spark):
         for r in pack_offsets(df, budget=1024, partitions=9).collect()
     }
     assert got == _oracle(rows, 1024)
+
+
+def test_sliding_chunks_twin(spark):
+    from s3logsbeat_spark.operators.packing import sliding_chunks
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # n=10
+        (2, "one two three"),                       # n=3 -> single chunk
+        (3, ""),                                    # empty -> none
+        (4, " ".join(f"t{i}" for i in range(8))),   # n=8 == size boundary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start"], r["end"], r["n_tokens"])
+        for r in sliding_chunks(df, size=8, stride=4).collect()
+    )
+
+    def twin(doc, n, size=8, stride=4):
+        out, c = [], 0
+        while c * stride < n:
+            out.append((doc, c, c * stride, min(c * stride + size, n), n))
+            c += 1
+        return out
+
+    want = sorted(twin(1, 10) + twin(2, 3) + twin(4, 8))
+    assert got == want
+    # n=10, stride=4 -> chunks at 0,4,8 (3 chunks); boundary doc n=8 -> 0,4
+    assert len([g for g in got if g[0] == 1]) == 3
+    assert len([g for g in got if g[0] == 4]) == 2

@@ -76,3 +76,34 @@ def test_token_budget_zero_default_drops_unlisted(spark):
     got = [r["doc_id"] for r in
            token_budget_sample(docs, {"en": 100}).collect()]
     assert got == [1]
+
+
+def test_training_order_deterministic_and_balanced(spark):
+    import hashlib
+
+    from s3logsbeat_spark.operators.sampling import training_order
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in training_order(df, 8, seed=3).collect()}
+    b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in
+         training_order(df.repartition(13), 8, seed=3).collect()}
+    assert a == b  # partitioning-independent
+    c = training_order(df, 8, seed=4).collect()
+    assert {(r["doc_id"]): (r["shard"], r["pos"]) for r in c} != a  # seed matters
+
+    def u01(seed, d):
+        h = hashlib.sha256(f"{seed}:{d}".encode()).hexdigest()
+        return int(h[:8], 16) / 4294967296.0
+
+    # twin: shard assignment and within-shard rank
+    by_shard = {}
+    for d in range(1000):
+        u = u01(3, d)
+        by_shard.setdefault(int(u * 8), []).append((u, d))
+    for s, items in by_shard.items():
+        items.sort()
+        for pos, (_, d) in enumerate(items):
+            assert a[d] == (s, pos), d
+    # balance: no shard more than 2x the mean
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 2 * (1000 / 8)
