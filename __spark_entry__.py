@@ -1466,6 +1466,36 @@ def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms lookup: the term list is FETCHED from another document
+    (doc TV_DOC's tokens) instead of being spelled in the query; result
+    is the constant-score terms filter — every doc sharing >= 1 term
+    with the lookup doc. Broadcast semi-join against the (tiny) lookup
+    term set; one distinct."""
+    p = _simple_postings(spark, sf_dir)
+    lookup = p.filter(F.col("doc_id") == TV_DOC).select("term")
+    return (
+        p.join(F.broadcast(lookup), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
+SCRIPT_SCORE_EXPR = "score * (1.0 + ln(1.0 + n_chars) / 10.0)"
+
+
+def q_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES script_score: the score expression is a 'script' over _score
+    and doc fields — expressed as a Catalyst SQL expression (compiles to
+    codegen; the Spark-first painless analogue)."""
+    from s3logsbeat_spark.operators.searchext import script_score_topk
+
+    return script_score_topk(
+        _bm25_scored(spark, sf_dir), _docs(spark, sf_dir),
+        SCRIPT_SCORE_EXPR, k=BM25_K,
+    )
+
+
 def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality signal: per-doc mean NLL under a corpus-
     trained unigram LM (two passes: map-side-combined unigram counts,
@@ -2349,6 +2379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse": q_collapse,
         "function_score": q_function_score,
         "random_score": q_random_score,
+        "script_score": q_script_score,
+        "terms_lookup": q_terms_lookup,
         "pinned": q_pinned,
         "ids_query": q_ids_query,
         "geo_distance": q_geo_distance,
@@ -3046,6 +3078,22 @@ u AS (
 )
 SELECT row_number() OVER (ORDER BY sec, key1, doc_id)::INT AS rank, doc_id
 FROM u ORDER BY rank LIMIT {BM25_K}
+"""
+
+_SCRIPT_SCORE_SQL = f"""
+{_BM25_PREFIX}SELECT s.doc_id,
+       round(s.raw * (1.0 + ln(1.0 + d.n_chars) / 10.0), 6) AS score
+FROM scored s JOIN documents d USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_TERMS_LOOKUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+l AS (SELECT DISTINCT term FROM toks WHERE doc_id = {TV_DOC})
+SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT term FROM l)
 """
 
 _RANK_FEATURE_SQL = f"""
@@ -4720,6 +4768,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse": _COLLAPSE_SQL,
         "function_score": _FUNCTION_SCORE_SQL,
         "random_score": _RANDOM_SCORE_SQL,
+        "script_score": _SCRIPT_SCORE_SQL,
+        "terms_lookup": _TERMS_LOOKUP_SQL,
         "pinned": _PINNED_SQL,
         "ids_query": (
             "SELECT doc_id FROM documents WHERE doc_id IN "

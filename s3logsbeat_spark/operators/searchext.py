@@ -175,6 +175,32 @@ def pinned_topk(
     )
 
 
+def script_score_topk(
+    scored: DataFrame,
+    docs: DataFrame,
+    script: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES script_score: replace the query score with an arbitrary
+    expression over ``score`` (the BM25 value, ES ``_score``) and the
+    doc's fields — here a Spark SQL expression string instead of
+    painless, so the \"script\" compiles into whole-stage codegen
+    rather than an interpreter (the Spark-first answer to scripted
+    scoring). Example: ``"score * (1 + ln(1 + n_chars) / 10)"``.
+
+    The scored frame prunes the corpus to matching docs before the
+    field join, so the script evaluates on hits only."""
+    j = scored.join(docs, id_col)
+    return (
+        j.select(
+            id_col, F.round(F.expr(script), 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def rescore_topk(
     scored: DataFrame,
     docs: DataFrame,
