@@ -1893,6 +1893,26 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(docs, labels).select("doc_id", "lang")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb survivor policy: per near-dup cluster keep the highest-
+    quality member (composite quality score, ties -> min doc_id);
+    unpaired docs survive."""
+    from s3logsbeat_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_keep_best,
+        minhash_dedup_pairs,
+    )
+    from s3logsbeat_spark.operators.textstats import quality_scores
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    pairs = minhash_dedup_pairs(
+        docs, n_hashes=16, bands=4, rows=4, threshold=MINHASH_LSH_THRESHOLD
+    )
+    labels = dedup_clusters(pairs)
+    qual = quality_scores(docs).select("doc_id", "quality")
+    return dedup_keep_best(docs, labels, qual).select("doc_id", "lang")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN around vec_id=0 (multiprobe Hamming-1),
     exact cosine rerank inside the probed buckets."""
@@ -2439,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
         "ann_lsh": q_ann_lsh,
         "ann_indexed": q_ann_indexed,
@@ -4302,6 +4323,30 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM lbl WHERE cluster_id <> doc_id)
 """
 
 
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_sql()}),
+edges AS (SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+lbl AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+),
+qual AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+rnk AS (
+  SELECT l.doc_id, l.cluster_id,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY q.quality DESC, l.doc_id ASC) AS rn
+  FROM lbl l JOIN qual q USING (doc_id)
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM rnk WHERE rn > 1)
+"""
+
+
 def _ann_lsh_sql() -> str:
     from s3logsbeat_spark.operators.similarity import random_planes
 
@@ -4897,6 +4942,7 @@ GROUP BY 1, 2
         "dedup_minhash_lsh": _minhash_lsh_sql(),
         "dedup_clusters": _dedup_clusters_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
+        "dedup_keep_best": _dedup_keep_best_sql(),
         "decontaminate": _decontaminate_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_indexed": _ann_lsh_sql(),  # identical semantics, partition-pruned layout

@@ -386,6 +386,44 @@ def dedup_survivors(
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame,
+    labels: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    q_col: str = "quality",
+) -> DataFrame:
+    """FineWeb-style survivor policy: per near-dup cluster keep the
+    HIGHEST-quality member (ties -> smallest doc_id) instead of the
+    min-id canonical; unpaired docs always survive. ``labels`` is
+    :func:`connected_components` output; ``quality`` is any
+    (doc_id, quality) frame (e.g. ``textstats.quality_scores``'s
+    composite — pass the ROUNDED column so the argmax is reproducible
+    across engines).
+
+    Scale shape: the argmax runs on the labels frame (clustered docs
+    only — a small fraction of the corpus), via a struct-max groupBy
+    (map-side combinable, no window sort); losers anti-join the corpus
+    and broadcast under AQE like :func:`dedup_survivors`."""
+    scored = labels.select(id_col, "cluster_id").join(
+        quality.select(id_col, q_col), id_col
+    )
+    win = scored.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col(q_col).alias("q"), (-F.col(id_col)).alias("nid"))
+        ).alias("w")
+    ).select(F.col("cluster_id"), (-F.col("w.nid")).alias("__winner"))
+    losers = (
+        labels.select(id_col, "cluster_id")
+        .join(win, "cluster_id")
+        .filter(F.col(id_col) != F.col("__winner"))
+        .select(F.col(id_col).alias("__loser_id"))
+    )
+    return docs.join(
+        losers, docs[id_col] == losers["__loser_id"], "left_anti"
+    )
+
+
 def simhash_candidate_pairs(
     sims: DataFrame, bands: int = 4, max_bucket: int = 1000
 ) -> DataFrame:

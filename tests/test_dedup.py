@@ -243,3 +243,24 @@ def test_dedup_clusters_and_survivors(spark):
     kept = sorted(r["doc_id"] for r in dedup_survivors(docs, cl).collect())
     # survivors: cluster minima (0, 10) + all unpaired docs
     assert kept == [0, 3, 4, 5, 6, 7, 8, 9, 10, 12]
+
+
+def test_dedup_keep_best_policy(spark):
+    from s3logsbeat_spark.operators.dedup import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, content string"
+    )
+    # cluster {1,2,3} and {5,6}; 4 and 7 unpaired
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "doc_id long, cluster_id long"
+    )
+    qual = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (5, 0.1), (6, 0.5), (4, 0.0), (7, 1.0)],
+        "doc_id long, quality double",
+    )
+    got = sorted(
+        r["doc_id"] for r in dedup_keep_best(docs, labels, qual).collect()
+    )
+    # cluster 1: quality tie 2 vs 3 -> min id 2 wins; cluster 5: 6 wins
+    assert got == [2, 4, 6, 7]
