@@ -507,6 +507,23 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MBP_TERMS = ["stream"]
+MBP_PREFIX = "que"
+
+
+def q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_bool_prefix (search-as-you-type): the completed words
+    are plain OR term clauses and the LAST (in-progress) word is a
+    prefix clause — expanded against the term dictionary via the
+    range-pruned vocab read, then one BM25 OR over the union."""
+    rdr = _driver_index(spark, sf_dir)
+    exp = rdr.expand_terms(MBP_PREFIX + "*")
+    top = rdr.query(list(dict.fromkeys(MBP_TERMS + exp)), BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 WILDCARD_PAT = "*er*"
 
 
@@ -2353,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch": q_msearch,
         "rank_eval": q_rank_eval,
         "prefix_search": q_prefix_search,
+        "match_bool_prefix": q_match_bool_prefix,
         "wildcard_search": q_wildcard_search,
         "more_like_this": q_more_like_this,
         "fuzzy_search": q_fuzzy_search,
@@ -2548,6 +2566,12 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
 _PREFIX_SQL = _BM25_WAND_SQL.replace(
     "  SELECT unnest(['merge', 'window', 'spark']) AS term",
     f"  SELECT DISTINCT term FROM postings WHERE term LIKE '{PREFIX}%'",
+)
+
+_MATCH_BOOL_PREFIX_SQL = _BM25_WAND_SQL.replace(
+    "  SELECT unnest(['merge', 'window', 'spark']) AS term",
+    f"  SELECT 'stream' AS term UNION\n"
+    f"  SELECT DISTINCT term FROM postings WHERE term LIKE '{MBP_PREFIX}%'",
 )
 
 # leading-wildcard '*er*': qterms = every vocabulary term containing
@@ -4767,6 +4791,7 @@ def oracle_sql() -> dict[str, str]:
         "msearch": _msearch_sql(),
         "rank_eval": _rank_eval_sql(),
         "prefix_search": _PREFIX_SQL,
+        "match_bool_prefix": _MATCH_BOOL_PREFIX_SQL,
         "wildcard_search": _WILDCARD_SQL,
         "more_like_this": _MLT_SQL,
         "fuzzy_search": _FUZZY_SQL,
