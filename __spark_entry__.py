@@ -2072,8 +2072,16 @@ def _alb_line_spark():
     rcvd = (F.col("event_id") % 10000).cast("string")
     sent = F.floor(F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 100).cast("string")
     k = (F.col("event_id") % 100).cast("string")
+    # deterministic client-IP spread (was a constant) so ip-keyed
+    # analytics (ip_range agg) are non-vacuous; both engines derive the
+    # identical octets from event_id
+    ip = F.concat(
+        F.lit("10."), (F.col("event_id") % 256).cast("string"),
+        F.lit("."), (F.floor(F.col("event_id") / 256) % 256).cast("string"),
+        F.lit(".7"),
+    )
     return F.concat(
-        F.lit("http "), _alb_ts_spark(), F.lit(" app/lb/x 192.0.2.1:"), port,
+        F.lit("http "), _alb_ts_spark(), F.lit(" app/lb/x "), ip, F.lit(":"), port,
         F.lit(" 10.0.0.9:8080 "), rpt, F.lit(" 0.002 0.003 "), status, F.lit(" "),
         tstatus, F.lit(" "), rcvd, F.lit(" "), sent,
         F.lit(' "GET https://ex.com/p%20q/'), F.col("event_type"), F.lit("?k="), k,
@@ -2100,6 +2108,31 @@ def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_agent").alias("user_agent"),
         F.col("request_processing_time").alias("rpt"),
         F.col("_error").alias("parse_error"),
+    )
+
+
+ALB_IP_RANGES = [
+    (None, "10.85.0.0"),
+    ("10.85.0.0", "10.170.0.0"),
+    ("10.170.0.0", None),
+]
+
+
+def q_alb_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ip_range aggregation over parsed ALB client IPs: doc counts
+    per [from, to) IPv4 range, numeric comparison — the classic
+    log-analytics slice the reference's users run in Kibana."""
+    from s3logsbeat_spark.operators.urlstats import ip_range_agg
+
+    ev = _read(spark, sf_dir, "events")
+    # hand-pruned projection: the agg needs ONE field, so extract just
+    # client_ip from the line instead of inlining the full 25-field
+    # typed parse (whose codegen, duplicated per CASE reference by
+    # CollapseProject, blows the driver compiling it); the full parse's
+    # correctness is alb_parse's own oracle
+    ip = F.regexp_extract(_alb_line_spark(), r"^\S+ \S+ \S+ ([^ :]+):", 1)
+    return ip_range_agg(
+        ev.select(ip.alias("client_ip")), "client_ip", ALB_IP_RANGES
     )
 
 
@@ -2486,6 +2519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alb_parse": q_alb_parse,
         "alb_parse_errors": q_alb_parse_errors,
         "alb_url_stats": q_alb_url_stats,
+        "alb_ip_range": q_alb_ip_range,
         "cloudfront_parse": q_cloudfront_parse,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -4474,7 +4508,8 @@ WHERE round(list_cosine_similarity(la.embedding::DOUBLE[],
 
 
 _ALB_LINE_DUCK = """
-  'http ' || {ts} || ' app/lb/x 192.0.2.1:' || (1024 + event_id % 60000)
+  'http ' || {ts} || ' app/lb/x 10.' || (event_id % 256) || '.'
+  || (CAST(floor(event_id / 256) AS BIGINT) % 256) || '.7:' || (1024 + event_id % 60000)
   || ' 10.0.0.9:8080 ' || (CASE WHEN event_id % 4 = 3 THEN '-1' ELSE '0.001' END)
   || ' 0.002 0.003 ' || (200 + (event_id % 4) * 100) || ' '
   || (CASE WHEN event_id % 4 = 3 THEN '-' ELSE '200' END) || ' '
@@ -4975,6 +5010,25 @@ GROUP BY 1, 2
         "dedup_embedding": _dedup_embedding_sql(),
         "alb_parse": _ALB_PARSE_SQL,
         "alb_url_stats": _ALB_URL_STATS_SQL,
+        # ip boundaries: 10.85.0.0 = 173342720, 10.170.0.0 = 178913280;
+        # client ip = 10.(event_id%256).(event_id//256%256).7 (both
+        # line generators); empty ranges omitted (groupBy semantics)
+        "alb_ip_range": """
+WITH v AS (
+  SELECT 167772160 + (event_id % 256) * 65536
+         + (CAST(floor(event_id / 256) AS BIGINT) % 256) * 256 + 7 AS ip
+  FROM events
+)
+SELECT * FROM (
+  SELECT '*' AS range_from, '10.85.0.0' AS range_to,
+         count(*)::BIGINT AS doc_count FROM v WHERE ip < 173342720
+  UNION ALL
+  SELECT '10.85.0.0', '10.170.0.0', count(*)::BIGINT FROM v
+  WHERE ip >= 173342720 AND ip < 178913280
+  UNION ALL
+  SELECT '10.170.0.0', '*', count(*)::BIGINT FROM v WHERE ip >= 178913280
+) WHERE doc_count > 0
+""",
         "alb_parse_errors": _ALB_ERRORS_SQL,
         "cloudfront_parse": _CF_PARSE_SQL,
         "multimodal_features": _MULTIMODAL_SQL,

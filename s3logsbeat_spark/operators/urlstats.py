@@ -21,7 +21,7 @@ oracle):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # one regex family shared with the DuckDB oracle (group-indexed there)
@@ -104,3 +104,70 @@ def url_rollup(
             ).alias("err_rate")
         )
     return d.groupBy(*keys).agg(*aggs)
+
+
+def ipv4_to_long(col: Column) -> Column:
+    """Dotted-quad IPv4 -> numeric (codegen split + arithmetic)."""
+    p = F.split(col, r"\.")
+    return (
+        p.getItem(0).cast("long") * 16777216
+        + p.getItem(1).cast("long") * 65536
+        + p.getItem(2).cast("long") * 256
+        + p.getItem(3).cast("long")
+    )
+
+
+def ip_range_agg(
+    df: DataFrame, ip_col: str, ranges: list[tuple[str | None, str | None]]
+) -> DataFrame:
+    """ES ip_range aggregation: doc counts per [from, to) IPv4 range
+    (open ends allowed, compared numerically like ES). Returns
+    (range_from, range_to, doc_count) with '*' for open ends. Ranges
+    are a tiny literal list -> a row-local CASE chain + one
+    map-combinable groupBy; rows outside every range are dropped,
+    exactly like ES."""
+
+    def lval(s):
+        if s is None:
+            return None
+        a, b, c, d = (int(x) for x in s.split("."))
+        return a * 16777216 + b * 65536 + c * 256 + d
+
+    # the CASE chain references the numeric ip 2x per range; going
+    # through an intermediate agg on the RAW value keeps the (possibly
+    # expensive) upstream ip expression to ONE copy in the plan instead
+    # of letting CollapseProject inline it per reference — groupBy the
+    # numeric ip first (map-side combine; ipv4 space is bounded), then
+    # bucket the tiny distinct-ip frame
+    per_ip = (
+        df.select(ipv4_to_long(F.col(ip_col)).alias("_ipv"))
+        .groupBy("_ipv")
+        .agg(F.count("*").alias("_n"))
+    )
+    v = F.col("_ipv")
+    key = None
+    for i, (lo, hi) in enumerate(ranges):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (v >= F.lit(lval(lo)))
+        if hi is not None:
+            cond = cond & (v < F.lit(lval(hi)))
+        key = F.when(cond, F.lit(i)) if key is None else key.when(cond, F.lit(i))
+    labels = [(lo or "*", hi or "*") for lo, hi in ranges]
+    lbl_from = F.element_at(
+        F.array(*[F.lit(a) for a, _ in labels]), F.col("_r") + 1
+    )
+    lbl_to = F.element_at(
+        F.array(*[F.lit(b) for _, b in labels]), F.col("_r") + 1
+    )
+    return (
+        per_ip.select(key.alias("_r"), "_n")
+        .filter(F.col("_r").isNotNull())
+        .groupBy("_r")
+        .agg(F.sum("_n").cast("long").alias("doc_count"))
+        .select(
+            lbl_from.alias("range_from"),
+            lbl_to.alias("range_to"),
+            F.col("doc_count"),
+        )
+    )

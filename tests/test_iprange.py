@@ -1,0 +1,32 @@
+"""ip_range aggregation over dotted-quad IPv4 strings."""
+
+from s3logsbeat_spark.operators.urlstats import ip_range_agg, ipv4_to_long
+from pyspark.sql import functions as F
+
+
+def test_ipv4_to_long(spark):
+    df = spark.createDataFrame(
+        [("0.0.0.0",), ("10.85.0.0",), ("255.255.255.255",)], "ip string"
+    )
+    got = [r["v"] for r in df.select(ipv4_to_long(F.col("ip")).alias("v")).collect()]
+    assert got == [0, 10 * 16777216 + 85 * 65536, (1 << 32) - 1]
+
+
+def test_ip_range_agg_buckets(spark):
+    rows = [("10.0.0.1",), ("10.0.0.1",), ("10.100.0.9",), ("10.200.1.2",),
+            ("9.9.9.9",), ("11.0.0.0",)]
+    df = spark.createDataFrame(rows, "ip string")
+    ranges = [(None, "10.85.0.0"), ("10.85.0.0", "10.170.0.0"),
+              ("10.170.0.0", "11.0.0.0")]
+    got = {(r["range_from"], r["range_to"]): r["doc_count"]
+           for r in ip_range_agg(df, "ip", ranges).collect()}
+    # 11.0.0.0 is outside every range (upper bound exclusive) -> dropped
+    assert got == {("*", "10.85.0.0"): 3,
+                   ("10.85.0.0", "10.170.0.0"): 1,
+                   ("10.170.0.0", "11.0.0.0"): 1}
+
+
+def test_ip_range_agg_empty_range_omitted(spark):
+    df = spark.createDataFrame([("10.0.0.1",)], "ip string")
+    got = ip_range_agg(df, "ip", [(None, "10.0.0.0"), ("10.0.0.0", None)]).collect()
+    assert len(got) == 1 and got[0]["doc_count"] == 1
