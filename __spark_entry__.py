@@ -304,6 +304,36 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated cross-index search (ES CCS, dfs_query_then_fetch): the
+    corpus is sharded into TWO indexes by doc_id parity; the DFS phase
+    combines their stats so per-shard scores are globally comparable —
+    the merged top-k is rank- AND score-identical to the monolithic
+    index, so the oracle is the plain monolithic BM25 SQL."""
+    import hashlib
+    import tempfile
+
+    from s3logsbeat_spark.operators.federate import federated_query
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+    from s3logsbeat_spark.operators.wand import IndexReader
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    docs = load_documents(spark, sf_dir)
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    readers = []
+    for i in range(2):
+        out = f"{tempfile.gettempdir()}/s3lb_fedshard{i}_v1_{tag}"
+        build_index(
+            docs.filter(F.col("doc_id") % 2 == i),
+            IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=20_000),
+        )
+        readers.append(IndexReader(spark, out))
+    top = federated_query(readers, BM25_TERMS, k=BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 HL_WINDOW = 40
 
 
@@ -2402,6 +2432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terms_set": q_terms_set,
         "msearch": q_msearch,
         "rank_eval": q_rank_eval,
+        "federated_search": q_federated_search,
         "prefix_search": q_prefix_search,
         "match_bool_prefix": q_match_bool_prefix,
         "wildcard_search": q_wildcard_search,
@@ -4825,6 +4856,9 @@ def oracle_sql() -> dict[str, str]:
         "terms_set": _TERMS_SET_SQL,
         "msearch": _msearch_sql(),
         "rank_eval": _rank_eval_sql(),
+        # federated DFS == monolithic by construction, so the oracle is
+        # the same monolithic BM25 block bm25_wand uses
+        "federated_search": _BM25_WAND_SQL,
         "prefix_search": _PREFIX_SQL,
         "match_bool_prefix": _MATCH_BOOL_PREFIX_SQL,
         "wildcard_search": _WILDCARD_SQL,

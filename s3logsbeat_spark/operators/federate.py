@@ -1,0 +1,78 @@
+"""Federated / cross-index search (ES cross-cluster-search with
+``dfs_query_then_fetch`` semantics): query a LIST of indexes — shards
+by time window, tenant, or ingest generation, the natural layout for a
+100 TB corpus that can't rebuild one monolithic index — and merge their
+top-k into one ranking.
+
+The DFS phase first combines corpus statistics across the shards
+(n_docs and doc-length totals add; per-term dfs add), then every shard
+scores with the GLOBAL stats, which makes per-shard BM25 scores
+directly comparable: the merged ranking is **rank- and score-identical
+to a single monolithic index over the union of the shards** (doc ids
+must be globally unique across shards, which the engine's deterministic
+content-derived ids guarantee). This is exactly why ES offers DFS mode;
+its default local-stats mode is also available (``mode="local"``) for
+when cross-shard score drift is acceptable and the extra stats
+round-trip is not.
+
+Scale shape: the DFS stats phase is one term-pruned df lookup per shard
+(driver memory O(|terms| x shards)); the query phase runs each shard's
+normal driver/distributed kernel; the merge handles shards x k rows.
+Nothing ever joins postings across shards.
+"""
+
+from __future__ import annotations
+
+from .postings import SCORE_NDIGITS
+
+
+def federated_stats(readers, terms: list[str]):
+    """Combine corpus stats across shards: (n_docs, avgdl, df_map).
+    avgdl re-derives from total length = n_docs_i * avgdl_i (exact up to
+    float rounding of the stored per-shard means)."""
+    want = list(dict.fromkeys(terms))
+    n_docs = 0
+    total_len = 0.0
+    df: dict[str, int] = {}
+    for r in readers:
+        n_docs += r.n_docs
+        total_len += r.n_docs * r.avgdl
+        for t, d in r._df_of(want).items():
+            df[t] = df.get(t, 0) + d
+    avgdl = total_len / n_docs if n_docs else 0.0
+    return n_docs, avgdl, df
+
+
+def federated_query(
+    readers,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "or",
+    stats: str = "dfs",
+    **query_kwargs,
+) -> list[tuple[int, float]]:
+    """Top-k over a list of :class:`~.wand.IndexReader` shards.
+    ``stats="dfs"`` (default): global-stats scoring, rank-identical to
+    the monolithic index; ``stats="local"``: ES's default per-shard
+    stats (faster, scores drift across shards). Extra kwargs
+    (doc_filter, min_should_match, boosts, ...) pass through to each
+    shard's ``query``."""
+    if not readers or not terms:
+        return []
+    override = None
+    if stats == "dfs":
+        override = federated_stats(readers, terms)
+        if not override[2]:
+            return []
+    elif stats != "local":
+        raise ValueError(f"unknown stats mode {stats!r}")
+    merged: list[tuple[int, float]] = []
+    for r in readers:
+        merged.extend(
+            r.query(
+                terms, k=k, mode=mode, stats_override=override,
+                **query_kwargs,
+            )
+        )
+    merged.sort(key=lambda t: (-round(t[1], SCORE_NDIGITS), t[0]))
+    return merged[:k]

@@ -1198,6 +1198,7 @@ class IndexReader:
         doc_filter: dict | None = None,
         min_should_match: int | None = None,
         boosts: dict | None = None,
+        stats_override: tuple | None = None,
     ) -> list[tuple[int, float]]:
         """Top-k BM25. Driver kernel when the pruned postings fit in
         ``driver_bytes_limit``; otherwise a per-bucket distributed pass
@@ -1215,13 +1216,29 @@ class IndexReader:
         the corpus can never match, so fewer than m present terms ⇒ empty.
         ``boosts`` ({term: weight}) scale each term's contribution —
         implemented as idf scaling, so every kernel (including WAND's
-        upper bounds) honors them for free."""
+        upper bounds) honors them for free.
+
+        ``stats_override=(n_docs, avgdl, df_map)`` scores THIS index
+        with externally-supplied corpus statistics — the DFS phase of
+        federated/cross-index search (operators/federate.py), where
+        global stats make per-shard scores directly comparable. Terms
+        present globally but absent from this shard simply contribute
+        no local postings."""
         if not terms:
             return []
         import pyarrow.dataset as ds
 
         dset = self._dataset()
-        dfsum = self._df_of(terms)
+        if stats_override is not None:
+            g_ndocs, g_avgdl, g_df = stats_override
+            dfsum = {
+                t: int(g_df[t])
+                for t in dict.fromkeys(terms)
+                if g_df.get(t)
+            }
+        else:
+            g_ndocs, g_avgdl = self.n_docs, self.avgdl
+            dfsum = self._df_of(terms)
         if not dfsum:
             return []
         if mode == "and" and len(dfsum) < len(set(terms)):
@@ -1233,7 +1250,7 @@ class IndexReader:
                 return []
             if min_should_match <= 1:
                 min_should_match = None  # plain OR
-        idf = {t: bm25_idf(self.n_docs, s) for t, s in dfsum.items()}
+        idf = {t: bm25_idf(g_ndocs, s) for t, s in dfsum.items()}
         if boosts:
             idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
         total_postings = sum(dfsum.values())
@@ -1259,7 +1276,7 @@ class IndexReader:
             )
             rows = tbl.to_pylist()
             lists = [
-                _row_to_plist(row, idf[row["term"]], self.avgdl) for row in rows
+                _row_to_plist(row, idf[row["term"]], g_avgdl) for row in rows
             ]
             if mode == "and":
                 return score_conjunctive(
@@ -1274,7 +1291,7 @@ class IndexReader:
             return kern(lists, k, doc_filter=filt)
         return self._query_distributed(
             self._segment_rows(terms), idf, k, use_wand, mode, doc_filter,
-            blocked, min_should_match,
+            blocked, min_should_match, avgdl=g_avgdl,
         )
 
     def _query_distributed(
@@ -1287,10 +1304,11 @@ class IndexReader:
         doc_filter: dict | None = None,
         blocked: np.ndarray | None = None,
         min_should_match: int | None = None,
+        avgdl: float | None = None,
     ):
         import pandas as pd
 
-        avgdl = self.avgdl
+        avgdl = self.avgdl if avgdl is None else float(avgdl)
         blocked_list = [] if blocked is None else [int(x) for x in blocked]
 
         def score_rows(pdf: pd.DataFrame, filt: DocFilter | None):

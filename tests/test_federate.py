@@ -1,0 +1,67 @@
+"""Federated cross-index search: DFS mode must be rank- AND
+score-identical to one monolithic index over the union of the shards."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.federate import federated_query, federated_stats
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+@pytest.fixture(scope="module")
+def shards(spark, corpus_df, tmp_path_factory):
+    mono = str(tmp_path_factory.mktemp("fed_mono"))
+    build_index(corpus_df, IndexConfig(out_dir=mono, n_buckets=4, hot_df_threshold=10))
+    dirs = []
+    for i in range(2):
+        d = str(tmp_path_factory.mktemp(f"fed_s{i}"))
+        build_index(
+            corpus_df.filter(F.col("doc_id") % 2 == i),
+            IndexConfig(out_dir=d, n_buckets=2, hot_df_threshold=10),
+        )
+        dirs.append(d)
+    return mono, dirs
+
+
+CASES = [
+    (["return", "value"], "or", {}),
+    (["return", "int"], "and", {}),
+    (["get", "http", "response"], "or", {"min_should_match": 2}),
+    (["return"], "or", {"boosts": {"return": 2.0}}),
+    (["zzz_absent"], "or", {}),
+]
+
+
+@pytest.mark.parametrize("terms,mode,kw", CASES, ids=lambda x: str(x)[:24])
+def test_dfs_equals_monolithic(spark, shards, terms, mode, kw):
+    mono, dirs = shards
+    rm = IndexReader(spark, mono)
+    rs = [IndexReader(spark, d) for d in dirs]
+    want = rm.query(terms, k=10, mode=mode, **kw)
+    got = federated_query(rs, terms, k=10, mode=mode, **kw)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_federated_stats_add_up(spark, shards):
+    mono, dirs = shards
+    rm = IndexReader(spark, mono)
+    rs = [IndexReader(spark, d) for d in dirs]
+    n, avgdl, df = federated_stats(rs, ["return", "value", "zzz_absent"])
+    assert n == rm.n_docs
+    assert abs(avgdl - rm.avgdl) < 1e-9
+    assert df == rm._df_of(["return", "value", "zzz_absent"])
+
+
+def test_local_mode_differs_but_same_candidates(spark, shards):
+    mono, dirs = shards
+    rs = [IndexReader(spark, d) for d in dirs]
+    dfs = federated_query(rs, ["return", "value"], k=10)
+    loc = federated_query(rs, ["return", "value"], k=10, stats="local")
+    assert len(loc) == len(dfs) == 10
+    # local-stats scores are shard-dependent: not equal to DFS in general
+    assert any(abs(a[1] - b[1]) > 1e-12 for a, b in zip(dfs, loc))
