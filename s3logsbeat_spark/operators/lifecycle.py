@@ -1,0 +1,123 @@
+"""Index lifecycle operations (ES parity: ``_snapshot`` repositories
+with checksum verification, restore, and an ILM-style maintenance
+policy that triggers forcemerge/compaction).
+
+Reference parity: the reference delegates retention/lifecycle to the ES
+stack (`README.md` points users at ILM for the shipped indexes); these
+operators re-express that half Spark-side over the directory-backed
+segment indexes.
+
+A snapshot is a point-in-time copy of EVERY index file (segments,
+manifests, sidecars, summary, tombstones) plus a ``_catalog.json``
+recording each file's size and sha256 — restore and verify are
+catalog-driven, so silent corruption (truncated parquet, bit rot) is
+detected rather than deserialized. Everything here is driver-side file
+plumbing over an fsspec-like local layout; on a real deployment the
+same walk runs against s3a:// via Hadoop's FileSystem (the engine's
+path wiring, config.normalize_path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+_CATALOG = "_catalog.json"
+
+
+def _walk_files(root: str) -> list[str]:
+    out = []
+    for base, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(base, f)
+            out.append(os.path.relpath(p, root))
+    return sorted(out)
+
+
+def _sha(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def snapshot_index(out_dir: str, snap_dir: str) -> dict:
+    """Point-in-time snapshot: copy every index file into ``snap_dir``
+    and write the checksum catalog. Returns {"files", "bytes"}."""
+    if os.path.exists(snap_dir) and os.listdir(snap_dir):
+        raise ValueError(f"snapshot target {snap_dir!r} is not empty")
+    os.makedirs(snap_dir, exist_ok=True)
+    catalog = {}
+    total = 0
+    for rel in _walk_files(out_dir):
+        src = os.path.join(out_dir, rel)
+        dst = os.path.join(snap_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+        size = os.path.getsize(dst)
+        catalog[rel] = {"bytes": size, "sha256": _sha(dst)}
+        total += size
+    with open(os.path.join(snap_dir, _CATALOG), "w") as f:
+        json.dump(catalog, f, sort_keys=True)
+    return {"files": len(catalog), "bytes": total}
+
+
+def verify_snapshot(snap_dir: str) -> list[str]:
+    """Re-hash every cataloged file; returns the list of corrupt or
+    missing relpaths (empty == intact)."""
+    with open(os.path.join(snap_dir, _CATALOG)) as f:
+        catalog = json.load(f)
+    bad = []
+    for rel, meta in catalog.items():
+        p = os.path.join(snap_dir, rel)
+        if not os.path.exists(p) or os.path.getsize(p) != meta["bytes"] \
+                or _sha(p) != meta["sha256"]:
+            bad.append(rel)
+    return sorted(bad)
+
+
+def restore_index(snap_dir: str, out_dir: str) -> dict:
+    """Catalog-verified restore into an empty/absent ``out_dir``.
+    Refuses if the snapshot fails verification — a bad snapshot must
+    never become a live index."""
+    bad = verify_snapshot(snap_dir)
+    if bad:
+        raise ValueError(f"snapshot corrupt, refusing restore: {bad[:5]}")
+    if os.path.exists(out_dir) and os.listdir(out_dir):
+        raise ValueError(f"restore target {out_dir!r} is not empty")
+    with open(os.path.join(snap_dir, _CATALOG)) as f:
+        catalog = json.load(f)
+    for rel in catalog:
+        src = os.path.join(snap_dir, rel)
+        dst = os.path.join(out_dir, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
+    return {"files": len(catalog)}
+
+
+def apply_ilm(
+    spark,
+    out_dir: str,
+    max_tombstone_frac: float = 0.1,
+) -> dict:
+    """ILM-style maintenance tick: compact (forcemerge/expunge-deletes)
+    when the tombstoned fraction of the corpus exceeds the policy
+    threshold — the standing policy ES users attach to shipped-log
+    indexes instead of hand-running forcemerge. Returns what ran:
+    {"tombstones", "n_docs", "compacted": bool}."""
+    from .segments import read_tombstones
+    from .wand import IndexReader
+
+    tombs = len(read_tombstones(out_dir))
+    rdr = IndexReader(spark, out_dir)
+    n = max(rdr.n_docs, 1)
+    out = {"tombstones": tombs, "n_docs": rdr.n_docs, "compacted": False}
+    if tombs / n > max_tombstone_frac:
+        from .segments import compact_index
+
+        compact_index(spark, out_dir)
+        out["compacted"] = True
+    return out

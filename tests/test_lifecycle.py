@@ -1,0 +1,81 @@
+"""Snapshot / restore / verify + the ILM compaction policy."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from s3logsbeat_spark.operators.lifecycle import (
+    apply_ilm,
+    restore_index,
+    snapshot_index,
+    verify_snapshot,
+)
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    delete_docs,
+)
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+@pytest.fixture(scope="module")
+def lbuilt(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("lcidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    return out
+
+
+def test_snapshot_restore_roundtrip(spark, lbuilt, tmp_path):
+    snap = str(tmp_path / "snap")
+    info = snapshot_index(lbuilt, snap)
+    assert info["files"] > 0 and verify_snapshot(snap) == []
+    restored = str(tmp_path / "restored")
+    restore_index(snap, restored)
+    a = IndexReader(spark, lbuilt).query(["return", "value"], 10)
+    b = IndexReader(spark, restored).query(["return", "value"], 10)
+    assert a == b and a
+
+
+def test_snapshot_detects_corruption(spark, lbuilt, tmp_path):
+    snap = str(tmp_path / "snap2")
+    snapshot_index(lbuilt, snap)
+    victim = next(
+        os.path.join(base, f)
+        for base, _, fs in os.walk(os.path.join(snap, "segments"))
+        for f in fs if f.endswith(".parquet")
+    )
+    with open(victim, "r+b") as f:
+        f.seek(10)
+        f.write(b"\x00\x00\x00\x00")
+    bad = verify_snapshot(snap)
+    assert bad, "corruption not detected"
+    with pytest.raises(ValueError):
+        restore_index(snap, str(tmp_path / "r2"))
+
+
+def test_snapshot_refuses_nonempty_target(spark, lbuilt, tmp_path):
+    tgt = tmp_path / "occupied"
+    tgt.mkdir()
+    (tgt / "x").write_text("hi")
+    with pytest.raises(ValueError):
+        snapshot_index(lbuilt, str(tgt))
+
+
+def test_ilm_policy_compacts_over_threshold(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "ilm")
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    ids = [r["doc_id"] for r in corpus_df.select("doc_id").limit(30).collect()]
+    n = corpus_df.count()
+    delete_docs(out, ids[:2])
+    r1 = apply_ilm(spark, out, max_tombstone_frac=0.5)  # 2/n << 0.5
+    assert r1 == {"tombstones": 2, "n_docs": n, "compacted": False}
+    delete_docs(out, ids[2:])
+    r2 = apply_ilm(spark, out, max_tombstone_frac=0.05)
+    assert r2["compacted"] and r2["tombstones"] == 30
+    # post-compaction: tombstones cleared, docs physically gone
+    r3 = apply_ilm(spark, out, max_tombstone_frac=0.05)
+    assert r3 == {"tombstones": 0, "n_docs": n - 30, "compacted": False}
+    got = IndexReader(spark, out).query(["return"], 1000)
+    assert not set(ids) & {d for d, _ in got}
