@@ -304,6 +304,25 @@ def q_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ESSQL_STMT = (
+    "SELECT doc_id, SCORE() FROM docs WHERE MATCH('merge window spark') "
+    "ORDER BY SCORE() DESC LIMIT 10"
+)
+
+
+def q_es_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-SQL front door: the statement users type into the ES SQL API,
+    parsed by the mini-grammar and executed on the compressed index
+    (WAND path) — identical to bm25_wand, which is the oracle."""
+    from s3logsbeat_spark.operators.essql import execute_es_sql
+
+    rdr = _driver_index(spark, sf_dir)
+    top = execute_es_sql(rdr, ESSQL_STMT)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 def q_federated_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Federated cross-index search (ES CCS, dfs_query_then_fetch): the
     corpus is sharded into TWO indexes by doc_id parity; the DFS phase
@@ -2433,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msearch": q_msearch,
         "rank_eval": q_rank_eval,
         "federated_search": q_federated_search,
+        "es_sql": q_es_sql,
         "prefix_search": q_prefix_search,
         "match_bool_prefix": q_match_bool_prefix,
         "wildcard_search": q_wildcard_search,
@@ -4859,6 +4879,7 @@ def oracle_sql() -> dict[str, str]:
         # federated DFS == monolithic by construction, so the oracle is
         # the same monolithic BM25 block bm25_wand uses
         "federated_search": _BM25_WAND_SQL,
+        "es_sql": _BM25_WAND_SQL,
         "prefix_search": _PREFIX_SQL,
         "match_bool_prefix": _MATCH_BOOL_PREFIX_SQL,
         "wildcard_search": _WILDCARD_SQL,

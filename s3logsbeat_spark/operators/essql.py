@@ -1,0 +1,99 @@
+"""ES-SQL front door: translate the restricted SQL dialect ES ships
+(`SELECT ... FROM idx WHERE MATCH(...) ...`) into engine calls — the
+query interface the reference's users already know from the ES stack.
+
+Grammar (deliberately the useful ES-SQL core, not a SQL engine — Spark
+SQL already exists for relational work; this front end exists so a
+fulltext query arrives as ONE statement):
+
+    SELECT <doc_id | doc_id, SCORE() | COUNT(*)>
+    FROM <index>
+    WHERE MATCH('t1 t2 ...')            -- OR semantics, BM25-scored
+      [AND MATCH_ALL('t1 t2 ...')]      -- conjunctive clause
+      [AND <attr> = '<value>']...       -- filter context (sidecar)
+    [ORDER BY SCORE() DESC]
+    [LIMIT k]
+
+Parsing is a tiny regex grammar -> a plain dict; execution is the
+existing :class:`~.wand.IndexReader` surface (WAND kernels, pruned
+reads, filter cogroup), so the front end adds zero new execution paths
+to audit. Unsupported syntax raises with the offending fragment.
+"""
+
+from __future__ import annotations
+
+import re
+
+_RE = re.compile(
+    r"""^\s*SELECT\s+(?P<sel>COUNT\(\*\)|doc_id(?:\s*,\s*SCORE\(\))?)\s+
+    FROM\s+(?P<index>[A-Za-z_][A-Za-z0-9_]*)\s+
+    WHERE\s+(?P<where>.+?)
+    (?:\s+ORDER\s+BY\s+SCORE\(\)\s+DESC)?
+    (?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_CLAUSE = re.compile(
+    r"""(?P<match>MATCH(?P<all>_ALL)?\(\s*'(?P<terms>[^']*)'\s*\))
+    |(?P<filter>(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*'(?P<val>[^']*)')""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def parse_es_sql(sql: str) -> dict:
+    """Parse one statement into {"select", "index", "terms", "mode",
+    "filters", "limit"}; raises ValueError on anything outside the
+    grammar."""
+    m = _RE.match(sql)
+    if not m:
+        raise ValueError(f"unsupported ES-SQL statement: {sql!r}")
+    sel = re.sub(r"\s+", "", m.group("sel")).lower()
+    where = m.group("where")
+    terms: list[str] = []
+    mode = "or"
+    filters: dict = {}
+    pos = 0
+    first = True
+    for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+        cm = _CLAUSE.fullmatch(part.strip())
+        if not cm:
+            raise ValueError(f"unsupported WHERE clause: {part.strip()!r}")
+        if cm.group("match"):
+            if terms:
+                raise ValueError("at most one MATCH clause per statement")
+            terms = cm.group("terms").split()
+            mode = "and" if cm.group("all") else "or"
+        else:
+            filters[cm.group("col")] = cm.group("val")
+        pos += 1
+        first = False
+    if not terms:
+        raise ValueError("statement needs a MATCH clause")
+    return {
+        "select": sel,
+        "index": m.group("index"),
+        "terms": terms,
+        "mode": mode,
+        "filters": filters or None,
+        "limit": int(m.group("limit")) if m.group("limit") else 10,
+    }
+
+
+def execute_es_sql(reader, sql: str):
+    """Run one ES-SQL statement against an IndexReader. Returns
+    ``[(doc_id, score)]`` for doc_id selects (score omitted from the
+    caller's projection if not requested) or ``int`` for COUNT(*)."""
+    q = parse_es_sql(sql)
+    if q["select"] == "count(*)":
+        if q["filters"]:
+            ids = reader.matching_doc_ids(
+                q["terms"], mode=q["mode"], doc_filter=q["filters"]
+            )
+            return len(ids)
+        return reader.count(q["terms"], q["mode"])
+    top = reader.query(
+        q["terms"], k=q["limit"], mode=q["mode"], doc_filter=q["filters"]
+    )
+    if q["select"] == "doc_id":
+        return [(d,) for d, _ in top]
+    return top

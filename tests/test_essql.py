@@ -1,0 +1,59 @@
+"""ES-SQL mini-grammar: parse + execute vs the direct reader calls."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.essql import execute_es_sql, parse_es_sql
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+def test_parse_shapes():
+    q = parse_es_sql(
+        "SELECT doc_id, SCORE() FROM idx WHERE MATCH('a b') "
+        "AND lang = 'py' ORDER BY SCORE() DESC LIMIT 5;"
+    )
+    assert q == {"select": "doc_id,score()", "index": "idx",
+                 "terms": ["a", "b"], "mode": "or",
+                 "filters": {"lang": "py"}, "limit": 5}
+    q2 = parse_es_sql("SELECT COUNT(*) FROM idx WHERE MATCH_ALL('x y')")
+    assert q2["select"] == "count(*)" and q2["mode"] == "and"
+    assert q2["limit"] == 10 and q2["filters"] is None
+
+
+@pytest.mark.parametrize("bad", [
+    "SELECT * FROM idx WHERE MATCH('a')",            # unsupported projection
+    "SELECT doc_id FROM idx WHERE lang = 'py'",      # no MATCH
+    "SELECT doc_id FROM idx WHERE MATCH('a') OR MATCH('b')",  # OR of clauses
+    "DELETE FROM idx",                               # not a SELECT
+    "SELECT doc_id FROM idx WHERE MATCH('a') AND MATCH('b')",  # two MATCHes
+])
+def test_parse_rejects(bad):
+    with pytest.raises(ValueError):
+        parse_es_sql(bad)
+
+
+@pytest.fixture(scope="module")
+def qbuilt(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sqlidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10))
+    return out
+
+
+def test_execute_matches_reader(spark, qbuilt, corpus_df):
+    rdr = IndexReader(spark, qbuilt)
+    got = execute_es_sql(
+        rdr, "SELECT doc_id, SCORE() FROM docs WHERE MATCH('return value') LIMIT 7"
+    )
+    assert got == rdr.query(["return", "value"], k=7)
+    n = execute_es_sql(rdr, "SELECT COUNT(*) FROM docs WHERE MATCH_ALL('return value')")
+    assert n == rdr.count(["return", "value"], "and")
+    lang = corpus_df.select("lang").first()["lang"]
+    f = execute_es_sql(
+        rdr,
+        f"SELECT doc_id, SCORE() FROM docs WHERE MATCH('return') AND lang = '{lang}' LIMIT 5",
+    )
+    assert f == rdr.query(["return"], k=5, doc_filter={"lang": lang})
+    ids = execute_es_sql(rdr, "SELECT doc_id FROM docs WHERE MATCH('return') LIMIT 3")
+    assert ids == [(d,) for d, _ in rdr.query(["return"], k=3)]
