@@ -1400,6 +1400,17 @@ def q_significant_terms_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 MSM = 2
 
 
+def q_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms with the chi_square heuristic (Pearson 2x2,
+    include_negatives=false) — ES's alternative significance scorer,
+    same fg/bg counting machinery as the JLH contract row."""
+    rdr = _driver_index(spark, sf_dir)
+    rows = rdr.significant_terms(BM25_TERMS, BM25_K, heuristic="chi_square")
+    return spark.createDataFrame(
+        [(t, round(s, 6)) for t, s in rows], "term string, score double"
+    )
+
+
 def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES minimum_should_match: BM25 over the query terms keeping only
     docs that match >= 2 of the 3 distinct terms (the middle ground
@@ -1685,6 +1696,34 @@ def q_events_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day")
     return daily.select(
         "day", "n", (F.col("n") - F.lag("n", 1).over(w)).cast("long").alias("delta")
+    )
+
+
+def q_events_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES normalize pipeline agg (method rescale_0_1 + percent_of_sum):
+    daily event counts rescaled to [0,1] over the bucket frame and as a
+    fraction of the total — window over the ~30-row bucket frame, never
+    the raw events."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mn, mx, tot = (
+        F.min("n").over(w), F.max("n").over(w), F.sum("n").over(w)
+    )
+    return daily.select(
+        "day",
+        "n",
+        F.round(
+            (F.col("n") - mn).cast("double")
+            / F.greatest((mx - mn).cast("double"), F.lit(1.0)),
+            6,
+        ).alias("rescaled"),
+        F.round(F.col("n").cast("double") / tot.cast("double") * 100.0, 6)
+        .alias("percent_of_sum"),
     )
 
 
@@ -2515,6 +2554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": q_top_hits,
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
+        "significant_chi2": q_significant_chi2,
         "match_count": q_match_count,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -2553,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_sessions": q_events_sessions,
         "events_rate": q_events_rate,
+        "events_normalize": q_events_normalize,
         "events_cumsum": q_events_cumsum,
         "events_weighted_avg": q_events_weighted_avg,
         "events_top_metrics": q_events_top_metrics,
@@ -3587,6 +3628,50 @@ SELECT term, round(jlh, 6) AS score FROM (
 ORDER BY round(jlh, 9) DESC, term ASC LIMIT {BM25_K}
 """
 
+
+# chi_square heuristic: Pearson 2x2 (fg/rest x term/no-term),
+# include_negatives=false; integer contingency cells stay exact in
+# DOUBLE at sf scale, so both engines compute identical scores
+_SIG_CHI2_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')) AS term
+  FROM documents
+),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('merge', 'window', 'spark')
+),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS f FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM matched) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+),
+sizes AS (
+  SELECT (SELECT count(*) FROM matched) AS m,
+         (SELECT count(*) FROM documents) AS n
+),
+cells AS (
+  SELECT fg.term, s.n, s.m, fg.f,
+         (s.m - fg.f) AS o12, (bg.df - fg.f) AS o21,
+         ((s.n - s.m) - (bg.df - fg.f)) AS o22,
+         bg.df
+  FROM fg JOIN bg USING (term) CROSS JOIN sizes s
+  WHERE fg.term NOT IN ('merge', 'window', 'spark')
+    AND fg.f::DOUBLE / s.m > bg.df::DOUBLE / s.n
+),
+chi AS (
+  SELECT term,
+         n::DOUBLE * (f * o22 - o12 * o21)::DOUBLE
+           * (f * o22 - o12 * o21)::DOUBLE
+           / ((f + o12) * (o21 + o22) * (f + o21) * (o12 + o22))::DOUBLE
+           AS score
+  FROM cells
+  WHERE (f + o12) * (o21 + o22) * (f + o21) * (o12 + o22) <> 0
+)
+SELECT term, round(score, 6) AS score FROM chi
+ORDER BY round(score, 9) DESC, term ASC LIMIT {BM25_K}
+"""
 
 _SIG_TERMS_SAMPLED_SQL = (
     _BM25_WAND_SQL.split("SELECT doc_id, round(raw, 6) AS score FROM scored")[0]
@@ -4945,6 +5030,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hits": _TOP_HITS_SQL,
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
+        "significant_chi2": _SIG_CHI2_SQL,
         "match_count": f"""
             WITH toks AS (
               SELECT doc_id,
@@ -5049,6 +5135,19 @@ GROUP BY 1, 2
         "events_json": _EVENTS_JSON_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_rate": _EVENTS_RATE_SQL,
+        "events_normalize": """
+WITH d AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+)
+SELECT day, n,
+       round((n - min(n) OVER ())::DOUBLE
+             / greatest((max(n) OVER () - min(n) OVER ())::DOUBLE, 1.0), 6)
+         AS rescaled,
+       round(n::DOUBLE / (sum(n) OVER ())::DOUBLE * 100.0, 6)
+         AS percent_of_sum
+FROM d
+""",
         "events_cumsum": _EVENTS_CUMSUM_SQL,
         "events_weighted_avg": _EVENTS_WAVG_SQL,
         "events_top_metrics": _EVENTS_TOP_METRICS_SQL,

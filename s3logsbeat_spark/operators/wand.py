@@ -3402,6 +3402,7 @@ class IndexReader:
         mode: str = "or",
         doc_filter: dict | None = None,
         sample_size: int | None = None,
+        heuristic: str = "jlh",
     ) -> list[tuple[str, float]]:
         """ES significant_terms aggregation: vocabulary terms
         overrepresented in the matching docs relative to the whole
@@ -3429,7 +3430,7 @@ class IndexReader:
 
         if sample_size is not None:
             return self._significant_terms_sampled(
-                terms, k, mode, doc_filter, sample_size
+                terms, k, mode, doc_filter, sample_size, heuristic
             )
         matched = self._matched_docs_df(terms, mode, doc_filter)
         if matched is None:
@@ -3474,24 +3475,44 @@ class IndexReader:
             )
         finally:
             matched.unpersist()
-        return self._jlh_rank(rows, m_total, set(terms), k)
+        return self._jlh_rank(rows, m_total, set(terms), k, heuristic)
 
     def _jlh_rank(
-        self, rows, m_total: int, exclude: set, k: int
+        self, rows, m_total: int, exclude: set, k: int,
+        heuristic: str = "jlh",
     ) -> list[tuple[str, float]]:
-        """Shared JLH scoring tail: bg df comes from ONE term-pruned read
-        over the fg terms (bounded by terms present in matched docs, not
-        the vocabulary)."""
+        """Shared significance-scoring tail: bg df comes from ONE
+        term-pruned read over the fg terms (bounded by terms present in
+        matched docs, not the vocabulary). ``heuristic``: "jlh" (ES
+        default) or "chi_square" (Pearson chi-square on the 2x2
+        fg/rest x term/no-term table, include_negatives=false — terms
+        UNDERrepresented in the foreground are dropped, like ES)."""
         cand = [r for r in rows if r["term"] not in exclude]
         bg = self._df_of([r["term"] for r in cand])
         n = self.n_docs
+        m = m_total
         scored = []
         for r in cand:
             t = r["term"]
-            fg_rate = r["fg"] / m_total
-            bg_rate = bg[t] / n
-            jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
-            scored.append((t, round(jlh, SCORE_NDIGITS)))
+            f, b = r["fg"], bg[t]
+            if heuristic == "jlh":
+                fg_rate = f / m
+                bg_rate = b / n
+                score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+            elif heuristic == "chi_square":
+                if f / m <= b / n:
+                    continue  # include_negatives=False
+                o11, o12 = f, m - f
+                o21 = b - f
+                o22 = (n - m) - o21
+                det = o11 * o22 - o12 * o21
+                denom = (o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22)
+                if denom == 0:
+                    continue
+                score = n * det * det / denom
+            else:
+                raise ValueError(f"unknown heuristic {heuristic!r}")
+            scored.append((t, round(score, SCORE_NDIGITS)))
         scored.sort(key=lambda x: (-x[1], x[0]))
         return scored[:k]
 
@@ -3502,6 +3523,7 @@ class IndexReader:
         mode: str,
         doc_filter: dict | None,
         sample_size: int,
+        heuristic: str = "jlh",
     ) -> list[tuple[str, float]]:
         """Sampler execution: fg = top-``sample_size`` matched docs by
         BM25 (rank-deterministic), shipped in the task closure (a few KB).
@@ -3566,7 +3588,7 @@ class IndexReader:
             .agg(F.sum("fg").alias("fg"))
             .collect()
         )
-        return self._jlh_rank(rows, m_total, set(terms), k)
+        return self._jlh_rank(rows, m_total, set(terms), k, heuristic)
 
     def _run_per_bucket(
         self,
