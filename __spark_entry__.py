@@ -1400,6 +1400,40 @@ def q_significant_terms_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 MSM = 2
 
 
+FIS_MIN_SUPPORT = 50
+FIS_K = 15
+
+
+def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES frequent_item_sets aggregation (size-2 sets): term pairs
+    co-occurring in >= FIS_MIN_SUPPORT docs, top-FIS_K by support.
+    Computed from the postings relation: df-prefilter (a pair can't
+    beat min_support if either term's df is below it — the apriori
+    property), then a per-doc self-join of the surviving DISTINCT
+    (doc, term) pairs. Per-doc join width is bounded by the doc's
+    distinct frequent terms, and the candidate space by the frequent
+    vocabulary — never all-pairs over the corpus."""
+    p = _simple_postings(spark, sf_dir).select("doc_id", "term").distinct()
+    freq = (
+        p.groupBy("term").agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= FIS_MIN_SUPPORT)
+        .select("term")
+    )
+    fp = p.join(F.broadcast(freq), "term")
+    a = fp.select("doc_id", F.col("term").alias("t1"))
+    b = fp.select("doc_id", F.col("term").alias("t2"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").cast("long").alias("support"))
+        .filter(F.col("support") >= FIS_MIN_SUPPORT)
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("t1").asc(), F.col("t2").asc()
+    ).limit(FIS_K)
+
+
 def q_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms with the chi_square heuristic (Pearson 2x2,
     include_negatives=false) — ES's alternative significance scorer,
@@ -1724,6 +1758,38 @@ def q_events_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rescaled"),
         F.round(F.col("n").cast("double") / tot.cast("double") * 100.0, 6)
         .alias("percent_of_sum"),
+    )
+
+
+MP_WINDOW_DAYS = 3
+
+
+def q_events_moving_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_percentiles: per daily bucket, exact p50/p90 of the
+    RAW values in the trailing 3-day window (ES merges the window's
+    TDigests — i.e. percentiles over the union of raw values, which the
+    exact mode reproduces). Implementation: broadcast the tiny distinct-
+    day dim, range-join events into their <= 3 covering windows (bounded
+    replication), one groupBy(day) percentile — no unbounded window
+    state."""
+    ev = _read(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("eday"), "value"
+    )
+    days = ev.select(F.col("eday").alias("day")).distinct()
+    j = ev.join(
+        F.broadcast(days),
+        (F.col("eday") <= F.col("day"))
+        & (
+            F.col("eday")
+            >= F.col("day") - F.expr(f"INTERVAL {MP_WINDOW_DAYS - 1} DAYS")
+        ),
+    )
+    return (
+        j.groupBy("day")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
     )
 
 
@@ -2555,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
         "significant_chi2": q_significant_chi2,
+        "frequent_item_sets": q_frequent_item_sets,
         "match_count": q_match_count,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -2594,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_rate": q_events_rate,
         "events_normalize": q_events_normalize,
+        "events_moving_percentiles": q_events_moving_percentiles,
         "events_cumsum": q_events_cumsum,
         "events_weighted_avg": q_events_weighted_avg,
         "events_top_metrics": q_events_top_metrics,
@@ -5031,6 +5099,21 @@ def oracle_sql() -> dict[str, str]:
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
         "significant_chi2": _SIG_CHI2_SQL,
+        "frequent_item_sets": f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT term FROM dt GROUP BY term HAVING count(*) >= {FIS_MIN_SUPPORT}
+),
+fp AS (SELECT doc_id, term FROM dt WHERE term IN (SELECT term FROM freq))
+SELECT a.term AS t1, b.term AS t2, count(*)::BIGINT AS support
+FROM fp a JOIN fp b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2 HAVING count(*) >= {FIS_MIN_SUPPORT}
+ORDER BY support DESC, t1 ASC, t2 ASC LIMIT {FIS_K}
+""",
         "match_count": f"""
             WITH toks AS (
               SELECT doc_id,
@@ -5135,6 +5218,18 @@ GROUP BY 1, 2
         "events_json": _EVENTS_JSON_SQL,
         "events_sessions": _EVENTS_SESSIONS_SQL,
         "events_rate": _EVENTS_RATE_SQL,
+        "events_moving_percentiles": f"""
+WITH ev AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS eday, value FROM events
+),
+days AS (SELECT DISTINCT eday AS day FROM ev)
+SELECT d.day,
+       round(quantile_cont(e.value, 0.5), 6) AS p50,
+       round(quantile_cont(e.value, 0.9), 6) AS p90
+FROM days d JOIN ev e
+  ON e.eday <= d.day AND e.eday >= d.day - INTERVAL {MP_WINDOW_DAYS - 1} DAYS
+GROUP BY d.day
+""",
         "events_normalize": """
 WITH d AS (
   SELECT date_trunc('day', ts)::TIMESTAMP AS day, count(*)::BIGINT AS n
