@@ -1549,6 +1549,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-entropy quality signal (low-entropy =
+    boilerplate/repeated-char spam): one (doc, char) groupBy + per-doc
+    fold over the alphabet-bounded histogram."""
+    from s3logsbeat_spark.operators.textstats import doc_entropy
+
+    return doc_entropy(_docs(spark, sf_dir), text_col="text")
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-line fraction/chars,
     top-2/3-gram char fraction, duplicated-5-gram char fraction. Pure
@@ -2631,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "quality_classifier": q_quality_classifier,
+        "doc_entropy": q_doc_entropy,
         "repetition": q_repetition,
         "lm_nll": q_lm_nll,
         "gopher_quality": q_gopher_quality,
@@ -5146,6 +5156,22 @@ ORDER BY support DESC, t1 ASC, t2 ASC LIMIT {FIS_K}
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "doc_entropy": """
+WITH hist AS (
+  SELECT doc_id, ch, count(*)::DOUBLE AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+    FROM documents
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c) AS t FROM hist GROUP BY 1),
+e AS (
+  SELECT h.doc_id,
+         round(sum(-(h.c / t.t) * log2(h.c / t.t)), 6) AS entropy
+  FROM hist h JOIN tot t USING (doc_id) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(e.entropy, 0.0) AS entropy
+FROM documents d LEFT JOIN e USING (doc_id)
+""",
         "repetition": _repetition_sql(),
         "lm_nll": _LM_NLL_SQL,
         "gopher_quality": _GOPHER_SQL,

@@ -138,6 +138,40 @@ def classifier_scores(
     )
 
 
+def doc_entropy(
+    df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc Shannon entropy (bits) of the character distribution —
+    the low-entropy filter web pipelines use against boilerplate /
+    repeated-char spam. Distributed shape: explode chars -> ONE
+    (doc, char) groupBy with map-side partials -> per-doc fold over the
+    (alphabet-bounded) char histogram; never collects text."""
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '.', 0)")).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = hist.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    ent = (
+        hist.join(tot, "doc_id")
+        .select(
+            "doc_id",
+            (
+                -(F.col("c") / F.col("t"))
+                * F.log2(F.col("c") / F.col("t"))
+            ).alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term"), 6).alias("entropy"))
+    )
+    # empty docs (no chars) drop out of the histogram: restore with 0.0
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(ent, "doc_id", "left")
+        .select("doc_id", F.coalesce("entropy", F.lit(0.0)).alias("entropy"))
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
