@@ -1549,6 +1549,18 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OOV_VOCAB = 20
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-coverage signal: per-doc fraction of token occurrences
+    outside the corpus top-20 vocabulary (cf desc, term asc cut) — the
+    Gopher 'words in dictionary' rule with a corpus-derived dictionary."""
+    from s3logsbeat_spark.operators.textstats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), OOV_VOCAB, text_col="text")
+
+
 def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character-entropy quality signal (low-entropy =
     boilerplate/repeated-char spam): one (doc, char) groupBy + per-doc
@@ -2641,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "quality_classifier": q_quality_classifier,
         "doc_entropy": q_doc_entropy,
+        "oov_rate": q_oov_rate,
         "repetition": q_repetition,
         "lm_nll": q_lm_nll,
         "gopher_quality": q_gopher_quality,
@@ -5156,6 +5169,29 @@ ORDER BY support DESC, t1 ASC, t2 ASC LIMIT {FIS_K}
         "lang_id": _lang_id_sql(),
         "quality": _quality_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "oov_rate": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS cf FROM toks GROUP BY 1
+    ORDER BY cf DESC, tok ASC LIMIT {OOV_VOCAB}
+  )
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                  THEN 1 ELSE 0 END)::BIGINT AS oov
+  FROM toks GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.oov, 0) AS oov,
+       round(coalesce(a.oov, 0)
+             / greatest(coalesce(a.n_tokens, 0), 1)::DOUBLE, 6) AS oov_rate
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
         "doc_entropy": """
 WITH hist AS (
   SELECT doc_id, ch, count(*)::DOUBLE AS c FROM (

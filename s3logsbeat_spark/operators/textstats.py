@@ -172,6 +172,49 @@ def doc_entropy(
     )
 
 
+def oov_rate(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dictionary-coverage quality signal: per-doc fraction of token
+    OCCURRENCES outside the corpus' top-``vocab_size`` vocabulary (by
+    collection frequency, ties broken by term asc) — the
+    Gopher-style 'words in dictionary' rule with a corpus-derived
+    dictionary. Two passes: (1) token cf groupBy + top-N cut
+    (TakeOrdered, N rows), (2) explode + broadcast membership join +
+    per-doc ratio. Returns (doc_id, n_tokens, oov, oov_rate)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(tokens_col(text_col)).alias("tok"),
+    )
+    vocab = (
+        toks.filter(F.col("tok").isNotNull())
+        .groupBy("tok").agg(F.count("*").alias("cf"))
+        .orderBy(F.col("cf").desc(), F.col("tok").asc())
+        .limit(int(vocab_size))
+        .select(F.col("tok").alias("_v"))
+    )
+    j = toks.join(F.broadcast(vocab), toks.tok == F.col("_v"), "left")
+    agg = j.groupBy("doc_id").agg(
+        F.count("tok").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("tok").isNotNull() & F.col("_v").isNull(), 1)
+            .otherwise(0)
+        ).alias("oov"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("oov").cast("long").alias("oov"),
+        F.round(
+            F.col("oov") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
