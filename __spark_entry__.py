@@ -1495,11 +1495,13 @@ def q_sha_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (16 affine hashes over md5'd 3-gram shingles) —
     fully JVM-side; exploded to (doc_id, h_idx, minhash) for the oracle."""
-    from s3logsbeat_spark.operators.dedup import minhash_signatures, shingles_col
+    from s3logsbeat_spark.operators.dedup import minhash_signatures, tokens_col
 
     docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
     sigs = minhash_signatures(docs, n_hashes=16)
-    nonempty = docs.filter(F.size(shingles_col("content")) > 0).select("doc_id")
+    # a doc has >=1 shingle iff it has >=1 token (short docs emit one
+    # all-token gram) — cheaper than materializing the shingle array
+    nonempty = docs.filter(F.size(tokens_col("content")) > 0).select("doc_id")
     return (
         sigs.join(nonempty, "doc_id")
         .select("doc_id", F.posexplode("sig").alias("h_idx", "minhash"))

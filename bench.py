@@ -172,7 +172,12 @@ def run_default() -> dict:
 
         dops: dict[str, float] = {}
         t0 = time.perf_counter()
-        repetition_scores(docs).count()
+        # sum a metric column: .count() alone lets Catalyst prune a pure
+        # projection to a no-op (r2's 0.97 s repetition number measured
+        # nothing — see BENCH/BASELINE.md "repetition HOF fix")
+        repetition_scores(docs).agg(
+            F.sum("dup_line_frac"), F.sum("dup_5gram_char_frac")
+        ).collect()
         dops["repetition"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         ngram_hits(docs, docs.filter(F.col("doc_id") % 50 == 0), n=8).count()

@@ -44,25 +44,29 @@ def _shingles(
     hashed: bool,
 ) -> DataFrame:
     """(doc_id, start, key) for every stride-1 W-token shingle; start is
-    the 1-based token index (matching SQL array indexing)."""
-    a = f"regexp_extract_all(lower({text_col}), '{token_regex}', 0)"
-    key = f"concat_ws(' ', slice(a, i, {width}))"
-    if hashed:
-        key = f"xxhash64({key})"
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.expr(a).alias("a"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(a) < {width} THEN array() ELSE "
-                    f"transform(sequence(1, size(a) - {width} + 1), "
-                    f"i -> struct(i AS start, {key} AS key)) END"
-                )
-            ).alias("s"),
-        )
-        .select("doc_id", "s.start", "s.key")
+    the 1-based token index (matching SQL array indexing).
+
+    Codegen shape (round-3 rewrite): explode a position sequence and
+    build the key with row exprs (``try_element_at`` + ``concat_ws``) —
+    one WholeStageCodegen span; the previous
+    ``transform(sequence, i -> struct(...))`` evaluated an interpreted
+    lambda per token position (see dedup.exploded_grams)."""
+    from .dedup import exploded_grams
+
+    g = exploded_grams(
+        docs.select(F.col(id_col).alias("doc_id"), text_col),
+        text_col,
+        width,
+        ("doc_id",),
+        out="key",
+        short_fallback=False,
+        with_pos=True,
+        pos_col="start",
+        token_regex=token_regex,
     )
+    if hashed:
+        g = g.select("doc_id", "start", F.xxhash64("key").alias("key"))
+    return g
 
 
 def duplicate_spans(
