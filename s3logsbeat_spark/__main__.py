@@ -1,0 +1,164 @@
+"""Console entry point — the reference's CLI surface
+(``cmd/root.go:25-35`` root/run command, ``cmd/s3imports.go:13-36``
+"imports s3 objects and stops") as ``python -m s3logsbeat_spark``:
+
+    python -m s3logsbeat_spark run <config.yml> --out DIR \
+        [--checkpoint DIR] [--error-dir DIR] [--duration SECONDS]
+    python -m s3logsbeat_spark s3imports <config.yml> --out DIR \
+        [--error-dir DIR] [--once]
+
+``run`` starts the daemon topology (one streaming query per sqs input,
+``config.start_inputs``) and drains it on SIGINT/SIGTERM or after
+``--duration`` via ``config.graceful_stop`` honoring the config's
+``shutdown_timeout`` (the reference's flush budget). ``s3imports``
+processes every s3 input once and exits (the reference's run-once
+subcommand; ``--keepsqsmessages``/``-N`` have no meaning on this path's
+file-checkpoint ledger, matching the reference where they gate ES
+publish only).
+
+On a cluster this module ships with ``spark-submit --py-files``; the
+SparkSession comes from ``getOrCreate`` so master/cores/memory are the
+submitter's flags, not ours.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import signal
+import sys
+import threading
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def _cmd_s3imports(args) -> int:
+    from .config import load_config, run_s3imports
+
+    cfg = load_config(args.config)
+    spark = _spark("s3logsbeat-s3imports")
+    metrics = run_s3imports(
+        spark, cfg, out_dir=args.out, error_dir=args.error_dir
+    )
+    print(json.dumps(metrics))
+    return 0
+
+
+def _cmd_run(args) -> int:
+    from .config import graceful_stop, load_config, start_inputs
+
+    cfg = load_config(args.config)
+    spark = _spark("s3logsbeat-run")
+    queries = start_inputs(
+        spark,
+        cfg,
+        out_dir=args.out,
+        checkpoint_root=args.checkpoint or f"{args.out}/_checkpoints",
+        error_dir=args.error_dir,
+    )
+    if not queries:
+        print(json.dumps({"error": "no sqs inputs in config"}))
+        return 1
+    stop = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, lambda *_: stop.set())
+        except ValueError:  # not the main thread (tests)
+            pass
+    if args.duration is not None:
+        threading.Timer(args.duration, stop.set).start()
+    stop.wait()
+    drained = graceful_stop(queries, cfg.shutdown_timeout)
+    print(json.dumps({"queries": len(queries), "drained": bool(drained)}))
+    return 0
+
+
+def _cmd_index(args) -> int:
+    from .operators.segments import IndexConfig, append_index, build_index
+    from .sources.documents import load_documents
+
+    spark = _spark("s3logsbeat-index")
+    docs = load_documents(spark, args.input)
+    if args.append:
+        summary = append_index(
+            docs, args.out, n_buckets=args.buckets,
+            with_positions=args.positions,
+        )
+    else:
+        summary = build_index(
+            docs,
+            IndexConfig(
+                out_dir=args.out, n_buckets=args.buckets,
+                with_positions=args.positions,
+            ),
+        )
+    print(json.dumps({k: summary[k] for k in ("n_docs", "avgdl") if k in summary}))
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from .operators.wand import IndexReader
+
+    spark = _spark("s3logsbeat-query")
+    rdr = IndexReader(spark, args.index_dir)
+    hits = rdr.query(args.terms, k=args.k, mode=args.mode)
+    print(json.dumps([{"doc_id": d, "score": s} for d, s in hits]))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m s3logsbeat_spark",
+        description="s3logsbeat-on-Spark: parse S3 logs / build+serve the index",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="daemon: stream sqs inputs until stopped")
+    r.add_argument("config", help="reference-shaped YAML config")
+    r.add_argument("--out", required=True, help="parquet output directory")
+    r.add_argument("--checkpoint", default=None, help="checkpoint root")
+    r.add_argument("--error-dir", default=None, help="parse-error side channel")
+    r.add_argument(
+        "--duration", type=float, default=None,
+        help="stop after N seconds (otherwise SIGINT/SIGTERM)",
+    )
+    r.set_defaults(fn=_cmd_run)
+
+    s = sub.add_parser(
+        "s3imports", help="process every s3 input once and stop"
+    )
+    s.add_argument("config")
+    s.add_argument("--out", required=True)
+    s.add_argument("--error-dir", default=None)
+    s.set_defaults(fn=_cmd_s3imports)
+
+    i = sub.add_parser(
+        "index", help="build or append the inverted index from a documents table"
+    )
+    i.add_argument("input", help="documents parquet dir / sf dir")
+    i.add_argument("--out", required=True, help="index directory")
+    i.add_argument("--buckets", type=int, default=64)
+    i.add_argument("--positions", action="store_true")
+    i.add_argument("--append", action="store_true")
+    i.set_defaults(fn=_cmd_index)
+
+    q = sub.add_parser("query", help="top-k BM25 over a built index")
+    q.add_argument("index_dir")
+    q.add_argument("terms", nargs="+")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--mode", default="or", choices=["or", "and"])
+    q.set_defaults(fn=_cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,6 +96,77 @@ class DocFilter:
         return self.allowed is not None and self.allowed.size == 0
 
 
+class _PayloadDict(dict):
+    """Payload dict that supports weak references, so the decoded-bytes
+    budget below can track live payloads without keeping them alive."""
+
+    __slots__ = ("__weakref__",)
+
+
+class _DecodedBudget:
+    """LRU byte budget over the ``payload["_decoded"]`` memos.
+
+    The memo exists so PostingLists sharing one payload (msearch: the
+    same posting row scored by several queries) decode once — but a
+    long-lived serving session accumulating unbounded decoded arrays
+    degrades with age (round-2 ADVICE: in-bench positional latencies
+    inflated 3-5x by driver memory pressure). Eviction simply deletes
+    the memo from the least-recently-used payload — arrays a caller is
+    actively holding stay alive through the caller's own reference, and
+    a later ``decode_all`` re-decodes. Dead payloads (query finished,
+    dict collected) are removed eagerly via weakref callbacks, so the
+    accounted total tracks LIVE decoded bytes only.
+    """
+
+    def __init__(self, max_bytes: int):
+        from collections import OrderedDict
+
+        self.max_bytes = int(max_bytes)
+        self._lru: dict = OrderedDict()  # id(payload) -> (weakref, nbytes)
+        self.total = 0
+
+    def note(self, payload: dict, nbytes: int) -> None:
+        import weakref
+
+        key = id(payload)
+        old = self._lru.pop(key, None)
+        if old is not None:
+            self.total -= old[1]
+
+        def _on_dead(_ref, self=self, key=key):
+            ent = self._lru.pop(key, None)
+            if ent is not None:
+                self.total -= ent[1]
+
+        try:
+            ref = weakref.ref(payload, _on_dead)
+        except TypeError:  # plain dict (legacy caller): track unbounded-safe
+            ref = lambda: payload  # noqa: E731
+        self._lru[key] = (ref, int(nbytes))
+        self.total += int(nbytes)
+        while self.total > self.max_bytes and len(self._lru) > 1:
+            k, (r, nb) = next(iter(self._lru.items()))
+            if k == key:
+                break  # never evict the entry being used right now
+            self._lru.pop(k)
+            self.total -= nb
+            p = r()
+            if p is not None:
+                p.pop("_decoded", None)
+
+    def touch(self, payload: dict) -> None:
+        key = id(payload)
+        if key in self._lru:
+            self._lru[key] = self._lru.pop(key)  # move to MRU end
+
+
+#: process-wide budget for memoized decoded postings (~24 bytes/posting
+#: decoded vs ~5 compressed). 256 MB ≈ 10M postings resident — far above
+#: any single query's working set, far below driver heap.
+DECODED_CACHE_BYTES = 256 << 20
+_DECODED_BUDGET = _DecodedBudget(DECODED_CACHE_BYTES)
+
+
 class PostingList:
     """One (term, salt) compressed sub-list + its scoring context."""
 
@@ -114,11 +185,15 @@ class PostingList:
 
     def decode_all(self):
         # memoized on the payload dict so PostingLists sharing one payload
-        # (msearch: same posting row scored by several queries) decode once
+        # (msearch: same posting row scored by several queries) decode
+        # once; the memo is LRU-bounded by _DECODED_BUDGET (see above)
         d = self.payload.get("_decoded")
         if d is None:
             d = decode_posting_list(self.payload)
             self.payload["_decoded"] = d
+            _DECODED_BUDGET.note(self.payload, sum(a.nbytes for a in d))
+        else:
+            _DECODED_BUDGET.touch(self.payload)
         return d
 
 
@@ -3670,12 +3745,12 @@ def _row_payload(row) -> dict:
         }
         for b in row["blocks"]
     ]
-    return {
-        "docs": bytes(row["docs"]),
-        "tfs": bytes(row["tfs"]),
-        "dls": bytes(row["dls"]),
-        "blocks": blocks,
-    }
+    return _PayloadDict(
+        docs=bytes(row["docs"]),
+        tfs=bytes(row["tfs"]),
+        dls=bytes(row["dls"]),
+        blocks=blocks,
+    )
 
 
 def _row_to_plist(row, idf: float, avgdl: float) -> PostingList:

@@ -24,22 +24,31 @@ S3_EVENT_SCHEMA = (
 )
 
 
-def extract_new_objects(messages: DataFrame, body_col: str = "body") -> DataFrame:
+def extract_new_objects(
+    messages: DataFrame, body_col: str = "body", keep_cols: tuple = ()
+) -> DataFrame:
     """SQS message bodies -> (bucket, key, size) rows for created objects.
 
     Invalid JSON bodies and non-S3/non-ObjectCreated records are dropped,
     matching the reference's behavior (it logs and skips,
     ``sqsmessages3event_test.go`` invalid-body cases).
+
+    ``keep_cols`` carries extra message columns (e.g. a message id)
+    through to the object rows — the per-message attribution the SQS
+    consumer needs to delete a message exactly when all of ITS objects'
+    events commit (``pipeline/sqsmessage.go:49-65``).
     """
     parsed = messages.select(
+        *keep_cols,
         F.col(body_col).alias("_body"),
         F.from_json(F.col(body_col), S3_EVENT_SCHEMA).alias("j"),
     )
-    recs = parsed.select(F.explode_outer("j.Records").alias("r")).filter(
+    recs = parsed.select(*keep_cols, F.explode_outer("j.Records").alias("r")).filter(
         (F.col("r.eventSource") == "aws:s3")
         & F.col("r.eventName").startswith("ObjectCreated:")
     )
     return recs.select(
+        *keep_cols,
         F.col("r.s3.bucket.name").alias("bucket"),
         # S3 keys arrive URL-encoded in event notifications ('+' for space)
         F.url_decode(F.regexp_replace(F.col("r.s3.object.key"), r"\+", "%20")).alias("key"),

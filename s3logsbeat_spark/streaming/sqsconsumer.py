@@ -1,0 +1,312 @@
+"""Driver-side SQS consumer — the reference's queue front door
+(``aws/sqs.go:41-75`` ReceiveMessages/DeleteMessage,
+``pipeline/sqsmessage.go:49-122`` pending-counter delete-on-complete,
+``input/sqs/input.go:55-69`` queue fan-in) re-expressed for Spark.
+
+The client is boto3-SHAPED and injectable (``receive_message`` /
+``delete_message`` with the standard kwargs), so tests run against an
+in-memory fake and production passes ``boto3.client("sqs")`` — the
+sandbox has no AWS reachability, and the import is deliberately lazy.
+
+Delivery semantics mirror the reference exactly:
+
+- at-least-once: a message is deleted ONLY after every S3 object it
+  announced has been read, parsed, and durably committed by the sink —
+  until then it stays in flight and SQS redelivers after the visibility
+  timeout (the reference's crash-safety argument,
+  ``pipeline/sqsmessage.go:66-77``).
+- zero-object messages (e.g. s3:TestEvent, non-ObjectCreated records)
+  are deleted immediately (``sqsmessage.go:86-89``).
+- redelivery is a no-op at the data layer: rows carry the deterministic
+  sha256 ``_id`` (P7) and the index append path dedups on it (K8), so a
+  message processed twice lands effectively-once.
+- ``keep_on_completed`` (the reference's dry-run ``--keep`` flag,
+  ``cmd/s3imports.go``) suppresses the delete but still fires
+  completion callbacks.
+
+Scale shape: the DRIVER only polls/acks the queue and resolves message
+bodies to an object work-list (message-bounded, tiny — SQS caps batches
+at 10); the object READS + parse + sink stay fully distributed Spark
+jobs, exactly like ``stream_s3_events``.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+_SQS_MAX_BATCH = 10  # aws/sqs.go:12 sqsMaxNumberOfMessages
+
+
+class FakeSQSClient:
+    """In-memory boto3-shaped SQS for tests: a queue of message dicts,
+    visible unless in-flight or deleted. ``redeliver()`` simulates a
+    visibility-timeout expiry (everything in flight becomes visible
+    again) — the crash/redelivery path."""
+
+    def __init__(self, bodies: list[str] | None = None):
+        self._msgs: list[dict] = []
+        self._deleted: set = set()
+        self._inflight: set = set()
+        self.delete_calls: list[str] = []
+        for i, b in enumerate(bodies or []):
+            self.send(b, message_id=f"m-{i}")
+
+    def send(self, body: str, message_id: str | None = None) -> None:
+        mid = message_id or f"m-{len(self._msgs)}"
+        self._msgs.append(
+            {"MessageId": mid, "ReceiptHandle": f"rh-{mid}", "Body": body}
+        )
+
+    def receive_message(self, QueueUrl: str, MaxNumberOfMessages: int = 10, **kw):
+        out = []
+        for m in self._msgs:
+            if len(out) >= MaxNumberOfMessages:
+                break
+            if m["MessageId"] in self._deleted or m["MessageId"] in self._inflight:
+                continue
+            self._inflight.add(m["MessageId"])
+            out.append(dict(m))
+        return {"Messages": out}
+
+    def delete_message(self, QueueUrl: str, ReceiptHandle: str, **kw):
+        for m in self._msgs:
+            if m["ReceiptHandle"] == ReceiptHandle:
+                self._deleted.add(m["MessageId"])
+                self.delete_calls.append(m["MessageId"])
+                return {}
+        raise ValueError(f"unknown receipt handle {ReceiptHandle!r}")
+
+    def redeliver(self) -> None:
+        self._inflight.clear()
+
+    @property
+    def visible(self) -> list[str]:
+        return [
+            m["MessageId"]
+            for m in self._msgs
+            if m["MessageId"] not in self._deleted
+            and m["MessageId"] not in self._inflight
+        ]
+
+
+@dataclass
+class TrackedMessage:
+    """One received SQS message + its pending-work counters
+    (``pipeline/sqsmessage.go`` SQSMessage)."""
+
+    message_id: str
+    receipt_handle: str
+    body: str
+    _consumer: "SQSConsumer"
+    s3objects: int = 0
+    events: int = 0
+    deleted: bool = False
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+    _on_delete: list = field(default_factory=list)
+
+    def on_delete(self, f) -> None:
+        self._on_delete.append(f)
+
+    def add_objects(self, n: int) -> None:
+        """ExtractNewS3Objects tail (``sqsmessage.go:86-92``): zero
+        extracted objects ⇒ delete immediately; else count them."""
+        with self._lock:
+            if n == 0:
+                self._delete_locked()
+            else:
+                self.s3objects += n
+
+    def event_sent(self, n: int = 1) -> None:
+        with self._lock:
+            self.events += n
+
+    def event_acked(self, n: int = 1) -> None:
+        with self._lock:
+            self.events -= n
+            if self.events < 0:
+                raise RuntimeError(
+                    f"acked {-self.events} more events than added"
+                )  # sqsmessage.go:117 panic parity
+            self._maybe_delete_locked()
+
+    def s3object_processed(self) -> None:
+        with self._lock:
+            self.s3objects -= 1
+            self._maybe_delete_locked()
+
+    def _maybe_delete_locked(self) -> None:
+        if self.s3objects == 0 and self.events == 0:
+            self._delete_locked()
+
+    def _delete_locked(self) -> None:
+        if self.deleted:
+            return
+        self.deleted = True
+        if not self._consumer.keep_on_completed:
+            self._consumer.client.delete_message(
+                QueueUrl=self._consumer.queue_url,
+                ReceiptHandle=self.receipt_handle,
+            )
+        for cb in self._on_delete:
+            cb()
+
+
+class SQSConsumer:
+    """Poll one queue; hand back tracked messages whose deletion is
+    driven by work completion (``aws/sqs.go:41-60``)."""
+
+    def __init__(self, client, queue_url: str, keep_on_completed: bool = False):
+        self.client = client
+        self.queue_url = queue_url
+        self.keep_on_completed = keep_on_completed
+
+    def receive_batch(self) -> tuple[list[TrackedMessage], bool]:
+        """One ReceiveMessage call → (messages, more-available hint).
+        ``more`` is the reference's len == max heuristic."""
+        resp = self.client.receive_message(
+            QueueUrl=self.queue_url, MaxNumberOfMessages=_SQS_MAX_BATCH
+        )
+        msgs = [
+            TrackedMessage(
+                message_id=m["MessageId"],
+                receipt_handle=m["ReceiptHandle"],
+                body=m.get("Body", ""),
+                _consumer=self,
+            )
+            for m in resp.get("Messages", [])
+        ]
+        return msgs, len(msgs) == _SQS_MAX_BATCH
+
+    def drain(self, max_messages: int | None = None) -> list[TrackedMessage]:
+        """Receive until the queue stops returning full batches (one poll
+        tick's worth of work — the reference's receive loop)."""
+        out: list[TrackedMessage] = []
+        more = True
+        while more:
+            batch, more = self.receive_batch()
+            out.extend(batch)
+            if not batch:
+                break
+            if max_messages is not None and len(out) >= max_messages:
+                break
+        return out
+
+
+def process_tick(
+    spark: SparkSession,
+    consumer: SQSConsumer,
+    sink,
+    base_path: str | None = None,
+    body_is_s3_event: bool = True,
+) -> dict:
+    """One poll tick: receive → extract per-message object lists →
+    distributed read+parse+commit via ``sink(paths_df)`` → ack.
+
+    ``sink`` is a callable taking a DataFrame of
+    ``(message_id, bucket, key, path)`` work items; it must COMMIT
+    durably before returning (foreachBatch parquet append, index append,
+    ...) and return per-path event counts as a dict ``{path: n}`` (or
+    None to skip event accounting). If the sink raises, NO message is
+    deleted — SQS redelivers after the visibility timeout and the
+    sha256-id dedup makes the replay a no-op (K8).
+
+    Returns counters (reference X5 monitoring analogue).
+    """
+    from pyspark.sql import functions as F
+
+    from ..sources.s3events import extract_new_objects
+
+    msgs = consumer.drain()
+    stats = {"received": len(msgs), "objects": 0, "deleted_empty": 0, "acked": 0}
+    if not msgs:
+        return stats
+    by_id = {m.message_id: m for m in msgs}
+    mdf = spark.createDataFrame(
+        [(m.message_id, m.body) for m in msgs], "message_id string, body string"
+    )
+    objs = (
+        extract_new_objects(mdf, keep_cols=("message_id",)).collect()
+        if body_is_s3_event
+        else [
+            {"message_id": m.message_id, "bucket": "", "key": m.body}
+            for m in msgs
+        ]
+    )
+    def _path_of(bucket: str, key: str) -> str:
+        if base_path is not None:
+            return f"{base_path}/{bucket}/{key}"
+        return f"s3a://{bucket}/{key}"
+
+    per_msg: dict[str, list] = {m.message_id: [] for m in msgs}
+    for r in objs:
+        per_msg[r["message_id"]].append(
+            (r["bucket"], r["key"], _path_of(r["bucket"], r["key"]))
+        )
+    for mid, rows in per_msg.items():
+        by_id[mid].add_objects(len(rows))  # 0 ⇒ immediate delete
+        if not rows:
+            stats["deleted_empty"] += 1
+    work = [
+        (mid, b, k, p) for mid, rows in per_msg.items() for (b, k, p) in rows
+    ]
+    stats["objects"] = len(work)
+    if not work:
+        return stats
+    wdf = spark.createDataFrame(
+        work, "message_id string, bucket string, key string, path string"
+    )
+    counts = sink(wdf)  # must raise on failure -> nothing acked
+    if counts:
+        for mid, rows in per_msg.items():
+            n = sum(counts.get(p, 0) for (_b, _k, p) in rows)
+            if n:
+                by_id[mid].event_sent(n)
+                by_id[mid].event_acked(n)
+    for mid, rows in per_msg.items():
+        for _ in rows:
+            by_id[mid].s3object_processed()
+            stats["acked"] += 1
+    return stats
+
+
+def run_sqs_ingest(
+    spark: SparkSession,
+    consumer: SQSConsumer,
+    sink,
+    base_path: str | None = None,
+    poll_frequency: float = 60.0,
+    stop_event: threading.Event | None = None,
+    max_ticks: int | None = None,
+) -> dict:
+    """The reference daemon loop (``beater/s3logsbeat.go`` Run): tick,
+    sleep ``poll_frequency``, repeat until ``stop_event`` (graceful
+    shutdown X3 — in-flight tick finishes, nothing new starts)."""
+    totals = {"received": 0, "objects": 0, "deleted_empty": 0, "acked": 0, "ticks": 0}
+    stop_event = stop_event or threading.Event()
+    while not stop_event.is_set():
+        st = process_tick(spark, consumer, sink, base_path=base_path)
+        for k, v in st.items():
+            totals[k] += v
+        totals["ticks"] += 1
+        if max_ticks is not None and totals["ticks"] >= max_ticks:
+            break
+        if stop_event.wait(poll_frequency):
+            break
+    return totals
+
+
+def boto3_sqs_client(region_name: str | None = None):
+    """Production client factory — lazy boto3 import (not installed in
+    the sandbox; the adapter is tested against :class:`FakeSQSClient`)."""
+    try:
+        import boto3  # type: ignore
+    except ImportError as e:  # pragma: no cover - sandbox has no boto3
+        raise ImportError(
+            "boto3 is required for live SQS polling; in tests inject "
+            "FakeSQSClient (the adapter is boto3-shaped)"
+        ) from e
+    return boto3.client("sqs", region_name=region_name)  # pragma: no cover

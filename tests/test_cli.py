@@ -1,0 +1,110 @@
+"""Console entry point (``python -m s3logsbeat_spark``) — the reference's
+CLI surface (``cmd/root.go:25-35``, ``cmd/s3imports.go:13-36``) driven
+end-to-end through ``__main__.main``: s3imports on a YAML fixture, then
+index build + append + query."""
+
+import json
+
+import pytest
+
+from s3logsbeat_spark.__main__ import build_parser, main
+
+
+def test_parser_shapes():
+    p = build_parser()
+    a = p.parse_args(["s3imports", "cfg.yml", "--out", "/tmp/x"])
+    assert a.cmd == "s3imports" and a.config == "cfg.yml"
+    a = p.parse_args(["run", "cfg.yml", "--out", "/tmp/x", "--duration", "2"])
+    assert a.duration == 2.0
+    a = p.parse_args(["index", "/data", "--out", "/tmp/idx", "--positions"])
+    assert a.positions
+    a = p.parse_args(["query", "/tmp/idx", "merge", "spark", "--k", "5"])
+    assert a.terms == ["merge", "spark"] and a.k == 5
+    with pytest.raises(SystemExit):
+        p.parse_args(["nope"])
+
+
+def test_s3imports_end_to_end(spark, tmp_path, capsys):
+    from tests.test_parsespec import ELB_LINE
+
+    data = tmp_path / "bucket" / "logs"
+    data.mkdir(parents=True)
+    (data / "one.log").write_text(ELB_LINE + "\ngarbage line\n")
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        f"""
+s3logsbeat:
+  inputs:
+    - type: s3
+      buckets: ["{tmp_path}/bucket"]
+      log_format: elb
+"""
+    )
+    out = tmp_path / "out"
+    err = tmp_path / "err"
+    rc = main(
+        ["s3imports", str(cfg), "--out", str(out), "--error-dir", str(err)]
+    )
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["rows"] == 1 and metrics["errors"] == 1
+    assert spark.read.parquet(str(out)).count() == 1
+    assert spark.read.parquet(str(err)).count() == 1
+
+
+def test_index_append_query_end_to_end(spark, tmp_path, capsys):
+    docs = tmp_path / "docs" / "documents.parquet"
+    spark.createDataFrame(
+        [
+            (1, "merge the sorted runs", "en"),
+            (2, "spark merge join strategies", "en"),
+            (3, "unrelated prose entirely", "en"),
+        ],
+        "doc_id long, content string, lang string",
+    ).write.parquet(str(docs))
+    idx = tmp_path / "idx"
+
+    rc = main(["index", str(docs), "--out", str(idx), "--buckets", "4"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_docs"] == 3
+
+    more = tmp_path / "docs2" / "documents.parquet"
+    spark.createDataFrame(
+        [(4, "merge merge merge", "en")], "doc_id long, content string, lang string"
+    ).write.parquet(str(more))
+    rc = main(["index", str(more), "--out", str(idx), "--append", "--buckets", "4"])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["n_docs"] == 4
+
+    rc = main(["query", str(idx), "merge", "--k", "3"])
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["doc_id"] for h in hits][0] == 4  # tf=3 tops BM25
+    assert {h["doc_id"] for h in hits} == {1, 2, 4}
+
+
+def test_run_daemon_duration_and_drain(spark, tmp_path, capsys):
+    from tests.test_parsespec import ELB_LINE
+
+    qdir = tmp_path / "queue"
+    qdir.mkdir()
+    (qdir / "a.log").write_text(ELB_LINE + "\n")
+    cfg = tmp_path / "cfg.yml"
+    cfg.write_text(
+        f"""
+s3logsbeat:
+  inputs:
+    - type: sqs
+      queues_url: ["{qdir}"]
+      log_format: elb
+      poll_frequency: 1s
+  shutdown_timeout: 10s
+"""
+    )
+    out = tmp_path / "out"
+    rc = main(["run", str(cfg), "--out", str(out), "--duration", "6"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["queries"] == 1 and res["drained"] is True
+    assert spark.read.parquet(str(out)).count() == 1

@@ -1,0 +1,83 @@
+"""The decoded-postings memo must be LRU-bounded: a long-lived serving
+session may execute millions of queries, and memoized decoded arrays
+must not accumulate past the byte budget (round-2 ADVICE: in-bench
+positional latencies inflated 3-5x by driver memory pressure)."""
+
+import gc
+
+import numpy as np
+
+from s3logsbeat_spark.operators.codec import encode_posting_list
+from s3logsbeat_spark.operators.wand import (
+    _DECODED_BUDGET,
+    PostingList,
+    _PayloadDict,
+)
+
+
+def _payload(n: int, seed: int) -> _PayloadDict:
+    rng = np.random.RandomState(seed)
+    ids = np.sort(rng.choice(10 * n, size=n, replace=False)).astype(np.int64)
+    enc = encode_posting_list(
+        ids, np.ones(n, dtype=np.int64), np.full(n, 50, dtype=np.int64)
+    )
+    return _PayloadDict(
+        docs=enc["docs"], tfs=enc["tfs"], dls=enc["dls"], blocks=enc["blocks"]
+    )
+
+
+def test_budget_evicts_lru_and_total_stays_bounded():
+    old_max = _DECODED_BUDGET.max_bytes
+    try:
+        # one decoded list = 3 arrays * 2000 * 8B = 48 kB; budget holds ~4
+        _DECODED_BUDGET.max_bytes = 200_000
+        payloads = [_payload(2000, i) for i in range(20)]
+        lists = [PostingList(p, idf=1.0, avgdl=50.0) for p in payloads]
+        for pl in lists:
+            pl.decode_all()
+            assert _DECODED_BUDGET.total <= _DECODED_BUDGET.max_bytes
+        # oldest memos were evicted, newest survive
+        assert "_decoded" not in payloads[0]
+        assert "_decoded" in payloads[-1]
+        # evicted lists still decode correctly (recompute, re-noted)
+        d, tf, dl = lists[0].decode_all()
+        assert d.shape[0] == 2000 and int(tf.sum()) == 2000
+        assert _DECODED_BUDGET.total <= _DECODED_BUDGET.max_bytes
+    finally:
+        _DECODED_BUDGET.max_bytes = old_max
+
+
+def test_dead_payloads_release_accounting():
+    old_max = _DECODED_BUDGET.max_bytes
+    try:
+        _DECODED_BUDGET.max_bytes = 10 << 20
+        before = _DECODED_BUDGET.total
+        p = _payload(2000, 99)
+        PostingList(p, idf=1.0, avgdl=50.0).decode_all()
+        assert _DECODED_BUDGET.total > before
+        del p
+        gc.collect()
+        # weakref callback removed the dead payload's bytes from the total
+        assert _DECODED_BUDGET.total <= before
+    finally:
+        _DECODED_BUDGET.max_bytes = old_max
+
+
+def test_touch_refreshes_recency():
+    old_max = _DECODED_BUDGET.max_bytes
+    try:
+        _DECODED_BUDGET.max_bytes = 200_000
+        a, b, c = (_payload(2000, s) for s in (1, 2, 3))
+        la, lb, lc = (PostingList(p, 1.0, 50.0) for p in (a, b, c))
+        la.decode_all()
+        lb.decode_all()
+        la.decode_all()  # touch: a becomes MRU
+        # fill until eviction pressure
+        extras = [_payload(2000, 100 + i) for i in range(4)]
+        for p in extras:
+            PostingList(p, 1.0, 50.0).decode_all()
+        # b (LRU) must be evicted no later than a
+        if "_decoded" in b:
+            assert "_decoded" in a
+    finally:
+        _DECODED_BUDGET.max_bytes = old_max

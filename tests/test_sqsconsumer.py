@@ -1,0 +1,200 @@
+"""SQS consumer adapter: delete-on-complete semantics
+(``pipeline/sqsmessage.go:49-122``), receive/drain (``aws/sqs.go:41-60``),
+and the at-least-once + idempotent-sink (K8) contract end-to-end against
+an injectable boto3-shaped fake."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.streaming.sqsconsumer import (
+    FakeSQSClient,
+    SQSConsumer,
+    TrackedMessage,
+    process_tick,
+    run_sqs_ingest,
+)
+
+Q = "https://sqs.example/q"
+
+
+def _event_body(bucket: str, *keys: str) -> str:
+    return json.dumps(
+        {
+            "Records": [
+                {
+                    "eventSource": "aws:s3",
+                    "eventName": "ObjectCreated:Put",
+                    "s3": {
+                        "bucket": {"name": bucket},
+                        "object": {"key": k, "size": 1},
+                    },
+                }
+                for k in keys
+            ]
+        }
+    )
+
+
+# ------------------------------------------------------------- unit level --
+
+
+def test_zero_object_message_deleted_immediately():
+    cl = FakeSQSClient()
+    c = SQSConsumer(cl, Q)
+    cl.send("x", message_id="m-0")
+    m = TrackedMessage("m-0", "rh-m-0", "{}", c)
+    m.add_objects(0)  # sqsmessage.go:86-89
+    assert m.deleted and cl.delete_calls == ["m-0"]
+
+
+def test_delete_only_when_objects_and_events_zero():
+    cl = FakeSQSClient()
+    cl.send("x", message_id="m-0")
+    c = SQSConsumer(cl, Q)
+    m = TrackedMessage("m-0", "rh-m-0", "{}", c)
+    m.add_objects(2)
+    m.event_sent(3)
+    m.s3object_processed()
+    m.event_acked(3)  # events hit 0 but one object pending
+    assert not m.deleted
+    m.s3object_processed()
+    assert m.deleted and cl.delete_calls == ["m-0"]
+
+
+def test_over_ack_raises():
+    c = SQSConsumer(FakeSQSClient(), Q)
+    m = TrackedMessage("m-0", "rh-0", "{}", c)
+    m.add_objects(1)
+    with pytest.raises(RuntimeError):
+        m.event_acked(1)  # never sent -> panic parity sqsmessage.go:117
+
+
+def test_keep_on_completed_fires_callbacks_without_delete():
+    cl = FakeSQSClient()
+    cl.send("x", message_id="m-0")
+    c = SQSConsumer(cl, Q, keep_on_completed=True)
+    m = TrackedMessage("m-0", "rh-m-0", "{}", c)
+    fired = []
+    m.on_delete(lambda: fired.append(1))
+    m.add_objects(0)
+    assert m.deleted and fired == [1] and cl.delete_calls == []
+
+
+def test_drain_uses_full_batch_heuristic():
+    cl = FakeSQSClient([f"b{i}" for i in range(23)])
+    got = SQSConsumer(cl, Q).drain()
+    # 10 + 10 + 3: the len==max 'more available' loop (aws/sqs.go:59)
+    assert len(got) == 23
+    assert cl.visible == []  # all in flight, none deleted yet
+
+
+# ------------------------------------------------------ integration level --
+
+
+@pytest.fixture()
+def bucket(tmp_path):
+    b = tmp_path / "mybucket"
+    (b / "logs").mkdir(parents=True)
+    (b / "logs" / "a.txt").write_text("r1\nr2\nr3\n")
+    (b / "logs" / "b.txt").write_text("r4\nr5\n")
+    return tmp_path, "mybucket"
+
+
+def _id_keyed_sink(spark, out_dir):
+    """Parse-and-publish stand-in: read the work list's objects, key rows
+    by sha256(_id) (P7) and append only unseen ids (K8's idempotent
+    sink). Returns per-path event counts."""
+
+    def sink(wdf):
+        paths = [r["path"] for r in wdf.select("path").distinct().collect()]
+        rows = (
+            spark.read.text(paths)
+            .withColumn("_path", F.input_file_name())
+            .withColumn("_id", F.sha2(F.col("value"), 256))
+        )
+        if os.path.exists(out_dir):
+            seen = spark.read.parquet(out_dir).select("_id").distinct()
+            rows = rows.join(seen, "_id", "left_anti")
+        counts = {
+            r["_path"]: r["n"]
+            for r in rows.groupBy("_path").agg(F.count("*").alias("n")).collect()
+        }
+        rows.write.mode("append").parquet(out_dir)
+        # report by the submitted path string (file:/ prefix differences)
+        return {
+            p: next((v for k, v in counts.items() if k.endswith(p.lstrip("/"))), 0)
+            for p in paths
+        }
+
+    return sink
+
+
+def test_tick_processes_deletes_and_redelivery_is_noop(spark, bucket, tmp_path):
+    base, bname = bucket
+    out = str(tmp_path / "out")
+    cl = FakeSQSClient()
+    cl.send(_event_body(bname, "logs/a.txt"), message_id="m-a")
+    cl.send(_event_body(bname, "logs/b.txt"), message_id="m-b")
+    cl.send(json.dumps({"Event": "s3:TestEvent"}), message_id="m-test")
+    cl.send("not json at all", message_id="m-bad")
+    c = SQSConsumer(cl, Q)
+
+    st = process_tick(spark, c, _id_keyed_sink(spark, out), base_path=str(base))
+    assert st["received"] == 4 and st["objects"] == 2
+    assert st["deleted_empty"] == 2  # TestEvent + invalid JSON
+    # every message deleted exactly once, all rows landed
+    assert sorted(cl.delete_calls) == ["m-a", "m-b", "m-bad", "m-test"]
+    assert spark.read.parquet(out).count() == 5
+
+    # crash-free redelivery (e.g. duplicated SQS delivery): no-op
+    cl.redeliver()
+    st2 = process_tick(spark, c, _id_keyed_sink(spark, out), base_path=str(base))
+    assert st2["received"] == 0  # deleted messages never come back
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_failed_sink_keeps_messages_then_replay_lands_once(spark, bucket, tmp_path):
+    base, bname = bucket
+    out = str(tmp_path / "out")
+    cl = FakeSQSClient()
+    cl.send(_event_body(bname, "logs/a.txt", "logs/b.txt"), message_id="m-ab")
+    c = SQSConsumer(cl, Q)
+
+    def exploding_sink(wdf):
+        raise RuntimeError("publish failed")
+
+    with pytest.raises(RuntimeError):
+        process_tick(spark, c, exploding_sink, base_path=str(base))
+    assert cl.delete_calls == []  # nothing acked
+
+    cl.redeliver()  # visibility timeout expiry
+    st = process_tick(spark, c, _id_keyed_sink(spark, out), base_path=str(base))
+    assert st["objects"] == 2 and cl.delete_calls == ["m-ab"]
+    assert spark.read.parquet(out).count() == 5
+
+    # second replay of the SAME body against a populated sink: K8 no-op
+    cl2 = FakeSQSClient()
+    cl2.send(_event_body(bname, "logs/a.txt", "logs/b.txt"), message_id="m-ab2")
+    process_tick(spark, SQSConsumer(cl2, Q), _id_keyed_sink(spark, out), base_path=str(base))
+    assert spark.read.parquet(out).count() == 5  # dedup-on-redelivery
+
+
+def test_run_loop_graceful_stop(spark, bucket):
+    base, bname = bucket
+    cl = FakeSQSClient()
+    cl.send(_event_body(bname, "logs/a.txt"), message_id="m-a")
+    c = SQSConsumer(cl, Q)
+    seen = []
+
+    def sink(wdf):
+        seen.append(wdf.count())
+        return None
+
+    totals = run_sqs_ingest(
+        spark, c, sink, base_path=str(base), poll_frequency=0.01, max_ticks=2
+    )
+    assert totals["ticks"] == 2 and totals["received"] == 1 and seen == [1]
+    assert cl.delete_calls == ["m-a"]
