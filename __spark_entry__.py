@@ -2312,6 +2312,28 @@ def q_alb_ip_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alb_status_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-class buckets (2xx/3xx/4xx/5xx doc counts) over the FULL
+    typed ALB parse — the regression surface for the codegen-blowup
+    guard: the per-class CASE fan-out references the parsed status code
+    through plans.guard.preagg_distinct, so the 25-field line parse
+    appears exactly ONCE in the physical plan (pinned by
+    tests/test_guard.py; the unguarded shape re-inlines it per branch via
+    CollapseProject — the janino heap blowup alb_ip_range hit in r2)."""
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.guard import preagg_distinct
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = parse_lines(ev.select(_alb_line_spark().alias("value")), FORMATS["alb"])
+    per = preagg_distinct(parsed, F.col("elb_status_code").cast("long"), "_st")
+    cls = F.concat(F.floor(F.col("_st") / 100).cast("string"), F.lit("xx"))
+    return (
+        per.groupBy(cls.alias("status_class"))
+        .agg(F.sum("_n").cast("long").alias("doc_count"))
+    )
+
+
 def q_alb_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-endpoints rollup over parsed ALB logs: request URLs
     canonicalized (lowercased host, default port stripped, duplicate
@@ -2705,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alb_parse_errors": q_alb_parse_errors,
         "alb_url_stats": q_alb_url_stats,
         "alb_ip_range": q_alb_ip_range,
+        "alb_status_class": q_alb_status_class,
         "cloudfront_parse": q_cloudfront_parse,
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
@@ -5367,6 +5390,11 @@ SELECT * FROM (
   UNION ALL
   SELECT '10.170.0.0', '*', count(*)::BIGINT FROM v WHERE ip >= 178913280
 ) WHERE doc_count > 0
+""",
+        "alb_status_class": """
+SELECT ((200 + (event_id % 4) * 100) // 100)::VARCHAR || 'xx' AS status_class,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1
 """,
         "alb_parse_errors": _ALB_ERRORS_SQL,
         "cloudfront_parse": _CF_PARSE_SQL,

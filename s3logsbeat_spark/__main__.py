@@ -100,6 +100,16 @@ def _cmd_index(args) -> int:
     return 0
 
 
+def _cmd_mapping(args) -> int:
+    from .plans.formats import FORMATS
+    from .plans.mapping import as_es_template, export_mapping
+
+    spec = FORMATS[args.format]
+    out = as_es_template(spec) if args.template else export_mapping(spec)
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def _cmd_query(args) -> int:
     from .operators.wand import IndexReader
 
@@ -145,6 +155,14 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--positions", action="store_true")
     i.add_argument("--append", action="store_true")
     i.set_defaults(fn=_cmd_index)
+
+    m = sub.add_parser(
+        "mapping", help="export the ES mapping/template for a log format"
+    )
+    m.add_argument("format", choices=["alb", "elb", "cloudfront"])
+    m.add_argument("--template", action="store_true",
+                   help="emit a full ES index template instead of the field list")
+    m.set_defaults(fn=_cmd_mapping)
 
     q = sub.add_parser("query", help="top-k BM25 over a built index")
     q.add_argument("index_dir")

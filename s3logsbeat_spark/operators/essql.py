@@ -42,38 +42,48 @@ _CLAUSE = re.compile(
 
 def parse_es_sql(sql: str) -> dict:
     """Parse one statement into {"select", "index", "terms", "mode",
-    "filters", "limit"}; raises ValueError on anything outside the
-    grammar."""
+    "required", "filters", "limit"}; raises ValueError on anything
+    outside the grammar. At most one MATCH and one MATCH_ALL per
+    statement; combined, MATCH_ALL's terms become the bool query's
+    ``must`` clause (``required``) and MATCH's its ``should`` clause —
+    ES bool semantics (should is score-only when must is present)."""
     m = _RE.match(sql)
     if not m:
         raise ValueError(f"unsupported ES-SQL statement: {sql!r}")
     sel = re.sub(r"\s+", "", m.group("sel")).lower()
     where = m.group("where")
-    terms: list[str] = []
-    mode = "or"
+    or_terms: list[str] = []
+    all_terms: list[str] = []
     filters: dict = {}
-    pos = 0
-    first = True
     for part in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
         cm = _CLAUSE.fullmatch(part.strip())
         if not cm:
             raise ValueError(f"unsupported WHERE clause: {part.strip()!r}")
         if cm.group("match"):
-            if terms:
-                raise ValueError("at most one MATCH clause per statement")
-            terms = cm.group("terms").split()
-            mode = "and" if cm.group("all") else "or"
+            if cm.group("all"):
+                if all_terms:
+                    raise ValueError("at most one MATCH_ALL clause per statement")
+                all_terms = cm.group("terms").split()
+            else:
+                if or_terms:
+                    raise ValueError("at most one MATCH clause per statement")
+                or_terms = cm.group("terms").split()
         else:
             filters[cm.group("col")] = cm.group("val")
-        pos += 1
-        first = False
-    if not terms:
+    if not or_terms and not all_terms:
         raise ValueError("statement needs a MATCH clause")
+    if or_terms and all_terms:
+        terms, mode, required = or_terms, "or", all_terms
+    elif all_terms:
+        terms, mode, required = all_terms, "and", None
+    else:
+        terms, mode, required = or_terms, "or", None
     return {
         "select": sel,
         "index": m.group("index"),
         "terms": terms,
         "mode": mode,
+        "required": required,
         "filters": filters or None,
         "limit": int(m.group("limit")) if m.group("limit") else 10,
     }
@@ -85,15 +95,30 @@ def execute_es_sql(reader, sql: str):
     caller's projection if not requested) or ``int`` for COUNT(*)."""
     q = parse_es_sql(sql)
     if q["select"] == "count(*)":
+        # with a must clause present, should is score-only (ES bool):
+        # the matching set is the must conjunction alone
+        cterms, cmode = (
+            (q["required"], "and") if q["required"] else (q["terms"], q["mode"])
+        )
         if q["filters"]:
             ids = reader.matching_doc_ids(
-                q["terms"], mode=q["mode"], doc_filter=q["filters"]
+                cterms, mode=cmode, doc_filter=q["filters"]
             )
             return len(ids)
-        return reader.count(q["terms"], q["mode"])
-    top = reader.query(
-        q["terms"], k=q["limit"], mode=q["mode"], doc_filter=q["filters"]
-    )
+        return reader.count(cterms, cmode)
+    if q["required"]:
+        top = reader.search(
+            {
+                "must": q["required"],
+                "should": q["terms"],
+                "filter": q["filters"],
+            },
+            k=q["limit"],
+        )
+    else:
+        top = reader.query(
+            q["terms"], k=q["limit"], mode=q["mode"], doc_filter=q["filters"]
+        )
     if q["select"] == "doc_id":
         return [(d,) for d, _ in top]
     return top

@@ -82,7 +82,12 @@ def verify_snapshot(snap_dir: str) -> list[str]:
 def restore_index(snap_dir: str, out_dir: str) -> dict:
     """Catalog-verified restore into an empty/absent ``out_dir``.
     Refuses if the snapshot fails verification — a bad snapshot must
-    never become a live index."""
+    never become a live index.
+
+    Catalog relpaths are UNTRUSTED input (the checksums in the same file
+    are self-attested): absolute paths and any entry whose resolved
+    destination escapes ``out_dir`` (``../`` traversal, symlinked
+    parents) are rejected before a single byte is copied."""
     bad = verify_snapshot(snap_dir)
     if bad:
         raise ValueError(f"snapshot corrupt, refusing restore: {bad[:5]}")
@@ -90,6 +95,15 @@ def restore_index(snap_dir: str, out_dir: str) -> dict:
         raise ValueError(f"restore target {out_dir!r} is not empty")
     with open(os.path.join(snap_dir, _CATALOG)) as f:
         catalog = json.load(f)
+    root = os.path.realpath(out_dir)
+    for rel in catalog:
+        if os.path.isabs(rel):
+            raise ValueError(f"catalog entry is absolute, refusing: {rel!r}")
+        dst_real = os.path.realpath(os.path.join(out_dir, rel))
+        if dst_real != root and not dst_real.startswith(root + os.sep):
+            raise ValueError(
+                f"catalog entry escapes the restore target, refusing: {rel!r}"
+            )
     for rel in catalog:
         src = os.path.join(snap_dir, rel)
         dst = os.path.join(out_dir, rel)

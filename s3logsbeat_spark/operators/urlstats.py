@@ -133,17 +133,19 @@ def ip_range_agg(
         a, b, c, d = (int(x) for x in s.split("."))
         return a * 16777216 + b * 65536 + c * 256 + d
 
-    # the CASE chain references the numeric ip 2x per range; going
-    # through an intermediate agg on the RAW value keeps the (possibly
-    # expensive) upstream ip expression to ONE copy in the plan instead
-    # of letting CollapseProject inline it per reference — groupBy the
-    # numeric ip first (map-side combine; ipv4 space is bounded), then
-    # bucket the tiny distinct-ip frame
-    per_ip = (
-        df.select(ipv4_to_long(F.col(ip_col)).alias("_ipv"))
-        .groupBy("_ipv")
-        .agg(F.count("*").alias("_n"))
-    )
+    # TWO pre-agg barriers (plans.guard): ipv4_to_long references its
+    # argument once per octet, so composing it over a derived ip column
+    # would copy the upstream expression 4+ times into the plan (the r2
+    # janino blowup); first collapse rows on the RAW ip string (the
+    # expensive upstream expr appears ONCE, map-side combinable), then
+    # convert the tiny distinct frame to numeric under a second agg so
+    # the CASE chain references an aggregate output attribute
+    from ..plans.guard import preagg_distinct
+
+    per_raw = preagg_distinct(df, F.col(ip_col), "_ips")
+    per_ip = per_raw.groupBy(
+        ipv4_to_long(F.col("_ips")).alias("_ipv")
+    ).agg(F.sum("_n").alias("_n"))
     v = F.col("_ipv")
     key = None
     for i, (lo, hi) in enumerate(ranges):

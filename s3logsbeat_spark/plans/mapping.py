@@ -1,0 +1,92 @@
+"""ES mapping / index-template export — the reference's declared field
+schema (``_meta/fields.yml:1-189``) derived from the parse specs instead
+of hand-maintained YAML.
+
+The reference ships a hand-written fields.yml so ES indexes its output
+with the right types; here the same information already lives in each
+:class:`~.parsespec.ParseSpec` (named groups + kind map), so the mapping
+is GENERATED: field order from the regex groups, ES type from the kind,
+plus the reference's hand-chosen ``text``-vs-``keyword`` analyzer
+decisions for string fields (free-form/high-cardinality values — IPs,
+URLs, user agents, referers — are ``text``; enum-ish values stay
+``keyword``), declared per format with fields.yml as the source of
+truth. ``as_es_template`` renders the modern ES index-template JSON the
+fields.yml pipeline ultimately produced.
+"""
+
+from __future__ import annotations
+
+from .parsespec import ParseSpec
+
+#: kind -> ES field type. The reference declares EVERY integer kind as
+#: ES ``integer`` (fields.yml:50-56 received_bytes/sent_bytes are int64
+#: in kind.go but ``integer`` in the mapping) — mirrored here.
+_KIND_ES = {
+    "int8": "integer", "int16": "integer", "int32": "integer",
+    "int64": "integer", "uint8": "integer", "uint16": "integer",
+    "uint32": "integer", "uint64": "integer",
+    "float32": "double", "float64": "double",
+    "bool": "boolean",
+    "timeiso8601": "date", "timeunixmilliseconds": "date",
+    "urlencoded": "text", "deepurlencoded": "text",
+    "string": "keyword",
+}
+
+#: per-format string fields the reference maps as ``text`` rather than
+#: ``keyword`` (fields.yml:14-87 ALB/ELB, fields.yml:92-185 CloudFront).
+_TEXT_FIELDS = {
+    "alb": {
+        "client_ip", "target_ip", "trace_id", "user_agent",
+        "domain_name", "chosen_cert_arn", "redirect_url", "error_reason",
+    },
+    "elb": {"client_ip", "backend_ip", "user_agent"},
+    "cloudfront": {
+        "c_ip", "cs_host", "cs_referer", "cs_cookie",
+        "x_edge_result_type", "x_edge_request_id", "x_host_header",
+        "cs_protocol", "x_forwarded_for", "ssl_protocol", "ssl_cipher",
+        "x_edge_response_result_type", "cs_protocol_version",
+        "fle_status", "fle_encrypted_fields",
+    },
+}
+
+
+def export_mapping(spec: ParseSpec) -> list[dict]:
+    """``[{"name", "type"}]`` for one parse format, in field order:
+    the engine's implicit fields first (``@timestamp`` from the lifted
+    timestamp field P5, the sha256 ``_id`` P7), then every regex group
+    except the lifted raw timestamp (parse_lines drops it)."""
+    out = [{"name": "@timestamp", "type": "date"},
+           {"name": "_id", "type": "keyword"}]
+    text_fields = _TEXT_FIELDS.get(spec.name, set())
+    for g in spec.group_names():
+        if g == spec.timestamp_field:
+            continue  # lifted into @timestamp and dropped (P5)
+        kind = spec.kinds.get(g)
+        if kind is None:
+            es = "text" if g in text_fields else "keyword"
+        elif kind.startswith("time:"):
+            es = "date"
+        else:
+            es = _KIND_ES[kind]
+            if es in ("text", "keyword") and g in text_fields:
+                es = "text"
+        out.append({"name": g, "type": es})
+    return out
+
+
+def as_es_template(
+    spec: ParseSpec, index_patterns: list[str] | None = None
+) -> dict:
+    """Modern ES index-template JSON (the artifact the reference's
+    fields.yml ultimately turns into via the beats template machinery)."""
+    return {
+        "index_patterns": index_patterns or [f"{spec.name}-*"],
+        "template": {
+            "mappings": {
+                "properties": {
+                    f["name"]: {"type": f["type"]}
+                    for f in export_mapping(spec)
+                }
+            }
+        },
+    }

@@ -15,11 +15,18 @@ def test_parse_shapes():
         "AND lang = 'py' ORDER BY SCORE() DESC LIMIT 5;"
     )
     assert q == {"select": "doc_id,score()", "index": "idx",
-                 "terms": ["a", "b"], "mode": "or",
+                 "terms": ["a", "b"], "mode": "or", "required": None,
                  "filters": {"lang": "py"}, "limit": 5}
     q2 = parse_es_sql("SELECT COUNT(*) FROM idx WHERE MATCH_ALL('x y')")
     assert q2["select"] == "count(*)" and q2["mode"] == "and"
     assert q2["limit"] == 10 and q2["filters"] is None
+    # combined form (the documented grammar): MATCH_ALL -> must (required),
+    # MATCH -> should, ES bool semantics
+    q3 = parse_es_sql(
+        "SELECT doc_id FROM idx WHERE MATCH('a b') AND MATCH_ALL('c d')"
+    )
+    assert q3["terms"] == ["a", "b"] and q3["required"] == ["c", "d"]
+    assert q3["mode"] == "or"
 
 
 @pytest.mark.parametrize("bad", [
@@ -28,6 +35,7 @@ def test_parse_shapes():
     "SELECT doc_id FROM idx WHERE MATCH('a') OR MATCH('b')",  # OR of clauses
     "DELETE FROM idx",                               # not a SELECT
     "SELECT doc_id FROM idx WHERE MATCH('a') AND MATCH('b')",  # two MATCHes
+    "SELECT doc_id FROM idx WHERE MATCH_ALL('a') AND MATCH_ALL('b')",
 ])
 def test_parse_rejects(bad):
     with pytest.raises(ValueError):
@@ -57,3 +65,18 @@ def test_execute_matches_reader(spark, qbuilt, corpus_df):
     assert f == rdr.query(["return"], k=5, doc_filter={"lang": lang})
     ids = execute_es_sql(rdr, "SELECT doc_id FROM docs WHERE MATCH('return') LIMIT 3")
     assert ids == [(d,) for d, _ in rdr.query(["return"], k=3)]
+    # combined MATCH + MATCH_ALL == bool(must=all, should=or)
+    both = execute_es_sql(
+        rdr,
+        "SELECT doc_id, SCORE() FROM docs WHERE MATCH('value import') "
+        "AND MATCH_ALL('return') LIMIT 5",
+    )
+    assert both == rdr.search(
+        {"must": ["return"], "should": ["value", "import"], "filter": None}, k=5
+    )
+    assert both  # the combined form actually matches docs in this corpus
+    nb = execute_es_sql(
+        rdr,
+        "SELECT COUNT(*) FROM docs WHERE MATCH('value') AND MATCH_ALL('return the')",
+    )
+    assert nb == rdr.count(["return", "the"], "and")

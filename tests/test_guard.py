@@ -1,0 +1,88 @@
+"""Codegen-blowup guard (plans.guard): a giant derived expression fanned
+into CASE buckets must appear exactly ONCE in the physical plan (the
+pre-agg barrier), never once-per-branch (CollapseProject inlining — the
+janino driver-heap blowup alb_ip_range hit in round 2)."""
+
+import pyspark.sql.functions as F
+
+from s3logsbeat_spark.plans.guard import occurrences_in_plan, preagg_distinct
+
+# a distinctive fragment of the synthetic ALB line concat — shows up in
+# the plan once per inlined copy of the upstream expression
+_NEEDLE = "app/lb/x"
+
+
+def _events(spark, n=256):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).cast("double").alias("value"),
+        F.lit("click").alias("event_type"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+
+
+def _giant_expr():
+    # same shape as __spark_entry__._alb_line_spark: a wide concat that
+    # is expensive to re-compile per CASE branch
+    return F.concat(
+        F.lit("http "), F.col("ts").cast("string"), F.lit(" app/lb/x 10."),
+        (F.col("event_id") % 256).cast("string"), F.lit(".0.7 "),
+        (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string"),
+        F.lit(" tail"),
+    )
+
+
+def _status_of(line):
+    return F.regexp_extract(line, r" (\d{3}) tail$", 1).cast("long")
+
+
+def _bucket(v):
+    return (
+        F.when(v < 300, "2xx").when(v < 400, "3xx").when(v < 500, "4xx")
+        .otherwise("5xx")
+    )
+
+
+def test_unguarded_shape_inlines_expression_per_branch(spark):
+    # the failure mode the guard exists for: the wide CASE composed
+    # directly over the derived expression carries one full copy per
+    # branch/condition into the plan (r2's alb_ip_range janino blowup;
+    # CollapseProject can also reproduce this when merging projections
+    # it considers cheap)
+    naive = (
+        _events(spark)
+        .select(_bucket(_status_of(_giant_expr())).alias("c"))
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+    )
+    assert occurrences_in_plan(naive, _NEEDLE) > 1
+
+
+def test_preagg_barrier_single_occurrence_and_identical_result(spark):
+    df = _events(spark)
+    per = preagg_distinct(df, _status_of(_giant_expr()), "_st")
+    guarded = (
+        per.groupBy(_bucket(F.col("_st")).alias("c"))
+        .agg(F.sum("_n").cast("long").alias("n"))
+    )
+    assert occurrences_in_plan(guarded, _NEEDLE) == 1
+    naive = (
+        df.select(_status_of(_giant_expr()).alias("st"))
+        .groupBy(_bucket(F.col("st")).alias("c"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_contract_queries_are_guarded(spark):
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    ipr = E.queries()["alb_ip_range"](spark, sf)
+    assert occurrences_in_plan(ipr, "app/lb/x") == 1
+    sc = E.queries()["alb_status_class"](spark, sf)
+    # 2 = the projected line + parse_lines' nonempty-line Filter pushdown
+    # (a constant copy, NOT per-CASE-branch); the unguarded shape would
+    # scale with bucket count
+    assert occurrences_in_plan(sc, "app/lb/x") <= 2
+    assert sc.count() > 0 and ipr.count() > 0  # and they run

@@ -55,6 +55,40 @@ def test_snapshot_detects_corruption(spark, lbuilt, tmp_path):
         restore_index(snap, str(tmp_path / "r2"))
 
 
+def test_restore_rejects_traversal_relpaths(spark, lbuilt, tmp_path):
+    """A tampered _catalog.json must not write outside the restore target
+    (the checksums are self-attested by the same file, so they can be
+    made to pass for a planted '../' payload)."""
+    import hashlib
+    import json
+
+    snap = str(tmp_path / "snap3")
+    snapshot_index(lbuilt, snap)
+    # plant a checksum-valid file OUTSIDE the snapshot and a matching
+    # traversal entry in the catalog
+    evil_src = tmp_path / "evil.bin"
+    evil_src.write_bytes(b"pwned")
+    sha = hashlib.sha256(b"pwned").hexdigest()
+    cat_path = os.path.join(snap, "_catalog.json")
+    with open(cat_path) as f:
+        cat = json.load(f)
+    cat["../evil.bin"] = {"bytes": 5, "sha256": sha}
+    with open(cat_path, "w") as f:
+        json.dump(cat, f)
+    target = tmp_path / "victim" / "restored"
+    with pytest.raises(ValueError, match="escapes|absolute"):
+        restore_index(snap, str(target))
+    assert not (tmp_path / "victim" / "evil.bin").exists()
+
+    # absolute path entry is rejected too
+    cat.pop("../evil.bin")
+    cat[str(evil_src)] = {"bytes": 5, "sha256": sha}
+    with open(cat_path, "w") as f:
+        json.dump(cat, f)
+    with pytest.raises(ValueError, match="escapes|absolute"):
+        restore_index(snap, str(target))
+
+
 def test_snapshot_refuses_nonempty_target(spark, lbuilt, tmp_path):
     tgt = tmp_path / "occupied"
     tgt.mkdir()

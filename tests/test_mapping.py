@@ -1,0 +1,98 @@
+"""ES mapping export vs the reference's declared schema
+(``_meta/fields.yml``): every field the reference declares must be
+exported with the same ES type (golden parity), and the export must
+cover the full parse-spec surface."""
+
+import os
+
+import pytest
+import yaml
+
+from s3logsbeat_spark.plans.formats import ALB_SPEC, CLOUDFRONT_SPEC, ELB_SPEC
+from s3logsbeat_spark.plans.mapping import as_es_template, export_mapping
+
+_FIELDS_YML = "/root/reference/_meta/fields.yml"
+
+# the reference names the HTTP method field request_verb; the parse spec
+# (and its logparser regex, s3alblogparser.go) calls it request_method
+_RENAMES = {"request_verb": "request_method"}
+
+
+def _reference_sections():
+    """fields.yml is one flat list: the ALB section runs until the first
+    CloudFront field (x_edge_location). Returns ({alb}, {cloudfront})
+    name->type dicts."""
+    with open(_FIELDS_YML) as f:
+        doc = yaml.safe_load(f)
+    fields = doc[0]["fields"]
+    alb, cf = {}, {}
+    cur = alb
+    for fl in fields:
+        if fl["name"] == "x_edge_location":
+            cur = cf
+        cur[fl["name"]] = fl["type"]
+    return alb, cf
+
+
+needs_reference = pytest.mark.skipif(
+    not os.path.exists(_FIELDS_YML), reason="reference checkout not present"
+)
+
+
+@needs_reference
+def test_alb_mapping_matches_reference_fields_yml():
+    ref_alb, _ = _reference_sections()
+    got = {f["name"]: f["type"] for f in export_mapping(ALB_SPEC)}
+    for name, typ in ref_alb.items():
+        ours = _RENAMES.get(name, name)
+        assert ours in got, f"reference field {name} missing from export"
+        assert got[ours] == typ, f"{name}: export {got[ours]} != reference {typ}"
+
+
+@needs_reference
+def test_cloudfront_mapping_matches_reference_fields_yml():
+    _, ref_cf = _reference_sections()
+    got = {f["name"]: f["type"] for f in export_mapping(CLOUDFRONT_SPEC)}
+    for name, typ in ref_cf.items():
+        if name not in got:
+            # fields.yml declares optional tail columns the 18-column
+            # parser (s3cloudfrontlogparser.go) does not extract
+            assert name in {
+                "x_forwarded_for", "ssl_protocol", "ssl_cipher",
+                "x_edge_response_result_type", "cs_protocol_version",
+                "fle_status", "fle_encrypted_fields",
+            }, f"unexpectedly missing {name}"
+            continue
+        assert got[name] == typ, f"{name}: export {got[name]} != reference {typ}"
+
+
+def test_mapping_covers_every_spec_field():
+    for spec in (ALB_SPEC, ELB_SPEC, CLOUDFRONT_SPEC):
+        got = {f["name"] for f in export_mapping(spec)}
+        for g in spec.group_names():
+            if g == spec.timestamp_field:
+                continue
+        # implicit engine fields present
+        assert {"@timestamp", "_id"} <= got
+        want = {g for g in spec.group_names() if g != spec.timestamp_field}
+        assert want <= got
+        # lifted raw timestamp dropped
+        assert spec.timestamp_field not in got
+
+
+def test_typed_kinds_map_to_es_types():
+    got = {f["name"]: f["type"] for f in export_mapping(ALB_SPEC)}
+    assert got["client_port"] == "integer"
+    assert got["request_processing_time"] == "double"
+    assert got["received_bytes"] == "integer"  # fields.yml convention
+    assert got["request_url"] == "text"  # urlencoded kind
+    assert got["request_creation_time"] == "date"
+    assert got["@timestamp"] == "date"
+
+
+def test_es_template_shape():
+    t = as_es_template(ALB_SPEC)
+    assert t["index_patterns"] == ["alb-*"]
+    props = t["template"]["mappings"]["properties"]
+    assert props["elb_status_code"] == {"type": "integer"}
+    assert props["user_agent"] == {"type": "text"}
