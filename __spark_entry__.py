@@ -815,6 +815,47 @@ def q_events_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VWH_BUCKETS = 4
+
+
+def q_events_vw_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES variable_width_histogram, deterministic re-expression: cluster
+    the numeric field into VWH_BUCKETS contiguous buckets by splitting
+    the sorted DISTINCT values at the (buckets-1) widest gaps (ties
+    broken by the smaller value — reproducible, unlike ES's shard-local
+    streaming clustering). Returns per-bucket (min, max, doc_count);
+    min/max are order statistics so the DuckDB oracle matches exactly
+    (no float-sum ordering hazard).
+
+    Scale shape: one map-side-combinable groupBy(value) collapses the
+    corpus to its distinct values FIRST; the gap/rank windows then run
+    over that (small) distinct frame only. At 100 TB with unbounded
+    value cardinality you would pre-round values to fixed precision —
+    ES's own agg is likewise approximate there (shard-local clusters)."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    vals = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(F.col("value").alias("v"))
+        .agg(F.count("*").alias("n"))
+    )
+    wv = Window.orderBy("v")
+    g = vals.withColumn("gap", F.col("v") - F.lag("v").over(wv))
+    wg = Window.orderBy(F.col("gap").desc_nulls_last(), F.col("v").asc())
+    g = g.withColumn("grk", F.row_number().over(wg))
+    is_b = (F.col("gap").isNotNull() & (F.col("grk") <= VWH_BUCKETS - 1)).cast("int")
+    g = g.withColumn(
+        "bucket",
+        F.sum(is_b).over(wv.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return g.groupBy("bucket").agg(
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.sum("n").cast("long").alias("doc_count"),
+    )
+
+
 PERC_RULES = [
     ("r1", ["merge", "window"], []),
     ("r2", ["spark"], ["stream"]),
@@ -2631,6 +2672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "events_matrix_stats": q_events_matrix_stats,
         "events_auto_histogram": q_events_auto_histogram,
+        "events_vw_histogram": q_events_vw_histogram,
         "phrase_prefix": q_phrase_prefix,
         "search_extended_stats": q_search_extended_stats,
         "search_percentile_ranks": q_search_percentile_ranks,
@@ -5110,6 +5152,28 @@ def oracle_sql() -> dict[str, str]:
         "percolate": _PERCOLATE_SQL,
         "events_matrix_stats": _MATRIX_STATS_SQL,
         "events_auto_histogram": _AUTO_HIST_SQL,
+        "events_vw_histogram": f"""
+WITH vals AS (
+  SELECT value AS v, count(*) AS n FROM events
+  WHERE value IS NOT NULL GROUP BY 1
+),
+g AS (SELECT v, n, v - lag(v) OVER (ORDER BY v) AS gap FROM vals),
+r AS (
+  SELECT v, n, gap,
+         row_number() OVER (ORDER BY gap DESC NULLS LAST, v ASC) AS grk
+  FROM g
+),
+b AS (
+  SELECT v, n,
+         sum(CASE WHEN gap IS NOT NULL AND grk <= {VWH_BUCKETS - 1}
+                  THEN 1 ELSE 0 END)
+           OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS bucket
+  FROM r
+)
+SELECT bucket, min(v) AS v_min, max(v) AS v_max,
+       sum(n)::BIGINT AS doc_count
+FROM b GROUP BY 1
+""",
         "phrase_prefix": _PHRASE_PREFIX_SQL,
         "search_extended_stats": _XSTATS_SQL,
         "search_percentile_ranks": _PCT_RANKS_SQL,

@@ -219,6 +219,22 @@ def run_default() -> dict:
             t0 = time.perf_counter()
             trending_scores(ev).count()
             dops["trending"] = round(time.perf_counter() - t0, 3)
+        # frequent_item_sets exact vs per-doc top-df truncation A/B (the
+        # r2 judge's pair-generation bound — same top-k contract query)
+        from s3logsbeat_spark.operators.itemsets import frequent_item_sets
+
+        posts = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(content), '[a-z0-9_]+', 0)")
+            ).alias("term"),
+        )
+        t0 = time.perf_counter()
+        frequent_item_sets(posts, min_support=50, k=15).count()
+        dops["frequent_item_sets_exact"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        frequent_item_sets(posts, min_support=50, k=15, max_doc_terms=8).count()
+        dops["frequent_item_sets_capped"] = round(time.perf_counter() - t0, 3)
         out["data_ops"] = dops
     if os.environ.get("SPARK_GRAFT_SKIP_CODE_CORPUS") != "1":
         # north-rule evidence inline: build + rank-identity on the

@@ -163,10 +163,14 @@ def _spec_of(inp: InputConfig) -> ParseSpec:
     return FORMATS[inp.log_format]
 
 
-def _parse_with_enrich(lines: DataFrame, inp: InputConfig) -> DataFrame:
+def _parse_with_enrich(
+    lines: DataFrame, inp: InputConfig, keep_path: str | None = None
+) -> DataFrame:
     """Shared parse plan: typed parse (+ _error channel) with the source
     path carried through, key-regex enrichment (P8) and constant fields
-    (reference ``fields:``) merged into every row."""
+    (reference ``fields:``) merged into every row. ``keep_path`` retains
+    the source path under that column name (the SQS ack path needs
+    per-object row counts)."""
     lines = lines.withColumn("_path", F.input_file_name())
     if inp.log_format == "json":
         from .plans.formats import json_parse_lines
@@ -186,6 +190,8 @@ def _parse_with_enrich(lines: DataFrame, inp: InputConfig) -> DataFrame:
         parsed = enrich_from_path(parsed, inp.key_regex_fields, "_path")
     for name, val in inp.fields.items():
         parsed = parsed.withColumn(name, F.lit(val))
+    if keep_path is not None:
+        return parsed.withColumnRenamed("_path", keep_path)
     return parsed.drop("_path")
 
 
@@ -313,3 +319,77 @@ def graceful_stop(
         if q.isActive:
             q.stop()
     return drained
+
+
+def run_sqs_queues(
+    spark: SparkSession,
+    cfg: JobConfig,
+    out_dir: str,
+    client,
+    error_dir: str | None = None,
+    base_path: str | None = None,
+    max_ticks: int | None = 1,
+    poll_frequency: float | None = None,
+    keep_on_completed: bool = False,
+) -> dict:
+    """The LIVE-queue daemon path (``input/sqs/input.go:55-69`` one
+    poller per queue URL feeding ``pipeline/sqsmessage.go`` ack
+    tracking): poll each sqs input's queues through the boto3-shaped
+    ``client`` (inject ``streaming.sqsconsumer.FakeSQSClient`` in tests,
+    ``boto3.client("sqs")`` in production), resolve S3-event bodies to
+    object work lists, read+parse+commit distributed, and delete each
+    message exactly when all of ITS objects' rows are durably written.
+
+    Complements :func:`start_inputs` (the file-based streaming stand-in
+    with checkpoint acks): this path acks the real queue. The sink is
+    the same parse plan (``_parse_with_enrich``) and the same
+    good/error parquet split, so rows are byte-identical between the
+    two front doors. Returns aggregate counters per queue."""
+    from .streaming.sqsconsumer import SQSConsumer, run_sqs_ingest
+
+    totals: dict = {"queues": [], "received": 0, "objects": 0, "acked": 0}
+
+    for inp in cfg.inputs:
+        if inp.type != "sqs":
+            continue
+
+        def _sink(wdf, _inp=inp):
+            paths = [r["path"] for r in wdf.select("path").distinct().collect()]
+            lines = spark.read.text(paths)
+            parsed = _parse_with_enrich(lines, _inp, keep_path="_src_path")
+            parsed = parsed.persist()
+            try:
+                good, errs = split_errors(parsed.drop("_src_path"))
+                good.write.mode("append").parquet(out_dir)
+                if error_dir is not None:
+                    errs.write.mode("append").parquet(error_dir)
+                counts = {
+                    r["_src_path"]: r["n"]
+                    for r in parsed.groupBy("_src_path")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+            finally:
+                parsed.unpersist()
+            # report by submitted path (reader may add a file: prefix)
+            return {
+                p: next((v for k, v in counts.items() if k.endswith(p.lstrip("/"))), 0)
+                for p in paths
+            }
+
+        for q in inp.paths:
+            consumer = SQSConsumer(client, q, keep_on_completed=keep_on_completed)
+            st = run_sqs_ingest(
+                spark,
+                consumer,
+                _sink,
+                base_path=base_path,
+                poll_frequency=(
+                    inp.poll_frequency if poll_frequency is None else poll_frequency
+                ),
+                max_ticks=max_ticks,
+            )
+            totals["queues"].append({"queue": q, **st})
+            for k in ("received", "objects", "acked"):
+                totals[k] += st[k]
+    return totals

@@ -198,3 +198,39 @@ def test_run_loop_graceful_stop(spark, bucket):
     )
     assert totals["ticks"] == 2 and totals["received"] == 1 and seen == [1]
     assert cl.delete_calls == ["m-a"]
+
+
+def test_config_front_door_live_queue(spark, tmp_path):
+    """run_sqs_queues: YAML-configured sqs input polled through the
+    injected boto3-shaped client — parse rows land in parquet, errors in
+    the side channel, and the queue messages are deleted on commit."""
+    from tests.test_parsespec import ELB_LINE
+
+    from s3logsbeat_spark.config import parse_config, run_sqs_queues
+
+    data = tmp_path / "mybucket" / "logs"
+    data.mkdir(parents=True)
+    (data / "a.log").write_text(ELB_LINE + "\ngarbage\n")
+    cfg = parse_config(
+        {
+            "inputs": [
+                {
+                    "type": "sqs",
+                    "queues_url": ["https://sqs.example/q1"],
+                    "log_format": "elb",
+                    "poll_frequency": "1s",
+                }
+            ]
+        }
+    )
+    cl = FakeSQSClient()
+    cl.send(_event_body("mybucket", "logs/a.log"), message_id="m-a")
+    out, err = str(tmp_path / "out"), str(tmp_path / "err")
+    totals = run_sqs_queues(
+        spark, cfg, out, client=cl, error_dir=err,
+        base_path=str(tmp_path), max_ticks=1,
+    )
+    assert totals["received"] == 1 and totals["objects"] == 1
+    assert totals["acked"] == 1 and cl.delete_calls == ["m-a"]
+    assert spark.read.parquet(out).count() == 1
+    assert spark.read.parquet(err).count() == 1
