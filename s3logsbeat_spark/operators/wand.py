@@ -167,6 +167,38 @@ DECODED_CACHE_BYTES = 256 << 20
 _DECODED_BUDGET = _DecodedBudget(DECODED_CACHE_BYTES)
 
 
+def _latency_kernel(fn):
+    """Pause CPython's CYCLIC collector for the duration of a driver-path
+    scoring kernel (refcounting still frees everything non-cyclic — i.e.
+    all the numpy buffers — immediately; deferred cycle collection runs
+    at the next allocation after re-enable).
+
+    Measured motivation (BENCH/BASELINE.md round-3 "phrase in-session
+    transient"): after a mixed workload (msearch batches etc.) the FIRST
+    positional query in the same session ran 2.2-2.6 s vs 0.85 s fresh —
+    not memory growth (RSS flat, decoded-budget empty; r2's suspected
+    cache is now LRU-bounded) but gen-2 cyclic GC passes triggered by the
+    kernel's allocation burst, each scanning the driver's large py4j/
+    Spark object graph. With the collector paused the same call is
+    0.82 s. This is the standard latency-critical-path treatment; the
+    pause is bounded by one query's runtime."""
+    import functools
+    import gc
+
+    @functools.wraps(fn)
+    def wrapper(*a, **kw):
+        was = gc.isenabled()
+        if was:
+            gc.disable()
+        try:
+            return fn(*a, **kw)
+        finally:
+            if was:
+                gc.enable()
+
+    return wrapper
+
+
 class PostingList:
     """One (term, salt) compressed sub-list + its scoring context."""
 
@@ -1262,6 +1294,7 @@ class IndexReader:
             )
         return self._dset
 
+    @_latency_kernel
     def query(
         self,
         terms: list[str],
@@ -1408,6 +1441,7 @@ class IndexReader:
 
         return self._run_per_bucket(rows_df, score_rows, doc_filter, blocked_list, k)
 
+    @_latency_kernel
     def msearch(
         self,
         searches: list[dict],
@@ -1714,6 +1748,7 @@ class IndexReader:
             [int(x) for x in blocked], k,
         )
 
+    @_latency_kernel
     def phrase_query(
         self,
         terms: list[str],
@@ -1772,6 +1807,7 @@ class IndexReader:
             self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
         )
 
+    @_latency_kernel
     def span_near_query(
         self,
         terms: list[str],
@@ -1831,6 +1867,7 @@ class IndexReader:
             self._segment_rows(distinct), kernel, doc_filter, blocked_list, k
         )
 
+    @_latency_kernel
     def intervals_query(
         self,
         terms: list[str],
@@ -1953,6 +1990,7 @@ class IndexReader:
             self._segment_rows(present), kfn, doc_filter, blocked_list, k
         )
 
+    @_latency_kernel
     def span_first_query(
         self,
         terms: list[str],
@@ -1983,6 +2021,7 @@ class IndexReader:
             distinct, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
         )
 
+    @_latency_kernel
     def span_or_query(
         self,
         clauses: list[list[str]],
@@ -2018,6 +2057,7 @@ class IndexReader:
             present, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
         )
 
+    @_latency_kernel
     def span_not_query(
         self,
         include: list[str],
@@ -2055,6 +2095,7 @@ class IndexReader:
             present, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
         )
 
+    @_latency_kernel
     def phrase_prefix_query(
         self,
         terms: list[str],
