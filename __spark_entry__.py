@@ -113,6 +113,44 @@ def _contract_stats(spark: SparkSession, sf_dir: str, p: DataFrame) -> tuple[int
     return corpus_stats(p, _docs(spark, sf_dir).count())
 
 
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_explain`` analogue (GET /idx/_explain/<id>): the per-term
+    BM25 score breakdown — tf, df, idf, and each term's contribution —
+    for the top-1 doc of the fixed contract query. The relevance-
+    debugging surface ES users reach for first; same math as
+    ``bm25_topk`` (k1=1.2, b=0.75, Lucene idf), one extra broadcast join
+    restricting the breakdown to the explained doc."""
+    from s3logsbeat_spark.operators.postings import idf_col
+
+    p = _simple_postings(spark, sf_dir)
+    n_docs, avgdl = _contract_stats(spark, sf_dir, p)
+    matched = p.filter(F.col("term").isin(BM25_TERMS))
+    q = (
+        matched.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .withColumn("idf", idf_col(n_docs))
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("doc_len") / F.lit(avgdl))
+    j = matched.join(F.broadcast(q), "term").withColumn(
+        "contrib", F.col("idf") * (F.col("tf") * 2.2) / denom
+    )
+    top1 = (
+        j.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("s"))
+        .orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        .limit(1)
+        .select("doc_id")
+    )
+    return j.join(F.broadcast(top1), "doc_id").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("contrib", 6).alias("contribution"),
+    )
+
+
 def q_bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) BM25 top-k: only docs containing EVERY query
     term score (require_all filter = count_distinct(term) == n_terms
@@ -238,6 +276,25 @@ def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     rdr = _driver_index(spark, sf_dir)
     top = rdr.query(BM25_TERMS, BM25_K)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search template (POST _search/template): the same WAND-path
+    BM25 query as bm25_wand, but arriving through mustache rendering
+    ({{#toJson}} terms + {{k}}) — the stored-query surface Kibana and
+    app clients use. Template plumbing must not change scoring: the
+    oracle is bm25_wand's."""
+    from s3logsbeat_spark.operators.essql import execute_search_template
+
+    rdr = _driver_index(spark, sf_dir)
+    top = execute_search_template(
+        rdr,
+        '{"terms": {{#toJson}}q{{/toJson}}, "k": {{k}}}',
+        {"q": BM25_TERMS, "k": BM25_K},
+    )
     return spark.createDataFrame(
         [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
     )
@@ -2629,11 +2686,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "df_stats": q_df_stats,
         "bm25_topk": q_bm25_topk,
+        "score_explain": q_score_explain,
         "bm25_and": q_bm25_and,
         "phrase_search": q_phrase_search,
         "substring_search": q_substring_search,
         "regex_search": q_regex_search,
         "bm25_wand": q_bm25_wand,
+        "search_template": q_search_template,
         "highlight": q_highlight,
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
@@ -5107,11 +5166,50 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY term
         """,
         "bm25_topk": _BM25_SQL,
+        "score_explain": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+doclen AS (
+  SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks GROUP BY 1
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM doclen)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT term, count(*)::BIGINT AS df FROM postings
+  WHERE term IN ('merge', 'window', 'spark') GROUP BY 1
+),
+contrib AS (
+  SELECT p.doc_id, p.term, p.tf, d.df,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf_raw,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * 2.2)
+           / (p.tf + 1.2 * (0.25 + 0.75 * l.doc_len / s.avgdl)) AS c_raw
+  FROM postings p
+  JOIN dfs d USING (term)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+),
+top1 AS (
+  SELECT doc_id FROM contrib GROUP BY doc_id
+  ORDER BY round(sum(c_raw), 6) DESC, doc_id ASC LIMIT 1
+)
+SELECT c.doc_id, c.term, c.tf, c.df,
+       round(c.idf_raw, 6) AS idf, round(c.c_raw, 6) AS contribution
+FROM contrib c JOIN top1 USING (doc_id)
+""",
         "bm25_and": _BM25_AND_SQL,
         "phrase_search": _PHRASE_SQL,
         "substring_search": _SUBSTRING_SQL,
         "regex_search": _REGEX_SQL,
         "bm25_wand": _BM25_WAND_SQL,
+        "search_template": _BM25_WAND_SQL,
         "highlight": _HIGHLIGHT_SQL,
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,

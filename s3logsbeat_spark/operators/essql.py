@@ -122,3 +122,55 @@ def execute_es_sql(reader, sql: str):
     if q["select"] == "doc_id":
         return [(d,) for d, _ in top]
     return top
+
+
+# ---------------------------------------------------------------- templates --
+
+_TPL_TOJSON = re.compile(r"\{\{#toJson\}\}(\w+)\{\{/toJson\}\}")
+_TPL_VAR = re.compile(r"\{\{(\w+)\}\}")
+
+
+def render_search_template(template: str, params: dict) -> dict:
+    """ES search-template analogue (POST _search/template): mustache
+    ``{{param}}`` substitution into a JSON search source, then parse.
+
+    Two substitution forms, mirroring the mustache subset ES documents:
+    ``"{{q}}"`` inside a JSON string (scalar, inserted verbatim) and
+    ``{{#toJson}}param{{/toJson}}`` anywhere (the value JSON-encoded —
+    lists/numbers/dicts land type-correctly). A missing parameter raises
+    KeyError: ES renders an empty string there, which silently changes
+    query semantics — failing loudly is the safer engine contract (the
+    test pins this deliberate divergence)."""
+    import json
+
+    def _tojson(m):
+        k = m.group(1)
+        if k not in params:
+            raise KeyError(f"search template parameter {k!r} missing")
+        return json.dumps(params[k])
+
+    def _var(m):
+        k = m.group(1)
+        if k not in params:
+            raise KeyError(f"search template parameter {k!r} missing")
+        v = params[k]
+        return v if isinstance(v, str) else json.dumps(v)
+
+    rendered = _TPL_VAR.sub(_var, _TPL_TOJSON.sub(_tojson, template))
+    return json.loads(rendered)
+
+
+def execute_search_template(reader, template: str, params: dict, k: int | None = None):
+    """Render + run. The rendered source is the reader's ``search`` bool
+    dict (must/should/must_not/filter/...) or ``{"terms": [...]}`` for a
+    plain match — both execute on the existing surface, so templates add
+    zero new scoring paths."""
+    src = render_search_template(template, params)
+    k = int(src.pop("k", 10)) if k is None else k
+    if set(src) <= {"terms", "mode", "min_should_match", "boosts", "doc_filter"}:
+        return reader.query(
+            src["terms"], k=k, mode=src.get("mode", "or"),
+            min_should_match=src.get("min_should_match"),
+            boosts=src.get("boosts"), doc_filter=src.get("doc_filter"),
+        )
+    return reader.search(src, k=k)

@@ -80,3 +80,38 @@ def test_execute_matches_reader(spark, qbuilt, corpus_df):
         "SELECT COUNT(*) FROM docs WHERE MATCH('value') AND MATCH_ALL('return the')",
     )
     assert nb == rdr.count(["return", "the"], "and")
+
+
+def test_search_template_render_and_execute(spark, qbuilt):
+    from s3logsbeat_spark.operators.essql import (
+        execute_search_template,
+        render_search_template,
+    )
+
+    rdr = IndexReader(spark, qbuilt)
+    tpl = '{"terms": {{#toJson}}q{{/toJson}}, "k": {{k}}}'
+    src = render_search_template(tpl, {"q": ["return", "value"], "k": 7})
+    assert src == {"terms": ["return", "value"], "k": 7}
+    got = execute_search_template(rdr, tpl, {"q": ["return", "value"], "k": 7})
+    assert got == rdr.query(["return", "value"], k=7)
+
+    # bool source routes through reader.search
+    btpl = (
+        '{"must": {{#toJson}}m{{/toJson}}, "should": {{#toJson}}s{{/toJson}},'
+        ' "k": 5}'
+    )
+    got2 = execute_search_template(
+        rdr, btpl, {"m": ["return"], "s": ["value", "import"]}
+    )
+    assert got2 == rdr.search({"must": ["return"], "should": ["value", "import"]}, k=5)
+
+    # scalar string substitution inside a JSON string
+    stpl = '{"terms": ["{{t}}"], "k": 3}'
+    assert render_search_template(stpl, {"t": "return"}) == {
+        "terms": ["return"], "k": 3,
+    }
+
+    # missing parameter fails loudly (deliberate divergence from ES's
+    # silent empty-string rendering)
+    with pytest.raises(KeyError):
+        render_search_template(stpl, {})
