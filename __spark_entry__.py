@@ -2153,6 +2153,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_hits(docs, ev, n=DECONTAM_N)
 
 
+FUZZY_DECON_SHIFT = 10_000_000
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP decontamination (stacked on the exact n-gram rule):
+    training docs whose distinct 3-gram shingle-set Jaccard with some
+    eval doc >= 0.2 — catches paraphrased / lightly-edited benchmark
+    copies that exact n-gram matching misses. Eval set = every 50th doc
+    with ids shifted out of the training id space; candidates come from
+    a CROSS-side MinHash-LSH band join only (never train x train)."""
+    from s3logsbeat_spark.operators.decontam import fuzzy_contaminated
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    ev = docs.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(FUZZY_DECON_SHIFT)
+    )
+    return fuzzy_contaminated(docs, ev, threshold=MINHASH_LSH_THRESHOLD)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> connected components: (doc_id, cluster_id =
     min doc_id in the component, cluster_size). Distributed min-label
@@ -2820,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "ann_lsh": q_ann_lsh,
         "ann_indexed": q_ann_indexed,
         "ann_ivf": q_ann_ivf,
@@ -4672,6 +4692,71 @@ SELECT a, b, jaccard FROM j WHERE jaccard >= {MINHASH_LSH_THRESHOLD}
 """
 
 
+def _decontaminate_fuzzy_sql() -> str:
+    """Cross-side MinHash-LSH + exact-Jaccard verify between the training
+    corpus and the shifted-id eval set (DuckDB twin of
+    decontam.fuzzy_contaminated). Signatures depend only on content, so
+    computing them over the UNION table is identical to per-side."""
+    from s3logsbeat_spark.operators.dedup import _P, _hash_params
+
+    params = _hash_params(16)
+    values = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {FUZZY_DECON_SHIFT} AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3 THEN
+             [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+           WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           ELSE []::VARCHAR[] END
+         ) AS shingles
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+        FROM all_docs)
+),
+hs AS (
+  SELECT doc_id, [('0x' || substr(md5(s), 1, 8))::BIGINT for s in shingles] AS hl
+  FROM sh WHERE len(shingles) > 0
+),
+params(h_idx, a, b) AS (VALUES {values}),
+sig AS (
+  SELECT doc_id, h_idx::INT AS h_idx,
+         list_min([(h * a + b) % {_P} for h in hl]) AS minhash
+  FROM hs CROSS JOIN params
+),
+banded AS (
+  SELECT doc_id, h_idx // 4 AS band,
+         string_agg(minhash::VARCHAR, ',' ORDER BY h_idx) AS bkey
+  FROM sig GROUP BY doc_id, h_idx // 4
+),
+ok AS (SELECT band, bkey FROM banded GROUP BY band, bkey HAVING count(*) <= 1000),
+b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, bkey)),
+cand AS (
+  SELECT DISTINCT l.doc_id AS t_id, r.doc_id AS eval_id
+  FROM b2 l JOIN b2 r ON l.band = r.band AND l.bkey = r.bkey
+  WHERE l.doc_id < {FUZZY_DECON_SHIFT} AND r.doc_id >= {FUZZY_DECON_SHIFT}
+),
+e AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+common AS (
+  SELECT c.t_id, c.eval_id, any_value(l.n) AS nt, any_value(r.n) AS ne,
+         count(*) AS common
+  FROM cand c
+  JOIN e l ON l.doc_id = c.t_id
+  JOIN e r ON r.doc_id = c.eval_id AND r.s = l.s
+  GROUP BY 1, 2
+)
+SELECT t_id AS doc_id, eval_id,
+       round(common::DOUBLE / (nt + ne - common), 6) AS jaccard
+FROM common
+WHERE round(common::DOUBLE / (nt + ne - common), 6) >= {MINHASH_LSH_THRESHOLD}
+"""
+
+
 def _decontaminate_sql() -> str:
     k = DECONTAM_N
     return f"""
@@ -5528,6 +5613,7 @@ FROM d
         "dedup_survivors": _dedup_survivors_sql(),
         "dedup_keep_best": _dedup_keep_best_sql(),
         "decontaminate": _decontaminate_sql(),
+        "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_indexed": _ann_lsh_sql(),  # identical semantics, partition-pruned layout
         "ann_ivf": _ann_ivf_sql(),

@@ -185,14 +185,10 @@ def minhash_signatures(
     return mins.select("doc_id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows: int = 4, max_bucket: int = 1000
-) -> DataFrame:
-    """MinHash-LSH: band the signature, bucket-join, emit candidate pairs
-    (a < b). Bucket key = (band index, band slice) — only docs sharing a
-    full band collide. Buckets over ``max_bucket`` docs are dropped
-    (degenerate content; logged by the caller via count)."""
-    banded = sigs.select(
+def banded_sigs(sigs: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """(doc_id, band, bkey) — one row per signature band; bucket key =
+    (band index, band slice), so only docs sharing a FULL band collide."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -208,6 +204,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows: int = 4, max_bucket: int = 1000
+) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join, emit candidate pairs
+    (a < b). Buckets over ``max_bucket`` docs are dropped (degenerate
+    content; logged by the caller via count)."""
+    banded = banded_sigs(sigs, bands, rows)
     sizes = banded.groupBy("band", "bkey").agg(F.count("*").alias("n"))
     ok = sizes.filter(F.col("n") <= max_bucket).select("band", "bkey")
     b2 = banded.join(ok, ["band", "bkey"])  # left_semi on surviving buckets

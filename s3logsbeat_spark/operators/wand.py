@@ -1195,6 +1195,32 @@ class IndexReader:
     #: cache whose entries are ~100 bytes)
     _DF_CACHE_MAX = 1_000_000
 
+    def open_pit(self) -> "IndexReader":
+        """ES point-in-time (POST /idx/_pit): a NEW reader whose segment
+        file set, tombstone view, and corpus stats are pinned AS OF NOW —
+        appends and deletes made to the index afterwards are invisible to
+        it, so paginated scans (search_after over a PIT) see one
+        consistent snapshot. Works because segments are immutable
+        generations: the pyarrow dataset discovers its fragment list
+        eagerly here and never re-lists, and the tombstone array is
+        materialized eagerly. Like an ES PIT, the handle's validity ends
+        when a compaction physically rewrites the segment files it
+        references (ES: when the reader-held segments are merged away)."""
+        pit = IndexReader(self.spark, self.out_dir)
+        pit._dataset()  # pin the segment fragment list
+        pit._blocked()  # pin the tombstone view
+        import os
+
+        if os.path.isdir(os.path.join(self.out_dir, "doc_attrs")):
+            import pyarrow.dataset as ds
+
+            pit._attrs_dset = ds.dataset(
+                os.path.join(self.out_dir, "doc_attrs"),
+                format="parquet",
+                partitioning="hive",
+            )
+        return pit
+
     def refresh(self) -> None:
         """Drop cached tombstones/stats (call after delete_docs or an
         index append — the ES refresh analogue)."""

@@ -51,3 +51,48 @@ def test_decontaminate_drops_hits(spark):
     ev = spark.createDataFrame(EVAL, "doc_id long, content string")
     kept = sorted(r["doc_id"] for r in decontaminate(train, ev, n=8).collect())
     assert kept == [1, 2, 3]
+
+
+def test_fuzzy_contamination_catches_edited_copies(spark):
+    from s3logsbeat_spark.operators.decontam import (
+        decontaminate_fuzzy,
+        fuzzy_contaminated,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [
+            (1, base),                                   # verbatim copy of eval
+            (2, base.replace("delta", "DELTA_EDIT")),    # light edit -> near-dup
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, content string",
+    )
+    ev = spark.createDataFrame([(100, base)], "doc_id long, content string")
+    hits = fuzzy_contaminated(train, ev, threshold=0.3).collect()
+    got = {(r["doc_id"], r["eval_id"]) for r in hits}
+    assert (1, 100) in got          # exact copy
+    assert (2, 100) in got          # edited copy (exact n-gram would need
+                                    # a full-width match; jaccard catches it)
+    assert all(r["doc_id"] != 3 for r in hits)
+    j = {r["doc_id"]: r["jaccard"] for r in hits}
+    assert j[1] == 1.0 and 0.3 <= j[2] < 1.0
+
+    clean = decontaminate_fuzzy(train, ev, threshold=0.3)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3]
+
+
+def test_fuzzy_candidates_are_cross_side_only(spark):
+    # two identical TRAIN docs share every band, but with no eval doc in
+    # the bucket they must produce zero candidate pairs (never train x train)
+    from s3logsbeat_spark.operators.decontam import fuzzy_contaminated
+
+    dup = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(1, dup), (2, dup)], "doc_id long, content string"
+    )
+    ev = spark.createDataFrame(
+        [(100, "unrelated eval content nothing shared")],
+        "doc_id long, content string",
+    )
+    assert fuzzy_contaminated(train, ev, threshold=0.1).count() == 0

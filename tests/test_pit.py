@@ -1,0 +1,66 @@
+"""Point-in-time reader (ES _pit analogue): a PIT pins the segment set
+and tombstone view at open; later appends and deletes are invisible to
+it while a refreshed live reader sees them."""
+
+import pytest
+
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    append_index,
+    build_index,
+    delete_docs,
+)
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+@pytest.fixture()
+def idx(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "merge the sorted runs", "en"),
+            (2, "spark merge join strategies", "en"),
+            (3, "merge window functions", "en"),
+        ],
+        "doc_id long, content string, lang string",
+    )
+    out = str(tmp_path / "idx")
+    build_index(docs, IndexConfig(out_dir=out, n_buckets=4))
+    return out
+
+
+def test_pit_is_isolated_from_appends_and_deletes(spark, idx):
+    live = IndexReader(spark, idx)
+    pit = live.open_pit()
+    before = pit.query(["merge"], 10)
+    assert {d for d, _ in before} == {1, 2, 3}
+
+    # mutate the index: delete one doc, append another
+    delete_docs(idx, [2])
+    more = spark.createDataFrame(
+        [(4, "merge merge merge", "en")], "doc_id long, content string, lang string"
+    )
+    append_index(more, idx, n_buckets=4)
+
+    live.refresh()
+    after_live = live.query(["merge"], 10)
+    assert {d for d, _ in after_live} == {1, 3, 4}  # sees both changes
+
+    # the PIT still answers from its snapshot: no doc 4, doc 2 alive
+    after_pit = pit.query(["merge"], 10)
+    assert after_pit == before
+
+
+def test_pit_search_after_pagination_is_consistent(spark, idx):
+    pit = IndexReader(spark, idx).open_pit()
+    full = pit.query(["merge"], 10)
+    # mutate mid-scan
+    delete_docs(idx, [full[0][0]])
+    # keyset-paginate over the PIT: pages concatenate to the snapshot
+    pages, after = [], None
+    while True:
+        page = pit.query_after(["merge"], k=1, after=after)
+        if not page:
+            break
+        pages.extend(page)
+        after = (page[-1][1], page[-1][0])
+    assert pages == full
