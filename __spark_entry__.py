@@ -2153,6 +2153,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_hits(docs, ev, n=DECONTAM_N)
 
 
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder/The-Stack source-file quality gates: per-doc line stats,
+    ASCII-alphanumeric fraction, autogenerated-marker probe, combined
+    keep verdict (mean line <= 100, max line <= 1000, alnum >= 0.25, not
+    autogenerated) — the code-corpus hygiene pass (north-rule payload)."""
+    from s3logsbeat_spark.operators.textstats import code_quality_scores
+
+    docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return code_quality_scores(docs)
+
+
 FUZZY_DECON_SHIFT = 10_000_000
 
 
@@ -2840,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
+        "code_quality": q_code_quality,
         "ann_lsh": q_ann_lsh,
         "ann_indexed": q_ann_indexed,
         "ann_ivf": q_ann_ivf,
@@ -5614,6 +5626,33 @@ FROM d
         "dedup_keep_best": _dedup_keep_best_sql(),
         "decontaminate": _decontaminate_sql(),
         "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
+        "code_quality": """
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(text, chr(10))) AS n_lines,
+         list_max([length(x) for x in string_split(text, chr(10))]) AS max_line,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum,
+         length(text) AS chars,
+         (lower(array_to_string(string_split(text, chr(10))[1:5], chr(10)))
+            LIKE '%auto-generated%'
+          OR lower(array_to_string(string_split(text, chr(10))[1:5], chr(10)))
+            LIKE '%autogenerated%'
+          OR lower(array_to_string(string_split(text, chr(10))[1:5], chr(10)))
+            LIKE '%generated by%'
+          OR lower(array_to_string(string_split(text, chr(10))[1:5], chr(10)))
+            LIKE '%do not edit%') AS autogenerated
+  FROM documents
+)
+SELECT doc_id, n_lines::BIGINT AS n_lines, max_line::BIGINT AS max_line_length,
+       round((chars - (n_lines - 1))::DOUBLE / n_lines, 6) AS avg_line_length,
+       round(alnum::DOUBLE / greatest(chars, 1), 6) AS alnum_frac,
+       autogenerated,
+       ((chars - (n_lines - 1))::DOUBLE / n_lines <= 100.0
+        AND max_line <= 1000
+        AND alnum::DOUBLE / greatest(chars, 1) >= 0.25
+        AND NOT autogenerated) AS keep
+FROM m
+""",
         "ann_lsh": _ann_lsh_sql(),
         "ann_indexed": _ann_lsh_sql(),  # identical semantics, partition-pruned layout
         "ann_ivf": _ann_ivf_sql(),

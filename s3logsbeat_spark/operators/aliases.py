@@ -1,0 +1,129 @@
+"""ES index aliases — named indirection over index directories.
+
+The reference ships into date-suffixed ES indexes and its users query
+through aliases (``s3logsbeat-*`` read aliases, one write alias that
+rolls over); this is the engine-side analogue:
+
+- a tiny JSON registry (``_aliases.json`` next to the indexes) maps
+  ``alias -> [index_dir, ...]`` plus at most one ``is_write_index``
+  member (exactly ES's alias document);
+- reading through an alias with ONE member is a plain
+  :class:`~.wand.IndexReader`; with several members it executes the
+  existing federated DFS path (``operators/federate.py``) — global-stat
+  scoring, rank-identical to a monolithic index, so an alias spanning N
+  rolled-over generations ranks exactly like one big index;
+- writes (index appends) resolve through the write member, mirroring ES
+  rollover semantics.
+
+Scale shape: the registry is a handful of strings; all heavy lifting
+stays in the per-index readers/builders it points at.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+
+class AliasRegistry:
+    """File-backed alias table (atomic tmp+rename writes, like the
+    segment manifests)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _load(self) -> dict:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _save(self, data: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    def add(self, alias: str, index_dir: str, is_write_index: bool = False) -> None:
+        data = self._load()
+        members = data.setdefault(alias, [])
+        if any(m["index"] == index_dir for m in members):
+            raise ValueError(f"{index_dir!r} already in alias {alias!r}")
+        if is_write_index and any(m.get("is_write_index") for m in members):
+            raise ValueError(
+                f"alias {alias!r} already has a write index"
+            )  # ES: one write index per alias
+        members.append({"index": index_dir, "is_write_index": bool(is_write_index)})
+        self._save(data)
+
+    def remove(self, alias: str, index_dir: str) -> None:
+        data = self._load()
+        members = [m for m in data.get(alias, []) if m["index"] != index_dir]
+        if len(members) == len(data.get(alias, [])):
+            raise KeyError(f"{index_dir!r} not in alias {alias!r}")
+        if members:
+            data[alias] = members
+        else:
+            data.pop(alias)
+        self._save(data)
+
+    def resolve(self, alias: str) -> list[str]:
+        members = self._load().get(alias)
+        if not members:
+            raise KeyError(f"unknown alias {alias!r}")
+        return [m["index"] for m in members]
+
+    def write_index(self, alias: str) -> str:
+        members = self._load().get(alias) or []
+        writers = [m["index"] for m in members if m.get("is_write_index")]
+        if len(members) == 1 and not writers:
+            return members[0]["index"]  # ES: single-member alias is writable
+        if not writers:
+            raise ValueError(f"alias {alias!r} has no write index")
+        return writers[0]
+
+    def aliases(self) -> dict:
+        return self._load()
+
+    def rollover(self, alias: str, new_index_dir: str) -> str:
+        """ES _rollover: the new index becomes the write member; the old
+        write member stays a read member. Returns the previous write
+        index (or None-equivalent '' when the alias was empty)."""
+        data = self._load()
+        members = data.setdefault(alias, [])
+        prev = ""
+        for m in members:
+            if m.get("is_write_index"):
+                m["is_write_index"] = False
+                prev = m["index"]
+        members.append({"index": new_index_dir, "is_write_index": True})
+        self._save(data)
+        return prev
+
+
+def alias_query(
+    spark,
+    registry: AliasRegistry,
+    alias: str,
+    terms: list[str],
+    k: int = 10,
+    **kw,
+) -> list[tuple[int, float]]:
+    """Query through an alias: direct reader for one member, federated
+    DFS (global stats — rank-identical to monolithic) for several."""
+    from .federate import federated_query
+    from .wand import IndexReader
+
+    dirs = registry.resolve(alias)
+    readers = [IndexReader(spark, d) for d in dirs]
+    if len(readers) == 1:
+        return readers[0].query(terms, k=k, **kw)
+    return federated_query(readers, terms, k=k, **kw)
+
+
+def alias_append(registry: AliasRegistry, alias: str, docs, **kw) -> dict:
+    """Append documents through the alias's write index (ES write-alias /
+    rollover ingestion path)."""
+    from .segments import append_index
+
+    return append_index(docs, registry.write_index(alias), **kw)

@@ -174,3 +174,33 @@ def execute_search_template(reader, template: str, params: dict, k: int | None =
             boosts=src.get("boosts"), doc_filter=src.get("doc_filter"),
         )
     return reader.search(src, k=k)
+
+
+def execute_multi_search_template(reader, searches: list[tuple[str, dict]]):
+    """ES ``_msearch/template``: render every (template, params) pair,
+    then execute the whole batch through ``reader.msearch`` — ONE pruned
+    segment read for the union of all rendered terms (the same
+    amortization as plain msearch; templates add zero execution paths).
+    Only plain term-query sources batch; a bool source falls back to its
+    own ``search`` call (ES likewise splits non-batchable lines)."""
+    rendered = [render_search_template(t, p) for t, p in searches]
+    batch_idx = [
+        i for i, s in enumerate(rendered)
+        if set(s) <= {"terms", "mode", "min_should_match", "boosts",
+                      "doc_filter", "k"}
+    ]
+    out: list = [None] * len(rendered)
+    if batch_idx:
+        batch = []
+        for i in batch_idx:
+            s = dict(rendered[i])
+            s["k"] = int(s.get("k", 10))
+            batch.append(s)
+        for i, res in zip(batch_idx, reader.msearch(batch)):
+            out[i] = res
+    for i, s in enumerate(rendered):
+        if out[i] is None:
+            src = dict(s)
+            k = int(src.pop("k", 10))
+            out[i] = reader.search(src, k=k)
+    return out

@@ -1,0 +1,80 @@
+"""ES index aliases: registry semantics (one write index, rollover) and
+the read path — a multi-member alias must rank EXACTLY like one
+monolithic index over the same docs (federated DFS underneath)."""
+
+import pytest
+
+from s3logsbeat_spark.operators.aliases import (
+    AliasRegistry,
+    alias_append,
+    alias_query,
+)
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+DOCS = [
+    (1, "merge the sorted runs", "en"),
+    (2, "spark merge join strategies", "en"),
+    (3, "merge window functions with spark", "en"),
+    (4, "unrelated prose entirely", "en"),
+]
+
+
+@pytest.fixture()
+def split_indexes(spark, tmp_path):
+    df = spark.createDataFrame(DOCS, "doc_id long, content string, lang string")
+    a, b, mono = (str(tmp_path / n) for n in ("gen1", "gen2", "mono"))
+    build_index(df.filter("doc_id <= 2"), IndexConfig(out_dir=a, n_buckets=4))
+    build_index(df.filter("doc_id > 2"), IndexConfig(out_dir=b, n_buckets=4))
+    build_index(df, IndexConfig(out_dir=mono, n_buckets=4))
+    return a, b, mono
+
+
+def test_registry_semantics(tmp_path):
+    reg = AliasRegistry(str(tmp_path / "_aliases.json"))
+    reg.add("logs", "/idx/a", is_write_index=True)
+    reg.add("logs", "/idx/b")
+    assert reg.resolve("logs") == ["/idx/a", "/idx/b"]
+    assert reg.write_index("logs") == "/idx/a"
+    with pytest.raises(ValueError):  # one write index per alias (ES rule)
+        reg.add("logs", "/idx/c", is_write_index=True)
+    with pytest.raises(ValueError):
+        reg.add("logs", "/idx/a")  # duplicate member
+    prev = reg.rollover("logs", "/idx/c")
+    assert prev == "/idx/a" and reg.write_index("logs") == "/idx/c"
+    reg.remove("logs", "/idx/b")
+    assert reg.resolve("logs") == ["/idx/a", "/idx/c"]
+    with pytest.raises(KeyError):
+        reg.resolve("nope")
+    # single-member alias is writable without an explicit write flag
+    reg2 = AliasRegistry(str(tmp_path / "_aliases2.json"))
+    reg2.add("one", "/idx/x")
+    assert reg2.write_index("one") == "/idx/x"
+
+
+def test_alias_read_ranks_like_monolithic(spark, tmp_path, split_indexes):
+    a, b, mono = split_indexes
+    reg = AliasRegistry(str(tmp_path / "_aliases.json"))
+    reg.add("logs", a, is_write_index=True)
+    reg.add("logs", b)
+    got = alias_query(spark, reg, "logs", ["merge", "spark"], k=10)
+    want = IndexReader(spark, mono).query(["merge", "spark"], 10)
+    assert got == want and got
+    # single-member alias == direct reader
+    reg.add("gen1only", a)
+    assert alias_query(spark, reg, "gen1only", ["merge"], k=10) == IndexReader(
+        spark, a
+    ).query(["merge"], 10)
+
+
+def test_alias_append_goes_to_write_index(spark, tmp_path, split_indexes):
+    a, b, _ = split_indexes
+    reg = AliasRegistry(str(tmp_path / "_aliases.json"))
+    reg.add("logs", a)
+    reg.add("logs", b, is_write_index=True)
+    more = spark.createDataFrame(
+        [(5, "merge everything now", "en")], "doc_id long, content string, lang string"
+    )
+    alias_append(reg, "logs", more, n_buckets=4)
+    assert 5 in {d for d, _ in IndexReader(spark, b).query(["merge"], 10)}
+    assert 5 not in {d for d, _ in IndexReader(spark, a).query(["merge"], 10)}

@@ -115,3 +115,22 @@ def test_search_template_render_and_execute(spark, qbuilt):
     # silent empty-string rendering)
     with pytest.raises(KeyError):
         render_search_template(stpl, {})
+
+
+def test_multi_search_template(spark, qbuilt):
+    from s3logsbeat_spark.operators.essql import execute_multi_search_template
+
+    rdr = IndexReader(spark, qbuilt)
+    tpl = '{"terms": {{#toJson}}q{{/toJson}}, "k": {{k}}}'
+    btpl = '{"must": {{#toJson}}m{{/toJson}}, "k": 4}'
+    got = execute_multi_search_template(
+        rdr,
+        [
+            (tpl, {"q": ["return", "value"], "k": 5}),
+            (btpl, {"m": ["import"]}),
+            (tpl, {"q": ["def"], "k": 3}),
+        ],
+    )
+    assert got[0] == rdr.query(["return", "value"], k=5)
+    assert got[1] == rdr.search({"must": ["import"]}, k=4)
+    assert got[2] == rdr.query(["def"], k=3)

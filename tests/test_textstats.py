@@ -234,3 +234,31 @@ def test_unigram_nll(spark):
         assert abs(got[did][1] - want) < 1e-6
     # common-token doc scores lower (more typical) than rare-token doc
     assert got[0][1] < got[1][1]
+
+
+def test_code_quality_gates(spark):
+    from s3logsbeat_spark.operators.textstats import code_quality_scores
+
+    long_line = "x" * 1500
+    docs = spark.createDataFrame(
+        [
+            (1, "def f():\n    return 1\n"),                 # clean short code
+            (2, long_line),                                   # max line > 1000
+            (3, "// AUTO-GENERATED file\nreal code here"),    # marker in head
+            (4, "####@@@@!!!! ____" .replace("_", "#")),      # low alnum
+            (5, ("y " * 120).strip() + "\nok"),               # avg line > 100
+        ],
+        "doc_id long, content string",
+    )
+    out = {r["doc_id"]: r for r in code_quality_scores(docs).collect()}
+    assert out[1]["keep"] is True and out[1]["n_lines"] == 3
+    assert out[2]["keep"] is False and out[2]["max_line_length"] == 1500
+    assert out[3]["keep"] is False and out[3]["autogenerated"] is True
+    assert out[4]["keep"] is False and out[4]["alnum_frac"] < 0.25
+    assert out[5]["keep"] is False and out[5]["avg_line_length"] > 100
+    # marker OUTSIDE the first 5 lines does not trip the probe
+    tail_marker = spark.createDataFrame(
+        [(9, "a\nb\nc\nd\ne\nf\n// auto-generated")], "doc_id long, content string"
+    )
+    r = code_quality_scores(tail_marker).collect()[0]
+    assert r["autogenerated"] is False
