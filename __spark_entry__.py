@@ -2110,6 +2110,23 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_exact(emb, list(q), k=10)
 
 
+SQ_RESCORE_DEPTH = 50
+
+
+def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantized kNN with exact re-scoring (the ES `int8`
+    kNN index format): per-dim min/max quantization -> approximate
+    cosine over dequantized codes (the 4x-smaller scan) selects
+    SQ_RESCORE_DEPTH candidates -> exact full-precision rescore -> top-k.
+    Both stages oracle-checked (codes are exact integers; floor(x+0.5)
+    half-up in both engines)."""
+    from s3logsbeat_spark.operators.similarity import sq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return sq_topk(emb, list(q), k=10, rescore_depth=SQ_RESCORE_DEPTH)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit tf-weighted SimHash per doc (numpy bit-fold, one Arrow pass).
     The DuckDB oracle reproduces the md5-derived bit math exactly."""
@@ -2151,6 +2168,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).withColumnRenamed("text", "content")
     ev = docs.filter(F.col("doc_id") % 50 == 0)
     return ngram_hits(docs, ev, n=DECONTAM_N)
+
+
+SYN_GROUPS = [["merge", "join"], ["window"]]
+
+
+def q_synonym_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonyms (ES synonym_graph -> Lucene SynonymQuery):
+    each group scores as ONE pseudo-term — tf = sum of member tfs, df =
+    MAX member df (blended document frequency), contributions summed
+    across groups. Query: (merge|join) + window, top-BM25_K."""
+    from s3logsbeat_spark.operators.postings import synonym_scores, topk
+
+    p = _simple_postings(spark, sf_dir)
+    n_docs, avgdl = _contract_stats(spark, sf_dir, p)
+    scored = synonym_scores(p, SYN_GROUPS, n_docs, avgdl)
+    return topk(scored.withColumn("score", F.round("score", 6)), BM25_K).select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2830,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
+        "ann_sq": q_ann_sq,
         "random_projection": q_random_projection,
         "sliding_chunks": q_sliding_chunks,
         "training_order": q_training_order,
@@ -2852,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "code_quality": q_code_quality,
+        "synonym_search": q_synonym_search,
         "ann_lsh": q_ann_lsh,
         "ann_indexed": q_ann_indexed,
         "ann_ivf": q_ann_ivf,
@@ -5539,6 +5576,45 @@ FROM documents d LEFT JOIN e USING (doc_id)
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
+        "ann_sq": f"""
+WITH prm AS (
+  SELECT dim, min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM (
+    SELECT unnest(embedding)::DOUBLE AS v,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings) GROUP BY 1
+),
+lsts AS (
+  SELECT (SELECT list(lo ORDER BY dim) FROM prm) AS lo_l,
+         (SELECT list(CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END ORDER BY dim)
+          FROM prm) AS sp_l
+),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+deq AS (
+  SELECT e.vec_id,
+         [lsts.lo_l[i]
+            + least(greatest(floor((e.embedding[i]::DOUBLE - lsts.lo_l[i])
+                                   * 255.0 / lsts.sp_l[i] + 0.5), 0.0), 255.0)
+              * lsts.sp_l[i] / 255.0
+          for i in generate_series(1, len(e.embedding))] AS vhat
+  FROM embeddings e, lsts
+),
+approx AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(vhat, (SELECT q FROM qv)), 6)
+           AS approx_score
+  FROM deq
+),
+cand AS (
+  SELECT * FROM approx
+  ORDER BY approx_score DESC, vec_id ASC LIMIT {SQ_RESCORE_DEPTH}
+)
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT q FROM qv)),
+             6) AS score,
+       c.approx_score
+FROM cand c JOIN embeddings e USING (vec_id)
+ORDER BY score DESC, vec_id ASC LIMIT 10
+""",
         "sliding_chunks": f"""
 WITH b AS (
   SELECT doc_id,
@@ -5626,6 +5702,47 @@ FROM d
         "dedup_keep_best": _dedup_keep_best_sql(),
         "decontaminate": _decontaminate_sql(),
         "decontaminate_fuzzy": _decontaminate_fuzzy_sql(),
+        "synonym_search": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+),
+doclen AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(doc_len) FROM doclen)::DOUBLE
+           / (SELECT count(*) FROM documents) AS avgdl
+),
+mem(gid, term) AS (VALUES (0, 'merge'), (0, 'join'), (1, 'window')),
+gdf AS (
+  SELECT gid, max(df) AS df FROM (
+    SELECT m.gid, m.term, count(DISTINCT p.doc_id) AS df
+    FROM postings p JOIN mem m USING (term) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+grp AS (
+  SELECT p.doc_id, m.gid, sum(p.tf) AS gtf
+  FROM postings p JOIN mem m USING (term) GROUP BY 1, 2
+),
+scored AS (
+  SELECT g.doc_id,
+         sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (g.gtf * 2.2)
+           / (g.gtf + 1.2 * (0.25 + 0.75 * l.doc_len / s.avgdl))
+         ) AS raw
+  FROM grp g
+  JOIN gdf d USING (gid)
+  JOIN doclen l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT doc_id, round(raw, 6) AS score FROM scored
+ORDER BY round(raw, 6) DESC, doc_id ASC LIMIT {BM25_K}
+""",
         "code_quality": """
 WITH m AS (
   SELECT doc_id,

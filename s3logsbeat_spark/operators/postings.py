@@ -189,3 +189,64 @@ def bm25_topk_naive(
     if avgdl is None:
         _, avgdl = corpus_stats(postings, n_docs)
     return topk(bm25_scores(postings, terms, n_docs, avgdl, require_all), k)
+
+
+def synonym_scores(
+    postings: DataFrame,
+    groups: list[list[str]],
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Lucene SynonymQuery semantics (what ES's ``synonym_graph`` filter
+    produces at query time): each group of synonyms scores as ONE
+    pseudo-term — ``tf`` = sum of the members' tfs in the doc, ``df`` =
+    the MAX member df (Lucene's blended document frequency), idf from
+    that blended df. A doc matching any member matches the group; the
+    final score sums the per-group BM25 contributions.
+
+    Plan shape: explode the (group, member) table, broadcast-join it to
+    the postings (pushes a term IN-list to the scan), ONE partial-agg
+    groupBy(doc, group) for the summed tf, broadcast the per-group
+    blended-df table, one doc-keyed partial-agg sum — same shuffle
+    budget as a plain multi-term BM25."""
+    spark = postings.sparkSession
+    mem = spark.createDataFrame(
+        [(gi, t) for gi, g in enumerate(groups) for t in dict.fromkeys(g)],
+        "gid int, term string",
+    )
+    matched = postings.join(F.broadcast(mem), "term")
+    # blended df per group: max over member dfs (Lucene SynonymQuery)
+    dfs = (
+        matched.groupBy("gid", "term")
+        .agg(F.count_distinct("doc_id").alias("df_t"))
+        .groupBy("gid")
+        .agg(F.max("df_t").alias("df"))
+        .withColumn("idf", idf_col(n_docs))
+        .select("gid", "idf")
+    )
+    grp = matched.groupBy("doc_id", "gid", "doc_len").agg(
+        F.sum("tf").alias("gtf")
+    )
+    denom = F.col("gtf") + K1 * (1.0 - B + B * F.col("doc_len") / F.lit(avgdl))
+    contrib = F.col("idf") * (F.col("gtf") * (K1 + 1.0)) / denom
+    return (
+        grp.join(F.broadcast(dfs), "gid")
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+def synonym_topk_naive(
+    docs: DataFrame,
+    groups: list[list[str]],
+    k: int,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end synonym-aware BM25 top-k over a documents frame."""
+    p = build_postings(docs, text_col=text_col, id_col=id_col)
+    n_docs = docs.count()
+    n, avgdl = corpus_stats(p, n_docs)
+    scored = synonym_scores(p, groups, n, avgdl)
+    return topk(scored.withColumn("score", F.round("score", 6)), k)

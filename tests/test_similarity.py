@@ -195,3 +195,41 @@ def test_random_projection_twin_and_jl(spark, emb, emb_np):
             ratios.append(d1 / d0)
     med = float(np.median(ratios))
     assert 0.5 < med < 2.0, med
+
+
+def test_scalar_quantization_codes_and_rescore(spark):
+    import numpy as np
+
+    from s3logsbeat_spark.operators.similarity import (
+        cosine_topk_exact,
+        sq_quantize,
+        sq_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(200, 8).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = {r["vec_id"]: r["codes"] for r in sq_quantize(emb).collect()}
+    assert len(codes) == 200
+    flat = [c for cs in codes.values() for c in cs]
+    assert min(flat) >= 0 and max(flat) <= 255
+    # per-dim extremes map to the endpoints
+    arr = np.stack([codes[i] for i in range(200)])
+    assert (arr.min(axis=0) == 0).all() and (arr.max(axis=0) == 255).all()
+
+    q = [float(x) for x in vecs[0]]
+    got = sq_topk(emb, q, k=10, rescore_depth=60).collect()
+    exact = cosine_topk_exact(emb, q, k=10).collect()
+    got_ids = [r["vec_id"] for r in got]
+    exact_ids = [r["vec_id"] for r in exact]
+    assert got_ids[0] == 0  # self-match survives quantization
+    # rescored scores are the EXACT scores for every returned candidate
+    ex_map = {r["vec_id"]: r["score"] for r in exact}
+    for r in got:
+        if r["vec_id"] in ex_map:
+            assert r["score"] == ex_map[r["vec_id"]]
+    # recall@10 of the quantized+rescored path vs exact brute force
+    assert len(set(got_ids) & set(exact_ids)) >= 8
