@@ -235,6 +235,15 @@ def run_default() -> dict:
         t0 = time.perf_counter()
         frequent_item_sets(posts, min_support=50, k=15, max_doc_terms=8).count()
         dops["frequent_item_sets_capped"] = round(time.perf_counter() - t0, 3)
+        emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            from s3logsbeat_spark.operators.similarity import sq_topk
+
+            emb = spark.read.parquet(emb_path)
+            qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+            t0 = time.perf_counter()
+            sq_topk(emb, list(qv), k=10, rescore_depth=50).count()
+            dops["ann_sq"] = round(time.perf_counter() - t0, 3)
         out["data_ops"] = dops
     if os.environ.get("SPARK_GRAFT_SKIP_CODE_CORPUS") != "1":
         # north-rule evidence inline: build + rank-identity on the
