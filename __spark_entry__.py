@@ -2745,6 +2745,245 @@ def q_events_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max query (Lucene DisjunctionMaxQuery): per-field BM25
+    scores combined as max + tie_breaker * (sum - max) over text^1 and
+    lang^2 — between best_fields (t=0, the existing multi_match row) and
+    most_fields (t=1). Same plan shape as multi_match: per-field scoring
+    subplans + union + ONE doc_id agg."""
+    from s3logsbeat_spark.operators.multifield import multi_match_topk
+
+    docs = _docs(spark, sf_dir)
+    return multi_match_topk(
+        docs, MM_TERMS, MM_FIELDS, k=BM25_K,
+        mode="best_fields", tie_breaker=DIS_MAX_TIE,
+    )
+
+
+DIS_MAX_TIE = 0.3
+CS_TERM = "merge"
+CS_BOOST = 1.7
+
+
+def q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES constant_score query: filter context (term match) wrapped so
+    every hit scores exactly ``boost`` — no tf/idf computed at all. The
+    plan is a codegen token-membership filter at the scan + a literal
+    projection; hits page deterministically by doc_id."""
+    docs = _docs(spark, sf_dir)
+    toks = F.expr(_TOKS)
+    return (
+        docs.filter(F.array_contains(toks, CS_TERM))
+        .select("doc_id", F.lit(float(CS_BOOST)).alias("score"))
+        .orderBy(F.col("doc_id").asc())
+        .limit(BM25_K)
+    )
+
+
+def q_exists_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES exists query + missing agg over the parsed ALB frame: the
+    sentinel-nulled ``target_status_code`` (P3 nulls '-' on 25%% of
+    synthetic lines) bucketed into exists/missing doc counts. The parsed
+    field reaches the bucket CASE through plans.guard.preagg_distinct so
+    the 25-field line expression stays at ONE copy in the plan (the
+    alb_status_class codegen-blowup guard, reused)."""
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.guard import preagg_distinct
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = parse_lines(ev.select(_alb_line_spark().alias("value")), FORMATS["alb"])
+    per = preagg_distinct(parsed, F.col("target_status_code").isNull(), "_miss")
+    bucket = F.when(F.col("_miss"), F.lit("missing")).otherwise(F.lit("exists"))
+    return (
+        per.groupBy(bucket.alias("bucket"))
+        .agg(F.sum("_n").cast("long").alias("doc_count"))
+    )
+
+
+SAMPLER_SIZE = 100
+
+
+def q_search_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler aggregation: run the sub-agg (avg n_chars) over a
+    bounded sample instead of every matching doc. ES takes the first
+    shard_size docs per shard (arrival order — irreproducible); the
+    deterministic analogue keeps the ``shard_size`` lowest
+    sha256('sampler:'||doc_id) docs, which is a TakeOrderedAndProject
+    (per-partition heaps + k-row merge), never a global sort."""
+    docs = _docs(spark, sf_dir)
+    h = F.sha2(F.concat(F.lit("sampler:"), F.col("doc_id").cast("string")), 256)
+    sampled = (
+        docs.select("n_chars", h.alias("_h"), "doc_id")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .limit(SAMPLER_SIZE)
+    )
+    return sampled.agg(
+        F.count("*").cast("long").alias("doc_count"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+ANALYZE_DOC = 5
+
+
+def q_analyze_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES POST _analyze: the tokens the analyzer emits for one document,
+    with 1-based positions — the debugging surface for "why does this
+    query (not) match". Runs the exact token expression every simple-
+    tokenizer query uses; posexplode keeps it one codegen projection."""
+    doc = _docs(spark, sf_dir).filter(F.col("doc_id") == ANALYZE_DOC)
+    return (
+        doc.select(F.posexplode(F.expr(_TOKS)).alias("position", "token"))
+        .select(
+            (F.col("position") + 1).cast("long").alias("position"), "token"
+        )
+    )
+
+
+MTV_DOCS = (7, 42)  # 42 = TV_DOC: mtermvectors must agree with _termvectors
+
+
+def q_mtermvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _mtermvectors: _termvectors for a batch of ids in ONE pass —
+    the per-doc side prunes to the id set, corpus df comes from the same
+    postings agg, so the batch costs one extra filter, not N calls."""
+    p = _simple_postings(spark, sf_dir)
+    dfs = p.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    mine = p.filter(F.col("doc_id").isin([int(d) for d in MTV_DOCS]))
+    return mine.join(dfs, "term").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        "df",
+        F.col("doc_len").cast("long").alias("doc_len"),
+    )
+
+
+def q_events_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB downsampling (the rollup an ES downsample task persists):
+    per (event_type, hour) the gauge summary — value_count/min/max/sum
+    plus last_value by timestamp (max_by, a map-side-combinable argmax;
+    event_id breaks ts ties deterministically). ONE partial-agg groupBy;
+    at 100 TB this is the shape that turns raw events into the
+    downsampled index."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count("value").cast("long").alias("value_count"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(
+                F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 6
+            ).alias("last_value"),
+        )
+    )
+
+
+RATE_USERS = 20
+
+
+def q_events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES TSDB ``rate`` on a counter metric, reset-aware: per user_id
+    series (ordered ts, event_id tie-break) sum the positive deltas and
+    treat a drop as a counter reset contributing the post-reset value —
+    the Prometheus/ES increase() semantics. One window pass partitioned
+    by the series key (parallel across series), one agg."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    inc = (
+        F.when(delta.isNull(), F.lit(0.0))
+        .when(delta >= 0, delta)
+        .otherwise(F.col("value"))
+    )
+    return (
+        ev.select("user_id", inc.alias("inc"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("inc"), 6).alias("increase"),
+            F.count("*").cast("long").alias("samples"),
+        )
+        .orderBy(F.col("user_id").asc())
+        .limit(RATE_USERS)
+    )
+
+
+GEO_LINE_N = 25
+
+
+def q_geo_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES geo_line aggregation: per lang group, the track of the first
+    ``size`` points ordered by the sort key (doc_id), serialized as a
+    LineString-ish "mlon mlat" string in integer microdegrees (floor —
+    identical in both engines; double->string formatting is not). The
+    per-group row_number caps the collect to ``size`` BEFORE the
+    collect_list, so no group ever materializes more than ``size``
+    points — the ES size cap, enforced at the shuffle."""
+    from pyspark.sql import Window
+
+    docs = _derived_geo(_docs(spark, sf_dir))
+    m = lambda c: F.floor(F.col(c) * 1e6).cast("long")  # noqa: E731
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pts = (
+        docs.select(
+            "lang", "doc_id",
+            F.concat(m("lon").cast("string"), F.lit(" "), m("lat").cast("string")).alias("pt"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= GEO_LINE_N)
+    )
+    line = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("pt")))),
+        lambda s: s["pt"],
+    )
+    return pts.groupBy("lang").agg(
+        F.concat_ws(", ", line).alias("line"),
+        F.count("*").cast("long").alias("points"),
+    )
+
+
+def _derived_geo(docs: DataFrame) -> DataFrame:
+    from s3logsbeat_spark.operators.geo import derived_coords
+
+    return derived_coords(docs)
+
+
+DBQ_TERM = "window"
+
+
+def q_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _delete_by_query end-to-end on the REAL segment index: copy
+    the shared driver index, tombstone every doc matching the term
+    query, re-run the flagship WAND query. Like ES/Lucene, deletes
+    change the result set immediately while corpus stats (n_docs,
+    avgdl, df) stay stale until forcemerge — the oracle therefore
+    scores with FULL-corpus stats and only excludes the deleted docs."""
+    import shutil
+    import tempfile
+
+    from s3logsbeat_spark.operators.mutate import delete_by_query
+    from s3logsbeat_spark.operators.wand import IndexReader
+
+    src = _driver_index(spark, sf_dir)
+    dst = tempfile.mkdtemp(prefix="s3lb_dbq_")
+    shutil.rmtree(dst)
+    shutil.copytree(src.out_dir, dst)
+    try:
+        rdr = IndexReader(spark, dst)
+        delete_by_query(rdr, [DBQ_TERM])
+        top = rdr.query(BM25_TERMS, BM25_K)
+    finally:
+        shutil.rmtree(dst, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_freq": q_term_freq,
@@ -2902,6 +3141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
+        "dis_max": q_dis_max,
+        "constant_score": q_constant_score,
+        "exists_missing": q_exists_missing,
+        "search_sampler": q_search_sampler,
+        "analyze_api": q_analyze_api,
+        "mtermvectors": q_mtermvectors,
+        "events_downsample": q_events_downsample,
+        "events_counter_rate": q_events_counter_rate,
+        "geo_line": q_geo_line,
+        "delete_by_query": q_delete_by_query,
     }
 
 
@@ -3851,6 +4100,17 @@ WITH {_mm_field_cte("text", "t", 1.0).lstrip()},
 {_mm_field_cte("lang", "l2", 2.0).lstrip()},
 u AS (SELECT * FROM sc_t UNION ALL SELECT * FROM sc_l2)
 SELECT doc_id, round(sum(fscore), 6) AS score FROM u GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+"""
+
+_DIS_MAX_SQL = f"""
+WITH {_mm_field_cte("text", "t", 1.0).lstrip()},
+{_mm_field_cte("lang", "l2", 2.0).lstrip()},
+u AS (SELECT * FROM sc_t UNION ALL SELECT * FROM sc_l2)
+SELECT doc_id,
+       round(max(fscore) + {DIS_MAX_TIE} * (sum(fscore) - max(fscore)), 6)
+         AS score
+FROM u GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
 """
 
@@ -5805,6 +6065,81 @@ FROM events GROUP BY 1
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+        "dis_max": _DIS_MAX_SQL,
+        "constant_score": f"""
+SELECT doc_id, {CS_BOOST}::DOUBLE AS score FROM documents
+WHERE list_contains({_TOKS_DUCK}, '{CS_TERM}')
+ORDER BY doc_id ASC LIMIT {BM25_K}
+""",
+        "exists_missing": """
+SELECT CASE WHEN event_id % 4 = 3 THEN 'missing' ELSE 'exists' END AS bucket,
+       count(*)::BIGINT AS doc_count
+FROM events GROUP BY 1
+""",
+        "search_sampler": f"""
+SELECT count(*)::BIGINT AS doc_count, round(avg(n_chars), 6) AS avg_chars
+FROM (SELECT n_chars FROM documents
+      ORDER BY sha256('sampler:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      LIMIT {SAMPLER_SIZE})
+""",
+        "analyze_api": f"""
+SELECT z['pos']::BIGINT AS position, z['tok'] AS token FROM (
+  SELECT unnest(list_transform({_TOKS_DUCK},
+                               (x, i) -> {{'tok': x, 'pos': i}})) AS z
+  FROM documents WHERE doc_id = {ANALYZE_DOC})
+""",
+        "mtermvectors": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+p AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM tok GROUP BY 1),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM p GROUP BY 1)
+SELECT p.doc_id, p.term, p.tf, dfs.df, dl.doc_len
+FROM p JOIN dfs USING (term) JOIN dl USING (doc_id)
+WHERE p.doc_id IN ({", ".join(str(d) for d in MTV_DOCS)})
+""",
+        "events_downsample": """
+SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+       count(value)::BIGINT AS value_count,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value,
+       round(sum(value), 6) AS sum_value,
+       round(arg_max(value, ts), 6) AS last_value
+FROM events GROUP BY 1, 2
+""",
+        "events_counter_rate": f"""
+WITH d AS (
+  SELECT user_id, value,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS delta
+  FROM events)
+SELECT user_id,
+       round(sum(CASE WHEN delta IS NULL THEN 0.0
+                      WHEN delta >= 0 THEN delta
+                      ELSE value END), 6) AS increase,
+       count(*)::BIGINT AS samples
+FROM d GROUP BY 1 ORDER BY user_id ASC LIMIT {RATE_USERS}
+""",
+        "geo_line": f"""
+WITH pts AS ({_GEO_PTS}),
+r AS (
+  SELECT d.lang, p.doc_id,
+         CAST(floor(p.lon * 1000000) AS BIGINT) AS mlon,
+         CAST(floor(p.lat * 1000000) AS BIGINT) AS mlat,
+         row_number() OVER (PARTITION BY d.lang ORDER BY p.doc_id) AS rn
+  FROM pts p JOIN documents d USING (doc_id))
+SELECT lang,
+       string_agg(mlon || ' ' || mlat, ', ' ORDER BY doc_id) AS line,
+       count(*)::BIGINT AS points
+FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
+""",
+        "delete_by_query": _BM25_SQL.replace(
+            "SELECT doc_id, round(raw, 6) AS score FROM scored",
+            "SELECT doc_id, round(raw, 6) AS score FROM scored "
+            "WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "
+            f"WHERE term = '{DBQ_TERM}')",
+        ),
     }
 
 

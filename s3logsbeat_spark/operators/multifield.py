@@ -53,14 +53,22 @@ def multi_match_topk(
     k: int = 10,
     mode: str = "most_fields",
     id_col: str = "doc_id",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
     """ES multi_match over string columns with per-field boosts.
     Returns (doc_id, score) rounded 6dp, ordered (score DESC, doc_id
-    ASC), top-k via TakeOrderedAndProject."""
+    ASC), top-k via TakeOrderedAndProject.
+
+    ``best_fields`` with ``tie_breaker`` t is Lucene's DisjunctionMaxQuery
+    combine — ``max + t * (sum - max)`` over the per-field scores (the ES
+    ``dis_max`` query); t=0 is plain best-field, t=1 degenerates to
+    most_fields."""
     if mode not in ("most_fields", "best_fields"):
         raise ValueError(f"unknown multi_match mode: {mode}")
     if not fields:
         raise ValueError("multi_match requires at least one field")
+    if tie_breaker and mode != "best_fields":
+        raise ValueError("tie_breaker applies to best_fields (dis_max) only")
     n_docs = docs.count()
     per_field = []
     for col, boost in fields.items():
@@ -73,7 +81,14 @@ def multi_match_topk(
     u = per_field[0]
     for s in per_field[1:]:
         u = u.unionByName(s)
-    comb = F.sum("fscore") if mode == "most_fields" else F.max("fscore")
+    if mode == "most_fields":
+        comb = F.sum("fscore")
+    elif tie_breaker:
+        comb = F.max("fscore") + F.lit(float(tie_breaker)) * (
+            F.sum("fscore") - F.max("fscore")
+        )
+    else:
+        comb = F.max("fscore")
     scored = u.groupBy("doc_id").agg(F.round(comb, 6).alias("score"))
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
 

@@ -1,0 +1,159 @@
+"""Index mutation APIs (ES ``_delete_by_query`` / ``_update_by_query`` /
+``_reindex`` parity).
+
+Reference parity: the reference ships log events into ES and delegates
+every mutation to the ES REST surface; these are the three mutation
+endpoints its operators actually use on shipped indices (cleaning out a
+bad batch, patching metadata, re-analyzing into a new index). Each maps
+onto machinery this engine already trusts:
+
+- :func:`delete_by_query` = ``matching_doc_ids`` -> ``delete_docs``
+  tombstones. Like ES, deletes change the *result set* immediately while
+  corpus statistics (n_docs, avgdl, df) stay stale until a merge —
+  ``segments.compact_index`` is the forcemerge analogue.
+- :func:`update_by_query` rewrites doc-attribute sidecar rows for the
+  matching docs (the "patch a keyword/numeric field" use ES scripts
+  serve). Text updates re-analyze by definition — route those through
+  ``segments.upsert_documents`` (same natural key, new content), exactly
+  as ES reindexes the full doc on any _source change.
+- :func:`reindex` re-analyzes documents from the source-of-truth table
+  into a NEW index with different settings (token_mode, positions,
+  bucket count) and an optional server-side query filter — ES
+  ``_reindex`` with ``source.query``. The reference's _source is the log
+  line in S3; ours is the source table, so reindex reads the table, not
+  the old index.
+
+Scale notes: ``delete_by_query`` collects matching ids to the driver
+(tombstones are id lists, the same shape ES keeps in liveDocs bitsets);
+``max_docs`` (the ES knob) bounds the collect for broad queries — a
+corpus-scale purge should instead be expressed as a filtered
+:func:`reindex`, which never materializes an id list. The sidecar
+rewrite in ``update_by_query`` is one distributed read + one write of a
+skinny (doc_id, attrs) table — no postings are touched.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .segments import IndexConfig, _attrs_dir, build_index, delete_docs
+
+
+def delete_by_query(
+    reader,
+    terms: list[str],
+    mode: str = "or",
+    doc_filter: dict | None = None,
+    max_docs: int | None = None,
+) -> dict:
+    """ES POST ``<index>/_delete_by_query``: tombstone every doc matching
+    the term query. Returns ``{"deleted": n}``. Idempotent (re-running
+    records the same content-addressed tombstone file). ``max_docs``
+    bounds the delete like the ES parameter (lowest doc_ids win, so the
+    bound is deterministic)."""
+    ids = reader.matching_doc_ids(terms, mode=mode, doc_filter=doc_filter)
+    if max_docs is not None:
+        ids = ids[: int(max_docs)]
+    n = delete_docs(reader.out_dir, ids)
+    reader.refresh()
+    return {"deleted": n}
+
+
+def update_by_query(
+    reader,
+    terms: list[str],
+    set_attrs: dict,
+    mode: str = "or",
+    doc_filter: dict | None = None,
+) -> dict:
+    """ES POST ``<index>/_update_by_query`` for attribute (non-analyzed)
+    fields: set sidecar columns to literals on every matching doc.
+    Returns ``{"updated": n}``.
+
+    The new sidecar is staged as a sibling directory and swapped in with
+    two renames — same single-writer assumption as the manifest/build
+    machinery. Unknown columns raise (ES strict mapping); text updates
+    must go through ``upsert_documents`` (re-analysis) instead.
+    """
+    spark = reader.spark
+    adir = _attrs_dir(reader.out_dir)
+    attrs = spark.read.parquet(adir)
+    unknown = [c for c in set_attrs if c not in attrs.columns]
+    if unknown:
+        raise ValueError(f"update_by_query: unknown attr columns {unknown}")
+    if "doc_id" in set_attrs:
+        raise ValueError("update_by_query: doc_id is immutable")
+    ids = reader.matching_doc_ids(terms, mode=mode, doc_filter=doc_filter)
+    if not ids:
+        return {"updated": 0}
+    hit = F.col("doc_id").isin([int(i) for i in ids])
+    cols = []
+    for c in attrs.columns:
+        if c in set_attrs:
+            new_v = F.lit(set_attrs[c]).cast(attrs.schema[c].dataType)
+            cols.append(F.when(hit, new_v).otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    updated = attrs.select(*cols)
+    tag = uuid.uuid4().hex[:12]
+    staging = f"{adir}.staging-{tag}"
+    updated.write.mode("overwrite").parquet(staging)
+    old = f"{adir}.old-{tag}"
+    os.rename(adir, old)
+    os.rename(staging, adir)
+    shutil.rmtree(old)
+    reader.refresh()
+    return {"updated": len(ids)}
+
+
+def reindex(
+    docs: DataFrame,
+    dst_out_dir: str,
+    query_terms: list[str] | None = None,
+    doc_ids=None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    lang_col: str | None = "lang",
+    **cfg_kwargs,
+) -> dict:
+    """ES POST ``_reindex`` with optional ``source.query``: re-analyze
+    documents from the source table into a new index with different
+    settings (``token_mode``, ``with_positions``, ``n_buckets``, ...).
+
+    Two filter forms, matching how ES's ``source.query`` is actually
+    resolved (against an analyzed index, not raw text):
+
+    - ``doc_ids``: the analyzer-exact path — query the SOURCE index
+      first (``IndexReader.matching_doc_ids``) and pass the ids; the
+      filter is then a semi-join-able id predicate at the scan.
+    - ``query_terms``: a raw-table predicate on the simple word-token
+      universe (one codegen expression at the scan). Cheap, but a doc
+      matching only via code-aware subtokens (``HashMap`` -> ``hash``)
+      is NOT selected — use ``doc_ids`` when analyzer-exact selection
+      matters.
+
+    Either way non-matching docs never leave the scan."""
+    src = docs
+    if query_terms and doc_ids is not None:
+        raise ValueError("pass query_terms or doc_ids, not both")
+    if doc_ids is not None:
+        src = docs.filter(
+            F.col(id_col).isin([int(d) for d in doc_ids])
+        )
+    elif query_terms:
+        toks = F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9_]+', 0)"
+        )
+        want = F.array([F.lit(t) for t in query_terms])
+        src = docs.filter(F.arrays_overlap(toks, want))
+    cfg = IndexConfig(out_dir=dst_out_dir, **cfg_kwargs)
+    summary = build_index(
+        src, cfg, id_col=id_col, text_col=text_col, lang_col=lang_col
+    )
+    summary["reindexed_from_query"] = bool(query_terms or doc_ids is not None)
+    return summary

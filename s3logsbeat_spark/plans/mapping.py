@@ -90,3 +90,33 @@ def as_es_template(
             }
         },
     }
+
+
+def field_caps(specs: list[ParseSpec]) -> dict:
+    """ES GET ``_field_caps`` across one or more formats ("indices"):
+    per field name, the capabilities by type — ``searchable`` (every
+    indexed type), ``aggregatable`` (everything except analyzed
+    ``text``, exactly the ES rule), and which formats carry the field.
+    Fields whose type differs between formats list each type separately
+    with its contributing indices, as the real API does."""
+    caps: dict[str, dict[str, dict]] = {}
+    for spec in specs:
+        for f in export_mapping(spec):
+            ent = caps.setdefault(f["name"], {}).setdefault(
+                f["type"],
+                {
+                    "type": f["type"],
+                    "searchable": True,
+                    "aggregatable": f["type"] != "text",
+                    "indices": [],
+                },
+            )
+            ent["indices"].append(spec.name)
+    # single-type fields present in every index omit the indices list
+    # (the ES response shape)
+    n = len(specs)
+    for field, by_type in caps.items():
+        for ent in by_type.values():
+            if len(by_type) == 1 and len(ent["indices"]) == n:
+                del ent["indices"]
+    return {"fields": caps}

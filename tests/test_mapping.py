@@ -96,3 +96,20 @@ def test_es_template_shape():
     props = t["template"]["mappings"]["properties"]
     assert props["elb_status_code"] == {"type": "integer"}
     assert props["user_agent"] == {"type": "text"}
+
+
+def test_field_caps_merges_formats():
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.mapping import field_caps
+
+    fc = field_caps([FORMATS["alb"], FORMATS["cloudfront"]])["fields"]
+    # shared single-type field present in every index: no indices list
+    assert fc["@timestamp"] == {
+        "date": {"type": "date", "searchable": True, "aggregatable": True}
+    }
+    # analyzed text is searchable but NOT aggregatable (the ES rule)
+    ua = fc["user_agent"]["text"]
+    assert ua["searchable"] and not ua["aggregatable"]
+    # format-specific fields name their contributing index
+    assert fc["elb_status_code"]["integer"]["indices"] == ["alb"]
+    assert "cloudfront" not in fc["elb_status_code"]["integer"]["indices"]

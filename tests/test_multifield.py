@@ -141,3 +141,31 @@ def test_combined_fields_differs_from_most_fields(spark):
     b = {(r["doc_id"], r["score"])
          for r in multi_match_topk(df, terms, fields, k=10).collect()}
     assert a != b
+
+
+def test_dis_max_tie_breaker(spark):
+    """dis_max = max + t * (sum - max): recomputable from the
+    most_fields (sum) and best_fields (max) runs per doc."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    terms = ["alpha", "news"]
+    fields = {"text": 1.0, "tag": 3.0}
+    mx = {r["doc_id"]: r["score"] for r in multi_match_topk(
+        df, terms, fields, k=100, mode="best_fields").collect()}
+    sm = {r["doc_id"]: r["score"] for r in multi_match_topk(
+        df, terms, fields, k=100).collect()}
+    got = {r["doc_id"]: r["score"] for r in multi_match_topk(
+        df, terms, fields, k=100, mode="best_fields", tie_breaker=0.3
+    ).collect()}
+    for d in got:
+        assert got[d] == pytest.approx(mx[d] + 0.3 * (sm[d] - mx[d]), abs=2e-6)
+    # t=1 degenerates to most_fields
+    one = {r["doc_id"]: r["score"] for r in multi_match_topk(
+        df, terms, fields, k=100, mode="best_fields", tie_breaker=1.0
+    ).collect()}
+    assert one == sm
+
+
+def test_dis_max_tie_breaker_requires_best_fields(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string, tag string")
+    with pytest.raises(ValueError, match="tie_breaker"):
+        multi_match_topk(df, ["alpha"], {"text": 1.0}, tie_breaker=0.5)

@@ -1,0 +1,146 @@
+"""Index mutation APIs: _delete_by_query / _update_by_query / _reindex
+(ES REST mutation parity over the segment index).
+
+delete_by_query must behave like ES soft deletes: results change
+immediately, corpus stats stay stale until forcemerge (the oracle is
+filter-context ``allowed`` over FULL-corpus stats). update_by_query
+patches sidecar attribute columns only. reindex re-analyzes from the
+source table with new settings and an optional query filter.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from s3logsbeat_spark.operators.mutate import (
+    delete_by_query,
+    reindex,
+    update_by_query,
+)
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    load_doc_attrs,
+    read_tombstones,
+)
+from s3logsbeat_spark.operators.wand import IndexReader
+from s3logsbeat_spark.oracle.bm25_oracle import BM25Oracle
+
+Q = ["merge", "return"]
+DEL_TERM = "hash"
+
+
+@pytest.fixture(scope="module")
+def base_index(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mut_base"))
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10)
+    build_index(corpus_df, cfg)
+    return out
+
+
+@pytest.fixture()
+def index_copy(base_index, tmp_path):
+    dst = str(tmp_path / "idx")
+    shutil.copytree(base_index, dst)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus_df):
+    rows = [r.asDict() for r in corpus_df.select("doc_id", "content", "lang").collect()]
+    return BM25Oracle(rows)
+
+
+def test_delete_by_query_filters_results_stats_stale(
+    spark, index_copy, oracle
+):
+    rdr = IndexReader(spark, index_copy)
+    victims = set(rdr.matching_doc_ids([DEL_TERM]))
+    assert victims, "fixture term must match some docs"
+    res = delete_by_query(rdr, [DEL_TERM])
+    assert res["deleted"] == len(victims)
+    top = rdr.query(Q, 10)
+    assert not victims & {d for d, _ in top}
+    # ES semantics: scores computed with STALE (full-corpus) stats,
+    # only the result set shrinks == oracle filter context
+    survivors = {d for d in oracle.tfs if d not in victims}
+    assert top == oracle.topk(Q, 10, allowed=survivors)
+
+
+def test_delete_by_query_idempotent_and_max_docs(spark, index_copy):
+    rdr = IndexReader(spark, index_copy)
+    ids = rdr.matching_doc_ids([DEL_TERM])
+    res1 = delete_by_query(rdr, [DEL_TERM], max_docs=2)
+    assert res1["deleted"] == 2
+    assert read_tombstones(index_copy) == sorted(ids)[:2]
+    # re-running deletes the remainder; a third run is a no-op
+    res2 = delete_by_query(rdr, [DEL_TERM])
+    assert res2["deleted"] == len(ids) - 2
+    assert delete_by_query(rdr, [DEL_TERM])["deleted"] == 0
+    assert read_tombstones(index_copy) == sorted(ids)
+
+
+def test_update_by_query_patches_attrs(spark, index_copy):
+    rdr = IndexReader(spark, index_copy)
+    ids = set(rdr.matching_doc_ids([DEL_TERM]))
+    before = {
+        r["doc_id"]: r["lang"]
+        for r in load_doc_attrs(spark, index_copy).collect()
+    }
+    res = update_by_query(rdr, [DEL_TERM], {"lang": "zz"})
+    assert res["updated"] == len(ids)
+    after = {
+        r["doc_id"]: r["lang"]
+        for r in load_doc_attrs(spark, index_copy).collect()
+    }
+    assert set(after) == set(before)
+    for did, lang in after.items():
+        assert lang == ("zz" if did in ids else before[did])
+    # the reader's attr-backed surface sees the patch immediately
+    assert rdr.count([DEL_TERM], doc_filter={"lang": "zz"}) == len(ids)
+
+
+def test_update_by_query_rejects_unknown_and_id(spark, index_copy):
+    rdr = IndexReader(spark, index_copy)
+    with pytest.raises(ValueError, match="unknown attr"):
+        update_by_query(rdr, [DEL_TERM], {"nope": 1})
+    with pytest.raises(ValueError, match="immutable"):
+        update_by_query(rdr, [DEL_TERM], {"doc_id": 1})
+
+
+def test_reindex_with_query_filter(
+    spark, corpus_df, oracle, base_index, tmp_path
+):
+    dst = str(tmp_path / "re")
+    # analyzer-exact selection: resolve the query against the SOURCE
+    # index (code-aware subtoken matches included), then reindex by id
+    ids = IndexReader(spark, base_index).matching_doc_ids([DEL_TERM])
+    summary = reindex(
+        corpus_df, dst, doc_ids=ids, n_buckets=2, hot_df_threshold=10
+    )
+    keep = {d for d in oracle.tfs if oracle.tfs[d].get(DEL_TERM)}
+    assert set(ids) == keep
+    assert summary["n_docs"] == len(keep)
+    assert summary["reindexed_from_query"] is True
+    # the new index is a first-class index: stats reflect ONLY the
+    # reindexed corpus (unlike soft deletes) and queries run against it
+    sub_rows = [
+        r.asDict()
+        for r in corpus_df.select("doc_id", "content", "lang").collect()
+        if r["doc_id"] in keep
+    ]
+    sub_oracle = BM25Oracle(sub_rows)
+    rdr = IndexReader(spark, dst)
+    assert rdr.query(Q, 10) == sub_oracle.topk(Q, 10)
+
+
+def test_reindex_adds_positions(spark, corpus_df, tmp_path):
+    dst = str(tmp_path / "repos")
+    reindex(
+        corpus_df, dst, n_buckets=2, hot_df_threshold=10, with_positions=True
+    )
+    rdr = IndexReader(spark, dst)
+    # positional queries work on the re-analyzed index
+    assert isinstance(rdr.phrase_query(["return", "the"], 5), list)
