@@ -300,6 +300,31 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES JSON query DSL (POST _search with a request body) — the
+    surface every ES client library speaks. The body routes through
+    operators/dsl.execute_search onto the SAME WAND engine path as
+    bm25_wand; like the template/ES-SQL front doors, translation must
+    not change scoring, so the oracle is bm25_wand's."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(
+        rdr,
+        {
+            "query": {"match": {"content": " ".join(BM25_TERMS)}},
+            "size": BM25_K,
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (int(h["_id"]), round(h["_score"], 6))
+            for h in resp["hits"]["hits"]
+        ],
+        "doc_id long, score double",
+    )
+
+
 MSEARCH_SPECS = [
     {"terms": ["merge", "window", "spark"], "k": 10},
     {"terms": ["stream", "query"], "k": 10},
@@ -3151,6 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_counter_rate": q_events_counter_rate,
         "geo_line": q_geo_line,
         "delete_by_query": q_delete_by_query,
+        "search_dsl": q_search_dsl,
     }
 
 
@@ -6134,6 +6160,7 @@ SELECT lang,
        count(*)::BIGINT AS points
 FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
 """,
+        "search_dsl": _BM25_WAND_SQL,
         "delete_by_query": _BM25_SQL.replace(
             "SELECT doc_id, round(raw, 6) AS score FROM scored",
             "SELECT doc_id, round(raw, 6) AS score FROM scored "

@@ -1,0 +1,409 @@
+"""ES JSON query DSL front door (POST ``<index>/_search`` with a request
+body) — the surface every ES client library and Kibana actually speaks.
+
+Reference parity: the reference ships events INTO this API's index; its
+users then query with JSON bodies. ``execute_search`` accepts the body
+and translates it onto the engine's existing, oracle-checked operators —
+this module adds ZERO new scoring or aggregation paths, exactly like the
+search-template front door (``essql.py``): translation must not change
+results, and the pytest matrix pins each body form to the equivalent
+direct reader call.
+
+Supported body surface (v1): ``query`` clauses match_all / match (with
+operator, minimum_should_match, fuzziness) / term / terms / match_phrase
+/ match_phrase_prefix / prefix / wildcard / fuzzy / ids / more_like_this
+/ bool (must, should, must_not, filter, minimum_should_match) /
+constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
+key: ``_score`` or a sidecar attribute), ``search_after``, and ``aggs``
+(terms / stats / histogram / range / cardinality / percentiles / value_count
+— one level, no sub-aggs). Unsupported constructs raise ``ValueError``
+naming the construct, never silently mis-execute.
+
+Scale: everything dispatches to the reader's existing kernels (pruned
+driver reads with automatic distributed reroute), so body translation
+adds only driver-side parsing.
+"""
+
+from __future__ import annotations
+
+from ..functions.tokenizer import tokenize_text
+
+
+def analyze_ordered(text: str, lang: str | None = None) -> list[str]:
+    """Query-side analysis with the INDEX tokenizer (match queries run
+    the same analyzer at query time, the ES rule), in position order —
+    required for phrase clauses. Sub-tokens share their raw token's
+    position (the index's synonym-style convention); ties order
+    lexicographically for determinism."""
+    from ..functions.tokenizer import tokenize_text_positions
+
+    pos = tokenize_text_positions(text or "", lang)
+    seq = sorted((p, t) for t, ps in pos.items() for p in ps)
+    return [t for _p, t in seq]
+
+
+def _one(clause: dict, name: str) -> tuple[str, dict | str]:
+    if len(clause) != 1:
+        raise ValueError(f"{name} clause must name exactly one field")
+    [(field, spec)] = clause.items()
+    return field, spec
+
+
+def _match_terms(spec) -> tuple[list[str], str, int | None, int | None]:
+    """(terms, mode, min_should_match, fuzziness) for a match spec."""
+    if isinstance(spec, str):
+        text, op, msm, fuzz = spec, "or", None, None
+    else:
+        text = spec["query"]
+        op = spec.get("operator", "or")
+        msm = spec.get("minimum_should_match")
+        fuzz = spec.get("fuzziness")
+        if fuzz == "AUTO":
+            fuzz = 1
+    if op not in ("or", "and"):
+        raise ValueError(f"unsupported match operator: {op}")
+    terms = [t for t, _ in tokenize_text(text, None)]
+    return sorted(set(terms)), op, msm, fuzz
+
+
+def _filter_to_doc_filter(filters) -> dict | None:
+    """bool.filter clauses -> the reader's sidecar doc_filter dict."""
+    if not filters:
+        return None
+    if isinstance(filters, dict):
+        filters = [filters]
+    out: dict = {}
+    for f in filters:
+        kind, clause = _one(f, "filter")
+        if kind not in ("term", "terms"):
+            raise ValueError(f"unsupported filter clause: {kind}")
+        field, value = _one(clause, kind)
+        if field in out:
+            raise ValueError(f"duplicate filter field: {field}")
+        out[field] = value
+    return out
+
+
+def _clause_terms(q: dict, role: str) -> list[str]:
+    """Flatten a scoring sub-clause (term/terms/match-or) to its term
+    list — the only forms ES's bool roles need for term-centric bodies."""
+    kind, clause = _one(q, role)
+    if kind == "term":
+        _, v = _one(clause, "term")
+        return [v if isinstance(v, str) else v["value"]]
+    if kind == "terms":
+        _, vs = _one(clause, "terms")
+        return list(vs)
+    if kind == "match":
+        _, spec = _one(clause, "match")
+        terms, op, msm, fuzz = _match_terms(spec)
+        if op != "or" or msm or fuzz:
+            raise ValueError(
+                f"bool {role} supports plain OR match only (got operator="
+                f"{op}, minimum_should_match={msm}, fuzziness={fuzz})"
+            )
+        return terms
+    raise ValueError(f"unsupported bool {role} clause: {kind}")
+
+
+def _as_list(x):
+    return x if isinstance(x, list) else [x]
+
+
+def execute_search(reader, body: dict) -> dict:
+    """Run an ES ``_search`` request body; returns the ES response shape
+    ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}]},
+    "aggregations": {...}}``."""
+    size = int(body.get("size", 10))
+    frm = int(body.get("from", 0))
+    q = body.get("query", {"match_all": {}})
+    kind, clause = _one(q, "query")
+    k = frm + size
+    doc_filter = None
+    terms_for_aggs: list[str] | None = None
+    agg_mode = "or"
+
+    sort = body.get("sort")
+    after = body.get("search_after")
+
+    def _hits(pairs):
+        return [
+            {"_id": int(d), "_score": (None if s is None else float(s))}
+            for d, s in pairs
+        ]
+
+    if kind == "match_all":
+        from .segments import load_doc_attrs
+
+        blocked = set(int(x) for x in reader._blocked())
+        rows = (
+            load_doc_attrs(reader.spark, reader.out_dir)
+            .select("doc_id")
+            .orderBy("doc_id")
+            .limit(k + len(blocked))
+            .collect()
+        )
+        ids = [r["doc_id"] for r in rows if r["doc_id"] not in blocked][:k]
+        pairs = [(d, 1.0) for d in ids]
+        total = reader.n_docs - len(blocked)
+    elif kind == "bool":
+        must = []
+        for c in _as_list(clause.get("must", [])):
+            must.extend(_clause_terms(c, "must"))
+        should = []
+        for c in _as_list(clause.get("should", [])):
+            should.extend(_clause_terms(c, "should"))
+        must_not = []
+        for c in _as_list(clause.get("must_not", [])):
+            must_not.extend(_clause_terms(c, "must_not"))
+        doc_filter = _filter_to_doc_filter(clause.get("filter"))
+        bq = {
+            "must": must,
+            "should": should,
+            "must_not": must_not,
+            "min_should_match": int(clause.get("minimum_should_match", 0) or 0),
+        }
+        if doc_filter:
+            bq["filter"] = doc_filter
+        pairs = reader.search(bq, k)
+        terms_for_aggs = sorted(set(must) | set(should))
+        total = None
+    elif kind == "constant_score":
+        boost = float(clause.get("boost", 1.0))
+        filt = clause["filter"]
+        fkind, _fclause = _one(filt, "constant_score.filter")
+        if fkind in ("term", "terms", "match"):
+            terms = _clause_terms(filt, "constant_score.filter")
+            ids = reader.matching_doc_ids(terms)
+        else:
+            raise ValueError(
+                f"unsupported constant_score filter: {fkind}"
+            )
+        pairs = [(d, boost) for d in ids[:k]]
+        total = len(ids)
+    elif kind == "boosting":
+        pos = _clause_terms(clause["positive"], "boosting.positive")
+        neg = _clause_terms(clause["negative"], "boosting.negative")
+        pairs = reader.search(
+            {
+                "must": [],
+                "should": pos,
+                "must_not": [],
+                "negative": neg,
+                "negative_boost": float(clause.get("negative_boost", 0.5)),
+                "min_should_match": 1,
+            },
+            k,
+        )
+        terms_for_aggs = pos
+        total = None
+    elif kind == "ids":
+        ids = reader.ids_query([int(v) for v in clause["values"]])
+        pairs = [(d, 1.0) for d in ids[:k]]
+        total = len(ids)
+    elif kind == "match_phrase":
+        _, spec = _one(clause, "match_phrase")
+        text = spec if isinstance(spec, str) else spec["query"]
+        pairs = reader.phrase_query(analyze_ordered(text), k)
+        total = None
+    elif kind == "match_phrase_prefix":
+        _, spec = _one(clause, "match_phrase_prefix")
+        text = spec if isinstance(spec, str) else spec["query"]
+        toks = analyze_ordered(text)
+        if len(toks) < 2:
+            raise ValueError("match_phrase_prefix needs >= 2 tokens")
+        pairs = reader.phrase_prefix_query(toks[:-1], toks[-1], k)
+        total = None
+    elif kind == "prefix":
+        _, v = _one(clause, "prefix")
+        v = v if isinstance(v, str) else v["value"]
+        pairs = reader.wildcard_query(v + "*", k)
+        total = None
+    elif kind == "wildcard":
+        _, v = _one(clause, "wildcard")
+        v = v if isinstance(v, str) else v["value"]
+        pairs = reader.wildcard_query(v, k)
+        total = None
+    elif kind == "fuzzy":
+        _, spec = _one(clause, "fuzzy")
+        if isinstance(spec, str):
+            value, edits = spec, 1
+        else:
+            value = spec["value"]
+            edits = spec.get("fuzziness", 1)
+            edits = 1 if edits == "AUTO" else int(edits)
+        pairs = reader.fuzzy_query([value], k, max_edits=edits)
+        total = None
+    elif kind == "more_like_this":
+        like = clause["like"]
+        pairs = reader.more_like_this(
+            like, k=k, max_query_terms=int(clause.get("max_query_terms", 25))
+        )
+        total = None
+    elif kind == "match":
+        _, spec = _one(clause, "match")
+        terms, op, msm, fuzz = _match_terms(spec)
+        terms_for_aggs, agg_mode = terms, op
+        if fuzz:
+            pairs = reader.fuzzy_query(terms, k, max_edits=int(fuzz))
+        elif sort and sort not in ("_score", ["_score"]):
+            pairs = None  # handled below
+        elif after is not None:
+            pairs = reader.query_after(
+                terms, size, after=(float(after[0]), int(after[1])), mode=op
+            )
+            frm = 0
+        else:
+            pairs = reader.query(
+                terms, k, mode=op, min_should_match=msm
+            )
+        total = None
+    elif kind in ("term", "terms"):
+        terms = _clause_terms(q, "query")
+        terms_for_aggs = terms
+        pairs = reader.query(terms, k)
+        total = None
+    else:
+        raise ValueError(f"unsupported query clause: {kind}")
+
+    # attribute sort (one key), ES sort-by-field semantics: score is null
+    if sort and sort not in ("_score", ["_score"]):
+        s = sort[0] if isinstance(sort, list) else sort
+        if isinstance(s, str):
+            field, order = s, "desc"
+        else:
+            field, spec = _one(s, "sort")
+            order = spec if isinstance(spec, str) else spec.get("order", "desc")
+        if terms_for_aggs is None:
+            raise ValueError("sort-by-field needs a term-resolvable query")
+        ranked = reader.sort_by_field(
+            terms_for_aggs, field, k,
+            descending=(order == "desc"),
+            after=tuple(after) if after is not None else None,
+            mode=agg_mode, doc_filter=doc_filter,
+        )
+        pairs = [(d, None) for d, _v in ranked]
+        frm = 0 if after is not None else frm
+
+    page = pairs[frm:frm + size]
+    resp: dict = {
+        "hits": {
+            "total": (
+                {"value": int(total), "relation": "eq"}
+                if total is not None
+                else None
+            ),
+            "hits": _hits(page),
+        }
+    }
+    if body.get("track_total_hits") and total is None:
+        if terms_for_aggs is None:
+            raise ValueError("track_total_hits needs a term-resolvable query")
+        resp["hits"]["total"] = {
+            "value": int(
+                reader.count(terms_for_aggs, mode=agg_mode, doc_filter=doc_filter)
+            ),
+            "relation": "eq",
+        }
+
+    aggs = body.get("aggs") or body.get("aggregations")
+    if aggs:
+        if terms_for_aggs is None:
+            raise ValueError("aggs need a term-resolvable query")
+        resp["aggregations"] = _run_aggs(
+            reader, terms_for_aggs, agg_mode, doc_filter, aggs
+        )
+    return resp
+
+
+def _run_aggs(reader, terms, mode, doc_filter, aggs: dict) -> dict:
+    out = {}
+    for name, spec in aggs.items():
+        if len(spec) != 1:
+            raise ValueError(f"agg {name}: sub-aggregations unsupported")
+        [(kind, a)] = spec.items()
+        field = a.get("field")
+        if kind == "terms":
+            buckets = reader.facet_counts(
+                terms, field, mode=mode, doc_filter=doc_filter
+            )
+            size = int(a.get("size", 10))
+            out[name] = {
+                "buckets": [
+                    {"key": kv, "doc_count": int(n)}
+                    for kv, n in buckets[:size]
+                ]
+            }
+        elif kind == "stats":
+            out[name] = reader.stats_agg(
+                terms, field, mode=mode, doc_filter=doc_filter
+            )
+        elif kind == "value_count":
+            st = reader.stats_agg(terms, field, mode=mode, doc_filter=doc_filter)
+            out[name] = {"value": st["count"]}
+        elif kind == "histogram":
+            out[name] = {
+                "buckets": [
+                    {"key": key, "doc_count": int(n)}
+                    for key, n in reader.histogram_agg(
+                        terms, field, float(a["interval"]),
+                        mode=mode, doc_filter=doc_filter,
+                    )
+                ]
+            }
+        elif kind == "range":
+            ranges = [
+                (r.get("from"), r.get("to")) for r in a["ranges"]
+            ]
+            out[name] = {
+                "buckets": [
+                    {"key": key, "doc_count": int(n)}
+                    for key, n in reader.range_agg(
+                        terms, field, ranges, mode=mode, doc_filter=doc_filter
+                    )
+                ]
+            }
+        elif kind == "cardinality":
+            out[name] = {
+                "value": int(
+                    reader.cardinality_agg(
+                        terms, field, mode=mode, doc_filter=doc_filter
+                    )
+                )
+            }
+        elif kind == "percentiles":
+            pcts = tuple(a.get("percents", (25.0, 50.0, 75.0, 95.0, 99.0)))
+            out[name] = {
+                "values": {
+                    str(p): v
+                    for p, v in reader.percentiles_agg(
+                        terms, field, percentiles=pcts,
+                        mode=mode, doc_filter=doc_filter,
+                    )
+                }
+            }
+        else:
+            raise ValueError(f"unsupported aggregation: {kind}")
+    return out
+
+
+def execute_count(reader, body: dict | None = None) -> dict:
+    """ES ``_count``: total matching docs for a (term-resolvable) query
+    body; no body = all live docs."""
+    if not body or "query" not in body:
+        return {"count": int(reader.n_docs - len(reader._blocked()))}
+    kind, clause = _one(body["query"], "query")
+    doc_filter = None
+    if kind == "bool":
+        terms = []
+        for role in ("must", "should"):
+            for c in _as_list(clause.get(role, [])):
+                terms.extend(_clause_terms(c, role))
+        doc_filter = _filter_to_doc_filter(clause.get("filter"))
+        if _as_list(clause.get("must_not", [])):
+            raise ValueError("_count with must_not unsupported")
+    elif kind in ("term", "terms", "match"):
+        terms = _clause_terms(body["query"], "query")
+    else:
+        raise ValueError(f"unsupported _count query: {kind}")
+    return {"count": int(reader.count(terms, doc_filter=doc_filter))}

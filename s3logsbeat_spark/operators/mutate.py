@@ -41,7 +41,13 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .segments import IndexConfig, _attrs_dir, build_index, delete_docs
+from .segments import (
+    IndexConfig,
+    _attrs_dir,
+    build_index,
+    delete_docs,
+    read_tombstones,
+)
 
 
 def delete_by_query(
@@ -80,35 +86,8 @@ def update_by_query(
     machinery. Unknown columns raise (ES strict mapping); text updates
     must go through ``upsert_documents`` (re-analysis) instead.
     """
-    spark = reader.spark
-    adir = _attrs_dir(reader.out_dir)
-    attrs = spark.read.parquet(adir)
-    unknown = [c for c in set_attrs if c not in attrs.columns]
-    if unknown:
-        raise ValueError(f"update_by_query: unknown attr columns {unknown}")
-    if "doc_id" in set_attrs:
-        raise ValueError("update_by_query: doc_id is immutable")
     ids = reader.matching_doc_ids(terms, mode=mode, doc_filter=doc_filter)
-    if not ids:
-        return {"updated": 0}
-    hit = F.col("doc_id").isin([int(i) for i in ids])
-    cols = []
-    for c in attrs.columns:
-        if c in set_attrs:
-            new_v = F.lit(set_attrs[c]).cast(attrs.schema[c].dataType)
-            cols.append(F.when(hit, new_v).otherwise(F.col(c)).alias(c))
-        else:
-            cols.append(F.col(c))
-    updated = attrs.select(*cols)
-    tag = uuid.uuid4().hex[:12]
-    staging = f"{adir}.staging-{tag}"
-    updated.write.mode("overwrite").parquet(staging)
-    old = f"{adir}.old-{tag}"
-    os.rename(adir, old)
-    os.rename(staging, adir)
-    shutil.rmtree(old)
-    reader.refresh()
-    return {"updated": len(ids)}
+    return {"updated": _patch_attrs(reader, ids, set_attrs)}
 
 
 def reindex(
@@ -157,3 +136,123 @@ def reindex(
     )
     summary["reindexed_from_query"] = bool(query_terms or doc_ids is not None)
     return summary
+
+
+def _patch_attrs(reader, ids, set_attrs: dict) -> int:
+    """Sidecar attr patch for explicit ids (shared by update_by_query's
+    query path and _bulk's update actions): staged write + rename swap."""
+    spark = reader.spark
+    adir = _attrs_dir(reader.out_dir)
+    attrs = spark.read.parquet(adir)
+    unknown = [c for c in set_attrs if c not in attrs.columns]
+    if unknown:
+        raise ValueError(f"update: unknown attr columns {unknown}")
+    if "doc_id" in set_attrs:
+        raise ValueError("update: doc_id is immutable")
+    ids = [int(i) for i in ids]
+    if not ids:
+        return 0
+    hit = F.col("doc_id").isin(ids)
+    cols = []
+    for c in attrs.columns:
+        if c in set_attrs:
+            new_v = F.lit(set_attrs[c]).cast(attrs.schema[c].dataType)
+            cols.append(F.when(hit, new_v).otherwise(F.col(c)).alias(c))
+        else:
+            cols.append(F.col(c))
+    updated = attrs.select(*cols)
+    tag = uuid.uuid4().hex[:12]
+    staging = f"{adir}.staging-{tag}"
+    updated.write.mode("overwrite").parquet(staging)
+    old = f"{adir}.old-{tag}"
+    os.rename(adir, old)
+    os.rename(staging, adir)
+    shutil.rmtree(old)
+    reader.refresh()
+    return len(ids)
+
+
+def bulk(reader, actions: list[dict], n_buckets: int = 4) -> dict:
+    """ES POST ``_bulk``: a mixed batch of index / update / delete
+    actions. Actions apply IN ORDER, with consecutive same-op runs
+    coalesced into one engine call — so a homogeneous batch costs one
+    ``append_index`` generation / one sidecar patch / one tombstone
+    file, and a mixed batch costs one call per op run.
+
+    Action shapes::
+
+        {"index":  {"doc_id": 7, "content": "...", "lang": "py", ...}}
+        {"update": {"doc_id": 7, "doc": {"lang": "go"}}}
+        {"delete": {"doc_id": 7}}
+
+    Returns ``{"items": [...], "errors": bool}`` — per-action results in
+    input order, ES response shape."""
+    from .segments import append_index
+
+    spark = reader.spark
+    items: list[dict] = []
+    errors = False
+    i = 0
+    while i < len(actions):
+        op = next(iter(actions[i]))
+        j = i
+        while j < len(actions) and next(iter(actions[j])) == op:
+            j += 1
+        run = [a[op] for a in actions[i:j]]
+        try:
+            if op == "index":
+                # recreate-after-delete needs a compaction cycle first:
+                # the tombstone would keep blocking the id at read time
+                # and append's sidecar anti-join would drop the doc —
+                # surface a per-item 409 (ES version_conflict analogue)
+                # instead of silently no-oping
+                dead = set(read_tombstones(reader.out_dir))
+                ok_run = [d for d in run if d["doc_id"] not in dead]
+                if ok_run:
+                    docs = spark.createDataFrame(ok_run)
+                    append_index(docs, reader.out_dir, n_buckets=n_buckets)
+                    reader.refresh()
+                for d in run:
+                    if d["doc_id"] in dead:
+                        errors = True
+                        items.append({"index": {
+                            "_id": d["doc_id"], "status": 409,
+                            "error": "doc_id is tombstoned; compact_index "
+                                     "before recreating it"}})
+                    else:
+                        items.append({"index": {
+                            "_id": d["doc_id"], "result": "created",
+                            "status": 201}})
+            elif op == "delete":
+                delete_docs(reader.out_dir, [d["doc_id"] for d in run])
+                reader.refresh()
+                items += [
+                    {"delete": {"_id": d["doc_id"], "result": "deleted",
+                                "status": 200}}
+                    for d in run
+                ]
+            elif op == "update":
+                # group the run by identical patch so each distinct doc
+                # payload costs one sidecar pass
+                seen: dict[tuple, list[int]] = {}
+                for d in run:
+                    key = tuple(sorted(d["doc"].items()))
+                    seen.setdefault(key, []).append(d["doc_id"])
+                for key, ids in seen.items():
+                    _patch_attrs(reader, ids, dict(key))
+                items += [
+                    {"update": {"_id": d["doc_id"], "result": "updated",
+                                "status": 200}}
+                    for d in run
+                ]
+            else:
+                raise ValueError(f"unsupported bulk op: {op}")
+        except ValueError as ex:
+            errors = True
+            items += [
+                {op: {"_id": d.get("doc_id"), "status": 400,
+                      "error": str(ex)}}
+                for d in run
+            ]
+        i = j
+    return {"items": items, "errors": errors}

@@ -1,0 +1,289 @@
+"""ES JSON query DSL front door: every supported body form must equal
+the direct reader call it translates to (translation adds no scoring
+paths), and the _bulk batch endpoint must apply mixed mutation batches
+in order with per-item results."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.dsl import (
+    execute_count,
+    execute_search,
+)
+from s3logsbeat_spark.operators.mutate import bulk
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+@pytest.fixture(scope="module")
+def rdr(spark, corpus_df, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("dsl_idx"))
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=4, hot_df_threshold=10, with_positions=True
+    )
+    # n_chars gives the sidecar a numeric attr for sort/stats bodies
+    build_index(corpus_df.withColumn("n_chars", F.length("content")), cfg)
+    return IndexReader(spark, out)
+
+
+def _ids_scores(resp):
+    return [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+
+
+def test_match_or(rdr):
+    got = execute_search(rdr, {"query": {"match": {"content": "merge hash"}}})
+    assert _ids_scores(got) == rdr.query(["hash", "merge"], 10)
+
+
+def test_match_and_operator(rdr):
+    body = {"query": {"match": {"content": {"query": "merge hash",
+                                            "operator": "and"}}}}
+    got = execute_search(rdr, body)
+    assert _ids_scores(got) == rdr.query(["hash", "merge"], 10, mode="and")
+
+
+def test_match_minimum_should_match(rdr):
+    body = {"query": {"match": {"content": {
+        "query": "merge hash buffer", "minimum_should_match": 2}}}}
+    got = execute_search(rdr, body)
+    assert _ids_scores(got) == rdr.query(
+        ["buffer", "hash", "merge"], 10, min_should_match=2
+    )
+
+
+def test_match_fuzziness(rdr):
+    body = {"query": {"match": {"content": {"query": "mergee",
+                                            "fuzziness": 1}}}}
+    got = execute_search(rdr, body)
+    assert _ids_scores(got) == rdr.fuzzy_query(["mergee"], 10, max_edits=1)
+
+
+def test_bool_roles_and_filter(rdr):
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "should": [{"match": {"content": "hash buffer"}}],
+        "must_not": [{"term": {"content": "static"}}],
+        "filter": [{"term": {"lang": "py"}}],
+        "minimum_should_match": 1,
+    }}, "size": 10}
+    got = execute_search(rdr, body)
+    want = rdr.search({
+        "must": ["merge"], "should": ["buffer", "hash"],
+        "must_not": ["static"], "filter": {"lang": "py"},
+        "min_should_match": 1,
+    }, 10)
+    assert _ids_scores(got) == want
+
+
+def test_constant_score(rdr):
+    body = {"query": {"constant_score": {
+        "filter": {"term": {"content": "hash"}}, "boost": 2.5}}, "size": 5}
+    got = execute_search(rdr, body)
+    ids = rdr.matching_doc_ids(["hash"])
+    assert _ids_scores(got) == [(d, 2.5) for d in ids[:5]]
+    assert got["hits"]["total"]["value"] == len(ids)
+
+
+def test_boosting(rdr):
+    body = {"query": {"boosting": {
+        "positive": {"match": {"content": "merge hash"}},
+        "negative": {"term": {"content": "static"}},
+        "negative_boost": 0.4,
+    }}}
+    got = execute_search(rdr, body)
+    want = rdr.search({
+        "must": [], "should": ["hash", "merge"], "must_not": [],
+        "negative": ["static"], "negative_boost": 0.4,
+        "min_should_match": 1,
+    }, 10)
+    assert _ids_scores(got) == want
+
+
+def test_ids_query(rdr, corpus_df):
+    real = [r["doc_id"] for r in
+            corpus_df.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    probe = real + [999999]
+    got = execute_search(rdr, {"query": {"ids": {"values": probe}}})
+    assert _ids_scores(got) == [(d, 1.0) for d in rdr.ids_query(probe)]
+    assert [d for d, _ in _ids_scores(got)] == sorted(real)
+
+
+def test_match_phrase(rdr):
+    got = execute_search(
+        rdr, {"query": {"match_phrase": {"content": "return the"}}}
+    )
+    assert _ids_scores(got) == rdr.phrase_query(["return", "the"], 10)
+
+
+def test_match_phrase_prefix(rdr):
+    got = execute_search(
+        rdr, {"query": {"match_phrase_prefix": {"content": "return th"}}}
+    )
+    assert _ids_scores(got) == rdr.phrase_prefix_query(["return"], "th", 10)
+
+
+def test_prefix_and_wildcard(rdr):
+    got = execute_search(rdr, {"query": {"prefix": {"content": "mer"}}})
+    assert _ids_scores(got) == rdr.wildcard_query("mer*", 10)
+    got = execute_search(rdr, {"query": {"wildcard": {"content": "me*ge"}}})
+    assert _ids_scores(got) == rdr.wildcard_query("me*ge", 10)
+
+
+def test_more_like_this(rdr, corpus_df):
+    like = corpus_df.orderBy("doc_id").limit(1).collect()[0]["content"]
+    got = execute_search(rdr, {"query": {"more_like_this": {"like": like}}})
+    assert _ids_scores(got) == rdr.more_like_this(like, k=10)
+
+
+def test_match_all_and_paging(rdr, corpus_df):
+    got = execute_search(rdr, {"query": {"match_all": {}}, "size": 5})
+    low5 = [r["doc_id"] for r in
+            corpus_df.select("doc_id").orderBy("doc_id").limit(5).collect()]
+    assert _ids_scores(got) == [(d, 1.0) for d in low5]
+    assert got["hits"]["total"]["value"] == rdr.n_docs
+    # from/size paging over a scored query
+    full = rdr.query(["hash", "merge"], 10)
+    page = execute_search(rdr, {
+        "query": {"match": {"content": "merge hash"}}, "from": 4, "size": 3})
+    assert _ids_scores(page) == full[4:7]
+
+
+def test_sort_by_field_and_search_after(rdr):
+    body = {"query": {"match": {"content": "merge hash"}},
+            "sort": [{"n_chars": {"order": "desc"}}], "size": 5}
+    got = execute_search(rdr, body)
+    want = rdr.sort_by_field(["hash", "merge"], "n_chars", 5, descending=True)
+    assert [d for d, _ in _ids_scores(got)] == [d for d, _ in want]
+    # keyset page 2 via search_after
+    after = want[-1]
+    got2 = execute_search(rdr, {**body, "search_after": list(after)})
+    want2 = rdr.sort_by_field(
+        ["hash", "merge"], "n_chars", 5, descending=True, after=after
+    )
+    assert [d for d, _ in _ids_scores(got2)] == [d for d, _ in want2]
+
+
+def test_score_search_after(rdr):
+    full = rdr.query(["hash", "merge"], 6)
+    after = full[2]
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge hash"}},
+        "search_after": [after[1], after[0]], "size": 3})
+    assert _ids_scores(got) == rdr.query_after(
+        ["hash", "merge"], 3, after=(after[1], after[0])
+    )
+
+
+def test_track_total_hits_and_count(rdr):
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge"}}, "track_total_hits": True})
+    assert got["hits"]["total"]["value"] == rdr.count(["merge"])
+    assert execute_count(rdr, {"query": {"term": {"content": "merge"}}}) == {
+        "count": rdr.count(["merge"])
+    }
+    assert execute_count(rdr) == {"count": rdr.n_docs}
+
+
+def test_aggregations(rdr):
+    body = {
+        "query": {"match": {"content": "merge hash"}},
+        "aggs": {
+            "langs": {"terms": {"field": "lang", "size": 3}},
+            "len": {"stats": {"field": "n_chars"}},
+            "card": {"cardinality": {"field": "repo"}},
+            "hist": {"histogram": {"field": "n_chars", "interval": 500}},
+            "pct": {"percentiles": {"field": "n_chars",
+                                    "percents": [50.0, 95.0]}},
+            "nv": {"value_count": {"field": "n_chars"}},
+        },
+    }
+    got = execute_search(rdr, body)["aggregations"]
+    t = ["hash", "merge"]
+    assert got["langs"]["buckets"] == [
+        {"key": kv, "doc_count": n} for kv, n in rdr.facet_counts(t, "lang")[:3]
+    ]
+    st = rdr.stats_agg(t, "n_chars")
+    assert got["len"] == st
+    assert got["nv"] == {"value": st["count"]}
+    assert got["card"]["value"] == rdr.cardinality_agg(t, "repo")
+    assert got["hist"]["buckets"] == [
+        {"key": k, "doc_count": n}
+        for k, n in rdr.histogram_agg(t, "n_chars", 500.0)
+    ]
+    assert got["pct"]["values"] == {
+        str(p): v
+        for p, v in rdr.percentiles_agg(t, "n_chars",
+                                        percentiles=(50.0, 95.0))
+    }
+
+
+def test_unsupported_raises(rdr):
+    with pytest.raises(ValueError, match="unsupported query clause"):
+        execute_search(rdr, {"query": {"knn_like_thing": {}}})
+    with pytest.raises(ValueError, match="unsupported aggregation"):
+        execute_search(rdr, {
+            "query": {"match": {"content": "merge"}},
+            "aggs": {"x": {"scripted_metric": {}}}})
+    with pytest.raises(ValueError, match="sub-aggregations"):
+        execute_search(rdr, {
+            "query": {"match": {"content": "merge"}},
+            "aggs": {"x": {"terms": {"field": "lang"},
+                           "aggs": {"y": {"stats": {"field": "n_chars"}}}}}})
+
+
+# ------------------------------------------------------------------ _bulk --
+
+@pytest.fixture()
+def mut_rdr(spark, corpus_df, tmp_path):
+    out = str(tmp_path / "bulk_idx")
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10)
+    build_index(corpus_df, cfg)
+    return IndexReader(spark, out)
+
+
+def _doc(template: dict, doc_id: int, content: str) -> dict:
+    d = dict(template)
+    d.update(doc_id=doc_id, content=content, path=f"src/new{doc_id}.py")
+    return d
+
+
+def test_bulk_mixed_batch(spark, corpus_df, mut_rdr):
+    template = corpus_df.limit(1).collect()[0].asDict()
+    n0 = mut_rdr.n_docs
+    actions = [
+        {"index": _doc(template, 90001, "zebrafish quux alpha")},
+        {"index": _doc(template, 90002, "zebrafish corge beta")},
+        {"update": {"doc_id": 90001, "doc": {"lang": "zz"}}},
+        {"delete": {"doc_id": 90002}},
+    ]
+    resp = bulk(mut_rdr, actions)
+    assert not resp["errors"]
+    assert [next(iter(i)) for i in resp["items"]] == [
+        "index", "index", "update", "delete"
+    ]
+    assert all(i[k]["status"] in (200, 201) for i in resp["items"]
+               for k in i)
+    # index: both appended (stats refreshed), delete: one tombstoned
+    assert mut_rdr.n_docs == n0 + 2
+    hits = {d for d, _ in mut_rdr.query(["zebrafish"], 10)}
+    assert 90001 in hits and 90002 not in hits
+    # update: sidecar filter sees the patched attr
+    assert mut_rdr.count(["zebrafish"], doc_filter={"lang": "zz"}) == 1
+
+
+def test_bulk_recreate_tombstoned_is_409(spark, corpus_df, mut_rdr):
+    template = corpus_df.limit(1).collect()[0].asDict()
+    victim = template["doc_id"]
+    bulk(mut_rdr, [{"delete": {"doc_id": victim}}])
+    resp = bulk(mut_rdr, [{"index": _doc(template, victim, "whatever")}])
+    assert resp["errors"]
+    assert resp["items"][0]["index"]["status"] == 409
+
+
+def test_bulk_bad_update_is_400(mut_rdr):
+    resp = bulk(mut_rdr, [{"update": {"doc_id": 1, "doc": {"nope": 1}}}])
+    assert resp["errors"]
+    assert resp["items"][0]["update"]["status"] == 400
