@@ -2900,6 +2900,10 @@ def q_events_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 6).alias("min_value"),
             F.round(F.max("value"), 6).alias("max_value"),
             F.round(F.sum("value"), 6).alias("sum_value"),
+            # struct-keyed argmax forces SortAggregate (struct ordering
+            # isn't hash-aggregable) — still a map-side partial agg
+            # before the one shuffle, which is the property that matters
+            # at scale
             F.round(
                 F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 6
             ).alias("last_value"),

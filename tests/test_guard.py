@@ -86,3 +86,13 @@ def test_contract_queries_are_guarded(spark):
     # scale with bucket count
     assert occurrences_in_plan(sc, "app/lb/x") <= 2
     assert sc.count() > 0 and ipr.count() > 0  # and they run
+
+
+def test_exists_missing_is_guarded(spark):
+    import __spark_entry__ as E
+
+    em = E.queries()["exists_missing"](spark, "/root/testdata/sf0.001")
+    # same bound as alb_status_class: projected line + the constant
+    # nonempty-line filter copy; never once per bucket branch
+    assert occurrences_in_plan(em, "app/lb/x") <= 2
+    assert em.count() == 2
