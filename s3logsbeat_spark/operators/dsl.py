@@ -14,7 +14,8 @@ operator, minimum_should_match, fuzziness) / term / terms / match_phrase
 / match_phrase_prefix / prefix / wildcard / fuzzy / ids / more_like_this
 / bool (must, should, must_not, filter, minimum_should_match) /
 constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
-key: ``_score`` or a sidecar attribute), ``search_after``, and ``aggs``
+key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
+and ``aggs``
 (terms / stats / histogram / range / cardinality / percentiles / value_count
 — one level, no sub-aggs). Unsupported constructs raise ``ValueError``
 naming the construct, never silently mis-execute.
@@ -296,6 +297,32 @@ def execute_search(reader, body: dict) -> dict:
             "hits": _hits(page),
         }
     }
+    dvf = body.get("docvalue_fields")
+    if dvf and resp["hits"]["hits"]:
+        # ES docvalue_fields: per-hit attribute values from the sidecar
+        # (one pruned parquet read for the page's ids, never postings)
+        from pyspark.sql import functions as F
+
+        from .segments import load_doc_attrs
+
+        page_ids = [h["_id"] for h in resp["hits"]["hits"]]
+        rows = (
+            load_doc_attrs(reader.spark, reader.out_dir)
+            .filter(F.col("doc_id").isin(page_ids))
+            .select("doc_id", *dvf)
+            .collect()
+        )
+        by_id = {r["doc_id"]: r for r in rows}
+        for h in resp["hits"]["hits"]:
+            r = by_id.get(h["_id"])
+            h["fields"] = {f: [r[f]] for f in dvf} if r is not None else {}
+    if body.get("explain"):
+        # ES explain=true: per-hit score breakdown; only term-resolvable
+        # queries carry one (the reader's per-term BM25 explanation)
+        if terms_for_aggs is None:
+            raise ValueError("explain=true needs a term-resolvable query")
+        for h in resp["hits"]["hits"]:
+            h["_explanation"] = reader.explain(h["_id"], terms_for_aggs)
     if body.get("track_total_hits") and total is None:
         if terms_for_aggs is None:
             raise ValueError("track_total_hits needs a term-resolvable query")

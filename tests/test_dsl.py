@@ -287,3 +287,23 @@ def test_bulk_bad_update_is_400(mut_rdr):
     resp = bulk(mut_rdr, [{"update": {"doc_id": 1, "doc": {"nope": 1}}}])
     assert resp["errors"]
     assert resp["items"][0]["update"]["status"] == 400
+
+
+def test_explain_true_attaches_breakdown(rdr):
+    body = {"query": {"match": {"content": "merge hash"}},
+            "size": 3, "explain": True}
+    got = execute_search(rdr, body)
+    for h in got["hits"]["hits"]:
+        ex = h["_explanation"]
+        assert ex == rdr.explain(h["_id"], ["hash", "merge"])
+        assert abs(ex["score"] - h["_score"]) < 1e-6
+
+
+def test_docvalue_fields(rdr, corpus_df):
+    body = {"query": {"match": {"content": "merge hash"}},
+            "size": 3, "docvalue_fields": ["lang", "n_chars"]}
+    got = execute_search(rdr, body)
+    langs = {r["doc_id"]: r["lang"] for r in corpus_df.collect()}
+    for h in got["hits"]["hits"]:
+        assert h["fields"]["lang"] == [langs[h["_id"]]]
+        assert isinstance(h["fields"]["n_chars"][0], int)
