@@ -300,6 +300,22 @@ def q_search_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SM_MAP = "n_chars * 2 + doc_id % 5"
+
+
+def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES scripted_metric aggregation with Catalyst-expression scripts:
+    map = n_chars*2 + doc_id%5 per matched doc, reduce = sum — both run
+    as codegen expressions with map-side partial aggregation, so the
+    "scripted" agg costs what a built-in agg costs (vs ES Painless
+    per-doc interpretation)."""
+    from s3logsbeat_spark.operators.scripted import scripted_metric_agg
+
+    rdr = _driver_index(spark, sf_dir)
+    v = scripted_metric_agg(rdr, BM25_TERMS, SM_MAP, "sum(_mapped)")
+    return spark.createDataFrame([(int(v),)], "value long")
+
+
 def q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES JSON query DSL (POST _search with a request body) — the
     surface every ES client library speaks. The body routes through
@@ -2892,23 +2908,9 @@ def q_events_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id breaks ts ties deterministically). ONE partial-agg groupBy;
     at 100 TB this is the shape that turns raw events into the
     downsampled index."""
-    ev = _read(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(
-            F.count("value").cast("long").alias("value_count"),
-            F.round(F.min("value"), 6).alias("min_value"),
-            F.round(F.max("value"), 6).alias("max_value"),
-            F.round(F.sum("value"), 6).alias("sum_value"),
-            # struct-keyed argmax forces SortAggregate (struct ordering
-            # isn't hash-aggregable) — still a map-side partial agg
-            # before the one shuffle, which is the property that matters
-            # at scale
-            F.round(
-                F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))), 6
-            ).alias("last_value"),
-        )
-    )
+    from s3logsbeat_spark.operators.timeseries import downsample
+
+    return downsample(_read(spark, sf_dir, "events"))
 
 
 RATE_USERS = 20
@@ -2920,23 +2922,11 @@ def q_events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     treat a drop as a counter reset contributing the post-reset value —
     the Prometheus/ES increase() semantics. One window pass partitioned
     by the series key (parallel across series), one agg."""
-    from pyspark.sql import Window
+    from s3logsbeat_spark.operators.timeseries import counter_rate
 
     ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    delta = F.col("value") - F.lag("value").over(w)
-    inc = (
-        F.when(delta.isNull(), F.lit(0.0))
-        .when(delta >= 0, delta)
-        .otherwise(F.col("value"))
-    )
     return (
-        ev.select("user_id", inc.alias("inc"))
-        .groupBy("user_id")
-        .agg(
-            F.round(F.sum("inc"), 6).alias("increase"),
-            F.count("*").cast("long").alias("samples"),
-        )
+        counter_rate(ev)
         .orderBy(F.col("user_id").asc())
         .limit(RATE_USERS)
     )
@@ -3181,6 +3171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": q_geo_line,
         "delete_by_query": q_delete_by_query,
         "search_dsl": q_search_dsl,
+        "scripted_metric": q_scripted_metric,
     }
 
 
@@ -6165,6 +6156,15 @@ SELECT lang,
 FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
 """,
         "search_dsl": _BM25_WAND_SQL,
+        "scripted_metric": f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents
+),
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)}))
+SELECT sum(d.n_chars * 2 + d.doc_id % 5)::BIGINT AS value
+FROM documents d JOIN m USING (doc_id)
+""",
         "delete_by_query": _BM25_SQL.replace(
             "SELECT doc_id, round(raw, 6) AS score FROM scored",
             "SELECT doc_id, round(raw, 6) AS score FROM scored "

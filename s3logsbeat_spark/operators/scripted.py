@@ -1,0 +1,46 @@
+"""ES scripted_metric aggregation — Catalyst-expression scripts instead
+of Painless.
+
+ES shape: init_script / map_script (per doc) / combine_script (per
+shard) / reduce_script (final). The Spark-native translation collapses
+combine+reduce into ONE Catalyst aggregate expression: ``map_script``
+is a row expression evaluated over each matched doc's sidecar
+attributes, ``reduce_script`` any SQL aggregate over the mapped value
+(referenced as ``_mapped``). Because both are Catalyst expressions,
+the map runs codegen at the scan and the aggregate partial-aggregates
+map-side before the single shuffle — the scripted agg costs exactly
+what the built-in aggs cost, unlike ES where Painless runs per doc in
+the JVM interpreter.
+
+Same precedent as ``script_score`` (operators/searchext.py): scripts
+are declarative expressions, so Catalyst optimizes them instead of us
+sandboxing an interpreter.
+"""
+
+from __future__ import annotations
+
+
+def scripted_metric_agg(
+    reader,
+    terms: list[str],
+    map_script: str,
+    reduce_script: str = "sum(_mapped)",
+    mode: str = "or",
+    doc_filter: dict | None = None,
+):
+    """Run ``map_script`` (a Catalyst row expression over sidecar
+    attribute columns, e.g. ``"n_chars * 2 + doc_id % 5"``) on every doc
+    matching the term query, then ``reduce_script`` (a SQL aggregate
+    over ``_mapped``). Returns the scalar (None when nothing matched)."""
+    from .segments import load_doc_attrs
+
+    matched = reader._matched_docs_df(terms, mode, doc_filter)
+    if matched is None:
+        return None
+    attrs = load_doc_attrs(reader.spark, reader.out_dir)
+    mapped = (
+        matched.join(attrs, ["bucket", "doc_id"])
+        .selectExpr(f"({map_script}) AS _mapped")
+    )
+    row = mapped.selectExpr(f"{reduce_script} AS _out").collect()[0]
+    return row["_out"]

@@ -1,0 +1,119 @@
+"""TSDB operators (ES time-series-data-stream parity): downsampling
+rollups and reset-aware counter rates, with a Structured Streaming twin
+for the rollup — in production ES, downsampling runs against the LIVE
+ingest stream, so the streaming half is the deployment shape.
+
+Reference parity: the reference ships ALB/CloudFront events into
+ES data streams; downsampling (`ES: downsample a TSDS index`) and
+`rate` are the aggs its users run over those events at retention scale.
+
+Scale shapes:
+- :func:`downsample` is ONE map-side-combined groupBy per (series,
+  bucket) — the struct-keyed last_value argmax forces SortAggregate,
+  which still partial-aggregates before the single shuffle.
+- :func:`downsample_stream` is the same agg under a watermark —
+  state is bounded by (series x open windows), late events beyond the
+  watermark are dropped exactly like the ES downsample task's
+  out-of-order handling.
+- :func:`counter_rate` is one window pass partitioned by the series
+  key: series parallelize across the cluster; a single series' history
+  lands in one task (the Prometheus/ES sharding assumption for
+  counters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_GRAN = {"minute": "1 minute", "hour": "1 hour", "day": "1 day"}
+
+
+def _summary_aggs(value_col: str, time_col: str, id_col: str | None):
+    tie = (
+        F.struct(F.col(time_col), F.col(id_col))
+        if id_col
+        else F.col(time_col)
+    )
+    return [
+        F.count(value_col).cast("long").alias("value_count"),
+        F.round(F.min(value_col), 6).alias("min_value"),
+        F.round(F.max(value_col), 6).alias("max_value"),
+        F.round(F.sum(value_col), 6).alias("sum_value"),
+        F.round(F.max_by(value_col, tie), 6).alias("last_value"),
+    ]
+
+
+def downsample(
+    df: DataFrame,
+    time_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    granularity: str = "hour",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Batch TSDB downsample: per (series, bucket) the gauge summary
+    value_count/min/max/sum + last_value by timestamp (``id_col`` breaks
+    timestamp ties deterministically when given)."""
+    return df.groupBy(
+        F.col(series_col),
+        F.date_trunc(granularity, F.col(time_col)).alias("bucket"),
+    ).agg(*_summary_aggs(value_col, time_col, id_col))
+
+
+def downsample_stream(
+    stream_df: DataFrame,
+    time_col: str = "ts",
+    series_col: str = "event_type",
+    value_col: str = "value",
+    granularity: str = "hour",
+    watermark: str = "2 hours",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Streaming twin of :func:`downsample`: watermarked tumbling-window
+    aggregation emitting the SAME schema (series, bucket, summary...),
+    so tests can assert batch == streamed on replayed input. Append mode
+    finalizes a bucket once the watermark passes; state is bounded."""
+    return (
+        stream_df.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), _GRAN[granularity]).alias("w"),
+            F.col(series_col),
+        )
+        .agg(*_summary_aggs(value_col, time_col, id_col))
+        .select(
+            series_col,
+            F.col("w.start").alias("bucket"),
+            "value_count", "min_value", "max_value", "sum_value",
+            "last_value",
+        )
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    time_col: str = "ts",
+    series_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str | None = "event_id",
+) -> DataFrame:
+    """Reset-aware counter increase per series (the Prometheus/ES TSDB
+    ``rate`` numerator): positive deltas sum; a drop is a counter reset
+    contributing the post-reset value; the first sample contributes 0.
+    Returns (series, increase, samples)."""
+    order = [F.col(time_col)] + ([F.col(id_col)] if id_col else [])
+    w = Window.partitionBy(series_col).orderBy(*order)
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    inc = (
+        F.when(delta.isNull(), F.lit(0.0))
+        .when(delta >= 0, delta)
+        .otherwise(F.col(value_col))
+    )
+    return (
+        df.select(F.col(series_col), inc.alias("inc"))
+        .groupBy(series_col)
+        .agg(
+            F.round(F.sum("inc"), 6).alias("increase"),
+            F.count("*").cast("long").alias("samples"),
+        )
+    )

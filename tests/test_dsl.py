@@ -307,3 +307,20 @@ def test_docvalue_fields(rdr, corpus_df):
     for h in got["hits"]["hits"]:
         assert h["fields"]["lang"] == [langs[h["_id"]]]
         assert isinstance(h["fields"]["n_chars"][0], int)
+
+
+def test_scripted_metric_agg(rdr, corpus_df):
+    from s3logsbeat_spark.operators.scripted import scripted_metric_agg
+
+    got = scripted_metric_agg(rdr, ["hash"], "n_chars * 3", "sum(_mapped)")
+    keep = set(rdr.matching_doc_ids(["hash"]))
+    want = sum(
+        3 * len(r["content"])
+        for r in corpus_df.collect()
+        if r["doc_id"] in keep
+    )
+    assert got == want
+    # avg-form reduce and no-match behavior
+    n = scripted_metric_agg(rdr, ["hash"], "1", "count(_mapped)")
+    assert n == len(keep)
+    assert scripted_metric_agg(rdr, ["zzzznope"], "1", "sum(_mapped)") is None

@@ -1,0 +1,136 @@
+"""TSDB operators: the streaming downsample twin must equal the batch
+rollup on replayed input (closed buckets), late data beyond the
+watermark is dropped, and counter_rate implements reset-aware
+increase() semantics against a hand-computed oracle."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.timeseries import (
+    counter_rate,
+    downsample,
+    downsample_stream,
+)
+
+BASE = dt.datetime(2024, 3, 1, 0, 0, 0)
+SCHEMA = "ts timestamp, event_type string, value double, event_id long"
+
+
+def _rows():
+    rows = []
+    i = 0
+    for h in range(4):
+        for m, v in [(5, 1.0), (20, 3.5), (40, 2.25)]:
+            for series in ("click", "view"):
+                rows.append(
+                    (BASE + dt.timedelta(hours=h, minutes=m),
+                     series, v + h + (0.5 if series == "view" else 0.0), i)
+                )
+                i += 1
+    return rows
+
+
+def test_batch_vs_streaming_twin(spark, tmp_path):
+    rows = _rows()
+    df = spark.createDataFrame(rows, SCHEMA)
+    src = tmp_path / "src"
+    # two files so the stream sees multiple micro-batches
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], SCHEMA).write.parquet(str(src / "a"))
+    spark.createDataFrame(rows[half:], SCHEMA).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "sink")
+
+    def _sink(batch_df, _epoch):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        downsample_stream(stream, watermark="1 hour")
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.read.parquet(sink)
+    # append mode emits only watermark-closed buckets; compare on the
+    # buckets the stream finalized
+    closed = {r["bucket"] for r in streamed.select("bucket").collect()}
+    assert closed, "stream must finalize at least one bucket"
+    got = sorted(tuple(r) for r in streamed.collect())
+    want = sorted(
+        tuple(r)
+        for r in downsample(df)
+        .select("event_type", "bucket", "value_count", "min_value",
+                "max_value", "sum_value", "last_value")
+        .filter(F.col("bucket").isin(list(closed)))
+        .collect()
+    )
+    assert got == want
+
+
+def test_streaming_drops_late_data(spark, tmp_path):
+    on_time = [(BASE + dt.timedelta(hours=h), "click", float(h), h)
+               for h in range(4)]
+    late = [(BASE - dt.timedelta(hours=10), "click", 99.0, 999)]
+    src = tmp_path / "src"
+    spark.createDataFrame(on_time, SCHEMA).write.parquet(str(src / "a"))
+    spark.createDataFrame(late, SCHEMA).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    sink = str(tmp_path / "sink")
+
+    def _sink(batch_df, _epoch):
+        batch_df.write.mode("append").parquet(sink)
+
+    q = (
+        downsample_stream(stream, watermark="1 hour")
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    vals = [r["max_value"]
+            for r in spark.read.parquet(sink).collect()]
+    assert vals and 99.0 not in vals  # the pre-watermark straggler is gone
+
+
+def test_counter_rate_reset_semantics(spark):
+    rows = [
+        # series 1: 1 -> 4 -> 2 (reset: +2) -> 7 (+5)  => increase 3+2+5=10
+        (BASE, 1, 1.0, 0),
+        (BASE + dt.timedelta(minutes=1), 1, 4.0, 1),
+        (BASE + dt.timedelta(minutes=2), 1, 2.0, 2),
+        (BASE + dt.timedelta(minutes=3), 1, 7.0, 3),
+        # series 2: single sample => 0
+        (BASE, 2, 5.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double, event_id long")
+    got = {r["user_id"]: (r["increase"], r["samples"])
+           for r in counter_rate(df).collect()}
+    assert got == {1: (10.0, 4), 2: (0.0, 1)}
+
+
+def test_counter_rate_tie_break_deterministic(spark):
+    # identical timestamps: event_id orders the series deterministically
+    rows = [
+        (BASE, 1, 10.0, 2),
+        (BASE, 1, 1.0, 1),  # processed first (lower event_id)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double, event_id long")
+    got = counter_rate(df).collect()[0]
+    assert (got["increase"], got["samples"]) == (9.0, 2)
