@@ -6,6 +6,9 @@
         [--checkpoint DIR] [--error-dir DIR] [--duration SECONDS]
     python -m s3logsbeat_spark s3imports <config.yml> --out DIR \
         [--error-dir DIR] [--once]
+    python -m s3logsbeat_spark search <index_dir> '<json body>' [--count]
+    python -m s3logsbeat_spark delete-by-query <index_dir> TERM... [--max-docs N]
+    python -m s3logsbeat_spark field-caps alb cloudfront
 
 ``run`` starts the daemon topology (one streaming query per sqs input,
 ``config.start_inputs``) and drains it on SIGINT/SIGTERM or after
@@ -120,6 +123,41 @@ def _cmd_query(args) -> int:
     return 0
 
 
+def _cmd_search(args) -> int:
+    from .operators.dsl import execute_count, execute_search
+    from .operators.wand import IndexReader
+
+    body = json.loads(
+        sys.stdin.read() if args.body == "-" else args.body
+    )
+    spark = _spark("s3logsbeat-search")
+    rdr = IndexReader(spark, args.index_dir)
+    out = (
+        execute_count(rdr, body) if args.count else execute_search(rdr, body)
+    )
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_delete_by_query(args) -> int:
+    from .operators.mutate import delete_by_query
+    from .operators.wand import IndexReader
+
+    spark = _spark("s3logsbeat-dbq")
+    rdr = IndexReader(spark, args.index_dir)
+    out = delete_by_query(rdr, args.terms, max_docs=args.max_docs)
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_field_caps(args) -> int:
+    from .plans.formats import FORMATS
+    from .plans.mapping import field_caps
+
+    print(json.dumps(field_caps([FORMATS[f] for f in args.formats]), indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m s3logsbeat_spark",
@@ -170,6 +208,29 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--mode", default="or", choices=["or", "and"])
     q.set_defaults(fn=_cmd_query)
+
+    se = sub.add_parser(
+        "search", help="ES _search JSON body over a built index"
+    )
+    se.add_argument("index_dir")
+    se.add_argument("body", help="JSON request body, or - for stdin")
+    se.add_argument("--count", action="store_true",
+                    help="run as _count instead of _search")
+    se.set_defaults(fn=_cmd_search)
+
+    d = sub.add_parser(
+        "delete-by-query", help="tombstone every doc matching the terms"
+    )
+    d.add_argument("index_dir")
+    d.add_argument("terms", nargs="+")
+    d.add_argument("--max-docs", type=int, default=None)
+    d.set_defaults(fn=_cmd_delete_by_query)
+
+    fc = sub.add_parser(
+        "field-caps", help="merged _field_caps across log formats"
+    )
+    fc.add_argument("formats", nargs="+", choices=["alb", "elb", "cloudfront"])
+    fc.set_defaults(fn=_cmd_field_caps)
     return p
 
 

@@ -108,3 +108,40 @@ s3logsbeat:
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["queries"] == 1 and res["drained"] is True
     assert spark.read.parquet(str(out)).count() == 1
+
+
+def test_search_dbq_fieldcaps_cli(spark, tmp_path, capsys):
+    docs = tmp_path / "d3" / "documents.parquet"
+    spark.createDataFrame(
+        [
+            (1, "merge the sorted runs", "en"),
+            (2, "spark merge join strategies", "en"),
+            (3, "unrelated prose entirely", "en"),
+        ],
+        "doc_id long, content string, lang string",
+    ).write.parquet(str(docs))
+    idx = tmp_path / "idx3"
+    assert main(["index", str(docs), "--out", str(idx), "--buckets", "2"]) == 0
+    capsys.readouterr()
+
+    body = '{"query": {"match": {"content": "merge"}}, "size": 5}'
+    assert main(["search", str(idx), body]) == 0
+    resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {h["_id"] for h in resp["hits"]["hits"]} == {1, 2}
+
+    assert main(["search", str(idx), body, "--count"]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == {"count": 2}
+
+    assert main(["delete-by-query", str(idx), "spark"]) == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == {"deleted": 1}
+    assert main(["search", str(idx), body]) == 0
+    resp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {h["_id"] for h in resp["hits"]["hits"]} == {1}
+
+    assert main(["field-caps", "alb", "cloudfront"]) == 0
+    fc = json.loads(capsys.readouterr().out.strip())
+    assert fc["fields"]["@timestamp"]["date"]["aggregatable"] is True
