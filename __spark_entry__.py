@@ -588,6 +588,36 @@ def q_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_within: docs where a 'stream' occurrence sits
+    inside a 'merge'->'window' span (gap <= SPAN_SLOP) — the exact
+    complement pairing of span_not's exclusion. Scores over 'stream'
+    (span_within's outer query is the little one). Same all-pairs
+    ragged enumeration as span_not + two searchsorted containment
+    tests; index-only."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.span_within_query(
+        SPAN_NOT_EXCLUDE, SPAN_TERMS, slop=SPAN_SLOP, k=BM25_K
+    )
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
+def q_span_containing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene/ES span_containing: identical containment predicate to
+    span_within (same doc set by construction) scored over the BIG
+    span's terms — the two rows pin the ES outer-query scoring rule
+    against each other."""
+    rdr = _driver_pos_index(spark, sf_dir)
+    top = rdr.span_containing_query(
+        SPAN_NOT_EXCLUDE, SPAN_TERMS, slop=SPAN_SLOP, k=BM25_K
+    )
+    return spark.createDataFrame(
+        [(int(d), round(s, 6)) for d, s in top], "doc_id long, score double"
+    )
+
+
 QS_STRING = '+window "merge group" -stream value s*'
 
 
@@ -3172,6 +3202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_query": q_delete_by_query,
         "search_dsl": q_search_dsl,
         "scripted_metric": q_scripted_metric,
+        "span_within": q_span_within,
+        "span_containing": q_span_containing,
     }
 
 
@@ -4417,6 +4449,26 @@ ORDER BY score DESC, s2.doc_id ASC LIMIT {BM25_K}
 # span_near in_order slop=3: 'window' within positions i+1 .. i+1+slop of
 # a 'merge' at i (gap = j - i - 1 <= 3); out-of-range list indexing yields
 # NULL -> comparison false, so no end clipping is needed
+_SPAN_WITHIN_COND = (
+    "t2.a[i] = 'merge' AND len(list_filter(range(i + 1, i + "
+    f"{SPAN_SLOP + 2}), j -> t2.a[j] = 'window' AND "
+    f"len(list_filter(range(i, j + 1), s -> t2.a[s] = '{SPAN_NOT_EXCLUDE}'"
+    ")) > 0)) > 0"
+)
+
+# span_within scores over the little term only
+_SPAN_WITHIN_SQL = _PHRASE_IDX_SQL.replace(
+    "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'", _SPAN_WITHIN_COND
+).replace(
+    "SELECT unnest(['merge', 'window']) AS term",
+    f"SELECT unnest(['{SPAN_NOT_EXCLUDE}']) AS term",
+)
+
+# span_containing: same predicate, scored over the big span's terms
+_SPAN_CONTAINING_SQL = _PHRASE_IDX_SQL.replace(
+    "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'", _SPAN_WITHIN_COND
+)
+
 _SPAN_NEAR_SQL = _PHRASE_IDX_SQL.replace(
     "t2.a[i] = 'merge' AND t2.a[i+1] = 'window'",
     "t2.a[i] = 'merge' AND len(list_filter(range(i + 1, i + "
@@ -6156,6 +6208,8 @@ SELECT lang,
 FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
 """,
         "search_dsl": _BM25_WAND_SQL,
+        "span_within": _SPAN_WITHIN_SQL,
+        "span_containing": _SPAN_CONTAINING_SQL,
         "scripted_metric": f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS_DUCK}) AS term FROM documents

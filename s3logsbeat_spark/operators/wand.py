@@ -1104,6 +1104,78 @@ def score_span_not(
     return _score_positional_hits(per, distinct, idf, avgdl, hit_chunks, k)
 
 
+def score_span_contain(
+    pdf,
+    idf: dict,
+    avgdl: float,
+    little: str,
+    big: list[str],
+    slop: int,
+    k: int | None,
+    doc_filter: DocFilter | None = None,
+    score_terms: list[str] | None = None,
+) -> list[tuple[int, float]]:
+    """Shared kernel for Lucene/ES span_within and span_containing: a
+    doc matches when some occurrence of ``little`` lies INSIDE a
+    ``big[0] .. big[1]`` in-order span (gap <= ``slop``) — the match
+    predicate is identical for both queries; they differ only in which
+    side's terms score (``score_terms``: [little] for span_within, the
+    big span's terms for span_containing — the ES rule that the OUTER
+    query of each operator is the one that scores).
+
+    Same all-pairs enumeration as span_not (a minimal big span may miss
+    the little occurrence while a longer one from the same start holds
+    it), bounded by |occ(big[0])| * (slop + 1) pairs per chunk; the
+    containment test is two vectorized searchsorted calls against the
+    little term's packed keys."""
+    if len(big) != 2:
+        raise ValueError("span_contain kernel supports exactly 2 big terms")
+    b1, b2 = big
+    distinct = list(dict.fromkeys([little, b1, b2]))
+    per = _decode_positional(pdf, distinct)
+    if per is None:
+        return []
+    cand = per[distinct[0]][0]
+    for t in distinct[1:]:
+        cand = np.intersect1d(cand, per[t][0], assume_unique=True)
+    if doc_filter is not None and cand.size:
+        cand = cand[doc_filter.mask(cand)]
+    if cand.size == 0:
+        return []
+
+    hit_chunks = []
+    for lo in range(0, cand.size, PHRASE_CAND_CHUNK):
+        chunk = cand[lo : lo + PHRASE_CAND_CHUNK]
+        s_keys = _packed_keys(per, b1, chunk)
+        e_keys = _packed_keys(per, b2, chunk)
+        l_keys = _packed_keys(per, little, chunk)
+        if s_keys.size == 0 or e_keys.size == 0 or l_keys.size == 0:
+            continue
+        lo_i = np.searchsorted(e_keys, s_keys, side="right")
+        hi_i = np.searchsorted(e_keys, s_keys + np.int64(slop + 1), side="right")
+        cnt = hi_i - lo_i
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        starts_rep = np.repeat(s_keys, cnt)
+        grp_starts = np.cumsum(cnt) - cnt
+        flat = np.repeat(lo_i, cnt) + (
+            np.arange(total, dtype=np.int64) - np.repeat(grp_starts, cnt)
+        )
+        ends = e_keys[flat]
+        good = (ends >> _POS_SHIFT) == (starts_rep >> _POS_SHIFT)
+        # little occurrence within [start, end] inclusive (packed keys of
+        # one doc are contiguous, so position bounds == key bounds)
+        n_l = np.searchsorted(l_keys, ends, side="right") - np.searchsorted(
+            l_keys, starts_rep, side="left"
+        )
+        good &= n_l > 0
+        if good.any():
+            hit_chunks.append(chunk[np.unique(starts_rep[good] >> _POS_SHIFT)])
+    terms = list(dict.fromkeys(score_terms or [little]))
+    return _score_positional_hits(per, terms, idf, avgdl, hit_chunks, k)
+
+
 def score_span_or(
     pdf,
     idfs: list[dict],
@@ -2119,6 +2191,68 @@ class IndexReader:
 
         return self._dispatch_positional(
             present, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
+        )
+
+    @_latency_kernel
+    def span_within_query(
+        self,
+        little: str,
+        big: list[str],
+        slop: int = 0,
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene/ES span_within: docs where an occurrence of ``little``
+        sits inside a ``big[0]..big[1]`` in-order span (gap <= ``slop``).
+        Scores over ``little`` (the ES rule: span_within's outer query is
+        the little one). Index-only; same routing/filter semantics as
+        span_near."""
+        return self._span_contain(little, big, slop, k, [little],
+                                  distributed, driver_bytes_limit, doc_filter)
+
+    @_latency_kernel
+    def span_containing_query(
+        self,
+        little: str,
+        big: list[str],
+        slop: int = 0,
+        k: int | None = 10,
+        distributed: bool | None = None,
+        driver_bytes_limit: int = 256 << 20,
+        doc_filter: dict | None = None,
+    ) -> list[tuple[int, float]]:
+        """Lucene/ES span_containing: same containment predicate as
+        span_within (the doc sets are identical by construction), scored
+        over the BIG span's terms — span_containing's outer query is the
+        big one."""
+        return self._span_contain(little, big, slop, k, list(big),
+                                  distributed, driver_bytes_limit, doc_filter)
+
+    def _span_contain(
+        self, little, big, slop, k, score_terms,
+        distributed, driver_bytes_limit, doc_filter,
+    ):
+        if len(big) != 2:
+            raise ValueError("span containment supports exactly 2 big terms")
+        needed = list(dict.fromkeys([little, *big]))
+        dfs = self._df_of(needed)
+        if any(t not in dfs for t in needed):
+            return []
+        idf = {
+            t: bm25_idf(self.n_docs, dfs[t])
+            for t in dict.fromkeys(score_terms)
+        }
+        avgdl = self.avgdl
+
+        def kernel(pdf, filt):
+            return score_span_contain(
+                pdf, idf, avgdl, little, big, slop, k, filt, score_terms
+            )
+
+        return self._dispatch_positional(
+            needed, kernel, k, distributed, driver_bytes_limit, doc_filter, dfs
         )
 
     @_latency_kernel

@@ -230,6 +230,39 @@ class BM25Oracle:
         hits = sorted(best.items(), key=lambda x: (-x[1], x[0]))
         return hits if k is None else hits[:k]
 
+    def span_contain_topk(
+        self,
+        little: str,
+        big: list[str],
+        slop: int,
+        k: int | None = 10,
+        score_terms: list[str] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Brute-force span_within/span_containing oracle: some in-order
+        (p1, p2) big pair with gap <= slop holding a ``little``
+        occurrence in [p1, p2]; BM25 over ``score_terms`` ([little] =
+        span_within, big = span_containing)."""
+        import itertools
+
+        pos_map = self._positions()
+        terms = list(dict.fromkeys(score_terms or [little]))
+        hits = []
+        for did, pos in pos_map.items():
+            need = list(dict.fromkeys([little, *big]))
+            if any(t not in pos for t in need):
+                continue
+            ls = pos[little]
+            found = any(
+                p2 > p1
+                and p2 - p1 - 1 <= slop
+                and any(p1 <= x <= p2 for x in ls)
+                for p1, p2 in itertools.product(pos[big[0]], pos[big[1]])
+            )
+            if found:
+                hits.append((did, round(self.score(did, terms), SCORE_NDIGITS)))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits if k is None else hits[:k]
+
     def span_not_topk(
         self,
         include: list[str],

@@ -324,3 +324,42 @@ def test_scripted_metric_agg(rdr, corpus_df):
     n = scripted_metric_agg(rdr, ["hash"], "1", "count(_mapped)")
     assert n == len(keep)
     assert scripted_metric_agg(rdr, ["zzzznope"], "1", "sum(_mapped)") is None
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _POOL = ["return", "value", "int", "def", "get", "http", "response",
+             "the", "hash", "buffer", "zzz_absent"]
+
+    _bool_st = st.fixed_dictionaries({
+        "must": st.lists(st.sampled_from(_POOL), max_size=2, unique=True),
+        "should": st.lists(st.sampled_from(_POOL), max_size=3, unique=True),
+        "must_not": st.lists(st.sampled_from(_POOL), max_size=1, unique=True),
+        "msm": st.integers(min_value=0, max_value=2),
+    }).filter(lambda s: not (
+        (set(s["must"]) | set(s["should"])) & set(s["must_not"])
+        or set(s["must"]) & set(s["should"])
+    ))
+
+    @given(_bool_st)
+    @settings(max_examples=15, deadline=None)
+    def test_dsl_bool_property_matches_direct(rdr, s):
+        """Random bool bodies translate to exactly the direct search
+        call — the DSL layer can never change scoring."""
+        body = {"query": {"bool": {
+            "must": [{"term": {"content": t}} for t in s["must"]],
+            "should": [{"term": {"content": t}} for t in s["should"]],
+            "must_not": [{"term": {"content": t}} for t in s["must_not"]],
+            "minimum_should_match": s["msm"],
+        }}, "size": 10}
+        got = [(h["_id"], h["_score"])
+               for h in execute_search(rdr, body)["hits"]["hits"]]
+        want = rdr.search({
+            "must": s["must"], "should": s["should"],
+            "must_not": s["must_not"], "min_should_match": s["msm"],
+        }, 10)
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass

@@ -173,3 +173,43 @@ def test_span_not_requires_two_terms(spark, pos_built):
     rdr = IndexReader(spark, pos_built)
     with pytest.raises(ValueError, match="2 include"):
         rdr.span_not_query(["return"], "x", k=5)
+
+
+# ------------------------------------------- span_within / span_containing --
+
+CONTAIN_CASES = [
+    ("the", ["return", "value"], 3),
+    ("the", ["return", "value"], 0),
+    ("i", ["def", "return"], 5),
+    ("zzz_not_there", ["return", "the"], 3),   # absent little -> empty
+    ("the", ["return", "zzz_not_there"], 3),   # absent big -> empty
+]
+
+
+@pytest.mark.parametrize("little,big,slop", CONTAIN_CASES)
+def test_span_within_matches_oracle(spark, pos_built, oracle, little, big, slop):
+    rdr = IndexReader(spark, pos_built)
+    got = rdr.span_within_query(little, big, slop=slop, k=10)
+    want = oracle.span_contain_topk(little, big, slop, 10)
+    assert got == want
+
+
+@pytest.mark.parametrize("little,big,slop", CONTAIN_CASES[:3])
+def test_span_containing_matches_oracle(
+    spark, pos_built, oracle, little, big, slop
+):
+    rdr = IndexReader(spark, pos_built)
+    got = rdr.span_containing_query(little, big, slop=slop, k=10)
+    want = oracle.span_contain_topk(little, big, slop, 10, score_terms=big)
+    assert got == want
+    # identical doc sets, different scoring side
+    within_docs = {d for d, _ in rdr.span_within_query(little, big, slop=slop, k=None)}
+    containing_docs = {d for d, _ in rdr.span_containing_query(little, big, slop=slop, k=None)}
+    assert within_docs == containing_docs
+
+
+def test_span_contain_distributed_path(spark, pos_built, oracle):
+    rdr = IndexReader(spark, pos_built)
+    got = rdr.span_within_query("the", ["return", "value"], slop=3, k=10,
+                                distributed=True)
+    assert got == oracle.span_contain_topk("the", ["return", "value"], 3, 10)
