@@ -622,6 +622,10 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     surface["span_not_sec"] = round(time.perf_counter() - t0, 4)
     surface["span_not_hits"] = len(sx)
     t0 = time.perf_counter()
+    sw = prdr.span_within_query("the", ["return", "value"], slop=3, k=10)
+    surface["span_within_sec"] = round(time.perf_counter() - t0, 4)
+    surface["span_within_hits"] = len(sw)
+    t0 = time.perf_counter()
     pp = prdr.phrase_prefix_query(["return"], "th", k=10, max_expansions=50)
     surface["phrase_prefix_sec"] = round(time.perf_counter() - t0, 4)
     surface["phrase_prefix_hits"] = len(pp)
