@@ -79,12 +79,21 @@ def test_batch_vs_streaming_twin(spark, tmp_path):
 
 
 def test_streaming_drops_late_data(spark, tmp_path):
+    import time as _t
+
     on_time = [(BASE + dt.timedelta(hours=h), "click", float(h), h)
                for h in range(4)]
     late = [(BASE - dt.timedelta(hours=10), "click", 99.0, 999)]
+    # a far-future flush row, written LAST (newest mtime -> processed
+    # last by the file source), pushes the watermark beyond every
+    # on-time bucket so their emission is deterministic, not a race
+    # with the trailing no-data micro-batch
+    flush = [(BASE + dt.timedelta(hours=100), "click", -1.0, 1000)]
     src = tmp_path / "src"
     spark.createDataFrame(on_time, SCHEMA).write.parquet(str(src / "a"))
     spark.createDataFrame(late, SCHEMA).write.parquet(str(src / "b"))
+    _t.sleep(1.1)
+    spark.createDataFrame(flush, SCHEMA).write.parquet(str(src / "c"))
     stream = (
         spark.readStream.schema(SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -103,10 +112,25 @@ def test_streaming_drops_late_data(spark, tmp_path):
         .start()
     )
     q.processAllAvailable()
+    # closed buckets can emit in a trailing no-data micro-batch (the
+    # watermark advance lands AFTER the last data batch when the late
+    # file happens to be listed first) — poll briefly instead of racing
+    import time as _time
+
+    vals: list = []
+    for _ in range(60):
+        q.processAllAvailable()
+        try:
+            vals = [r["max_value"] for r in spark.read.parquet(sink).collect()]
+        except Exception:
+            vals = []
+        if vals:
+            break
+        _time.sleep(0.25)
     q.stop()
-    vals = [r["max_value"]
-            for r in spark.read.parquet(sink).collect()]
-    assert vals and 99.0 not in vals  # the pre-watermark straggler is gone
+    assert vals, "flush batch must finalize the on-time buckets"
+    assert 99.0 not in vals  # the pre-watermark straggler is gone
+    assert {0.0, 1.0} & set(vals)  # on-time buckets did emit
 
 
 def test_counter_rate_reset_semantics(spark):
