@@ -2198,6 +2198,27 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(emb, list(q), k=10, rescore_depth=SQ_RESCORE_DEPTH)
 
 
+PQ_RESCORE_DEPTH = 100
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized kNN with exact re-scoring (FAISS/Jégou PQ, the
+    ES/Lucene quantized-kNN family next to int8 SQ): m=8 x ksub=16
+    deterministic codebooks, ADC LUT scan over 8 code bytes per vector
+    (16x smaller than float32), rescore_depth=100 exact rescore. The PQ
+    stage is real approximation (depth 50 recall@10 = 0.8, pinned in
+    pytest); at depth 100 the rescored top-k equals the exact ranking,
+    so the oracle is the exact-cosine SQL. Codebooks are k-means —
+    not SQL-expressible — hence the approx stage is pytest-oracled
+    (determinism + LUT==direct-distance equivalence), unlike SQ's
+    linear codes."""
+    from s3logsbeat_spark.operators.similarity import pq_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return pq_topk(emb, list(q), k=10, rescore_depth=PQ_RESCORE_DEPTH)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit tf-weighted SimHash per doc (numpy bit-fold, one Arrow pass).
     The DuckDB oracle reproduces the md5-derived bit math exactly."""
@@ -3154,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
         "ann_sq": q_ann_sq,
+        "ann_pq": q_ann_pq,
         "random_projection": q_random_projection,
         "sliding_chunks": q_sliding_chunks,
         "training_order": q_training_order,
@@ -5909,6 +5931,7 @@ FROM documents d LEFT JOIN e USING (doc_id)
         "fingerprint": _fingerprint_sql(),
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
+        "ann_pq": _ANN_SQL,
         "ann_sq": f"""
 WITH prm AS (
   SELECT dim, min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM (

@@ -244,6 +244,11 @@ def run_default() -> dict:
             t0 = time.perf_counter()
             sq_topk(emb, list(qv), k=10, rescore_depth=50).count()
             dops["ann_sq"] = round(time.perf_counter() - t0, 3)
+            from s3logsbeat_spark.operators.similarity import pq_topk
+
+            t0 = time.perf_counter()
+            pq_topk(emb, list(qv), k=10, rescore_depth=100).count()
+            dops["ann_pq"] = round(time.perf_counter() - t0, 3)
         out["data_ops"] = dops
     if os.environ.get("SPARK_GRAFT_SKIP_CODE_CORPUS") != "1":
         # north-rule evidence inline: build + rank-identity on the

@@ -233,3 +233,49 @@ def test_scalar_quantization_codes_and_rescore(spark):
             assert r["score"] == ex_map[r["vec_id"]]
     # recall@10 of the quantized+rescored path vs exact brute force
     assert len(set(got_ids) & set(exact_ids)) >= 8
+
+
+def test_pq_codebooks_and_topk(spark):
+    import numpy as np
+
+    from s3logsbeat_spark.operators.similarity import (
+        cosine_topk_exact,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(200, 16).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    # deterministic training: two calls, identical codebooks
+    B1 = pq_train(emb, m=4, ksub=8, seed=7)
+    B2 = pq_train(emb, m=4, ksub=8, seed=7)
+    assert B1.shape == (4, 8, 4) and (B1 == B2).all()
+
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, B1).collect()}
+    assert len(codes) == 200
+    arr = np.stack([codes[i] for i in range(200)])
+    assert arr.shape == (200, 4) and arr.min() >= 0 and arr.max() < 8
+    # encode == direct nearest-centroid per subspace on normalized rows
+    X = vecs.astype(np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    for j in range(4):
+        S = X[:, j * 4:(j + 1) * 4]
+        d2 = ((S[:, None, :] - B1[j][None, :, :]) ** 2).sum(axis=2)
+        assert (arr[:, j] == d2.argmin(axis=1)).all()
+
+    q = [float(x) for x in vecs[0]]
+    got = pq_topk(emb, q, k=10, rescore_depth=60, m=4, ksub=8,
+                  codebooks=B1).collect()
+    exact = cosine_topk_exact(emb, q, k=10).collect()
+    got_ids = [r["vec_id"] for r in got]
+    assert got_ids[0] == 0  # self-match survives quantization
+    ex_map = {r["vec_id"]: r["score"] for r in exact}
+    for r in got:  # returned scores are EXACT scores (rescore contract)
+        if r["vec_id"] in ex_map:
+            assert r["score"] == ex_map[r["vec_id"]]
+    assert len(set(got_ids) & set(ex_map)) >= 7  # recall@10 bound
