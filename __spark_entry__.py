@@ -2219,6 +2219,30 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, list(q), k=10, rescore_depth=PQ_RESCORE_DEPTH)
 
 
+DSIR_BUCKETS = 1024
+DSIR_TOP = 20
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket histograms for target (lang='en') vs the raw pool, add-one
+    smoothed; per-doc log likelihood ratio summed over gram occurrences;
+    top docs by target-likeness. Gram generation is the codegen
+    exploded_grams path; each histogram is one map-side-combined
+    groupBy; the ratio table (<= 1024 rows) broadcasts into the scoring
+    join, so the corpus shuffles only by doc_id."""
+    from s3logsbeat_spark.operators.dsir import dsir_log_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("lang") == "en")
+    w = dsir_log_weights(docs, target, buckets=DSIR_BUCKETS)
+    return (
+        w.select("doc_id", F.round("logw", 6).alias("logw"))
+        .orderBy(F.col("logw").desc(), F.col("doc_id").asc())
+        .limit(DSIR_TOP)
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit tf-weighted SimHash per doc (numpy bit-fold, one Arrow pass).
     The DuckDB oracle reproduces the md5-derived bit math exactly."""
@@ -3176,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_sq": q_ann_sq,
         "ann_pq": q_ann_pq,
+        "dsir_weights": q_dsir_weights,
         "random_projection": q_random_projection,
         "sliding_chunks": q_sliding_chunks,
         "training_order": q_training_order,
@@ -5932,6 +5957,39 @@ FROM documents d LEFT JOIN e USING (doc_id)
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
         "ann_pq": _ANN_SQL,
+        "dsir_weights": f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS a
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(a) AS g FROM toks),
+bi AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(
+           list_transform(a, (x, i) ->
+             CASE WHEN i < len(a) THEN x || ' ' || a[i+1] END),
+           v -> v IS NOT NULL)) AS g
+  FROM toks
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(sha256(g), 1, 8) AS BIGINT) % {DSIR_BUCKETS} AS bkt
+  FROM grams
+),
+cr AS (SELECT bkt, count(*)::DOUBLE AS c FROM b GROUP BY 1),
+ct AS (SELECT bkt, count(*)::DOUBLE AS c FROM b WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT sum(c) FROM cr) AS rtot, (SELECT sum(c) FROM ct) AS ttot),
+lr AS (
+  SELECT cr.bkt,
+         ln((coalesce(ct.c, 0) + 1.0) / (t.ttot + {DSIR_BUCKETS}.0))
+         - ln((cr.c + 1.0) / (t.rtot + {DSIR_BUCKETS}.0)) AS lr
+  FROM cr LEFT JOIN ct USING (bkt) CROSS JOIN tot t
+),
+w AS (SELECT b.doc_id, sum(lr.lr) AS logw FROM b JOIN lr USING (bkt) GROUP BY 1)
+SELECT doc_id, round(logw, 6) AS logw FROM w
+ORDER BY logw DESC, doc_id ASC LIMIT {DSIR_TOP}
+""",
         "ann_sq": f"""
 WITH prm AS (
   SELECT dim, min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM (

@@ -1,0 +1,151 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+the published recipe behind targeted LLM pretraining-data selection):
+score every raw document by how much more likely its hashed n-gram
+features are under a small TARGET corpus than under the raw pool, then
+resample the top of that importance distribution.
+
+Pipeline (all Spark-native, mirroring the paper's bag-of-hashed-ngrams
+model):
+
+1. features: unigram + bigram occurrences hashed into ``buckets``
+   bins (sha256-derived — the same DuckDB-mirrorable hash family as
+   the rest of the contract surface).
+2. two bucket histograms with add-one smoothing over all ``buckets``
+   bins: p_target (from the target corpus) and p_raw (from the pool).
+3. per-doc log importance weight = sum over the doc's gram occurrences
+   of ``ln p_target(bucket) - ln p_raw(bucket)``.
+4. selection: deterministic Gumbel top-k over ``logw + Gumbel(u01)``
+   (the paper's importance resampling without replacement), seeded so
+   reruns pick identical documents.
+
+Scale shapes: gram generation is the codegen ``exploded_grams`` path
+(no interpreted lambdas); each histogram is ONE map-side-combined
+groupBy over bucket ids (<= ``buckets`` rows out); the log-ratio table
+is ``buckets`` rows broadcast into the per-doc join, so the raw corpus
+is touched exactly twice (histogram + scoring) and never shuffles by
+anything wider than (doc_id)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import exploded_grams
+
+
+def _bucket(gram: Column, buckets: int) -> Column:
+    """sha256-derived bucket id in [0, buckets) — exact DuckDB twin:
+    CAST('0x' || substr(sha256(g), 1, 8) AS BIGINT) % buckets."""
+    return (
+        F.conv(F.substring(F.sha2(gram, 256), 1, 8), 16, 10).cast("long")
+        % F.lit(int(buckets))
+    )
+
+
+def gram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """(doc_id, bkt) — one row per unigram/bigram OCCURRENCE."""
+    uni = exploded_grams(
+        df, text_col, k=1, id_cols=(id_col,), short_fallback=False
+    )
+    bi = exploded_grams(
+        df, text_col, k=2, id_cols=(id_col,), short_fallback=False
+    )
+    grams = uni.unionByName(bi)
+    return grams.select(
+        F.col(id_col).alias("doc_id"), _bucket(F.col("gram"), buckets).alias("bkt")
+    )
+
+
+def _histogram(grams: DataFrame) -> DataFrame:
+    return grams.groupBy("bkt").agg(F.count("*").cast("long").alias("c"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """(doc_id, logw) for every raw doc: the summed hashed-ngram log
+    likelihood ratio (target over raw), add-one smoothed over all
+    ``buckets`` bins. Higher = more target-like."""
+    b = int(buckets)
+    raw_b = gram_buckets(raw, text_col, id_col, b)
+    tgt_b = gram_buckets(target, text_col, id_col, b)
+    cr = _histogram(raw_b)
+    ct = _histogram(tgt_b)
+    totals = cr.agg(F.sum("c").alias("rtot")).crossJoin(
+        ct.agg(F.sum("c").alias("ttot"))
+    )
+    # <= buckets rows: the ratio table (buckets absent from the raw
+    # histogram can't be referenced by any raw doc, so a left base on
+    # cr covers every join key)
+    ratio = (
+        cr.join(ct.withColumnRenamed("c", "tc"), "bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("ttot") + F.lit(float(b)))
+                )
+                - F.log(
+                    (F.col("c") + F.lit(1.0)) / (F.col("rtot") + F.lit(float(b)))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        raw_b.join(F.broadcast(ratio), "bkt")
+        .groupBy("doc_id")
+        .agg(F.sum("lr").alias("logw"))
+    )
+
+
+def dsir_sample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    seed: int = 7,
+) -> DataFrame:
+    """Importance resampling without replacement via the Gumbel top-k
+    trick: rank by ``logw + Gumbel(u01(seed, doc_id))`` and keep the
+    top ``n`` (doc_id tie-break). Deterministic — the Gumbel noise is
+    sha256-derived from (seed, doc_id), so reruns and resumed jobs
+    select identical documents. TakeOrdered, never a global sort."""
+    w = dsir_log_weights(raw, target, text_col, id_col, buckets)
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit(f"dsir:{int(seed)}:"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    # clamp away u == 0 (ln(0)); 1/2^32 lower bound matches the oracle
+    g = -F.log(-F.log(F.greatest(u, F.lit(2.0 ** -32))))
+    return (
+        w.select("doc_id", (F.col("logw") + g).alias("key"), "logw")
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(int(n))
+    )

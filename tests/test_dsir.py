@@ -1,0 +1,65 @@
+"""DSIR importance resampling: weights must rank target-like docs
+higher, the Gumbel top-k selection must be deterministic and actually
+importance-weighted, and the feature hash must be mirrorable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_sample,
+    gram_buckets,
+)
+
+
+def _corpus(spark):
+    # two styles: "code-ish" target vs "prose-ish" pool noise
+    rows = []
+    for i in range(30):
+        rows.append((i, "def parse_buffer return token stream index merge", "code"))
+    for i in range(30, 90):
+        rows.append((i, "the quick brown fox jumps over the lazy dog again", "prose"))
+    # a pool doc that LOOKS like the target
+    rows.append((90, "def merge_token return index buffer stream parse", "prose"))
+    return spark.createDataFrame(rows, "doc_id long, text string, style string")
+
+
+def test_weights_rank_target_like_docs(spark):
+    docs = _corpus(spark)
+    target = docs.filter(F.col("style") == "code")
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_log_weights(docs, target, buckets=256).collect()}
+    code_mean = sum(w[i] for i in range(30)) / 30
+    prose_mean = sum(w[i] for i in range(30, 90)) / 60
+    assert code_mean > prose_mean
+    # the target-like pool doc outranks every true prose doc
+    assert w[90] > max(w[i] for i in range(30, 90))
+
+
+def test_sample_deterministic_and_weighted(spark):
+    docs = _corpus(spark)
+    target = docs.filter(F.col("style") == "code")
+    a = [r["doc_id"] for r in dsir_sample(docs, target, 20, buckets=256,
+                                          seed=7).collect()]
+    b = [r["doc_id"] for r in dsir_sample(docs, target, 20, buckets=256,
+                                          seed=7).collect()]
+    assert a == b and len(a) == 20
+    # importance weighting dominates the noise: most picks are code-like
+    code_like = sum(1 for d in a if d < 30 or d == 90)
+    assert code_like >= 14
+    # a different seed reorders the marginal picks but stays weighted
+    c = [r["doc_id"] for r in dsir_sample(docs, target, 20, buckets=256,
+                                          seed=8).collect()]
+    assert c != a
+    assert sum(1 for d in c if d < 30 or d == 90) >= 14
+
+
+def test_gram_buckets_bounded(spark):
+    docs = _corpus(spark)
+    got = gram_buckets(docs, buckets=64)
+    mm = got.agg(F.min("bkt"), F.max("bkt")).collect()[0]
+    assert mm[0] >= 0 and mm[1] < 64
+    # occurrences: the 7-token doc emits 7 unigrams + 6 bigrams
+    n = got.filter(F.col("doc_id") == 0).count()
+    assert n == 13
