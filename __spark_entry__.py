@@ -802,6 +802,30 @@ def q_search_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES global aggregation: one search request carrying BOTH the
+    query-scoped stats and the corpus-wide (query-ignoring) stats — the
+    'show my filter next to the whole index' Kibana pattern. The global
+    side reads only the skinny sidecar (one partial-agg pass, postings
+    untouched)."""
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    rdr = _driver_index(spark, sf_dir)
+    m = rdr.stats_agg(BM25_TERMS, "n_chars")
+    g = (
+        load_doc_attrs(spark, rdr.out_dir)
+        .agg(F.count("*").cast("long").alias("n"), F.avg("n_chars").alias("a"))
+        .collect()[0]
+    )
+    rows = [
+        ("query", int(m["count"]), round(float(m["avg"]), 6)),
+        ("global", int(g["n"]), round(float(g["a"]), 6)),
+    ]
+    return spark.createDataFrame(
+        rows, "bucket string, doc_count long, avg_chars double"
+    )
+
+
 def q_search_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES median_absolute_deviation aggregation on a query: exact
     median(|n_chars - median(n_chars)|) over docs matching any query
@@ -3201,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq": q_ann_sq,
         "ann_pq": q_ann_pq,
         "dsir_weights": q_dsir_weights,
+        "search_global": q_search_global,
         "random_projection": q_random_projection,
         "sliding_chunks": q_sliding_chunks,
         "training_order": q_training_order,
@@ -5957,6 +5982,13 @@ FROM documents d LEFT JOIN e USING (doc_id)
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
         "ann_pq": _ANN_SQL,
+        "search_global": f"""
+SELECT 'query' AS bucket, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+UNION ALL
+SELECT 'global', count(*)::BIGINT, round(avg(n_chars), 6) FROM documents
+""",
         "dsir_weights": f"""
 WITH toks AS (
   SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9_]+') AS a
