@@ -150,6 +150,15 @@ def _cmd_delete_by_query(args) -> int:
     return 0
 
 
+def _cmd_stats(args) -> int:
+    from .operators.segments import read_tombstones, summarize_index
+
+    summary = summarize_index(args.index_dir)
+    summary["deleted_docs"] = len(read_tombstones(args.index_dir))
+    print(json.dumps(summary))
+    return 0
+
+
 def _cmd_field_caps(args) -> int:
     from .plans.formats import FORMATS
     from .plans.mapping import field_caps
@@ -225,6 +234,12 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("terms", nargs="+")
     d.add_argument("--max-docs", type=int, default=None)
     d.set_defaults(fn=_cmd_delete_by_query)
+
+    st = sub.add_parser(
+        "stats", help="index statistics (the ES _stats admin surface)"
+    )
+    st.add_argument("index_dir")
+    st.set_defaults(fn=_cmd_stats)
 
     fc = sub.add_parser(
         "field-caps", help="merged _field_caps across log formats"

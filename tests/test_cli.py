@@ -145,3 +145,22 @@ def test_search_dbq_fieldcaps_cli(spark, tmp_path, capsys):
     assert main(["field-caps", "alb", "cloudfront"]) == 0
     fc = json.loads(capsys.readouterr().out.strip())
     assert fc["fields"]["@timestamp"]["date"]["aggregatable"] is True
+
+
+def test_stats_cli(spark, tmp_path, capsys):
+    docs = tmp_path / "d4" / "documents.parquet"
+    spark.createDataFrame(
+        [(1, "merge the runs", "en"), (2, "spark merge join", "en")],
+        "doc_id long, content string, lang string",
+    ).write.parquet(str(docs))
+    idx = tmp_path / "idx4"
+    assert main(["index", str(docs), "--out", str(idx), "--buckets", "2"]) == 0
+    capsys.readouterr()
+    assert main(["stats", str(idx)]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_docs"] == 2 and st["deleted_docs"] == 0
+    assert main(["delete-by-query", str(idx), "spark"]) == 0
+    capsys.readouterr()
+    assert main(["stats", str(idx)]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["deleted_docs"] == 1
