@@ -80,25 +80,22 @@ def dsir_log_weights(
     tgt_b = gram_buckets(target, text_col, id_col, b)
     cr = _histogram(raw_b)
     ct = _histogram(tgt_b)
-    totals = cr.agg(F.sum("c").alias("rtot")).crossJoin(
-        ct.agg(F.sum("c").alias("ttot"))
-    )
+    # two driver scalars (one tiny agg row each), not a cross join
+    rtot = float(cr.agg(F.sum("c")).collect()[0][0] or 0)
+    ttot = float(ct.agg(F.sum("c")).collect()[0][0] or 0)
     # <= buckets rows: the ratio table (buckets absent from the raw
     # histogram can't be referenced by any raw doc, so a left base on
     # cr covers every join key)
     ratio = (
         cr.join(ct.withColumnRenamed("c", "tc"), "bkt", "left")
-        .crossJoin(F.broadcast(totals))
         .select(
             "bkt",
             (
                 F.log(
                     (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(1.0))
-                    / (F.col("ttot") + F.lit(float(b)))
+                    / F.lit(ttot + float(b))
                 )
-                - F.log(
-                    (F.col("c") + F.lit(1.0)) / (F.col("rtot") + F.lit(float(b)))
-                )
+                - F.log((F.col("c") + F.lit(1.0)) / F.lit(rtot + float(b)))
             ).alias("lr"),
         )
     )
