@@ -258,6 +258,7 @@ def run_default() -> dict:
             k: cc[k]
             for k in (
                 "docs", "index_build_sec", "value", "query_p50_sec",
+                "dsl_query_p50_sec",
                 "query_cold_open_sec", "rank_identical_wand_vs_naive",
             )
         }
@@ -488,6 +489,20 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
         wand_results[q["query_id"]] = rdr.query(q["terms"], q["k"])
         lat.append(time.perf_counter() - t0)
 
+    # DSL front-door overhead: the same reference queries arriving as
+    # JSON _search bodies must cost what the direct kernel costs
+    # (execute_search is pure translation)
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    dsl_lat: list[float] = []
+    for q in REFERENCE_QUERIES:
+        body = {"query": {"terms": {"content": q["terms"]}}, "size": q["k"]}
+        t0 = time.perf_counter()
+        resp = execute_search(rdr, body)
+        dsl_lat.append(time.perf_counter() - t0)
+        got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+        assert got == wand_results[q["query_id"]], "DSL changed scoring"
+
     # Rank-identity cross-check vs the naive DataFrame path (one shared
     # postings build; ties resolved identically: score desc, doc_id asc,
     # scores compared at 1e-6).
@@ -655,6 +670,7 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
             for q, l in zip(REFERENCE_QUERIES, lat)
         },
         "query_p50_sec": round(statistics.median(lat), 4),
+        "dsl_query_p50_sec": round(statistics.median(dsl_lat), 4),
         "query_cold_open_sec": round(cold_s, 4),
         "rank_identical_wand_vs_naive": not mismatches,
         "mismatches": mismatches,
