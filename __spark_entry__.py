@@ -1930,6 +1930,35 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dense_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with min_doc_count=0 (+ implicit extended
+    bounds): EVERY (event_type, hour) bucket in the data's time range is
+    emitted, zero-filled where no events landed (215 empty buckets at
+    sf0.01) — the Kibana-chart contract the sparse groupBy can't
+    satisfy. The dense frame is generated, not joined-cross: the hour
+    sequence explodes from a literal range (driver min/max scalars), so
+    its size is bounded by time-span/interval regardless of data volume;
+    the actual counts left-join onto it."""
+    ev = _read(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.date_trunc("hour", F.col("ts"))).alias("lo"),
+        F.max(F.date_trunc("hour", F.col("ts"))).alias("hi"),
+    ).collect()[0]
+    seq = F.expr(
+        f"sequence(timestamp'{b['lo']}', timestamp'{b['hi']}', interval 1 hour)"
+    )
+    dims = (
+        ev.select("event_type").distinct()
+        .select("event_type", F.explode(seq).alias("bucket"))
+    )
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").cast("long").alias("n"))
+    return dims.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type", "bucket", F.coalesce("n", F.lit(0)).cast("long").alias("doc_count")
+    )
+
+
 def q_events_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES pipeline aggregation (derivative): day-over-day delta of the
     date_histogram doc counts. The unpartitioned lag window runs over
@@ -3226,6 +3255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq": q_ann_pq,
         "dsir_weights": q_dsir_weights,
         "search_global": q_search_global,
+        "events_dense_histogram": q_events_dense_histogram,
         "random_projection": q_random_projection,
         "sliding_chunks": q_sliding_chunks,
         "training_order": q_training_order,
@@ -5982,6 +6012,25 @@ FROM documents d LEFT JOIN e USING (doc_id)
         "clean_corpus": _clean_corpus_sql(),
         "ann_cosine": _ANN_SQL,
         "ann_pq": _ANN_SQL,
+        "events_dense_histogram": """
+WITH b AS (
+  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+),
+rng AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))::TIMESTAMP AS bucket
+  FROM bounds
+),
+t AS (SELECT DISTINCT event_type FROM events),
+d AS (SELECT t.event_type, rng.bucket FROM t, rng)
+SELECT d.event_type, d.bucket, coalesce(b.n, 0)::BIGINT AS doc_count
+FROM d LEFT JOIN b ON b.event_type = d.event_type AND b.bucket = d.bucket
+""",
         "search_global": f"""
 SELECT 'query' AS bucket, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 6) AS avg_chars
