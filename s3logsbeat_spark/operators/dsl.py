@@ -17,7 +17,9 @@ constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
 and ``aggs``
 (terms / stats / histogram / range / cardinality / percentiles / value_count
-— one level, no sub-aggs). Unsupported constructs raise ``ValueError``
+— one nesting supported: ``terms`` -> ``top_hits``; ``stats``/
+``value_count`` accept a Catalyst ``script`` instead of ``field``, the
+runtime_mappings shape). Unsupported constructs raise ``ValueError``
 naming the construct, never silently mis-execute.
 
 Scale: everything dispatches to the reader's existing kernels (pruned
@@ -346,11 +348,40 @@ def execute_search(reader, body: dict) -> dict:
 def _run_aggs(reader, terms, mode, doc_filter, aggs: dict) -> dict:
     out = {}
     for name, spec in aggs.items():
-        if len(spec) != 1:
+        sub = spec.get("aggs") or spec.get("aggregations")
+        body = {k: v for k, v in spec.items()
+                if k not in ("aggs", "aggregations")}
+        if len(body) != 1:
+            raise ValueError(f"agg {name} must name exactly one agg type")
+        [(kind, a)] = body.items()
+        if sub is not None and kind != "terms":
             raise ValueError(f"agg {name}: sub-aggregations unsupported")
-        [(kind, a)] = spec.items()
         field = a.get("field")
-        if kind == "terms":
+        if kind == "terms" and sub is not None:
+            # the one supported nesting: terms -> top_hits, the grouped
+            # best-docs shape top_hits_by computes in a single pass
+            if len(sub) != 1:
+                raise ValueError("terms supports exactly one sub-agg")
+            [(sname, sspec)] = sub.items()
+            [(skind, sa)] = sspec.items()
+            if skind != "top_hits":
+                raise ValueError(
+                    f"unsupported terms sub-agg: {skind} (top_hits only)"
+                )
+            per = int(sa.get("size", 3))
+            rows = reader.top_hits_by(
+                terms, field, k_per_group=per, mode=mode, doc_filter=doc_filter
+            )
+            buckets: dict = {}
+            for value, doc, score in rows:
+                b = buckets.setdefault(
+                    value, {"key": value, sname: {"hits": {"hits": []}}}
+                )
+                b[sname]["hits"]["hits"].append(
+                    {"_id": int(doc), "_score": float(score)}
+                )
+            out[name] = {"buckets": list(buckets.values())}
+        elif kind == "terms":
             buckets = reader.facet_counts(
                 terms, field, mode=mode, doc_filter=doc_filter
             )
@@ -361,10 +392,24 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict) -> dict:
                     for kv, n in buckets[:size]
                 ]
             }
+        elif kind == "stats" and "script" in a:
+            # runtime_mappings-style script field
+            from .scripted import scripted_stats_agg
+
+            out[name] = scripted_stats_agg(
+                reader, terms, a["script"], mode=mode, doc_filter=doc_filter
+            )
         elif kind == "stats":
             out[name] = reader.stats_agg(
                 terms, field, mode=mode, doc_filter=doc_filter
             )
+        elif kind == "value_count" and "script" in a:
+            from .scripted import scripted_stats_agg
+
+            st = scripted_stats_agg(
+                reader, terms, a["script"], mode=mode, doc_filter=doc_filter
+            )
+            out[name] = {"value": st["count"]}
         elif kind == "value_count":
             st = reader.stats_agg(terms, field, mode=mode, doc_filter=doc_filter)
             out[name] = {"value": st["count"]}

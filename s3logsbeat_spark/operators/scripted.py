@@ -44,3 +44,38 @@ def scripted_metric_agg(
     )
     row = mapped.selectExpr(f"{reduce_script} AS _out").collect()[0]
     return row["_out"]
+
+
+def scripted_stats_agg(
+    reader,
+    terms: list[str],
+    map_script: str,
+    mode: str = "or",
+    doc_filter: dict | None = None,
+) -> dict:
+    """ES stats aggregation over a RUNTIME (script-derived) field: the
+    map expression runs per matched doc, the five standard stats reduce
+    it — the runtime_mappings-backed agg shape, same codegen/partial-agg
+    cost as a stored-field stats agg."""
+    from pyspark.sql import functions as F
+
+    from .segments import load_doc_attrs
+
+    matched = reader._matched_docs_df(terms, mode, doc_filter)
+    empty = {"count": 0, "sum": None, "min": None, "max": None, "avg": None}
+    if matched is None:
+        return empty
+    attrs = load_doc_attrs(reader.spark, reader.out_dir)
+    mapped = (
+        matched.join(attrs, ["bucket", "doc_id"])
+        .selectExpr(f"({map_script}) AS _mapped")
+    )
+    row = mapped.agg(
+        F.count("_mapped").alias("count"),
+        F.sum("_mapped").alias("sum"),
+        F.min("_mapped").alias("min"),
+        F.max("_mapped").alias("max"),
+        F.avg("_mapped").alias("avg"),
+    ).collect()[0]
+    out = row.asDict()
+    return out if out["count"] else empty

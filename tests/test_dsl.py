@@ -230,7 +230,7 @@ def test_unsupported_raises(rdr):
     with pytest.raises(ValueError, match="sub-aggregations"):
         execute_search(rdr, {
             "query": {"match": {"content": "merge"}},
-            "aggs": {"x": {"terms": {"field": "lang"},
+            "aggs": {"x": {"stats": {"field": "n_chars"},
                            "aggs": {"y": {"stats": {"field": "n_chars"}}}}}})
 
 
@@ -363,3 +363,38 @@ try:
         assert got == want
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_script_aggs_and_top_hits_nesting(rdr):
+    body = {
+        "query": {"match": {"content": "merge hash"}},
+        "aggs": {
+            "rt": {"stats": {"script": "n_chars * 2"}},
+            "rtc": {"value_count": {"script": "1"}},
+            "groups": {
+                "terms": {"field": "lang"},
+                "aggs": {"best": {"top_hits": {"size": 2}}},
+            },
+        },
+    }
+    got = execute_search(rdr, body)["aggregations"]
+    t = ["hash", "merge"]
+    st = rdr.stats_agg(t, "n_chars")
+    assert got["rt"]["count"] == st["count"]
+    assert got["rt"]["sum"] == 2 * st["sum"]
+    assert got["rt"]["avg"] == 2 * st["avg"]
+    assert got["rtc"] == {"value": st["count"]}
+    # terms -> top_hits equals the one-pass grouped top-k
+    want = rdr.top_hits_by(t, "lang", k_per_group=2)
+    flat = [
+        (b["key"], h["_id"], h["_score"])
+        for b in got["groups"]["buckets"]
+        for h in b["best"]["hits"]["hits"]
+    ]
+    assert flat == [(v, d, s) for v, d, s in want]
+    # a non-top_hits sub-agg still raises
+    with pytest.raises(ValueError, match="unsupported terms sub-agg"):
+        execute_search(rdr, {
+            "query": {"match": {"content": "merge"}},
+            "aggs": {"g": {"terms": {"field": "lang"},
+                           "aggs": {"x": {"stats": {"field": "n_chars"}}}}}})
