@@ -150,6 +150,19 @@ def _cmd_delete_by_query(args) -> int:
     return 0
 
 
+def _cmd_analyze(args) -> int:
+    from .functions.tokenizer import tokenize_text_positions
+
+    pos = tokenize_text_positions(args.text, args.lang)
+    toks = sorted((p, t) for t, ps in pos.items() for p in ps)
+    print(json.dumps({
+        "tokens": [
+            {"token": t, "position": int(p)} for p, t in toks
+        ]
+    }))
+    return 0
+
+
 def _cmd_stats(args) -> int:
     from .operators.segments import read_tombstones, summarize_index
 
@@ -234,6 +247,13 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("terms", nargs="+")
     d.add_argument("--max-docs", type=int, default=None)
     d.set_defaults(fn=_cmd_delete_by_query)
+
+    an = sub.add_parser(
+        "analyze", help="ES _analyze: tokens+positions the INDEX analyzer emits"
+    )
+    an.add_argument("text")
+    an.add_argument("--lang", default=None)
+    an.set_defaults(fn=_cmd_analyze)
 
     st = sub.add_parser(
         "stats", help="index statistics (the ES _stats admin surface)"

@@ -479,3 +479,57 @@ def execute_count(reader, body: dict | None = None) -> dict:
     else:
         raise ValueError(f"unsupported _count query: {kind}")
     return {"count": int(reader.count(terms, doc_filter=doc_filter))}
+
+
+def execute_msearch(reader, bodies: list[dict]) -> list[dict]:
+    """ES ``_msearch``: a batch of ``_search`` bodies. Term-resolvable
+    bodies (plain match/term/terms without sort/paging/aggs/extras)
+    route together through the reader's batched msearch kernel — ONE
+    pruned segment read for the union of their terms — and everything
+    else falls back to :func:`execute_search` per body. Responses come
+    back in request order, each in the normal ``_search`` shape."""
+    batchable: dict[int, dict] = {}
+    for i, body in enumerate(bodies):
+        q = body.get("query")
+        simple_keys = set(body) <= {"query", "size"}
+        if not q or len(q) != 1 or not simple_keys:
+            continue
+        [(kind, clause)] = q.items()
+        try:
+            if kind == "match":
+                _, spec = _one(clause, "match")
+                terms, op, msm, fuzz = _match_terms(spec)
+                if fuzz:
+                    continue
+                batchable[i] = {
+                    "terms": terms, "k": int(body.get("size", 10)),
+                    "mode": op,
+                    **({"min_should_match": int(msm)} if msm else {}),
+                }
+            elif kind in ("term", "terms"):
+                batchable[i] = {
+                    "terms": _clause_terms(q, "query"),
+                    "k": int(body.get("size", 10)),
+                }
+        except ValueError:
+            continue
+    order = sorted(batchable)
+    results: dict[int, list] = {}
+    if order:
+        batch_out = reader.msearch([batchable[i] for i in order])
+        results = dict(zip(order, batch_out))
+    out = []
+    for i, body in enumerate(bodies):
+        if i in results:
+            out.append({
+                "hits": {
+                    "total": None,
+                    "hits": [
+                        {"_id": int(d), "_score": float(s)}
+                        for d, s in results[i]
+                    ],
+                }
+            })
+        else:
+            out.append(execute_search(reader, body))
+    return out

@@ -164,3 +164,14 @@ def test_stats_cli(spark, tmp_path, capsys):
     assert main(["stats", str(idx)]) == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert st["deleted_docs"] == 1
+
+
+def test_analyze_cli(capsys):
+    assert main(["analyze", "parseBuffer x", "--lang", "py"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    toks = {d["token"] for d in out["tokens"]}
+    # code-aware analysis: raw identifier plus camelCase subtokens
+    assert {"parsebuffer", "parse", "buffer", "x"} <= toks
+    # subtokens share their raw token's position
+    pos = {d["token"]: d["position"] for d in out["tokens"]}
+    assert pos["parse"] == pos["parsebuffer"]

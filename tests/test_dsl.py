@@ -398,3 +398,21 @@ def test_script_aggs_and_top_hits_nesting(rdr):
             "query": {"match": {"content": "merge"}},
             "aggs": {"g": {"terms": {"field": "lang"},
                            "aggs": {"x": {"stats": {"field": "n_chars"}}}}}})
+
+
+def test_msearch_bodies_match_solo(rdr):
+    bodies = [
+        {"query": {"match": {"content": "merge hash"}}, "size": 5},
+        {"query": {"terms": {"content": ["buffer", "return"]}}},
+        # NOT batchable: sort body falls back to execute_search
+        {"query": {"match": {"content": "merge"}},
+         "sort": [{"n_chars": {"order": "desc"}}], "size": 3},
+        {"query": {"match": {"content": {"query": "merge hash",
+                                         "operator": "and"}}}},
+    ]
+    from s3logsbeat_spark.operators.dsl import execute_msearch
+
+    got = execute_msearch(rdr, bodies)
+    for body, resp in zip(bodies, got):
+        solo = execute_search(rdr, body)
+        assert resp["hits"]["hits"] == solo["hits"]["hits"], body
