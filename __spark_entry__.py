@@ -316,6 +316,43 @@ def q_scripted_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(v),)], "value long")
 
 
+def q_esql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL pipe front door (the modern ES query language): the
+    flagship WAND query arriving as 'FROM docs | WHERE MATCH(...) |
+    LIMIT k'. Like the DSL/template/ES-SQL doors, translation adds no
+    scoring paths — the oracle is bm25_wand's."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        f" | LIMIT {BM25_K}",
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(x), 6)) for d, x in resp["values"]],
+        "doc_id long, score double",
+    )
+
+
+def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL STATS ... BY: grouped analytics over the fulltext match —
+    one matched-docs/sidecar join + a map-side-combined groupBy bounded
+    by the BY field's cardinality."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        " | STATS COUNT(*), AVG(n_chars) BY lang | SORT lang ASC | LIMIT 100",
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), round(float(r[2]), 6)) for r in resp["values"]],
+        "lang string, doc_count long, avg_chars double",
+    )
+
+
 def q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES JSON query DSL (POST _search with a request body) — the
     surface every ES client library speaks. The body routes through
@@ -3303,6 +3340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": q_geo_line,
         "delete_by_query": q_delete_by_query,
         "search_dsl": q_search_dsl,
+        "esql_query": q_esql_query,
+        "esql_stats": q_esql_stats,
         "scripted_metric": q_scripted_metric,
         "span_within": q_span_within,
         "span_containing": q_span_containing,
@@ -6370,6 +6409,13 @@ SELECT lang,
 FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
 """,
         "search_dsl": _BM25_WAND_SQL,
+        "esql_query": _BM25_WAND_SQL,
+        "esql_stats": f"""
+SELECT lang, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY lang ORDER BY lang
+""",
         "span_within": _SPAN_WITHIN_SQL,
         "span_containing": _SPAN_CONTAINING_SQL,
         "scripted_metric": f"""

@@ -1,0 +1,215 @@
+"""ES|QL front door — the pipe query language modern ES ships
+(``FROM idx | WHERE ... | STATS ... BY ...``), the successor surface to
+ES-SQL (`essql.py`) and the JSON DSL (`dsl.py`).
+
+Grammar (the useful fulltext+analytics core, one statement):
+
+    FROM <index>
+    | WHERE <cond> [AND <cond>]...
+        cond := MATCH(content, "t1 t2 ...")       -- OR, BM25-scored
+              | MATCH_ALL(content, "t1 t2 ...")   -- conjunctive (must)
+              | <attr> == "value"                 -- filter context
+              | <attr> IN ("v1", "v2", ...)
+    | STATS <agg>[, <agg>]... BY <attr>
+        agg  := COUNT(*) | AVG(f) | SUM(f) | MIN(f) | MAX(f)
+    | SORT <_score | attr> [ASC | DESC]
+    | LIMIT <n>
+    | KEEP <col>[, <col>]...
+
+Execution adds zero new paths: hits run on the reader's WAND/search
+kernels (attr sorts on the sidecar TakeOrdered path), STATS runs one
+matched-docs/sidecar join + a map-side-combined groupBy whose output is
+bounded by the BY field's cardinality. The response is the ES|QL wire
+shape ``{"columns": [{"name", "type"}], "values": [[...]]}``.
+Unsupported syntax raises naming the fragment.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+_COND = re.compile(
+    r"""MATCH(?P<all>_ALL)?\(\s*content\s*,\s*"(?P<terms>[^"]*)"\s*\)
+    |(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*==\s*"(?P<val>[^"]*)"
+    |(?P<incol>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s+\((?P<vals>[^)]*)\)""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_AGG = re.compile(
+    r"""(?P<fn>COUNT|AVG|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_AGG_FN = {"count": F.count, "avg": F.avg, "sum": F.sum,
+           "min": F.min, "max": F.max}
+
+
+def parse_esql(stmt: str) -> dict:
+    """Parse one ES|QL statement into a plan dict; raise ValueError on
+    anything outside the grammar."""
+    pipes = [p.strip() for p in stmt.strip().rstrip(";").split("|")]
+    m = re.fullmatch(r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)", pipes[0],
+                     re.IGNORECASE)
+    if not m:
+        raise ValueError(f"ES|QL must start with FROM <index>: {pipes[0]!r}")
+    plan: dict = {
+        "index": m.group(1), "terms": [], "mode": "or", "required": None,
+        "filters": None, "stats": None, "by": None, "sort": None,
+        "limit": 10, "keep": None,
+    }
+    for p in pipes[1:]:
+        head = p.split(None, 1)[0].upper() if p else ""
+        body = p[len(head):].strip()
+        if head == "WHERE":
+            _parse_where(body, plan)
+        elif head == "STATS":
+            sm = re.fullmatch(
+                r"(?P<aggs>.+?)\s+BY\s+(?P<by>[A-Za-z_][A-Za-z0-9_]*)",
+                body, re.IGNORECASE | re.DOTALL)
+            if not sm:
+                raise ValueError(f"unsupported STATS clause: {body!r}")
+            aggs = []
+            for part in sm.group("aggs").split(","):
+                am = _AGG.fullmatch(part.strip())
+                if not am:
+                    raise ValueError(f"unsupported aggregate: {part.strip()!r}")
+                fn, arg = am.group("fn").lower(), am.group("arg")
+                if (arg == "*") != (fn == "count"):
+                    raise ValueError(f"{fn.upper()}({arg}) unsupported")
+                aggs.append((fn, arg))
+            plan["stats"], plan["by"] = aggs, sm.group("by")
+        elif head == "SORT":
+            sm = re.fullmatch(
+                r"(?P<f>_score|[A-Za-z_][A-Za-z0-9_]*)"
+                r"(?:\s+(?P<dir>ASC|DESC))?", body, re.IGNORECASE)
+            if not sm:
+                raise ValueError(f"unsupported SORT clause: {body!r}")
+            plan["sort"] = (sm.group("f"),
+                            (sm.group("dir") or "DESC").upper())
+        elif head == "LIMIT":
+            if not re.fullmatch(r"\d+", body):
+                raise ValueError(f"unsupported LIMIT clause: {body!r}")
+            plan["limit"] = int(body)
+        elif head == "KEEP":
+            plan["keep"] = [c.strip() for c in body.split(",")]
+        else:
+            raise ValueError(f"unsupported pipe command: {p!r}")
+    if not plan["terms"] and not plan["required"]:
+        raise ValueError("ES|QL statement needs a MATCH/MATCH_ALL condition")
+    return plan
+
+
+def _parse_where(body: str, plan: dict) -> None:
+    for part in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
+        cm = _COND.fullmatch(part.strip())
+        if not cm:
+            raise ValueError(f"unsupported WHERE condition: {part.strip()!r}")
+        if cm.group("terms") is not None:
+            terms = cm.group("terms").split()
+            if cm.group("all"):
+                if plan["required"]:
+                    raise ValueError("at most one MATCH_ALL condition")
+                plan["required"] = terms
+            else:
+                if plan["terms"]:
+                    raise ValueError("at most one MATCH condition")
+                plan["terms"] = terms
+        else:
+            col = cm.group("col") or cm.group("incol")
+            if cm.group("col"):
+                val = cm.group("val")
+            else:
+                val = [v.strip().strip('"') for v in
+                       cm.group("vals").split(",")]
+            plan.setdefault("filters", None)
+            if plan["filters"] is None:
+                plan["filters"] = {}
+            if col in plan["filters"]:
+                raise ValueError(f"duplicate filter column: {col}")
+            plan["filters"][col] = val
+
+
+def execute_esql(reader, stmt: str) -> dict:
+    """Run one ES|QL statement; returns the ES|QL response shape
+    ``{"columns": [{"name", "type"}], "values": [[...]]}``."""
+    plan = parse_esql(stmt)
+    k = plan["limit"]
+    if plan["stats"] is not None:
+        return _run_stats(reader, plan)
+    # hits path
+    if plan["required"] and plan["terms"]:
+        pairs = reader.search({
+            "must": plan["required"], "should": plan["terms"],
+            "must_not": [], "min_should_match": 0,
+            **({"filter": plan["filters"]} if plan["filters"] else {}),
+        }, k)
+    else:
+        terms = plan["required"] or plan["terms"]
+        mode = "and" if plan["required"] else "or"
+        if plan["sort"] and plan["sort"][0] != "_score":
+            field, direction = plan["sort"]
+            ranked = reader.sort_by_field(
+                terms, field, k, descending=(direction == "DESC"),
+                mode=mode, doc_filter=plan["filters"],
+            )
+            return _hits_response([(d, None) for d, _v in ranked],
+                                  plan["keep"])
+        pairs = reader.query(terms, k, mode=mode, doc_filter=plan["filters"])
+    return _hits_response(pairs, plan["keep"])
+
+
+def _hits_response(pairs, keep) -> dict:
+    cols = [{"name": "doc_id", "type": "long"},
+            {"name": "_score", "type": "double"}]
+    vals = [[int(d), (None if s is None else float(s))] for d, s in pairs]
+    if keep:
+        idx = {c["name"]: i for i, c in enumerate(cols)}
+        missing = [c for c in keep if c not in idx]
+        if missing:
+            raise ValueError(f"KEEP references unknown columns: {missing}")
+        cols = [cols[idx[c]] for c in keep]
+        vals = [[row[idx[c]] for c in keep] for row in vals]
+    return {"columns": cols, "values": vals}
+
+
+def _run_stats(reader, plan: dict) -> dict:
+    from .segments import load_doc_attrs
+
+    terms = sorted(set(plan["terms"]) | set(plan["required"] or []))
+    mode = "and" if (plan["required"] and not plan["terms"]) else "or"
+    matched = reader._matched_docs_df(terms, mode, plan["filters"])
+    by = plan["by"]
+    names, exprs, types = [by], [], [{"name": by, "type": "keyword"}]
+    for fn, arg in plan["stats"]:
+        name = f"{fn}({arg})"
+        names.append(name)
+        col = _AGG_FN[fn]("*" if arg == "*" else arg)
+        if fn == "count":
+            col = col.cast("long")
+        exprs.append(col.alias(name))
+        types.append({"name": name,
+                      "type": "long" if fn == "count" else "double"})
+    if matched is None:
+        return {"columns": types, "values": []}
+    attrs = load_doc_attrs(reader.spark, reader.out_dir)
+    grouped = (
+        matched.join(attrs, ["bucket", "doc_id"]).groupBy(by).agg(*exprs)
+    )
+    if plan["sort"]:
+        field, direction = plan["sort"]
+        if field not in names:
+            raise ValueError(f"SORT column {field!r} not in STATS output")
+        c = F.col(field)
+        grouped = grouped.orderBy(c.desc() if direction == "DESC" else c.asc())
+    else:
+        grouped = grouped.orderBy(by)
+    rows = grouped.limit(plan["limit"]).collect()
+    keep = plan["keep"] or names
+    missing = [c for c in keep if c not in names]
+    if missing:
+        raise ValueError(f"KEEP references unknown columns: {missing}")
+    cols = [t for t in types if t["name"] in keep]
+    vals = [[row[c] for c in keep] for row in rows]
+    return {"columns": cols, "values": vals}

@@ -1,0 +1,119 @@
+"""ES|QL pipe front door: every statement form must equal the direct
+reader call it translates to, and out-of-grammar syntax must raise
+naming the fragment."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.operators.esqlpipe import execute_esql, parse_esql
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+@pytest.fixture(scope="module")
+def rdr(spark, corpus_df, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path_factory.mktemp("esql_idx"))
+    build_index(
+        corpus_df.withColumn("n_chars", F.length("content")),
+        IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10),
+    )
+    return IndexReader(spark, out)
+
+
+def _vals(resp):
+    return [tuple(v) for v in resp["values"]]
+
+
+def test_match_hits(rdr):
+    got = execute_esql(
+        rdr, 'FROM code | WHERE MATCH(content, "merge hash") | LIMIT 5'
+    )
+    assert [c["name"] for c in got["columns"]] == ["doc_id", "_score"]
+    assert _vals(got) == rdr.query(["hash", "merge"], 5)
+
+
+def test_match_all_and_filter(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH_ALL(content, "merge hash")'
+        ' AND lang == "py" | LIMIT 10',
+    )
+    want = rdr.query(["hash", "merge"], 10, mode="and",
+                     doc_filter={"lang": "py"})
+    assert _vals(got) == want
+
+
+def test_bool_combined(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "buffer") AND'
+        ' MATCH_ALL(content, "merge") | LIMIT 10',
+    )
+    want = rdr.search({"must": ["merge"], "should": ["buffer"],
+                       "must_not": [], "min_should_match": 0}, 10)
+    assert _vals(got) == want
+
+
+def test_in_filter_and_sort_field(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge") AND'
+        ' lang IN ("py", "go") | SORT n_chars DESC | LIMIT 5',
+    )
+    want = rdr.sort_by_field(["merge"], "n_chars", 5, descending=True,
+                             doc_filter={"lang": ["py", "go"]})
+    assert [v[0] for v in _vals(got)] == [d for d, _ in want]
+
+
+def test_stats_by(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS COUNT(*), AVG(n_chars) BY lang | LIMIT 100',
+    )
+    assert [c["name"] for c in got["columns"]] == [
+        "lang", "count(*)", "avg(n_chars)"
+    ]
+    # reconcile against the reader's facet + stats surfaces
+    counts = dict(rdr.facet_counts(["hash", "merge"], "lang"))
+    by_lang = {v[0]: v for v in _vals(got)}
+    assert {k: v[1] for k, v in by_lang.items()} == counts
+    for lang, row in by_lang.items():
+        st = rdr.stats_agg(["hash", "merge"], "n_chars",
+                           doc_filter={"lang": lang})
+        assert row[2] == pytest.approx(st["avg"])
+
+
+def test_keep_projection(rdr):
+    got = execute_esql(
+        rdr, 'FROM code | WHERE MATCH(content, "merge") | LIMIT 3 | KEEP doc_id'
+    )
+    assert [c["name"] for c in got["columns"]] == ["doc_id"]
+    assert _vals(got) == [(d,) for d, _ in rdr.query(["merge"], 3)]
+
+
+def test_unsupported_raises(rdr):
+    for bad in [
+        "SELECT 1",
+        "FROM code",                                  # no MATCH
+        'FROM code | WHERE MATCH(content, "x") | EVAL y = 1',
+        'FROM code | WHERE content ~ "x"',
+        'FROM code | WHERE MATCH(content, "x") | STATS MEDIAN(n) BY lang',
+        'FROM code | WHERE MATCH(content, "x") | KEEP nope',
+    ]:
+        with pytest.raises(ValueError):
+            execute_esql(rdr, bad)
+
+
+def test_parse_shapes():
+    p = parse_esql(
+        'FROM documents | WHERE MATCH(content, "a b") AND lang == "en"'
+        ' | STATS COUNT(*) BY lang | SORT lang ASC | LIMIT 7'
+    )
+    assert p["index"] == "documents" and p["terms"] == ["a", "b"]
+    assert p["filters"] == {"lang": "en"}
+    assert p["stats"] == [("count", "*")] and p["by"] == "lang"
+    assert p["sort"] == ("lang", "ASC") and p["limit"] == 7
