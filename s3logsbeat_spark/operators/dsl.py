@@ -125,6 +125,7 @@ def execute_search(reader, body: dict) -> dict:
     doc_filter = None
     terms_for_aggs: list[str] | None = None
     agg_mode = "or"
+    sortable = False  # set only where sort_by_field ranks the same doc set
 
     sort = body.get("sort")
     after = body.get("search_after")
@@ -247,6 +248,7 @@ def execute_search(reader, body: dict) -> dict:
         _, spec = _one(clause, "match")
         terms, op, msm, fuzz = _match_terms(spec)
         terms_for_aggs, agg_mode = terms, op
+        sortable = not fuzz and not msm
         if fuzz:
             pairs = reader.fuzzy_query(terms, k, max_edits=int(fuzz))
         elif sort and sort not in ("_score", ["_score"]):
@@ -264,6 +266,7 @@ def execute_search(reader, body: dict) -> dict:
     elif kind in ("term", "terms"):
         terms = _clause_terms(q, "query")
         terms_for_aggs = terms
+        sortable = True
         pairs = reader.query(terms, k)
         total = None
     else:
@@ -279,6 +282,14 @@ def execute_search(reader, body: dict) -> dict:
             order = spec if isinstance(spec, str) else spec.get("order", "desc")
         if terms_for_aggs is None:
             raise ValueError("sort-by-field needs a term-resolvable query")
+        if not sortable:
+            # sort_by_field ranks the PLAIN or/and match set; silently
+            # dropping must_not / minimum_should_match / fuzzy expansion
+            # from the matched set would change results — refuse instead
+            raise ValueError(
+                "sort-by-field supports plain match/term/terms queries "
+                "(no must_not, minimum_should_match, or fuzziness)"
+            )
         ranked = reader.sort_by_field(
             terms_for_aggs, field, k,
             descending=(order == "desc"),

@@ -140,6 +140,11 @@ def execute_esql(reader, stmt: str) -> dict:
         return _run_stats(reader, plan)
     # hits path
     if plan["required"] and plan["terms"]:
+        if plan["sort"] and plan["sort"][0] != "_score":
+            raise ValueError(
+                "SORT by attribute supports a single MATCH or MATCH_ALL "
+                "condition (combined bool queries sort by _score)"
+            )
         pairs = reader.search({
             "must": plan["required"], "should": plan["terms"],
             "must_not": [], "min_should_match": 0,
@@ -177,8 +182,12 @@ def _hits_response(pairs, keep) -> dict:
 def _run_stats(reader, plan: dict) -> dict:
     from .segments import load_doc_attrs
 
-    terms = sorted(set(plan["terms"]) | set(plan["required"] or []))
-    mode = "and" if (plan["required"] and not plan["terms"]) else "or"
+    # the matched set enforces MATCH_ALL (must); a MATCH beside it is
+    # score-only (ES bool: should with must present restricts nothing)
+    if plan["required"]:
+        terms, mode = plan["required"], "and"
+    else:
+        terms, mode = plan["terms"], "or"
     matched = reader._matched_docs_df(terms, mode, plan["filters"])
     by = plan["by"]
     names, exprs, types = [by], [], [{"name": by, "type": "keyword"}]

@@ -416,3 +416,18 @@ def test_msearch_bodies_match_solo(rdr):
     for body, resp in zip(bodies, got):
         solo = execute_search(rdr, body)
         assert resp["hits"]["hits"] == solo["hits"]["hits"], body
+
+
+def test_sort_by_field_refuses_unsafe_queries(rdr):
+    # must_not would be silently dropped by the field-sort ranker
+    with pytest.raises(ValueError, match="sort-by-field supports plain"):
+        execute_search(rdr, {
+            "query": {"bool": {"must": [{"term": {"content": "merge"}}],
+                               "must_not": [{"term": {"content": "static"}}]}},
+            "sort": [{"n_chars": {"order": "desc"}}]})
+    # fuzzy expansion likewise
+    with pytest.raises(ValueError, match="sort-by-field supports plain"):
+        execute_search(rdr, {
+            "query": {"match": {"content": {"query": "mergee",
+                                            "fuzziness": 1}}},
+            "sort": [{"n_chars": {"order": "desc"}}]})

@@ -117,3 +117,24 @@ def test_parse_shapes():
     assert p["filters"] == {"lang": "en"}
     assert p["stats"] == [("count", "*")] and p["by"] == "lang"
     assert p["sort"] == ("lang", "ASC") and p["limit"] == 7
+
+
+def test_stats_with_match_all_enforces_must(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "buffer") AND'
+        ' MATCH_ALL(content, "merge hash")'
+        ' | STATS COUNT(*) BY lang | LIMIT 100',
+    )
+    # matched set == docs holding EVERY must term (should is score-only)
+    counts = dict(rdr.facet_counts(["hash", "merge"], "lang", mode="and"))
+    assert {v[0]: v[1] for v in got["values"]} == counts
+
+
+def test_combined_query_refuses_field_sort(rdr):
+    with pytest.raises(ValueError, match="SORT by attribute"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "buffer") AND'
+            ' MATCH_ALL(content, "merge") | SORT n_chars DESC',
+        )
