@@ -153,6 +153,11 @@ def _patch_attrs(reader, ids, set_attrs: dict) -> int:
     if not ids:
         return 0
     hit = F.col("doc_id").isin(ids)
+    # report what actually matched (an id absent from the sidecar is a
+    # no-op, not an update — the ES per-item 404/noop distinction)
+    n_hit = attrs.filter(hit).count()
+    if n_hit == 0:
+        return 0
     cols = []
     for c in attrs.columns:
         if c in set_attrs:
@@ -169,7 +174,7 @@ def _patch_attrs(reader, ids, set_attrs: dict) -> int:
     os.rename(staging, adir)
     shutil.rmtree(old)
     reader.refresh()
-    return len(ids)
+    return n_hit
 
 
 def bulk(reader, actions: list[dict], n_buckets: int = 4) -> dict:

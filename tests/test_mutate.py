@@ -144,3 +144,13 @@ def test_reindex_adds_positions(spark, corpus_df, tmp_path):
     rdr = IndexReader(spark, dst)
     # positional queries work on the re-analyzed index
     assert isinstance(rdr.phrase_query(["return", "the"], 5), list)
+
+
+def test_update_by_query_counts_only_matched(spark, index_copy):
+    from s3logsbeat_spark.operators.mutate import _patch_attrs
+
+    rdr = IndexReader(spark, index_copy)
+    # one real id + one that does not exist in the sidecar
+    real = rdr.matching_doc_ids([DEL_TERM])[:1]
+    assert _patch_attrs(rdr, real + [10**12], {"lang": "zz"}) == 1
+    assert _patch_attrs(rdr, [10**12], {"lang": "zz"}) == 0
