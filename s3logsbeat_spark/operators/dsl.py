@@ -176,15 +176,23 @@ def execute_search(reader, body: dict) -> dict:
         boost = float(clause.get("boost", 1.0))
         filt = clause["filter"]
         fkind, _fclause = _one(filt, "constant_score.filter")
-        if fkind in ("term", "terms", "match"):
-            terms = _clause_terms(filt, "constant_score.filter")
-            ids = reader.matching_doc_ids(terms)
-        else:
+        if fkind not in ("term", "terms", "match"):
             raise ValueError(
                 f"unsupported constant_score filter: {fkind}"
             )
-        pairs = [(d, boost) for d in ids[:k]]
-        total = len(ids)
+        terms = _clause_terms(filt, "constant_score.filter")
+        # stay distributed: page ids with TakeOrdered, count in-cluster —
+        # a broad filter never materializes its full id list on the driver
+        m = reader._matched_docs_df(terms, "or", None)
+        if m is None:
+            pairs, total = [], 0
+        else:
+            total = m.count()
+            page_ids = [
+                r["doc_id"]
+                for r in m.select("doc_id").orderBy("doc_id").limit(k).collect()
+            ]
+            pairs = [(int(d), boost) for d in page_ids]
     elif kind == "boosting":
         pos = _clause_terms(clause["positive"], "boosting.positive")
         neg = _clause_terms(clause["negative"], "boosting.negative")
@@ -477,19 +485,29 @@ def execute_count(reader, body: dict | None = None) -> dict:
         return {"count": int(reader.n_docs - len(reader._blocked()))}
     kind, clause = _one(body["query"], "query")
     doc_filter = None
+    mode = "or"
     if kind == "bool":
-        terms = []
-        for role in ("must", "should"):
-            for c in _as_list(clause.get(role, [])):
-                terms.extend(_clause_terms(c, role))
+        must = []
+        for c in _as_list(clause.get("must", [])):
+            must.extend(_clause_terms(c, "must"))
+        should = []
+        for c in _as_list(clause.get("should", [])):
+            should.extend(_clause_terms(c, "should"))
         doc_filter = _filter_to_doc_filter(clause.get("filter"))
         if _as_list(clause.get("must_not", [])):
             raise ValueError("_count with must_not unsupported")
+        if clause.get("minimum_should_match"):
+            raise ValueError("_count with minimum_should_match unsupported")
+        if must:
+            # should restricts nothing when must is present (ES bool)
+            terms, mode = must, "and"
+        else:
+            terms = should
     elif kind in ("term", "terms", "match"):
         terms = _clause_terms(body["query"], "query")
     else:
         raise ValueError(f"unsupported _count query: {kind}")
-    return {"count": int(reader.count(terms, doc_filter=doc_filter))}
+    return {"count": int(reader.count(terms, mode=mode, doc_filter=doc_filter))}
 
 
 def execute_msearch(reader, bodies: list[dict]) -> list[dict]:

@@ -431,3 +431,18 @@ def test_sort_by_field_refuses_unsafe_queries(rdr):
             "query": {"match": {"content": {"query": "mergee",
                                             "fuzziness": 1}}},
             "sort": [{"n_chars": {"order": "desc"}}]})
+
+
+def test_count_bool_must_semantics(rdr):
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}},
+                 {"term": {"content": "hash"}}],
+        "should": [{"term": {"content": "buffer"}}],
+    }}}
+    got = execute_count(rdr, body)
+    # docs matching EVERY must term; should restricts nothing
+    assert got == {"count": rdr.count(["merge", "hash"], mode="and")}
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        execute_count(rdr, {"query": {"bool": {
+            "should": [{"term": {"content": "merge"}}],
+            "minimum_should_match": 1}}})
