@@ -2656,6 +2656,105 @@ def q_alb_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _combined_line_spark():
+    """Synthetic Apache-combined access-log line from events — mirrored
+    EXACTLY by the DuckDB generator in the oracle (same ip/user/url/
+    status/bytes derivations as the ALB twin, NCSA time format)."""
+    ip = F.concat(
+        F.lit("10."), (F.col("event_id") % 256).cast("string"),
+        F.lit("."), (F.floor(F.col("event_id") / 256) % 256).cast("string"),
+        F.lit(".7"),
+    )
+    user = F.concat(F.lit("user"), (F.col("event_id") % 50).cast("string"))
+    t = F.concat(
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000")
+    )
+    status = (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string")
+    bts = F.when((F.col("event_id") % 5) == 0, F.lit("-")).otherwise(
+        F.floor(F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 100).cast("string")
+    )
+    k = (F.col("event_id") % 100).cast("string")
+    return F.concat(
+        ip, F.lit(" - "), user, F.lit(" ["), t, F.lit("] "),
+        F.lit('"GET /p%20q/'), F.col("event_type"), F.lit("?k="), k,
+        F.lit(' HTTP/1.0" '), status, F.lit(" "), bts,
+        F.lit(' "-" "ua-'), F.col("event_type"), F.lit('"'),
+    )
+
+
+def q_combined_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache/nginx combined-format parse parity (the Filebeat
+    apache/nginx module format): NCSA timestamp lift (+0000 layout via
+    the Go-layout kind), '-' sentinel nulling on ident/body_bytes,
+    urlencoded request path decode, int16/int64 casts — the full
+    P1-P11 pipeline on the third non-AWS source format."""
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = parse_lines(
+        ev.select(_combined_line_spark().alias("value")), FORMATS["combined"]
+    )
+    return parsed.select(
+        F.col("@timestamp").alias("event_ts"),
+        "remote_addr",
+        "remote_user",
+        F.col("request_url").alias("url_decoded"),
+        F.col("status").cast("long").alias("status"),
+        F.col("body_bytes").cast("long").alias("body_bytes"),
+        "user_agent",
+        F.col("_error").alias("parse_error"),
+    )
+
+
+def _s3access_line_spark():
+    """Synthetic AWS S3 server-access-log line from events (public
+    format docs); object keys URL-encoded, '-' sentinels on
+    object_size/turn-around, DuckDB-mirrored."""
+    t = F.concat(
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"), F.lit(" +0000")
+    )
+    status = (F.lit(200) + (F.col("event_id") % 4) * 100).cast("string")
+    sent = F.floor(F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 100).cast("string")
+    osize = F.when((F.col("event_id") % 3) == 0, F.lit("-")).otherwise(
+        (F.col("event_id") % 10000).cast("string")
+    )
+    tt = (F.col("event_id") % 500).cast("string")
+    return F.concat(
+        F.lit("ownerhash bkt"), (F.col("event_id") % 4).cast("string"),
+        F.lit(" ["), t, F.lit("] 10.0.0.9 requester reqid REST.GET.OBJECT k%20"),
+        F.col("event_type"),
+        F.lit(' "GET /bkt/key HTTP/1.1" '), status, F.lit(" - "),
+        sent, F.lit(" "), osize, F.lit(" "), tt,
+        F.lit(' - "-" "aws-cli/2" - hostid SigV4 cipher AuthHeader host TLSv1.2'),
+    )
+
+
+def q_s3access_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS S3 server-access-log parse parity (the Filebeat aws.s3access
+    module format — the sibling log family of the buckets the reference
+    polls): bracketed NCSA timestamp, URL-encoded object key decode,
+    '-' sentinels, typed byte/duration casts."""
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.parsespec import parse_lines
+
+    ev = _read(spark, sf_dir, "events")
+    parsed = parse_lines(
+        ev.select(_s3access_line_spark().alias("value")), FORMATS["s3access"]
+    )
+    return parsed.select(
+        F.col("@timestamp").alias("event_ts"),
+        "bucket",
+        F.col("key").alias("key_decoded"),
+        F.col("http_status").cast("long").alias("http_status"),
+        F.col("bytes_sent").cast("long").alias("bytes_sent"),
+        F.col("object_size").cast("long").alias("object_size"),
+        F.col("total_time").cast("long").alias("total_time"),
+        "user_agent",
+        F.col("_error").alias("parse_error"),
+    )
+
+
 ALB_IP_RANGES = [
     (None, "10.85.0.0"),
     ("10.85.0.0", "10.170.0.0"),
@@ -3321,6 +3420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "dedup_embedding": q_dedup_embedding,
         "alb_parse": q_alb_parse,
+        "combined_parse": q_combined_parse,
+        "s3access_parse": q_s3access_parse,
         "alb_parse_errors": q_alb_parse_errors,
         "alb_url_stats": q_alb_url_stats,
         "alb_ip_range": q_alb_ip_range,
@@ -6336,6 +6437,32 @@ FROM events GROUP BY 1
 """,
         "alb_parse_errors": _ALB_ERRORS_SQL,
         "cloudfront_parse": _CF_PARSE_SQL,
+        "combined_parse": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS event_ts,
+       '10.' || (event_id % 256) || '.'
+         || (CAST(floor(event_id / 256) AS BIGINT) % 256) || '.7' AS remote_addr,
+       'user' || (event_id % 50) AS remote_user,
+       '/p q/' || event_type || '?k=' || (event_id % 100) AS url_decoded,
+       (200 + (event_id % 4) * 100)::BIGINT AS status,
+       (CASE WHEN event_id % 5 = 0 THEN NULL
+             ELSE floor(abs(coalesce(value, 0.0)) * 100)::BIGINT END) AS body_bytes,
+       'ua-' || event_type AS user_agent,
+       NULL::VARCHAR AS parse_error
+FROM events
+""",
+        "s3access_parse": """
+SELECT date_trunc('second', ts)::TIMESTAMP AS event_ts,
+       'bkt' || (event_id % 4) AS bucket,
+       'k ' || event_type AS key_decoded,
+       (200 + (event_id % 4) * 100)::BIGINT AS http_status,
+       floor(abs(coalesce(value, 0.0)) * 100)::BIGINT AS bytes_sent,
+       (CASE WHEN event_id % 3 = 0 THEN NULL
+             ELSE event_id % 10000 END)::BIGINT AS object_size,
+       (event_id % 500)::BIGINT AS total_time,
+       'aws-cli/2' AS user_agent,
+       NULL::VARCHAR AS parse_error
+FROM events
+""",
         "multimodal_features": _MULTIMODAL_SQL,
         "multimodal_audio": _MULTIMODAL_AUDIO_SQL,
         "multimodal_frames": _MULTIMODAL_FRAMES_SQL,

@@ -219,7 +219,7 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser(
         "mapping", help="export the ES mapping/template for a log format"
     )
-    m.add_argument("format", choices=["alb", "elb", "cloudfront"])
+    m.add_argument("format", choices=["alb", "elb", "cloudfront", "s3access", "combined"])
     m.add_argument("--template", action="store_true",
                    help="emit a full ES index template instead of the field list")
     m.set_defaults(fn=_cmd_mapping)
@@ -264,7 +264,8 @@ def build_parser() -> argparse.ArgumentParser:
     fc = sub.add_parser(
         "field-caps", help="merged _field_caps across log formats"
     )
-    fc.add_argument("formats", nargs="+", choices=["alb", "elb", "cloudfront"])
+    fc.add_argument("formats", nargs="+",
+                    choices=["alb", "elb", "cloudfront", "s3access", "combined"])
     fc.set_defaults(fn=_cmd_field_caps)
     return p
 

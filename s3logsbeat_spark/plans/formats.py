@@ -145,10 +145,85 @@ CLOUDFRONT_SPEC = ParseSpec(
     ignore_line_re=r"^#",
 )
 
+#: AWS S3 server-access logs (public format docs; the Filebeat
+#: ``aws.s3access`` module's format) — the sibling log family of the
+#: reference's ALB/CloudFront shippers: the same buckets the reference
+#: polls also emit these.
+S3ACCESS_SPEC = ParseSpec(
+    name="s3access",
+    pattern=(
+        r"^(?P<bucket_owner>[^ ]+) (?P<bucket>[^ ]+)"
+        r" \[(?P<time>[^\]]+)\] (?P<remote_ip>[^ ]+) (?P<requester>[^ ]+)"
+        r" (?P<request_id>[^ ]+) (?P<operation>[^ ]+) (?P<key>[^ ]+)"
+        r' "(?P<request_uri>[^"]*)" (?P<http_status>[^ ]+)'
+        r" (?P<error_code>[^ ]+) (?P<bytes_sent>[^ ]+) (?P<object_size>[^ ]+)"
+        r" (?P<total_time>[^ ]+) (?P<turn_around_time>[^ ]+)"
+        r' "(?P<referer>[^"]*)" "(?P<user_agent>[^"]*)" (?P<version_id>[^ ]+)'
+        r"(?: (?P<host_id>[^ ]+))?(?: (?P<signature_version>[^ ]+))?"
+        r"(?: (?P<cipher_suite>[^ ]+))?(?: (?P<auth_type>[^ ]+))?"
+        r"(?: (?P<host_header>[^ ]+))?(?: (?P<tls_version>[^ ]+))?.*$"
+    ),
+    kinds={
+        "time": "time:02/Jan/2006:15:04:05 -0700",
+        "http_status": "int16",
+        "bytes_sent": "int64",
+        "object_size": "int64",
+        "total_time": "int64",
+        "turn_around_time": "int64",
+        "key": "urlencoded",
+    },
+    empty_values={
+        "key": "-",
+        "error_code": "-",
+        "bytes_sent": "-",
+        "object_size": "-",
+        "total_time": "-",
+        "turn_around_time": "-",
+        "referer": "-",
+        "user_agent": "-",
+        "version_id": "-",
+        "requester": "-",
+        "signature_version": "-",
+        "cipher_suite": "-",
+        "auth_type": "-",
+        "tls_version": "-",
+    },
+    timestamp_field="time",
+)
+
+#: Apache/nginx combined access-log format (the classic NCSA combined
+#: layout the Filebeat apache/nginx modules parse).
+COMBINED_SPEC = ParseSpec(
+    name="combined",
+    pattern=(
+        r"^(?P<remote_addr>[^ ]+) (?P<ident>[^ ]+) (?P<remote_user>[^ ]+)"
+        r" \[(?P<time>[^\]]+)\]"
+        r' "(?P<request_method>[^ "]+) (?P<request_url>[^ "]+) (?P<request_proto>[^"]*)"'
+        r" (?P<status>[^ ]+) (?P<body_bytes>[^ ]+)"
+        r' "(?P<referer>[^"]*)" "(?P<user_agent>[^"]*)".*$'
+    ),
+    kinds={
+        "time": "time:02/Jan/2006:15:04:05 -0700",
+        "status": "int16",
+        "body_bytes": "int64",
+        "request_url": "urlencoded",
+    },
+    empty_values={
+        "ident": "-",
+        "remote_user": "-",
+        "body_bytes": "-",
+        "referer": "-",
+        "user_agent": "-",
+    },
+    timestamp_field="time",
+)
+
 FORMATS: dict[str, ParseSpec] = {
     "alb": ALB_SPEC,
     "elb": ELB_SPEC,
     "cloudfront": CLOUDFRONT_SPEC,
+    "s3access": S3ACCESS_SPEC,
+    "combined": COMBINED_SPEC,
 }
 
 

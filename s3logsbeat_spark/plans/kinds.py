@@ -38,7 +38,8 @@ _GO_TO_JDK = [
     ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
     ("04", "mm"), ("05", "ss"), (".000000000", ".SSSSSSSSS"),
     (".000000", ".SSSSSS"), (".000", ".SSS"), ("Z07:00", "XXX"),
-    ("-07:00", "XXX"), ("MST", "zzz"), ("Jan", "MMM"), ("Mon", "EEE"),
+    ("-07:00", "XXX"), ("-0700", "Z"), ("MST", "zzz"), ("Jan", "MMM"),
+    ("Mon", "EEE"),
 ]
 
 

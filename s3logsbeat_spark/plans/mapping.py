@@ -47,6 +47,15 @@ _TEXT_FIELDS = {
         "x_edge_response_result_type", "cs_protocol_version",
         "fle_status", "fle_encrypted_fields",
     },
+    # the Filebeat aws.s3access / apache-nginx module conventions:
+    # free-form values analyzed, enum-ish identifiers keyword
+    "s3access": {
+        "remote_ip", "request_uri", "referer", "user_agent", "key",
+        "host_id", "host_header",
+    },
+    "combined": {
+        "remote_addr", "request_url", "referer", "user_agent",
+    },
 }
 
 

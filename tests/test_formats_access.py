@@ -1,0 +1,82 @@
+"""s3access + combined parse specs (the Filebeat aws.s3access and
+apache/nginx-module formats): golden real-shaped lines, typed casts,
+sentinel nulling, urlencoded key decode, and whole-line rejection."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from s3logsbeat_spark.plans.formats import FORMATS
+from s3logsbeat_spark.plans.parsespec import parse_lines
+
+S3LINE = (
+    '79a5 mybucket [06/Feb/2019:00:00:38 +0000] 192.0.2.3 79a5 '
+    '3E57427F3EXAMPLE REST.GET.VERSIONING my%20key '
+    '"GET /mybucket?versioning HTTP/1.1" 200 - 113 - 7 - "-" '
+    '"S3Console/0.4" - hostidbase64= SigV2 ECDHE-RSA-AES128-GCM-SHA256 '
+    'AuthHeader s3.amazonaws.com TLSv1.2'
+)
+COMBINED = (
+    '203.0.113.7 - frank [10/Oct/2000:13:55:36 -0700] '
+    '"GET /apache%20pb.gif HTTP/1.0" 200 2326 '
+    '"http://ex.com/start.html" "Mozilla/4.08"'
+)
+
+
+def _one(spark, fmt, line):
+    df = parse_lines(
+        spark.createDataFrame([(line,)], "value string"), FORMATS[fmt]
+    )
+    return df.collect()[0].asDict()
+
+
+def test_s3access_golden(spark):
+    r = _one(spark, "s3access", S3LINE)
+    assert r["_error"] is None
+    assert r["@timestamp"] == dt.datetime(2019, 2, 6, 0, 0, 38)
+    assert r["bucket"] == "mybucket"
+    assert r["operation"] == "REST.GET.VERSIONING"
+    assert r["key"] == "my key"            # urlencoded kind decoded
+    assert r["http_status"] == 200 and r["bytes_sent"] == 113
+    assert r["object_size"] is None        # '-' sentinel -> typed NULL
+    assert r["total_time"] == 7 and r["turn_around_time"] is None
+    assert r["referer"] is None and r["user_agent"] == "S3Console/0.4"
+    assert r["version_id"] is None and r["tls_version"] == "TLSv1.2"
+
+
+def test_combined_golden(spark):
+    r = _one(spark, "combined", COMBINED)
+    assert r["_error"] is None
+    # -0700 normalized to UTC on the lifted @timestamp
+    assert r["@timestamp"] == dt.datetime(2000, 10, 10, 20, 55, 36)
+    assert r["remote_addr"] == "203.0.113.7"
+    assert r["ident"] is None and r["remote_user"] == "frank"
+    assert r["request_method"] == "GET"
+    assert r["request_url"] == "/apache pb.gif"
+    assert r["status"] == 200 and r["body_bytes"] == 2326
+
+
+def test_rejection_and_sentinel(spark):
+    # garbage status -> whole line rejected into _error, not NULLed
+    bad = COMBINED.replace(" 200 2326 ", " XX 2326 ")
+    r = _one(spark, "combined", bad)
+    assert r["_error"] is not None and r["status"] is None
+    # '-' body bytes is a SENTINEL, not an error
+    dash = COMBINED.replace(" 200 2326 ", " 200 - ")
+    r = _one(spark, "combined", dash)
+    assert r["_error"] is None and r["body_bytes"] is None
+
+
+def test_mapping_exports_for_new_formats():
+    from s3logsbeat_spark.plans.mapping import export_mapping, field_caps
+
+    got = {f["name"]: f["type"] for f in export_mapping(FORMATS["s3access"])}
+    assert got["http_status"] == "integer" and got["bytes_sent"] == "integer"
+    assert got["user_agent"] == "text" and got["operation"] == "keyword"
+    assert got["@timestamp"] == "date" and "time" not in got  # lifted
+    fc = field_caps([FORMATS["combined"], FORMATS["s3access"]])["fields"]
+    # present as text in EVERY index -> the ES shape omits indices
+    assert fc["user_agent"]["text"]["aggregatable"] is False
+    assert "indices" not in fc["user_agent"]["text"]
+    # format-specific field names its one contributing index
+    assert fc["bucket"]["keyword"]["indices"] == ["s3access"]
