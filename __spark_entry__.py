@@ -2696,6 +2696,7 @@ def q_combined_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(_combined_line_spark().alias("value")), FORMATS["combined"]
     )
     return parsed.select(
+        "_id",
         F.col("@timestamp").alias("event_ts"),
         "remote_addr",
         "remote_user",
@@ -2743,6 +2744,7 @@ def q_s3access_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(_s3access_line_spark().alias("value")), FORMATS["s3access"]
     )
     return parsed.select(
+        "_id",
         F.col("@timestamp").alias("event_ts"),
         "bucket",
         F.col("key").alias("key_decoded"),
@@ -5569,6 +5571,29 @@ WHERE round(list_cosine_similarity(la.embedding::DOUBLE[],
 """
 
 
+_COMBINED_LINE_DUCK = """
+  '10.' || (event_id % 256) || '.'
+  || (CAST(floor(event_id / 256) AS BIGINT) % 256) || '.7 - user'
+  || (event_id % 50) || ' [' || strftime(ts, '%d/%b/%Y:%H:%M:%S')
+  || ' +0000] "GET /p%20q/' || event_type || '?k=' || (event_id % 100)
+  || ' HTTP/1.0" ' || (200 + (event_id % 4) * 100) || ' '
+  || (CASE WHEN event_id % 5 = 0 THEN '-'
+      ELSE CAST(floor(abs(coalesce(value, 0.0)) * 100)::BIGINT AS VARCHAR) END)
+  || ' "-" "ua-' || event_type || '"'
+"""
+
+_S3ACCESS_LINE_DUCK = """
+  'ownerhash bkt' || (event_id % 4) || ' ['
+  || strftime(ts, '%d/%b/%Y:%H:%M:%S')
+  || ' +0000] 10.0.0.9 requester reqid REST.GET.OBJECT k%20' || event_type
+  || ' "GET /bkt/key HTTP/1.1" ' || (200 + (event_id % 4) * 100) || ' - '
+  || floor(abs(coalesce(value, 0.0)) * 100)::BIGINT || ' '
+  || (CASE WHEN event_id % 3 = 0 THEN '-'
+      ELSE CAST(event_id % 10000 AS VARCHAR) END)
+  || ' ' || (event_id % 500)
+  || ' - "-" "aws-cli/2" - hostid SigV4 cipher AuthHeader host TLSv1.2'
+"""
+
 _ALB_LINE_DUCK = """
   'http ' || {ts} || ' app/lb/x 10.' || (event_id % 256) || '.'
   || (CAST(floor(event_id / 256) AS BIGINT) % 256) || '.7:' || (1024 + event_id % 60000)
@@ -6437,8 +6462,9 @@ FROM events GROUP BY 1
 """,
         "alb_parse_errors": _ALB_ERRORS_SQL,
         "cloudfront_parse": _CF_PARSE_SQL,
-        "combined_parse": """
-SELECT date_trunc('second', ts)::TIMESTAMP AS event_ts,
+        "combined_parse": f"""
+SELECT sha256({_COMBINED_LINE_DUCK}) AS _id,
+       date_trunc('second', ts)::TIMESTAMP AS event_ts,
        '10.' || (event_id % 256) || '.'
          || (CAST(floor(event_id / 256) AS BIGINT) % 256) || '.7' AS remote_addr,
        'user' || (event_id % 50) AS remote_user,
@@ -6450,8 +6476,9 @@ SELECT date_trunc('second', ts)::TIMESTAMP AS event_ts,
        NULL::VARCHAR AS parse_error
 FROM events
 """,
-        "s3access_parse": """
-SELECT date_trunc('second', ts)::TIMESTAMP AS event_ts,
+        "s3access_parse": f"""
+SELECT sha256({_S3ACCESS_LINE_DUCK}) AS _id,
+       date_trunc('second', ts)::TIMESTAMP AS event_ts,
        'bkt' || (event_id % 4) AS bucket,
        'k ' || event_type AS key_decoded,
        (200 + (event_id % 4) * 100)::BIGINT AS http_status,
