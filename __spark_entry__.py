@@ -378,6 +378,91 @@ def q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: n_chars window for the range-predicate rows (the Kibana time-picker
+#: query shape applied to a numeric sidecar attr) — keeps ~half the
+#: corpus at every driver SF (p25≈176, p75≈419)
+RANGE_LO, RANGE_HI = 150, 400
+
+
+def q_search_dsl_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bool query with a ``range`` clause in filter context — the
+    single most common real-world ES body (every Kibana time-picker
+    request is ``bool.must: [match] + bool.filter: [range]``). The range
+    resolves against the doc_attrs sidecar (parquet row-group pruned)
+    and masks the WAND kernels; idf/avgdl stay corpus-global, so
+    surviving scores equal their unfiltered values. Reference anchor:
+    the since/to LastModified window is the reference's own hand-rolled
+    time-range filter (pipeline/s3lister.go:70-83)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(
+        rdr,
+        {
+            "query": {"bool": {
+                "must": [{"match": {"content": " ".join(BM25_TERMS)}}],
+                "filter": [
+                    {"range": {"n_chars": {"gte": RANGE_LO, "lt": RANGE_HI}}}
+                ],
+            }},
+            "size": BM25_K,
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (int(h["_id"]), round(h["_score"], 6))
+            for h in resp["hits"]["hits"]
+        ],
+        "doc_id long, score double",
+    )
+
+
+def q_search_dsl_range_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A bare ``range`` query in query position (filter-context
+    semantics: every matching doc scores the boost). Paging stays
+    distributed — Spark filters the sidecar scan with the predicate
+    pushed to parquet and pages ids with TakeOrdered; a broad range
+    never materializes its full id list on the driver."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(
+        rdr,
+        {
+            "query": {"range": {"n_chars": {"gte": RANGE_LO, "lt": RANGE_HI}}},
+            "size": BM25_K,
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (int(h["_id"]), float(h["_score"]),
+             int(resp["hits"]["total"]["value"]))
+            for h in resp["hits"]["hits"]
+        ],
+        "doc_id long, score double, total long",
+    )
+
+
+def q_esql_where_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL WHERE with comparison predicates: ``MATCH(...) AND
+    n_chars >= lo AND n_chars < hi`` — same-column bounds AND-merge into
+    one sidecar range spec, then the identical engine path as
+    search_dsl_range (translation adds no filtering paths)."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        f" AND n_chars >= {RANGE_LO} AND n_chars < {RANGE_HI}"
+        f" | LIMIT {BM25_K}",
+    )
+    return spark.createDataFrame(
+        [(int(d), round(float(x), 6)) for d, x in resp["values"]],
+        "doc_id long, score double",
+    )
+
+
 MSEARCH_SPECS = [
     {"terms": ["merge", "window", "spark"], "k": 10},
     {"terms": ["stream", "query"], "k": 10},
@@ -3443,7 +3528,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_line": q_geo_line,
         "delete_by_query": q_delete_by_query,
         "search_dsl": q_search_dsl,
+        "search_dsl_range": q_search_dsl_range,
+        "search_dsl_range_only": q_search_dsl_range_only,
         "esql_query": q_esql_query,
+        "esql_where_range": q_esql_where_range,
         "esql_stats": q_esql_stats,
         "scripted_metric": q_scripted_metric,
         "span_within": q_span_within,
@@ -3518,6 +3606,14 @@ _BM25_FILTERED_SQL = _BM25_WAND_SQL.replace(
     "SELECT doc_id, round(raw, 6) AS score FROM scored",
     "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
     f"JOIN documents d2 ON d2.doc_id = s2.doc_id WHERE d2.lang = '{FILTER_LANG}'",
+).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
+
+
+_BM25_RANGE_SQL = _BM25_WAND_SQL.replace(
+    "SELECT doc_id, round(raw, 6) AS score FROM scored",
+    "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
+    "JOIN documents d2 ON d2.doc_id = s2.doc_id "
+    f"WHERE d2.n_chars >= {RANGE_LO} AND d2.n_chars < {RANGE_HI}",
 ).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
 
 
@@ -6563,7 +6659,17 @@ SELECT lang,
 FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
 """,
         "search_dsl": _BM25_WAND_SQL,
+        "search_dsl_range": _BM25_RANGE_SQL,
+        "search_dsl_range_only": f"""
+WITH m AS (
+  SELECT doc_id FROM documents
+  WHERE n_chars >= {RANGE_LO} AND n_chars < {RANGE_HI}
+)
+SELECT doc_id, 1.0 AS score, (SELECT count(*) FROM m)::BIGINT AS total
+FROM m ORDER BY doc_id ASC LIMIT {BM25_K}
+""",
         "esql_query": _BM25_WAND_SQL,
+        "esql_where_range": _BM25_RANGE_SQL,
         "esql_stats": f"""
 SELECT lang, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 6) AS avg_chars

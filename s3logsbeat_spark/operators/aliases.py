@@ -91,6 +91,11 @@ class AliasRegistry:
         index (or None-equivalent '' when the alias was empty)."""
         data = self._load()
         members = data.setdefault(alias, [])
+        if any(m["index"] == new_index_dir for m in members):
+            # same duplicate guard as add(): a re-run rollover must not
+            # double-register the member (the federated read would score
+            # that index's postings twice)
+            raise ValueError(f"{new_index_dir!r} already in alias {alias!r}")
         prev = ""
         for m in members:
             if m.get("is_write_index"):

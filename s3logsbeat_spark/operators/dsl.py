@@ -12,7 +12,9 @@ direct reader call.
 Supported body surface (v1): ``query`` clauses match_all / match (with
 operator, minimum_should_match, fuzziness) / term / terms / match_phrase
 / match_phrase_prefix / prefix / wildcard / fuzzy / ids / more_like_this
-/ bool (must, should, must_not, filter, minimum_should_match) /
+/ range (gte/gt/lte/lt — the Kibana time-picker body, also accepted
+inside ``bool.filter`` and ``constant_score.filter``) /
+bool (must, should, must_not, filter, minimum_should_match) /
 constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
 and ``aggs``
@@ -69,8 +71,97 @@ def _match_terms(spec) -> tuple[list[str], str, int | None, int | None]:
     return sorted(set(terms)), op, msm, fuzz
 
 
+def _range_spec(field: str, spec: dict) -> dict:
+    """Validate an ES range body ({gte/gt/lte/lt: v}) for a field."""
+    from .wand import _check_range_spec
+
+    if not isinstance(spec, dict):
+        raise ValueError(f"range on {field!r} needs a dict body")
+    _check_range_spec(field, spec)
+    return dict(spec)
+
+
+def _merge_filter(out: dict, add: dict | None) -> dict:
+    """AND-compose two doc_filter dicts in place. Two range specs on the
+    same field merge when their bounds are disjoint (gte from one level,
+    lt from another — the natural nested-window shape); any other
+    duplicate field raises rather than silently keeping one."""
+    if not add:
+        return out
+    for f, v in add.items():
+        cur = out.get(f)
+        if f not in out:
+            out[f] = v
+        elif isinstance(v, dict) and isinstance(cur, dict):
+            dup = set(v) & set(cur)
+            if dup:
+                raise ValueError(
+                    f"duplicate range bound(s) {sorted(dup)} on filter "
+                    f"field {f!r}"
+                )
+            out[f] = {**cur, **v}
+        else:
+            raise ValueError(f"duplicate filter field: {f}")
+    return out
+
+
+def _bool_filter_ctx(b: dict) -> dict:
+    """A ``bool`` nested inside filter context -> doc_filter dict. ES
+    filter-context rules: ``must``/``filter`` AND-compose; ``should`` is
+    restrictive (default minimum_should_match=1) and is accepted as the
+    classic same-field OR (``should: [{term: {lang: py}}, {term: {lang:
+    go}}]`` -> isin); cross-field should, must_not, msm != 1, and deeper
+    nesting raise — never silently mis-filter."""
+    if not isinstance(b, dict):
+        raise ValueError("filter bool needs a dict body")
+    if _as_list(b.get("must_not", [])):
+        raise ValueError(
+            "must_not inside a filter-context bool is unsupported "
+            "(the sidecar doc_filter cannot express negation)"
+        )
+    out: dict = {}
+    for sub in _as_list(b.get("must", [])) + _as_list(b.get("filter", [])):
+        kind, clause = _one(sub, "filter.bool")
+        if kind not in ("term", "terms", "range"):
+            raise ValueError(f"unsupported filter.bool clause: {kind}")
+        field, value = _one(clause, kind)
+        out = _merge_filter(
+            out,
+            {field: _range_spec(field, value) if kind == "range" else value},
+        )
+    sh = _as_list(b.get("should", []))
+    if sh:
+        msm = int(b.get("minimum_should_match", 1) or 1)
+        if msm != 1:
+            raise ValueError(
+                "filter bool.should supports minimum_should_match=1 only"
+            )
+        field0, vals = None, []
+        for sub in sh:
+            kind, clause = _one(sub, "filter.bool.should")
+            if kind not in ("term", "terms"):
+                raise ValueError(
+                    f"unsupported filter.bool.should clause: {kind}"
+                )
+            field, value = _one(clause, kind)
+            if field0 is None:
+                field0 = field
+            elif field != field0:
+                raise ValueError(
+                    "filter bool.should across different fields is "
+                    "unsupported (no cross-field OR in the sidecar filter)"
+                )
+            vals.extend(value if isinstance(value, list) else [value])
+        out = _merge_filter(out, {field0: vals})
+    if not out:
+        raise ValueError("empty bool in filter context")
+    return out
+
+
 def _filter_to_doc_filter(filters) -> dict | None:
-    """bool.filter clauses -> the reader's sidecar doc_filter dict."""
+    """bool.filter clauses -> the reader's sidecar doc_filter dict
+    (term / terms / range — the Kibana time-picker shape — plus one
+    level of nested ``bool``)."""
     if not filters:
         return None
     if isinstance(filters, dict):
@@ -78,13 +169,17 @@ def _filter_to_doc_filter(filters) -> dict | None:
     out: dict = {}
     for f in filters:
         kind, clause = _one(f, "filter")
-        if kind not in ("term", "terms"):
+        if kind == "bool":
+            out = _merge_filter(out, _bool_filter_ctx(clause))
+            continue
+        if kind not in ("term", "terms", "range"):
             raise ValueError(f"unsupported filter clause: {kind}")
         field, value = _one(clause, kind)
-        if field in out:
-            raise ValueError(f"duplicate filter field: {field}")
-        out[field] = value
-    return out
+        out = _merge_filter(
+            out,
+            {field: _range_spec(field, value) if kind == "range" else value},
+        )
+    return out or None
 
 
 def _clause_terms(q: dict, role: str) -> list[str]:
@@ -113,6 +208,97 @@ def _as_list(x):
     return x if isinstance(x, list) else [x]
 
 
+def _flatten_inner_bool(b: dict) -> tuple[list, list, dict]:
+    """A ``bool`` nested one level inside an outer ``must`` (the shape
+    every ES client library generates) -> (must_terms, must_not_terms,
+    doc_filter). Inner must/filter/must_not AND-compose into the outer
+    bool — the conjunction is associative, so flattening preserves both
+    the matched set and the sum-of-term-scores BM25 total. Inner
+    ``should``/``minimum_should_match`` raise: their scoring scope
+    inside an outer conjunction is not expressible on the flat kernel,
+    and refusing beats silently mis-scoring."""
+    if not isinstance(b, dict):
+        raise ValueError("nested bool needs a dict body")
+    if _as_list(b.get("should", [])) or b.get("minimum_should_match"):
+        raise ValueError(
+            "nested bool inside must supports must/filter/must_not only "
+            "(should / minimum_should_match would make the scoring scope "
+            "ambiguous)"
+        )
+    must: list = []
+    must_not: list = []
+    df: dict = {}
+    for c in _as_list(b.get("must", [])):
+        kind, sub = _one(c, "must.bool.must")
+        if kind == "bool":
+            raise ValueError("bool nesting deeper than one level is unsupported")
+        if kind == "range":
+            field, spec = _one(sub, "range")
+            df = _merge_filter(df, {field: _range_spec(field, spec)})
+        else:
+            must.extend(_clause_terms(c, "must"))
+    for c in _as_list(b.get("must_not", [])):
+        must_not.extend(_clause_terms(c, "must_not"))
+    df = _merge_filter(df, _filter_to_doc_filter(b.get("filter")) or {})
+    return must, must_not, df
+
+
+def _parse_bool(clause: dict) -> tuple[list, list, list, dict | None, int]:
+    """Outer ``bool`` body -> flat (must, should, must_not, doc_filter,
+    minimum_should_match). One level of ``bool`` nesting inside must /
+    filter is flattened (AND is associative); a ``range`` clause inside
+    ``must`` folds into filter context — restrictive and non-scoring,
+    which never changes ranking (a conjunctive range adds the same
+    constant to every surviving hit in ES)."""
+    must: list = []
+    should: list = []
+    must_not: list = []
+    df: dict = {}
+    for c in _as_list(clause.get("must", [])):
+        kind, sub = _one(c, "must")
+        if kind == "bool":
+            im, imn, idf = _flatten_inner_bool(sub)
+            must.extend(im)
+            must_not.extend(imn)
+            df = _merge_filter(df, idf)
+        elif kind == "range":
+            field, spec = _one(sub, "range")
+            df = _merge_filter(df, {field: _range_spec(field, spec)})
+        else:
+            must.extend(_clause_terms(c, "must"))
+    for c in _as_list(clause.get("should", [])):
+        should.extend(_clause_terms(c, "should"))
+    for c in _as_list(clause.get("must_not", [])):
+        must_not.extend(_clause_terms(c, "must_not"))
+    df = _merge_filter(df, _filter_to_doc_filter(clause.get("filter")) or {})
+    msm = int(clause.get("minimum_should_match", 0) or 0)
+    return must, should, must_not, (df or None), msm
+
+
+def _range_page(reader, rng: dict, k: int, boost: float):
+    """Page a pure sidecar-filter query (range / constant_score(range))
+    distributed: Spark filters the doc_attrs scan (predicate pushed to
+    parquet), pages ids with TakeOrdered, counts in-cluster. Tombstones
+    subtract as an anti-condition. Returns (pairs, total)."""
+    from pyspark.sql import functions as F
+
+    from .segments import load_doc_attrs
+    from .wand import spark_filter_cond
+
+    m = load_doc_attrs(reader.spark, reader.out_dir).filter(
+        spark_filter_cond(rng)
+    )
+    blocked = [int(x) for x in reader._blocked()]
+    if blocked:
+        m = m.filter(~F.col("doc_id").isin(blocked))
+    total = m.count()
+    page_ids = [
+        r["doc_id"]
+        for r in m.select("doc_id").orderBy("doc_id").limit(k).collect()
+    ]
+    return [(int(d), boost) for d in page_ids], total
+
+
 def execute_search(reader, body: dict) -> dict:
     """Run an ES ``_search`` request body; returns the ES response shape
     ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}]},
@@ -126,6 +312,12 @@ def execute_search(reader, body: dict) -> dict:
     terms_for_aggs: list[str] | None = None
     agg_mode = "or"
     sortable = False  # set only where sort_by_field ranks the same doc set
+    # terms_for_aggs/agg_mode must reproduce the query's MATCHED SET for
+    # count/agg scoping; set False where the matched set has a shape
+    # (must_not, minimum_should_match) reader.count/aggs can't express —
+    # aggs/track_total_hits then refuse instead of silently mis-scoping
+    aggs_scope_exact = True
+    explain_terms: list[str] | None = None  # scoring terms (explain=true)
 
     sort = body.get("sort")
     after = body.get("search_after")
@@ -151,48 +343,79 @@ def execute_search(reader, body: dict) -> dict:
         pairs = [(d, 1.0) for d in ids]
         total = reader.n_docs - len(blocked)
     elif kind == "bool":
-        must = []
-        for c in _as_list(clause.get("must", [])):
-            must.extend(_clause_terms(c, "must"))
-        should = []
-        for c in _as_list(clause.get("should", [])):
-            should.extend(_clause_terms(c, "should"))
-        must_not = []
-        for c in _as_list(clause.get("must_not", [])):
-            must_not.extend(_clause_terms(c, "must_not"))
-        doc_filter = _filter_to_doc_filter(clause.get("filter"))
-        bq = {
-            "must": must,
-            "should": should,
-            "must_not": must_not,
-            "min_should_match": int(clause.get("minimum_should_match", 0) or 0),
-        }
-        if doc_filter:
-            bq["filter"] = doc_filter
-        pairs = reader.search(bq, k)
-        terms_for_aggs = sorted(set(must) | set(should))
-        total = None
+        must, should, must_not, doc_filter, msm = _parse_bool(clause)
+        if not must and not should and not must_not and doc_filter:
+            # filter-only bool (the Kibana time-picker body with no
+            # scoring clause): pure sidecar filter, score 0.0 (ES's
+            # filter-context score), paged distributed by doc_id
+            pairs, filter_total = _range_page(reader, doc_filter, k, 0.0)
+        else:
+            filter_total = None
+            bq = {
+                "must": must,
+                "should": should,
+                "must_not": must_not,
+                "min_should_match": msm,
+            }
+            if doc_filter:
+                bq["filter"] = doc_filter
+            pairs = reader.search(bq, k)
+        # ES bool matched set: must present => the must conjunction
+        # defines it (should only adds score); else the should
+        # disjunction. Scoring still uses must ∪ should (explain).
+        explain_terms = sorted(set(must) | set(should))
+        if must:
+            # an explicit minimum_should_match makes should restrictive
+            # even beside must (ES rule) — scope no longer expressible
+            terms_for_aggs, agg_mode = sorted(set(must)), "and"
+            aggs_scope_exact = not must_not and msm == 0
+        else:
+            terms_for_aggs, agg_mode = sorted(set(should)), "or"
+            aggs_scope_exact = not must_not and msm <= 1
+        if filter_total is not None:
+            terms_for_aggs = None  # filter-only: no scoring terms
+        total = filter_total
+    elif kind == "range":
+        # ES range query (the Kibana time-picker body): every matching
+        # doc scores the boost — filter-context semantics in query
+        # position. Stays distributed: Spark pages ids with TakeOrdered
+        # and counts in-cluster; a broad range never materializes its
+        # full id list on the driver.
+        field, spec = _one(clause, "range")
+        spec = dict(spec) if isinstance(spec, dict) else spec
+        boost = float(spec.pop("boost", 1.0)) if isinstance(spec, dict) else 1.0
+        rng = {field: _range_spec(field, spec)}
+        pairs, total = _range_page(reader, rng, k, boost)
+        doc_filter = rng
     elif kind == "constant_score":
         boost = float(clause.get("boost", 1.0))
         filt = clause["filter"]
         fkind, _fclause = _one(filt, "constant_score.filter")
-        if fkind not in ("term", "terms", "match"):
+        if fkind == "range":
+            field, spec = _one(_fclause, "constant_score.filter.range")
+            rng = {field: _range_spec(field, spec)}
+            pairs, total = _range_page(reader, rng, k, boost)
+            doc_filter = rng
+        elif fkind in ("term", "terms", "match"):
+            terms = _clause_terms(filt, "constant_score.filter")
+            # stay distributed: page ids with TakeOrdered, count
+            # in-cluster — a broad filter never materializes its full
+            # id list on the driver
+            m = reader._matched_docs_df(terms, "or", None)
+            if m is None:
+                pairs, total = [], 0
+            else:
+                total = m.count()
+                page_ids = [
+                    r["doc_id"]
+                    for r in
+                    m.select("doc_id").orderBy("doc_id").limit(k).collect()
+                ]
+                pairs = [(int(d), boost) for d in page_ids]
+        else:
             raise ValueError(
                 f"unsupported constant_score filter: {fkind}"
             )
-        terms = _clause_terms(filt, "constant_score.filter")
-        # stay distributed: page ids with TakeOrdered, count in-cluster —
-        # a broad filter never materializes its full id list on the driver
-        m = reader._matched_docs_df(terms, "or", None)
-        if m is None:
-            pairs, total = [], 0
-        else:
-            total = m.count()
-            page_ids = [
-                r["doc_id"]
-                for r in m.select("doc_id").orderBy("doc_id").limit(k).collect()
-            ]
-            pairs = [(int(d), boost) for d in page_ids]
     elif kind == "boosting":
         pos = _clause_terms(clause["positive"], "boosting.positive")
         neg = _clause_terms(clause["negative"], "boosting.negative")
@@ -257,6 +480,16 @@ def execute_search(reader, body: dict) -> dict:
         terms, op, msm, fuzz = _match_terms(spec)
         terms_for_aggs, agg_mode = terms, op
         sortable = not fuzz and not msm
+        # msm shrinks / fuzziness expands the matched set beyond what
+        # count/agg kernels can reproduce from the plain term list
+        aggs_scope_exact = not fuzz and (msm is None or int(msm) <= 1)
+        if after is not None and (msm or fuzz):
+            # query_after has no msm param and the fuzzy kernel has no
+            # cursor — both would silently return the wrong page
+            raise ValueError(
+                "search_after with minimum_should_match or fuzziness is "
+                "unsupported (refusing beats a silently wrong page)"
+            )
         if fuzz:
             pairs = reader.fuzzy_query(terms, k, max_edits=int(fuzz))
         elif sort and sort not in ("_score", ["_score"]):
@@ -343,10 +576,18 @@ def execute_search(reader, body: dict) -> dict:
         if terms_for_aggs is None:
             raise ValueError("explain=true needs a term-resolvable query")
         for h in resp["hits"]["hits"]:
-            h["_explanation"] = reader.explain(h["_id"], terms_for_aggs)
+            h["_explanation"] = reader.explain(
+                h["_id"], explain_terms or terms_for_aggs
+            )
     if body.get("track_total_hits") and total is None:
         if terms_for_aggs is None:
             raise ValueError("track_total_hits needs a term-resolvable query")
+        if not aggs_scope_exact:
+            raise ValueError(
+                "track_total_hits with must_not / minimum_should_match / "
+                "fuzziness is unsupported (the matched set is not "
+                "term-expressible; refusing beats a mis-scoped total)"
+            )
         resp["hits"]["total"] = {
             "value": int(
                 reader.count(terms_for_aggs, mode=agg_mode, doc_filter=doc_filter)
@@ -358,6 +599,12 @@ def execute_search(reader, body: dict) -> dict:
     if aggs:
         if terms_for_aggs is None:
             raise ValueError("aggs need a term-resolvable query")
+        if not aggs_scope_exact:
+            raise ValueError(
+                "aggs with must_not / minimum_should_match / fuzziness "
+                "are unsupported (the matched set is not term-expressible; "
+                "refusing beats silently mis-scoped aggregations)"
+            )
         resp["aggregations"] = _run_aggs(
             reader, terms_for_aggs, agg_mode, doc_filter, aggs
         )
@@ -487,17 +734,14 @@ def execute_count(reader, body: dict | None = None) -> dict:
     doc_filter = None
     mode = "or"
     if kind == "bool":
-        must = []
-        for c in _as_list(clause.get("must", [])):
-            must.extend(_clause_terms(c, "must"))
-        should = []
-        for c in _as_list(clause.get("should", [])):
-            should.extend(_clause_terms(c, "should"))
-        doc_filter = _filter_to_doc_filter(clause.get("filter"))
-        if _as_list(clause.get("must_not", [])):
+        must, should, must_not, doc_filter, msm = _parse_bool(clause)
+        if must_not:
             raise ValueError("_count with must_not unsupported")
-        if clause.get("minimum_should_match"):
+        if msm:
             raise ValueError("_count with minimum_should_match unsupported")
+        if not must and not should and doc_filter:
+            # filter-only bool: count the sidecar filter in-cluster
+            return {"count": int(_range_page(reader, doc_filter, 0, 1.0)[1])}
         if must:
             # should restricts nothing when must is present (ES bool)
             terms, mode = must, "and"
@@ -505,6 +749,10 @@ def execute_count(reader, body: dict | None = None) -> dict:
             terms = should
     elif kind in ("term", "terms", "match"):
         terms = _clause_terms(body["query"], "query")
+    elif kind == "range":
+        field, spec = _one(clause, "range")
+        rng = {field: _range_spec(field, dict(spec))}
+        return {"count": int(_range_page(reader, rng, 0, 1.0)[1])}
     else:
         raise ValueError(f"unsupported _count query: {kind}")
     return {"count": int(reader.count(terms, mode=mode, doc_filter=doc_filter))}

@@ -10,6 +10,8 @@ Grammar (the useful fulltext+analytics core, one statement):
               | MATCH_ALL(content, "t1 t2 ...")   -- conjunctive (must)
               | <attr> == "value"                 -- filter context
               | <attr> IN ("v1", "v2", ...)
+              | <attr> >= n | > n | <= n | < n    -- range filter
+                (numbers or "strings"; same-column bounds AND-merge)
     | STATS <agg>[, <agg>]... BY <attr>
         agg  := COUNT(*) | AVG(f) | SUM(f) | MIN(f) | MAX(f)
     | SORT <_score | attr> [ASC | DESC]
@@ -33,9 +35,13 @@ from pyspark.sql import functions as F
 _COND = re.compile(
     r"""MATCH(?P<all>_ALL)?\(\s*content\s*,\s*"(?P<terms>[^"]*)"\s*\)
     |(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*==\s*"(?P<val>[^"]*)"
-    |(?P<incol>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s+\((?P<vals>[^)]*)\)""",
+    |(?P<incol>[A-Za-z_][A-Za-z0-9_]*)\s+IN\s+\((?P<vals>[^)]*)\)
+    |(?P<rcol>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<rop>>=|<=|>|<)\s*
+     (?P<rval>"[^"]*"|-?\d+(?:\.\d+)?)""",
     re.IGNORECASE | re.VERBOSE,
 )
+
+_RANGE_KEY = {">=": "gte", ">": "gt", "<=": "lte", "<": "lt"}
 
 _AGG = re.compile(
     r"""(?P<fn>COUNT|AVG|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)""",
@@ -116,6 +122,28 @@ def _parse_where(body: str, plan: dict) -> None:
                 if plan["terms"]:
                     raise ValueError("at most one MATCH condition")
                 plan["terms"] = terms
+        elif cm.group("rcol") is not None:
+            # comparison predicate (the time/range window every real
+            # log query carries): merge same-column bounds into one
+            # {gte/gt/lte/lt: v} range spec — 'x >= 1 AND x < 9' works
+            col, op = cm.group("rcol"), _RANGE_KEY[cm.group("rop")]
+            raw = cm.group("rval")
+            if raw.startswith('"'):
+                val = raw.strip('"')
+            else:
+                val = float(raw) if "." in raw else int(raw)
+            if plan["filters"] is None:
+                plan["filters"] = {}
+            existing = plan["filters"].get(col)
+            if existing is not None and not isinstance(existing, dict):
+                raise ValueError(
+                    f"column {col} has both an equality and a range filter"
+                )
+            spec = existing if isinstance(existing, dict) else {}
+            if op in spec:
+                raise ValueError(f"duplicate {op} bound on column {col}")
+            spec[op] = val
+            plan["filters"][col] = spec
         else:
             col = cm.group("col") or cm.group("incol")
             if cm.group("col"):
@@ -123,7 +151,6 @@ def _parse_where(body: str, plan: dict) -> None:
             else:
                 val = [v.strip().strip('"') for v in
                        cm.group("vals").split(",")]
-            plan.setdefault("filters", None)
             if plan["filters"] is None:
                 plan["filters"] = {}
             if col in plan["filters"]:
@@ -219,6 +246,9 @@ def _run_stats(reader, plan: dict) -> dict:
     missing = [c for c in keep if c not in names]
     if missing:
         raise ValueError(f"KEEP references unknown columns: {missing}")
-    cols = [t for t in types if t["name"] in keep]
+    # build cols in KEEP order (like _hits_response) so a reordering KEEP
+    # pairs each header with its own value column
+    by_name = {t["name"]: t for t in types}
+    cols = [by_name[c] for c in keep]
     vals = [[row[c] for c in keep] for row in rows]
     return {"columns": cols, "values": vals}

@@ -87,7 +87,7 @@ def update_by_query(
     must go through ``upsert_documents`` (re-analysis) instead.
     """
     ids = reader.matching_doc_ids(terms, mode=mode, doc_filter=doc_filter)
-    return {"updated": _patch_attrs(reader, ids, set_attrs)}
+    return {"updated": len(_patch_attrs(reader, ids, set_attrs))}
 
 
 def reindex(
@@ -138,9 +138,13 @@ def reindex(
     return summary
 
 
-def _patch_attrs(reader, ids, set_attrs: dict) -> int:
+def _patch_attrs(reader, ids, set_attrs: dict) -> set[int]:
     """Sidecar attr patch for explicit ids (shared by update_by_query's
-    query path and _bulk's update actions): staged write + rename swap."""
+    query path and _bulk's update actions): staged write + rename swap.
+    Returns the set of ids that actually matched the sidecar — callers
+    report ids outside it as per-item 404/noop (the ES distinction),
+    never as a silent success. The id list is caller-bounded (a bulk
+    batch or a max_docs-capped query), so collecting it is driver-safe."""
     spark = reader.spark
     adir = _attrs_dir(reader.out_dir)
     attrs = spark.read.parquet(adir)
@@ -151,13 +155,16 @@ def _patch_attrs(reader, ids, set_attrs: dict) -> int:
         raise ValueError("update: doc_id is immutable")
     ids = [int(i) for i in ids]
     if not ids:
-        return 0
+        return set()
     hit = F.col("doc_id").isin(ids)
     # report what actually matched (an id absent from the sidecar is a
     # no-op, not an update — the ES per-item 404/noop distinction)
-    n_hit = attrs.filter(hit).count()
-    if n_hit == 0:
-        return 0
+    matched = {
+        int(r["doc_id"])
+        for r in attrs.filter(hit).select("doc_id").distinct().collect()
+    }
+    if not matched:
+        return set()
     cols = []
     for c in attrs.columns:
         if c in set_attrs:
@@ -174,7 +181,7 @@ def _patch_attrs(reader, ids, set_attrs: dict) -> int:
     os.rename(staging, adir)
     shutil.rmtree(old)
     reader.refresh()
-    return n_hit
+    return matched
 
 
 def bulk(reader, actions: list[dict], n_buckets: int = 4) -> dict:
@@ -243,13 +250,21 @@ def bulk(reader, actions: list[dict], n_buckets: int = 4) -> dict:
                 for d in run:
                     key = tuple(sorted(d["doc"].items()))
                     seen.setdefault(key, []).append(d["doc_id"])
+                matched: set[int] = set()
                 for key, ids in seen.items():
-                    _patch_attrs(reader, ids, dict(key))
-                items += [
-                    {"update": {"_id": d["doc_id"], "result": "updated",
-                                "status": 200}}
-                    for d in run
-                ]
+                    matched |= _patch_attrs(reader, ids, dict(key))
+                # ids absent from the sidecar were no-ops, not updates:
+                # ES answers those with a per-item 404/noop, and so do we
+                for d in run:
+                    if d["doc_id"] in matched:
+                        items.append({"update": {
+                            "_id": d["doc_id"], "result": "updated",
+                            "status": 200}})
+                    else:
+                        errors = True
+                        items.append({"update": {
+                            "_id": d["doc_id"], "result": "noop",
+                            "status": 404}})
             else:
                 raise ValueError(f"unsupported bulk op: {op}")
         except ValueError as ex:

@@ -55,6 +55,73 @@ def _in_sorted(arr: np.ndarray, ids: np.ndarray) -> np.ndarray:
     return (idx < arr.size) & (arr[idx_c] == ids)
 
 
+#: comparison keys accepted in a range-valued doc_filter entry
+#: (``{col: {"gte": x, "lt": y}}`` — the ES range-query body shape)
+_RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+
+def _check_range_spec(col: str, spec: dict) -> None:
+    bad = [k for k in spec if k not in _RANGE_OPS]
+    if bad or not spec:
+        raise ValueError(
+            f"doc_filter range on {col!r} supports keys {_RANGE_OPS}, "
+            f"got {sorted(spec) or 'an empty spec'}"
+        )
+
+
+def spark_filter_cond(doc_filter: dict):
+    """doc_filter dict -> one Spark Column: AND across columns of
+    equality (scalar), membership (list), or range compare (dict with
+    gte/gt/lte/lt keys — ES range filter context). Shared by every
+    distributed reroute so driver and executor paths agree exactly."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for c, v in doc_filter.items():
+        if isinstance(v, dict):
+            _check_range_spec(c, v)
+            e = None
+            for op, bound in v.items():
+                f = F.col(c)
+                cmp = {
+                    "gte": f >= F.lit(bound), "gt": f > F.lit(bound),
+                    "lte": f <= F.lit(bound), "lt": f < F.lit(bound),
+                }[op]
+                e = cmp if e is None else e & cmp
+        elif isinstance(v, (list, tuple, set, frozenset)):
+            e = F.col(c).isin(list(v))
+        else:
+            e = F.col(c) == F.lit(v)
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def arrow_filter_expr(doc_filter: dict):
+    """doc_filter dict -> pyarrow dataset expression with the same
+    semantics as :func:`spark_filter_cond` (pushed down to parquet
+    row-group stats on the driver read path)."""
+    import pyarrow.dataset as ds
+
+    expr = None
+    for c, v in doc_filter.items():
+        if isinstance(v, dict):
+            _check_range_spec(c, v)
+            e = None
+            for op, bound in v.items():
+                f = ds.field(c)
+                cmp = {
+                    "gte": f >= bound, "gt": f > bound,
+                    "lte": f <= bound, "lt": f < bound,
+                }[op]
+                e = cmp if e is None else e & cmp
+        elif isinstance(v, (list, tuple, set, frozenset)):
+            e = ds.field(c).isin(list(v))
+        else:
+            e = ds.field(c) == v
+        expr = e if expr is None else expr & e
+    return expr
+
+
 class DocFilter:
     """Filter-context doc mask for the scoring kernels (ES bool-filter /
     delete-tombstone analogue): ``allowed`` (None = all) minus ``blocked``.
@@ -1313,8 +1380,9 @@ class IndexReader:
         return self._tombstones
 
     def _filter_expr(self, doc_filter: dict):
-        """doc_filter dict -> pyarrow dataset expression (AND of eq/isin),
-        plus the lazily-opened attrs dataset."""
+        """doc_filter dict -> pyarrow dataset expression (AND of
+        eq / isin / gte-gt-lte-lt range compares), plus the
+        lazily-opened attrs dataset."""
         import os
 
         import pyarrow.dataset as ds
@@ -1327,15 +1395,7 @@ class IndexReader:
                     "(build with IndexConfig.attr_cols)"
                 )
             self._attrs_dset = ds.dataset(adir, format="parquet", partitioning="hive")
-        expr = None
-        for c, v in doc_filter.items():
-            e = (
-                ds.field(c).isin(list(v))
-                if isinstance(v, (list, tuple, set, frozenset))
-                else ds.field(c) == v
-            )
-            expr = e if expr is None else expr & e
-        return self._attrs_dset, expr
+        return self._attrs_dset, arrow_filter_expr(doc_filter)
 
     def _filter_count(self, doc_filter: dict) -> int:
         """How many docs match the filter — the driver-safety gate: a
@@ -2690,15 +2750,7 @@ class IndexReader:
         ensure_shipped(self.spark)
         attrs = load_doc_attrs(self.spark, self.out_dir)
         if doc_filter:
-            cond = None
-            for c, v in doc_filter.items():
-                e = (
-                    F.col(c).isin(list(v))
-                    if isinstance(v, (list, tuple, set, frozenset))
-                    else (F.col(c) == F.lit(v))
-                )
-                cond = e if cond is None else cond & e
-            attrs = attrs.filter(cond)
+            attrs = attrs.filter(spark_filter_cond(doc_filter))
         attrs = attrs.select("bucket", "doc_id", field)
         # docs stream only (membership): tf/dl bytes stay in parquet
         rows_df = self._segment_rows(present).select("bucket", "term", "docs")
@@ -2790,15 +2842,9 @@ class IndexReader:
             from .segments import load_doc_attrs
 
             attrs = load_doc_attrs(self.spark, self.out_dir)
-            cond = None
-            for c, v in doc_filter.items():
-                e = (
-                    F.col(c).isin(list(v))
-                    if isinstance(v, (list, tuple, set, frozenset))
-                    else (F.col(c) == F.lit(v))
-                )
-                cond = e if cond is None else cond & e
-            allowed = attrs.filter(cond).select("bucket", "doc_id")
+            allowed = attrs.filter(
+                spark_filter_cond(doc_filter)
+            ).select("bucket", "doc_id")
             matched_df = matched_df.join(allowed, ["bucket", "doc_id"], "left_semi")
         return matched_df
 
@@ -3582,15 +3628,7 @@ class IndexReader:
         ensure_shipped(self.spark)
         attrs = load_doc_attrs(self.spark, self.out_dir)
         if doc_filter:
-            cond = None
-            for c, v in doc_filter.items():
-                e = (
-                    F.col(c).isin(list(v))
-                    if isinstance(v, (list, tuple, set, frozenset))
-                    else (F.col(c) == F.lit(v))
-                )
-                cond = e if cond is None else cond & e
-            attrs = attrs.filter(cond)
+            attrs = attrs.filter(spark_filter_cond(doc_filter))
         attrs = attrs.select("bucket", "doc_id", field)
         rows_df = self._segment_rows(present)
 
@@ -3904,15 +3942,9 @@ class IndexReader:
             from .segments import load_doc_attrs
 
             attrs = load_doc_attrs(self.spark, self.out_dir)
-            cond = None
-            for c, v in doc_filter.items():
-                e = (
-                    F.col(c).isin([x for x in v])
-                    if isinstance(v, (list, tuple, set, frozenset))
-                    else (F.col(c) == F.lit(v))
-                )
-                cond = e if cond is None else cond & e
-            allowed_df = attrs.filter(cond).select("bucket", "doc_id")
+            allowed_df = attrs.filter(
+                spark_filter_cond(doc_filter)
+            ).select("bucket", "doc_id")
 
             def per_bucket_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
                 if len(seg_pdf) == 0 or len(attr_pdf) == 0:

@@ -21,23 +21,41 @@ from pyspark.sql import SparkSession
 _SHIPPED: set[str] = set()
 
 
+def _pkg_files(pkg_dir: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in files:
+            if fn.endswith(".py"):
+                out.append(os.path.join(root, fn))
+    return sorted(out)
+
+
 def ensure_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
     key = sc.applicationId
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    files = _pkg_files(pkg_dir)
+    # key the zip by CONTENT (path + mtime + size), never by pid: a
+    # reused pid would silently ship a stale zip from an earlier run,
+    # and the executor then unpickles references to symbols the old
+    # copy lacks (AttributeError only when cwd != repo root)
+    import hashlib
+
+    h = hashlib.sha256()
+    for full in files:
+        st = os.stat(full)
+        h.update(f"{os.path.relpath(full, pkg_dir)}:{st.st_mtime_ns}:{st.st_size};".encode())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"s3logsbeat_spark_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"s3logsbeat_spark_{h.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if not fn.endswith(".py"):
-                        continue
-                    full = os.path.join(root, fn)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+        tmp = f"{zpath}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full in files:
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+        os.replace(tmp, zpath)  # atomic: concurrent sessions race-safe
     sc.addPyFile(zpath)
     _SHIPPED.add(key)

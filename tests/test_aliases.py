@@ -78,3 +78,15 @@ def test_alias_append_goes_to_write_index(spark, tmp_path, split_indexes):
     alias_append(reg, "logs", more, n_buckets=4)
     assert 5 in {d for d, _ in IndexReader(spark, b).query(["merge"], 10)}
     assert 5 not in {d for d, _ in IndexReader(spark, a).query(["merge"], 10)}
+
+
+def test_rollover_rejects_duplicate_member(tmp_path):
+    reg = AliasRegistry(str(tmp_path / "_aliases3.json"))
+    reg.add("logs", "/idx/a", is_write_index=True)
+    reg.rollover("logs", "/idx/b")
+    before = reg.aliases()
+    # re-running the same rollover must not double-register the member
+    # (the federated read would score that index twice)
+    with pytest.raises(ValueError, match="already in alias"):
+        reg.rollover("logs", "/idx/b")
+    assert reg.aliases() == before

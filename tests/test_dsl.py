@@ -446,3 +446,221 @@ def test_count_bool_must_semantics(rdr):
         execute_count(rdr, {"query": {"bool": {
             "should": [{"term": {"content": "merge"}}],
             "minimum_should_match": 1}}})
+
+
+def test_search_aggs_bool_must_scope(rdr):
+    # aggs/track_total_hits over a bool must scope to the must
+    # CONJUNCTION (ES matched set), not must OR should
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}},
+                 {"term": {"content": "hash"}}],
+        "should": [{"term": {"content": "buffer"}}],
+    }}, "track_total_hits": True,
+        "aggs": {"langs": {"terms": {"field": "lang"}}}}
+    got = execute_search(rdr, body)
+    want_n = rdr.count(["hash", "merge"], mode="and")
+    assert got["hits"]["total"]["value"] == want_n
+    assert got["aggregations"]["langs"]["buckets"] == [
+        {"key": kv, "doc_count": n}
+        for kv, n in rdr.facet_counts(["hash", "merge"], "lang", mode="and")[:10]
+    ]
+    # sanity: the OR scope would have been different
+    assert want_n != rdr.count(["buffer", "hash", "merge"], mode="or")
+
+
+def test_search_aggs_refuse_inexpressible_scope(rdr):
+    base = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "must_not": [{"term": {"content": "static"}}],
+    }}}
+    with pytest.raises(ValueError, match="must_not"):
+        execute_search(rdr, {**base, "track_total_hits": True})
+    with pytest.raises(ValueError, match="must_not"):
+        execute_search(
+            rdr, {**base, "aggs": {"l": {"terms": {"field": "lang"}}}})
+    msm_body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "should": [{"term": {"content": "hash"}}],
+        "minimum_should_match": 1,
+    }}}
+    with pytest.raises(ValueError, match="minimum_should_match"):
+        execute_search(rdr, {**msm_body, "track_total_hits": True})
+    # match with fuzziness: the matched set is the EXPANDED terms'
+    fz = {"query": {"match": {"content": {"query": "mergee",
+                                          "fuzziness": 1}}}}
+    with pytest.raises(ValueError, match="fuzziness"):
+        execute_search(rdr, {**fz, "aggs": {"l": {"terms": {"field": "lang"}}}})
+    # hits themselves still work for all these bodies
+    assert execute_search(rdr, base)["hits"]["hits"]
+
+
+def test_search_after_refuses_msm_and_fuzz(rdr):
+    with pytest.raises(ValueError, match="search_after"):
+        execute_search(rdr, {
+            "query": {"match": {"content": {
+                "query": "merge hash buffer", "minimum_should_match": 2}}},
+            "search_after": [5.0, 1]})
+    with pytest.raises(ValueError, match="search_after"):
+        execute_search(rdr, {
+            "query": {"match": {"content": {"query": "mergee",
+                                            "fuzziness": 1}}},
+            "search_after": [5.0, 1]})
+
+
+def test_bool_explain_uses_scoring_terms(rdr):
+    # explain attaches the SCORING terms (must ∪ should), while totals
+    # scope to must — both on one body
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "should": [{"term": {"content": "hash"}}],
+    }}, "explain": True, "size": 3}
+    got = execute_search(rdr, body)
+    for h in got["hits"]["hits"]:
+        want = rdr.explain(h["_id"], ["hash", "merge"])
+        assert h["_explanation"] == want
+
+
+# ---- one-level nested bool (the shape client libraries generate) ----
+
+
+def test_nested_bool_in_must_flattens(rdr):
+    # {bool: {must: [a, {bool: {must: [b], filter: [lang]}}]}} ==
+    # the flat conjunction — AND is associative
+    body = {"query": {"bool": {
+        "must": [
+            {"term": {"content": "merge"}},
+            {"bool": {
+                "must": [{"term": {"content": "hash"}}],
+                "filter": [{"term": {"lang": "py"}}],
+            }},
+        ],
+    }}, "size": 10}
+    got = execute_search(rdr, body)
+    want = rdr.search({
+        "must": ["merge", "hash"], "should": [], "must_not": [],
+        "filter": {"lang": "py"}, "min_should_match": 0,
+    }, 10)
+    assert _ids_scores(got) == want
+    assert got["hits"]["hits"], "conjunction must keep some matches"
+
+
+def test_nested_bool_must_not_lifts(rdr):
+    body = {"query": {"bool": {
+        "must": [
+            {"term": {"content": "merge"}},
+            {"bool": {"must_not": [{"term": {"content": "static"}}]}},
+        ],
+    }}, "size": 10}
+    got = execute_search(rdr, body)
+    want = rdr.search({
+        "must": ["merge"], "should": [], "must_not": ["static"],
+        "min_should_match": 0,
+    }, 10)
+    assert _ids_scores(got) == want
+
+
+def test_range_inside_must_folds_to_filter(rdr):
+    body = {"query": {"bool": {
+        "must": [
+            {"match": {"content": "merge hash"}},
+            {"range": {"n_chars": {"gte": 400, "lt": 1200}}},
+        ],
+    }}, "size": 10}
+    got = execute_search(rdr, body)
+    want = rdr.search({
+        "must": ["hash", "merge"], "should": [], "must_not": [],
+        "filter": {"n_chars": {"gte": 400, "lt": 1200}},
+        "min_should_match": 0,
+    }, 10)
+    assert _ids_scores(got) == want
+
+
+def test_filter_bool_should_same_field_is_isin(rdr):
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "filter": [{"bool": {"should": [
+            {"term": {"lang": "py"}}, {"term": {"lang": "go"}},
+        ]}}],
+    }}, "size": 10, "track_total_hits": True}
+    got = execute_search(rdr, body)
+    want = rdr.search({
+        "must": ["merge"], "should": [], "must_not": [],
+        "filter": {"lang": ["py", "go"]}, "min_should_match": 0,
+    }, 10)
+    assert _ids_scores(got) == want
+    assert got["hits"]["total"]["value"] == rdr.count(
+        ["merge"], doc_filter={"lang": ["py", "go"]})
+
+
+def test_cross_level_range_bounds_and_merge(rdr):
+    # gte at one level, lt at another — AND-merge into one range spec
+    body = {"query": {"bool": {
+        "must": [
+            {"term": {"content": "merge"}},
+            {"bool": {"filter": [{"range": {"n_chars": {"gte": 400}}}]}},
+        ],
+        "filter": [{"range": {"n_chars": {"lt": 1200}}}],
+    }}, "size": 10}
+    got = execute_search(rdr, body)
+    want = rdr.query(
+        ["merge"], 10, doc_filter={"n_chars": {"gte": 400, "lt": 1200}})
+    assert _ids_scores(got) == want
+
+
+def test_filter_only_bool_pages_and_counts(rdr):
+    body = {"query": {"bool": {"filter": [
+        {"range": {"n_chars": {"gte": 400, "lt": 1200}}},
+        {"term": {"lang": "py"}},
+    ]}}, "size": 5, "track_total_hits": True}
+    got = execute_search(rdr, body)
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+    want_ids = sorted(
+        r["doc_id"] for r in load_doc_attrs(rdr.spark, rdr.out_dir)
+        .filter((F.col("n_chars") >= 400) & (F.col("n_chars") < 1200)
+                & (F.col("lang") == "py")).select("doc_id").collect())
+    assert [h["_id"] for h in got["hits"]["hits"]] == want_ids[:5]
+    assert all(h["_score"] == 0.0 for h in got["hits"]["hits"])
+    assert got["hits"]["total"]["value"] == len(want_ids)
+    n = execute_count(rdr, {"query": {"bool": {"filter": [
+        {"range": {"n_chars": {"gte": 400, "lt": 1200}}},
+        {"term": {"lang": "py"}}]}}})
+    assert n == {"count": len(want_ids)}
+
+
+def test_nested_bool_refusals(rdr):
+    # inner should inside must: ambiguous scoring scope
+    with pytest.raises(ValueError, match="should"):
+        execute_search(rdr, {"query": {"bool": {"must": [
+            {"bool": {"should": [{"term": {"content": "merge"}}]}}]}}})
+    # two levels of nesting
+    with pytest.raises(ValueError, match="deeper"):
+        execute_search(rdr, {"query": {"bool": {"must": [
+            {"bool": {"must": [{"bool": {"must": [
+                {"term": {"content": "merge"}}]}}]}}]}}})
+    # filter-context bool with must_not (no sidecar negation)
+    with pytest.raises(ValueError, match="negation"):
+        execute_search(rdr, {"query": {"bool": {
+            "must": [{"term": {"content": "merge"}}],
+            "filter": [{"bool": {"must_not": [
+                {"term": {"lang": "py"}}]}}]}}})
+    # filter bool.should across different fields
+    with pytest.raises(ValueError, match="different fields"):
+        execute_search(rdr, {"query": {"bool": {
+            "must": [{"term": {"content": "merge"}}],
+            "filter": [{"bool": {"should": [
+                {"term": {"lang": "py"}},
+                {"term": {"source": "web"}}]}}]}}})
+    # conflicting duplicate bound on the same field
+    with pytest.raises(ValueError, match="duplicate range bound"):
+        execute_search(rdr, {"query": {"bool": {
+            "must": [{"term": {"content": "merge"}},
+                     {"range": {"n_chars": {"gte": 1}}}],
+            "filter": [{"range": {"n_chars": {"gte": 2}}}]}}})
+    # duplicate scalar filter field across levels
+    with pytest.raises(ValueError, match="duplicate filter field"):
+        execute_search(rdr, {"query": {"bool": {
+            "must": [{"term": {"content": "merge"}},
+                     {"bool": {"filter": [{"term": {"lang": "py"}}]}}],
+            "filter": [{"term": {"lang": "go"}}]}}})

@@ -138,3 +138,23 @@ def test_combined_query_refuses_field_sort(rdr):
             'FROM code | WHERE MATCH(content, "buffer") AND'
             ' MATCH_ALL(content, "merge") | SORT n_chars DESC',
         )
+
+
+def test_keep_reorders_stats_columns(rdr):
+    # KEEP that permutes STATS output must pair each header with its
+    # own value column (cols are built in KEEP order)
+    base = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS COUNT(*), AVG(n_chars) BY lang | LIMIT 100',
+    )
+    flipped = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS COUNT(*), AVG(n_chars) BY lang | LIMIT 100'
+        ' | KEEP avg(n_chars), lang',
+    )
+    assert [c["name"] for c in flipped["columns"]] == ["avg(n_chars)", "lang"]
+    assert [c["type"] for c in flipped["columns"]] == ["double", "keyword"]
+    want = [[row[2], row[0]] for row in base["values"]]
+    assert flipped["values"] == want

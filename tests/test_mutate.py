@@ -152,5 +152,24 @@ def test_update_by_query_counts_only_matched(spark, index_copy):
     rdr = IndexReader(spark, index_copy)
     # one real id + one that does not exist in the sidecar
     real = rdr.matching_doc_ids([DEL_TERM])[:1]
-    assert _patch_attrs(rdr, real + [10**12], {"lang": "zz"}) == 1
-    assert _patch_attrs(rdr, [10**12], {"lang": "zz"}) == 0
+    # _patch_attrs returns the matched id SET (the 404/noop distinction)
+    assert _patch_attrs(rdr, real + [10**12], {"lang": "zz"}) == {int(real[0])}
+    assert _patch_attrs(rdr, [10**12], {"lang": "zz"}) == set()
+
+
+def test_bulk_update_missing_id_is_noop_404(spark, index_copy):
+    from s3logsbeat_spark.operators.mutate import bulk
+
+    rdr = IndexReader(spark, index_copy)
+    real = int(rdr.matching_doc_ids([DEL_TERM])[0])
+    res = bulk(rdr, [
+        {"update": {"doc_id": real, "doc": {"lang": "zz"}}},
+        {"update": {"doc_id": 10**12, "doc": {"lang": "zz"}}},
+    ])
+    assert res["errors"] is True
+    ok, missing = res["items"]
+    assert ok["update"] == {"_id": real, "result": "updated", "status": 200}
+    assert missing["update"] == {
+        "_id": 10**12, "result": "noop", "status": 404}
+    # the real update actually landed
+    assert rdr.count([DEL_TERM], doc_filter={"lang": "zz"}) >= 1

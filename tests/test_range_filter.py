@@ -1,0 +1,260 @@
+"""Range predicates across the query surface (the Kibana time-picker
+shape): reader doc_filter range specs ({col: {gte/gt/lte/lt: v}}), the
+DSL ``range`` clause (query position, bool.filter, constant_score
+filter, _count), and ES|QL WHERE comparisons. Every front-door form
+must equal the direct reader call / a hand-computed matched set —
+translation adds no filtering paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.dsl import execute_count, execute_search
+from s3logsbeat_spark.operators.esqlpipe import execute_esql, parse_esql
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import (
+    IndexReader,
+    arrow_filter_expr,
+    spark_filter_cond,
+)
+
+Q = ["merge", "hash"]
+LO, HI = 400, 1200  # n_chars window that keeps a non-trivial subset
+
+
+@pytest.fixture(scope="module")
+def rdr(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("range_idx"))
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10)
+    build_index(corpus_df.withColumn("n_chars", F.length("content")), cfg)
+    return IndexReader(spark, out)
+
+
+@pytest.fixture(scope="module")
+def chars(spark, corpus_df):
+    return {
+        r["doc_id"]: r["n"]
+        for r in corpus_df.select(
+            "doc_id", F.length("content").alias("n")
+        ).collect()
+    }
+
+
+def _window(chars, lo=LO, hi=HI):
+    return {d for d, n in chars.items() if lo <= n < hi}
+
+
+def test_reader_query_range_doc_filter(rdr, chars):
+    rng = {"n_chars": {"gte": LO, "lt": HI}}
+    got = rdr.query(Q, 10, doc_filter=rng)
+    # oracle: unfiltered ranking restricted to the window (ES filter
+    # context — scores unchanged, result set restricted)
+    keep = _window(chars)
+    want = [(d, s) for d, s in rdr.query(Q, 10_000) if d in keep][:10]
+    assert got == want
+    assert got, "window must keep some matches"
+    assert len(got) < len(rdr.query(Q, 10_000)[:10]) or got != rdr.query(Q, 10)
+
+
+def test_reader_range_distributed_reroute(rdr, chars):
+    rng = {"n_chars": {"gte": LO, "lt": HI}}
+    driver = rdr.query(Q, 10, doc_filter=rng)
+    dist = rdr.query(Q, 10, doc_filter=rng, distributed=True)
+    assert [(d, round(s, 9)) for d, s in dist] == [
+        (d, round(s, 9)) for d, s in driver
+    ]
+
+
+def test_reader_aggs_with_range_filter(rdr, chars):
+    rng = {"n_chars": {"gte": LO, "lt": HI}}
+    keep = _window(chars)
+    matched = {d for d, _ in rdr.query(Q, 10_000)}
+    assert rdr.count(Q, doc_filter=rng) == len(matched & keep)
+    facets = dict(rdr.facet_counts(Q, "lang", doc_filter=rng))
+    assert sum(facets.values()) == len(matched & keep)
+
+
+def test_range_open_bounds_and_ops(rdr, chars):
+    matched = {d for d, _ in rdr.query(Q, 10_000)}
+    only_lo = {d for d, n in chars.items() if n > LO}
+    assert rdr.count(Q, doc_filter={"n_chars": {"gt": LO}}) == len(
+        matched & only_lo
+    )
+    only_hi = {d for d, n in chars.items() if n <= HI}
+    assert rdr.count(Q, doc_filter={"n_chars": {"lte": HI}}) == len(
+        matched & only_hi
+    )
+
+
+def test_bad_range_spec_raises(rdr):
+    with pytest.raises(ValueError, match="range"):
+        rdr.count(Q, doc_filter={"n_chars": {"between": (1, 2)}})
+    with pytest.raises(ValueError, match="range"):
+        spark_filter_cond({"n_chars": {}})
+    with pytest.raises(ValueError, match="range"):
+        arrow_filter_expr({"n_chars": {"gte": 1, "nope": 2}})
+
+
+def test_filter_cond_parity_spark_vs_arrow(spark, tmp_path):
+    import pyarrow.dataset as ds
+
+    rows = [(i, i * 10, "ab"[i % 2]) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, v long, g string")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    flt = {"v": {"gte": 100, "lt": 300}, "g": "a"}
+    got_spark = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(p).filter(spark_filter_cond(flt)).collect()
+    )
+    tb = ds.dataset(p).to_table(filter=arrow_filter_expr(flt))
+    got_arrow = sorted(tb["doc_id"].to_pylist())
+    want = sorted(i for i, v, g in rows if 100 <= v < 300 and g == "a")
+    assert got_spark == got_arrow == want
+
+
+# ---- DSL front door ----
+
+
+def test_dsl_bool_filter_range(rdr):
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": " ".join(Q)}}],
+        "filter": [
+            {"range": {"n_chars": {"gte": LO, "lt": HI}}},
+        ],
+    }}, "size": 10}
+    got = execute_search(rdr, body)
+    want = rdr.search({
+        "must": sorted(Q), "should": [], "must_not": [],
+        "min_should_match": 0,
+        "filter": {"n_chars": {"gte": LO, "lt": HI}},
+    }, 10)
+    assert [(h["_id"], h["_score"]) for h in got["hits"]["hits"]] == want
+
+
+def test_dsl_bool_filter_range_plus_term(rdr, chars):
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "filter": [
+            {"term": {"lang": "py"}},
+            {"range": {"n_chars": {"lt": HI}}},
+        ],
+    }}, "track_total_hits": True, "size": 5}
+    got = execute_search(rdr, body)
+    want_n = rdr.count(
+        ["merge"], doc_filter={"lang": "py", "n_chars": {"lt": HI}}
+    )
+    assert got["hits"]["total"]["value"] == want_n
+
+
+def test_dsl_range_query_position(rdr, chars):
+    keep = sorted(_window(chars))
+    got = execute_search(rdr, {
+        "query": {"range": {"n_chars": {"gte": LO, "lt": HI}}},
+        "size": 7,
+    })
+    assert got["hits"]["total"]["value"] == len(keep)
+    assert [h["_id"] for h in got["hits"]["hits"]] == keep[:7]
+    assert all(h["_score"] == 1.0 for h in got["hits"]["hits"])
+    # from-paging
+    page2 = execute_search(rdr, {
+        "query": {"range": {"n_chars": {"gte": LO, "lt": HI}}},
+        "size": 7, "from": 7,
+    })
+    assert [h["_id"] for h in page2["hits"]["hits"]] == keep[7:14]
+
+
+def test_dsl_range_query_respects_tombstones(spark, corpus_df, tmp_path):
+    from s3logsbeat_spark.operators.segments import delete_docs
+
+    out = str(tmp_path / "rng_del")
+    cfg = IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10)
+    build_index(corpus_df.withColumn("n_chars", F.length("content")), cfg)
+    rdr = IndexReader(spark, out)
+    body = {"query": {"range": {"n_chars": {"gte": LO, "lt": HI}}}, "size": 3}
+    first = execute_search(rdr, body)["hits"]["hits"]
+    victim = first[0]["_id"]
+    delete_docs(out, [victim])
+    rdr.refresh()
+    after = execute_search(rdr, body)
+    assert victim not in [h["_id"] for h in after["hits"]["hits"]]
+    total0 = first and execute_search(rdr, body)["hits"]["total"]["value"]
+    assert after["hits"]["total"]["value"] == total0
+
+
+def test_dsl_constant_score_range_and_boost(rdr, chars):
+    keep = sorted(_window(chars))
+    got = execute_search(rdr, {
+        "query": {"constant_score": {
+            "filter": {"range": {"n_chars": {"gte": LO, "lt": HI}}},
+            "boost": 2.5,
+        }},
+        "size": 4,
+    })
+    assert [h["_id"] for h in got["hits"]["hits"]] == keep[:4]
+    assert all(h["_score"] == 2.5 for h in got["hits"]["hits"])
+    assert got["hits"]["total"]["value"] == len(keep)
+
+
+def test_dsl_count_range(rdr, chars):
+    got = execute_count(rdr, {
+        "query": {"range": {"n_chars": {"gte": LO, "lt": HI}}}})
+    assert got == {"count": len(_window(chars))}
+
+
+def test_dsl_range_rejects_bad_spec(rdr):
+    with pytest.raises(ValueError, match="range"):
+        execute_search(rdr, {
+            "query": {"range": {"n_chars": {"between": [1, 2]}}}})
+    with pytest.raises(ValueError, match="range"):
+        execute_search(rdr, {"query": {"bool": {
+            "must": [{"term": {"content": "merge"}}],
+            "filter": [{"range": {"n_chars": "oops"}}]}}})
+
+
+# ---- ES|QL front door ----
+
+
+def test_esql_where_range_parse_and_merge():
+    plan = parse_esql(
+        'FROM code | WHERE MATCH(content, "merge") AND n_chars >= 400'
+        ' AND n_chars < 1200 AND lang == "py" | LIMIT 5'
+    )
+    assert plan["filters"] == {
+        "n_chars": {"gte": 400, "lt": 1200}, "lang": "py"
+    }
+    with pytest.raises(ValueError, match="duplicate gte"):
+        parse_esql(
+            'FROM code | WHERE MATCH(content, "x") AND v >= 1 AND v >= 2'
+        )
+    with pytest.raises(ValueError, match="equality and a range"):
+        parse_esql(
+            'FROM code | WHERE MATCH(content, "x") AND lang == "py"'
+            " AND lang >= 1"
+        )
+
+
+def test_esql_where_range_hits(rdr):
+    got = execute_esql(
+        rdr,
+        f'FROM code | WHERE MATCH(content, "{" ".join(Q)}")'
+        f" AND n_chars >= {LO} AND n_chars < {HI} | LIMIT 10",
+    )
+    want = rdr.query(Q, 10, doc_filter={"n_chars": {"gte": LO, "lt": HI}})
+    assert [(d, s) for d, s in got["values"]] == [
+        (d, float(s)) for d, s in want
+    ]
+
+
+def test_esql_where_range_stats(rdr):
+    got = execute_esql(
+        rdr,
+        f'FROM code | WHERE MATCH(content, "{" ".join(Q)}")'
+        f" AND n_chars < {HI}"
+        " | STATS COUNT(*) BY lang | SORT lang ASC | LIMIT 100",
+    )
+    counts = dict(
+        rdr.facet_counts(Q, "lang", doc_filter={"n_chars": {"lt": HI}})
+    )
+    assert {r[0]: r[1] for r in got["values"]} == counts
