@@ -353,6 +353,50 @@ def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL STATS without BY: one global aggregate row over the
+    fulltext match — the joined sidecar agg with no grouping keys (a
+    single map-side-combined reduction, output is exactly one row)."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        " | STATS COUNT(*), AVG(n_chars), MIN(n_chars), MAX(n_chars)",
+    )
+    [r] = resp["values"]
+    return spark.createDataFrame(
+        [(int(r[0]), round(float(r[1]), 6), int(r[2]), int(r[3]))],
+        "doc_count long, avg_chars double, min_chars long, max_chars long",
+    )
+
+
+def q_esql_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL EVAL + multi-column BY: computed arithmetic column
+    (withColumn codegen on the sidecar, never a UDF) aggregated under a
+    two-key grouping — bounded by |lang| x |repo|."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        " | EVAL weight = n_chars * 2 + 7"
+        " | STATS COUNT(*), AVG(weight) BY lang, repo"
+        " | SORT lang ASC | LIMIT 1000",
+    )
+    # the EVAL stays integer-exact (n_chars*2+7 < 2^53), so the
+    # aggregate sum is order-independent and the 6-dp round matches the
+    # oracle bit-for-bit — float-dividing before AVG would make the
+    # summation order observable at the last ulp
+    return spark.createDataFrame(
+        [(r[0], r[1], int(r[2]), round(float(r[3]), 6))
+         for r in resp["values"]],
+        "lang string, repo string, doc_count long, avg_weight double",
+    )
+
+
 def q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES JSON query DSL (POST _search with a request body) — the
     surface every ES client library speaks. The body routes through
@@ -1728,7 +1772,7 @@ def q_frequent_item_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from s3logsbeat_spark.operators.itemsets import frequent_item_sets
 
     p = _simple_postings(spark, sf_dir)
-    return frequent_item_sets(p, FIS_MIN_SUPPORT, FIS_K)
+    return frequent_item_sets(p, FIS_MIN_SUPPORT, FIS_K, exact=True)
 
 
 FIS_DOC_CAP = 8
@@ -3533,6 +3577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
         "esql_stats": q_esql_stats,
+        "esql_stats_global": q_esql_stats_global,
+        "esql_eval_stats": q_esql_eval_stats,
         "scripted_metric": q_scripted_metric,
         "span_within": q_span_within,
         "span_containing": q_span_containing,
@@ -6675,6 +6721,17 @@ SELECT lang, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 6) AS avg_chars
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
 GROUP BY lang ORDER BY lang
+""",
+        "esql_stats_global": f"""
+SELECT count(*)::BIGINT AS doc_count, round(avg(n_chars), 6) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+""",
+        "esql_eval_stats": f"""
+SELECT lang, source AS repo, count(*)::BIGINT AS doc_count,
+       round(avg(n_chars * 2 + 7), 6) AS avg_weight
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY lang, source ORDER BY lang, source
 """,
         "span_within": _SPAN_WITHIN_SQL,
         "span_containing": _SPAN_CONTAINING_SQL,

@@ -230,7 +230,7 @@ def run_default() -> dict:
             ).alias("term"),
         )
         t0 = time.perf_counter()
-        frequent_item_sets(posts, min_support=50, k=15).count()
+        frequent_item_sets(posts, min_support=50, k=15, exact=True).count()
         dops["frequent_item_sets_exact"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         frequent_item_sets(posts, min_support=50, k=15, max_doc_terms=8).count()

@@ -12,8 +12,12 @@ Grammar (the useful fulltext+analytics core, one statement):
               | <attr> IN ("v1", "v2", ...)
               | <attr> >= n | > n | <= n | < n    -- range filter
                 (numbers or "strings"; same-column bounds AND-merge)
-    | STATS <agg>[, <agg>]... BY <attr>
+    | EVAL <name> = <arith>                       -- before STATS only
+        arith := +|-|*|/|% over sidecar attrs, EVAL'd names, numeric
+                 literals, and parentheses (no function calls)
+    | STATS <agg>[, <agg>]... [BY <attr>[, <attr>]...]
         agg  := COUNT(*) | AVG(f) | SUM(f) | MIN(f) | MAX(f)
+        (no BY = one global row; f may be an EVAL'd name)
     | SORT <_score | attr> [ASC | DESC]
     | LIMIT <n>
     | KEEP <col>[, <col>]...
@@ -63,16 +67,22 @@ def parse_esql(stmt: str) -> dict:
     plan: dict = {
         "index": m.group(1), "terms": [], "mode": "or", "required": None,
         "filters": None, "stats": None, "by": None, "sort": None,
-        "limit": 10, "keep": None,
+        "limit": 10, "keep": None, "eval": [],
     }
     for p in pipes[1:]:
         head = p.split(None, 1)[0].upper() if p else ""
         body = p[len(head):].strip()
         if head == "WHERE":
             _parse_where(body, plan)
+        elif head == "EVAL":
+            if plan["stats"] is not None:
+                raise ValueError("EVAL must come before STATS")
+            plan["eval"].append(_parse_eval(body, plan))
         elif head == "STATS":
             sm = re.fullmatch(
-                r"(?P<aggs>.+?)\s+BY\s+(?P<by>[A-Za-z_][A-Za-z0-9_]*)",
+                r"(?P<aggs>.+?)"
+                r"(?:\s+BY\s+(?P<by>[A-Za-z_][A-Za-z0-9_]*"
+                r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?",
                 body, re.IGNORECASE | re.DOTALL)
             if not sm:
                 raise ValueError(f"unsupported STATS clause: {body!r}")
@@ -85,7 +95,10 @@ def parse_esql(stmt: str) -> dict:
                 if (arg == "*") != (fn == "count"):
                     raise ValueError(f"{fn.upper()}({arg}) unsupported")
                 aggs.append((fn, arg))
-            plan["stats"], plan["by"] = aggs, sm.group("by")
+            by = sm.group("by")
+            plan["stats"] = aggs
+            plan["by"] = ([c.strip() for c in by.split(",")]
+                          if by else None)
         elif head == "SORT":
             sm = re.fullmatch(
                 r"(?P<f>_score|[A-Za-z_][A-Za-z0-9_]*)"
@@ -104,7 +117,40 @@ def parse_esql(stmt: str) -> dict:
             raise ValueError(f"unsupported pipe command: {p!r}")
     if not plan["terms"] and not plan["required"]:
         raise ValueError("ES|QL statement needs a MATCH/MATCH_ALL condition")
+    if plan["eval"] and plan["stats"] is None:
+        raise ValueError(
+            "EVAL is supported before STATS only (hits carry no "
+            "computed columns)"
+        )
     return plan
+
+
+_EVAL = re.compile(
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?P<expr>[A-Za-z0-9_+\-*/%()\s.]+)"
+)
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _parse_eval(body: str, plan: dict) -> tuple[str, str, list[str]]:
+    """``EVAL name = arith`` -> (name, validated_expr, referenced_idents).
+    The charset excludes quotes/commas/semicolons and function calls are
+    rejected, so the expression can only be arithmetic over columns and
+    numeric literals — safe to hand to ``F.expr``."""
+    m = _EVAL.fullmatch(body.strip())
+    if not m:
+        raise ValueError(f"unsupported EVAL clause: {body!r}")
+    name, expr = m.group("name"), m.group("expr").strip()
+    if re.search(r"[A-Za-z_][A-Za-z0-9_]*\s*\(", expr):
+        raise ValueError(
+            f"EVAL supports arithmetic only, no function calls: {expr!r}"
+        )
+    if expr.count("(") != expr.count(")"):
+        raise ValueError(f"unbalanced parentheses in EVAL: {expr!r}")
+    prior = {n for n, _e, _r in plan["eval"]}
+    if name in prior:
+        raise ValueError(f"duplicate EVAL name: {name}")
+    idents = [t for t in _IDENT.findall(expr)]
+    return name, expr, idents
 
 
 def _parse_where(body: str, plan: dict) -> None:
@@ -206,6 +252,12 @@ def _hits_response(pairs, keep) -> dict:
     return {"columns": cols, "values": vals}
 
 
+#: Spark dtype -> ES|QL wire type label
+_ES_TYPE = {"bigint": "long", "long": "long", "int": "integer",
+            "double": "double", "float": "double", "string": "keyword",
+            "boolean": "boolean"}
+
+
 def _run_stats(reader, plan: dict) -> dict:
     from .segments import load_doc_attrs
 
@@ -216,31 +268,62 @@ def _run_stats(reader, plan: dict) -> dict:
     else:
         terms, mode = plan["terms"], "or"
     matched = reader._matched_docs_df(terms, mode, plan["filters"])
-    by = plan["by"]
-    names, exprs, types = [by], [], [{"name": by, "type": "keyword"}]
+    by_cols = plan["by"] or []
+    attrs = load_doc_attrs(reader.spark, reader.out_dir)
+    # EVAL columns: arithmetic withColumn on the sidecar BEFORE the
+    # bounded groupBy — codegen expressions, pruned if unused
+    known = set(attrs.columns)
+    for name, expr, idents in plan["eval"]:
+        if name in known:
+            raise ValueError(f"EVAL name shadows an existing column: {name}")
+        unknown = [i for i in idents if i not in known]
+        if unknown:
+            raise ValueError(f"EVAL references unknown columns: {unknown}")
+        attrs = attrs.withColumn(name, F.expr(expr))
+        known.add(name)
+    names, exprs = list(by_cols), []
     for fn, arg in plan["stats"]:
         name = f"{fn}({arg})"
         names.append(name)
+        if arg != "*" and arg not in known:
+            raise ValueError(f"aggregate over unknown column: {arg}")
         col = _AGG_FN[fn]("*" if arg == "*" else arg)
         if fn == "count":
             col = col.cast("long")
         exprs.append(col.alias(name))
-        types.append({"name": name,
-                      "type": "long" if fn == "count" else "double"})
+    missing_by = [c for c in by_cols if c not in known]
+    if missing_by:
+        raise ValueError(f"BY references unknown columns: {missing_by}")
     if matched is None:
-        return {"columns": types, "values": []}
-    attrs = load_doc_attrs(reader.spark, reader.out_dir)
-    grouped = (
-        matched.join(attrs, ["bucket", "doc_id"]).groupBy(by).agg(*exprs)
-    )
+        # empty matched set: a grouped STATS has zero buckets; a global
+        # STATS still answers one row (COUNT 0, other aggs null) — the
+        # SQL aggregate-over-empty-relation shape
+        empty_types = [
+            {"name": c, "type": _ES_TYPE.get(dict(attrs.dtypes)[c],
+                                             "keyword")}
+            for c in by_cols
+        ] + [
+            {"name": f"{fn}({arg})",
+             "type": "long" if fn == "count" else "double"}
+            for fn, arg in plan["stats"]
+        ]
+        if by_cols:
+            return {"columns": empty_types, "values": []}
+        row = [0 if fn == "count" else None for fn, _a in plan["stats"]]
+        return {"columns": empty_types, "values": [row]}
+    joined = matched.join(attrs, ["bucket", "doc_id"])
+    grouped = (joined.groupBy(*by_cols).agg(*exprs)
+               if by_cols else joined.agg(*exprs))
+    types = [{"name": n, "type": _ES_TYPE.get(t, t)}
+             for n, t in grouped.dtypes]
     if plan["sort"]:
         field, direction = plan["sort"]
         if field not in names:
             raise ValueError(f"SORT column {field!r} not in STATS output")
         c = F.col(field)
         grouped = grouped.orderBy(c.desc() if direction == "DESC" else c.asc())
-    else:
-        grouped = grouped.orderBy(by)
+    elif by_cols:
+        grouped = grouped.orderBy(*by_cols)
     rows = grouped.limit(plan["limit"]).collect()
     keep = plan["keep"] or names
     missing = [c for c in keep if c not in names]

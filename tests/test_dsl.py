@@ -664,3 +664,27 @@ def test_nested_bool_refusals(rdr):
             "must": [{"term": {"content": "merge"}},
                      {"bool": {"filter": [{"term": {"lang": "py"}}]}}],
             "filter": [{"term": {"lang": "go"}}]}}})
+
+
+def test_tombstones_memoized_across_pages(rdr, monkeypatch):
+    # the blocked set is read from the sidecar ONCE per reader and
+    # reused across repeated match_all pages (invalidated by refresh)
+    import s3logsbeat_spark.operators.segments as seg
+
+    rdr.refresh()
+    calls = {"n": 0}
+    real = seg.read_tombstones
+
+    def counting(out_dir):
+        calls["n"] += 1
+        return real(out_dir)
+
+    monkeypatch.setattr(seg, "read_tombstones", counting)
+    for frm in (0, 5, 10):
+        execute_search(rdr, {"query": {"match_all": {}},
+                             "size": 5, "from": frm})
+    assert calls["n"] == 1
+    # refresh invalidates: next page re-reads the sidecar once
+    rdr.refresh()
+    execute_search(rdr, {"query": {"match_all": {}}, "size": 5})
+    assert calls["n"] == 2

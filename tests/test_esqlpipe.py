@@ -115,7 +115,7 @@ def test_parse_shapes():
     )
     assert p["index"] == "documents" and p["terms"] == ["a", "b"]
     assert p["filters"] == {"lang": "en"}
-    assert p["stats"] == [("count", "*")] and p["by"] == "lang"
+    assert p["stats"] == [("count", "*")] and p["by"] == ["lang"]
     assert p["sort"] == ("lang", "ASC") and p["limit"] == 7
 
 
@@ -158,3 +158,94 @@ def test_keep_reorders_stats_columns(rdr):
     assert [c["type"] for c in flipped["columns"]] == ["double", "keyword"]
     want = [[row[2], row[0]] for row in base["values"]]
     assert flipped["values"] == want
+
+
+# ---- STATS widening: multiple BY, global row, EVAL arithmetic ----
+
+
+def test_stats_multi_by(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS COUNT(*) BY lang, repo | LIMIT 1000',
+    )
+    assert [c["name"] for c in got["columns"]] == ["lang", "repo",
+                                                   "count(*)"]
+    from collections import Counter
+
+    ids = {d for d, _ in rdr.query(["hash", "merge"], 10_000)}
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+    rows = (load_doc_attrs(rdr.spark, rdr.out_dir)
+            .select("doc_id", "lang", "repo").collect())
+    want = Counter((r["lang"], r["repo"]) for r in rows
+                   if r["doc_id"] in ids)
+    assert {(v[0], v[1]): v[2] for v in got["values"]} == dict(want)
+    # deterministic order: by (lang, repo) ascending
+    assert [tuple(v[:2]) for v in got["values"]] == sorted(
+        tuple(v[:2]) for v in got["values"])
+
+
+def test_stats_global_row(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS COUNT(*), AVG(n_chars), MAX(n_chars)',
+    )
+    assert [c["name"] for c in got["columns"]] == [
+        "count(*)", "avg(n_chars)", "max(n_chars)"]
+    [row] = got["values"]
+    ids = {d for d, _ in rdr.query(["hash", "merge"], 10_000)}
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+    chars = [r["n_chars"] for r in
+             load_doc_attrs(rdr.spark, rdr.out_dir)
+             .select("doc_id", "n_chars").collect()
+             if r["doc_id"] in ids]
+    assert row[0] == len(chars)
+    assert abs(row[1] - sum(chars) / len(chars)) < 1e-9
+    assert row[2] == max(chars)
+
+
+def test_stats_eval_arithmetic(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        " | EVAL kchars = n_chars / 1000"
+        " | EVAL halfk = kchars * 2 + 1"
+        " | STATS AVG(kchars), MAX(halfk) BY lang | SORT lang ASC"
+        " | LIMIT 100",
+    )
+    assert [c["name"] for c in got["columns"]] == [
+        "lang", "avg(kchars)", "max(halfk)"]
+    direct = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        " | STATS AVG(n_chars), MAX(n_chars) BY lang | SORT lang ASC"
+        " | LIMIT 100",
+    )
+    for v, dv in zip(got["values"], direct["values"]):
+        assert v[0] == dv[0]
+        assert abs(v[1] - dv[1] / 1000) < 1e-9
+        assert abs(v[2] - (dv[2] / 1000 * 2 + 1)) < 1e-9
+
+
+def test_eval_refusals(rdr):
+    with pytest.raises(ValueError, match="function calls"):
+        parse_esql('FROM code | WHERE MATCH(content, "x")'
+                   " | EVAL y = abs(n_chars) | STATS AVG(y) BY lang")
+    with pytest.raises(ValueError, match="before STATS"):
+        parse_esql('FROM code | WHERE MATCH(content, "x")'
+                   " | STATS COUNT(*) BY lang | EVAL y = n_chars + 1")
+    with pytest.raises(ValueError, match="EVAL"):
+        parse_esql('FROM code | WHERE MATCH(content, "x")'
+                   " | EVAL y = n_chars + 1 | LIMIT 5")
+    with pytest.raises(ValueError, match="unknown columns"):
+        execute_esql(rdr, 'FROM code | WHERE MATCH(content, "merge")'
+                     " | EVAL y = nope + 1 | STATS AVG(y) BY lang")
+    with pytest.raises(ValueError, match="shadows"):
+        execute_esql(rdr, 'FROM code | WHERE MATCH(content, "merge")'
+                     " | EVAL n_chars = n_chars + 1"
+                     " | STATS AVG(n_chars) BY lang")
+    with pytest.raises(ValueError, match="duplicate EVAL"):
+        parse_esql('FROM code | WHERE MATCH(content, "x")'
+                   " | EVAL y = 1 + 1 | EVAL y = 2 + 2"
+                   " | STATS AVG(y) BY lang")

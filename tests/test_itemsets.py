@@ -59,7 +59,9 @@ def test_capped_pairs_correct_within_kept_vocab(postings):
 
 
 def test_exact_mode_unbounded(postings):
-    out = frequent_item_sets(postings, min_support=100, k=1000).collect()
+    out = frequent_item_sets(
+        postings, min_support=100, k=1000, exact=True
+    ).collect()
     assert len(out) == 20 * 19 // 2
     assert all(r["support"] == N_DOCS for r in out)
 
@@ -78,3 +80,17 @@ def test_df_prefilter_apriori(spark):
     )
     out = frequent_item_sets(p, min_support=5, k=10, max_doc_terms=3).collect()
     assert {(r["t1"], r["t2"], r["support"]) for r in out} == {("alpha", "beta", 10)}
+
+
+def test_default_is_capped_and_exact_needs_opt_in(postings):
+    import pytest
+
+    # the DEFAULT shape is capped (scale-safe): 20 frequent terms per
+    # doc all survive a 64-cap, so results equal exact here — but the
+    # plan carries the row_number truncation
+    out = frequent_item_sets(postings, min_support=100, k=1000)
+    assert "row_number" in out._jdf.queryExecution().toString().lower()
+    # the unbounded shape must be an explicit opt-in
+    with pytest.raises(ValueError, match="exact=True"):
+        frequent_item_sets(postings, min_support=100, k=10,
+                           max_doc_terms=None)
