@@ -1803,6 +1803,32 @@ def q_significant_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIG_TEXT_SAMPLE = 30
+
+
+def q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_text aggregation: foreground term frequencies come
+    from RE-ANALYZING the _source text of the top-SIG_TEXT_SAMPLE matched
+    docs (broadcast-pruned content fetch + the index's own tokenizer),
+    with filter_duplicate_text=True dropping byte-identical sampled texts
+    (lowest doc_id survives) before counting; background df stays
+    index-global, JLH-scored like significant_terms."""
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    rdr = _driver_index(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    rows = rdr.significant_text(
+        docs,
+        BM25_TERMS,
+        BM25_K,
+        sample_size=SIG_TEXT_SAMPLE,
+        filter_duplicate_text=True,
+    )
+    return spark.createDataFrame(
+        [(t, round(s, 6)) for t, s in rows], "term string, score double"
+    )
+
+
 def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES minimum_should_match: BM25 over the query terms keeping only
     docs that match >= 2 of the 3 distinct terms (the middle ground
@@ -3484,6 +3510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "significant_terms_sampled": q_significant_terms_sampled,
         "significant_chi2": q_significant_chi2,
+        "significant_text": q_significant_text,
         "frequent_item_sets": q_frequent_item_sets,
         "frequent_item_sets_capped": q_frequent_item_sets_capped,
         "match_count": q_match_count,
@@ -4673,6 +4700,44 @@ bg AS (
 ),
 sizes AS (
   SELECT (SELECT count(*) FROM topn) AS m, (SELECT count(*) FROM documents) AS n
+)
+SELECT term, round(jlh, 6) AS score FROM (
+  SELECT fg.term,
+         ((fg.f::DOUBLE / s.m) - (bg.df::DOUBLE / s.n))
+         * ((fg.f::DOUBLE / s.m) / (bg.df::DOUBLE / s.n)) AS jlh
+  FROM fg JOIN bg USING (term) CROSS JOIN sizes s
+  WHERE fg.term NOT IN ('merge', 'window', 'spark')
+)
+ORDER BY round(jlh, 9) DESC, term ASC LIMIT {BM25_K}
+"""
+)
+
+
+# significant_text: fg = re-analyzed text of the top-N sample, deduped on
+# byte-identical text (min doc_id survives) — on the indexed corpus the
+# re-analysis equals the toks CTE, so the oracle is the sampled-sig shape
+# plus the dedup step
+_SIG_TEXT_SQL = (
+    _BM25_WAND_SQL.split("SELECT doc_id, round(raw, 6) AS score FROM scored")[0]
+    + f"""
+, topn AS (
+  SELECT doc_id FROM scored ORDER BY round(raw, 9) DESC, doc_id ASC
+  LIMIT {SIG_TEXT_SAMPLE}
+),
+kept AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM topn t JOIN documents d ON d.doc_id = t.doc_id
+  GROUP BY d.text
+),
+fg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS f FROM toks
+  WHERE doc_id IN (SELECT doc_id FROM kept) GROUP BY 1
+),
+bg AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+),
+sizes AS (
+  SELECT (SELECT count(*) FROM kept) AS m, (SELECT count(*) FROM documents) AS n
 )
 SELECT term, round(jlh, 6) AS score FROM (
   SELECT fg.term,
@@ -6185,6 +6250,7 @@ FROM b GROUP BY 1
         "significant_terms": _SIG_TERMS_SQL,
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
         "significant_chi2": _SIG_CHI2_SQL,
+        "significant_text": _SIG_TEXT_SQL,
         "frequent_item_sets": f"""
 WITH dt AS (
   SELECT DISTINCT doc_id,

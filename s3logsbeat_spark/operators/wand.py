@@ -3904,6 +3904,85 @@ class IndexReader:
         )
         return self._jlh_rank(rows, m_total, set(terms), k, heuristic)
 
+    def significant_text(
+        self,
+        docs,
+        terms: list[str],
+        k: int = 10,
+        sample_size: int = 200,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "content",
+        lang_col: str | None = "lang",
+        heuristic: str = "jlh",
+        filter_duplicate_text: bool = False,
+    ) -> list[tuple[str, float]]:
+        """ES ``significant_text`` aggregation: like the sampled
+        significant_terms, but the foreground counts come from
+        RE-ANALYZING the ``_source`` text of the top-``sample_size``
+        matched docs instead of from postings — the ES shape for
+        free-text fields where index-level doc frequencies would be
+        polluted by boilerplate (ES runs it under a sampler agg for
+        exactly this reason; ``sample_size`` is that sampler).
+
+        ``filter_duplicate_text=True`` is ES's near-dup guard: sampled
+        docs whose text is byte-identical to an earlier (lower doc_id)
+        sampled doc are dropped from the foreground before counting, so
+        a mirrored page can't vote twice.
+
+        Scale shape: the fetch is a broadcast join on the k sampled ids
+        (content is read for sample_size docs only, never the corpus —
+        same prune as ``search.highlight_hits``); re-analysis is the
+        index's own ``doc_terms`` mapInPandas over those rows; bg df
+        comes from ONE term-pruned sidecar read (``_df_of``). Background
+        stats stay index-global, exactly like ES.
+
+        Deterministic: (score rounded to 9 dp desc, term asc)."""
+        from ..functions.tokenizer import doc_terms
+        from ..shipping import ensure_shipped
+
+        top = self.query(terms, k=sample_size, mode=mode, doc_filter=doc_filter)
+        ids = [int(d) for d, _ in top]
+        if not ids:
+            return []
+        ensure_shipped(self.spark)
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        cols = [F.col(id_col).alias("doc_id"), F.col(text_col).alias("content")]
+        if lang_col:
+            cols.append(F.col(lang_col).alias("lang"))
+        sampled = docs.select(*cols).join(F.broadcast(ids_df), "doc_id")
+        if filter_duplicate_text:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(F.sha2(F.col("content"), 256)).orderBy("doc_id")
+            sampled = (
+                sampled.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        sampled = sampled.persist()  # feeds the kept-count AND the tokenize
+        try:
+            m_total = sampled.count()
+            if m_total == 0:
+                return []
+            # doc_terms emits one row per (doc, term): per-term row count
+            # IS the foreground doc frequency
+            rows = (
+                doc_terms(sampled, lang_col="lang" if lang_col else None)
+                .groupBy("term")
+                .agg(F.count("*").alias("fg"))
+                .collect()
+            )
+        finally:
+            sampled.unpersist()
+        # re-analysis can surface terms absent from the index (docs frame
+        # newer than the index, or a different field): no bg -> no score,
+        # like ES's background_is_superset guard
+        bg = self._df_of([r["term"] for r in rows])
+        rows = [r for r in rows if r["term"] in bg]
+        return self._jlh_rank(rows, m_total, set(terms), k, heuristic)
+
     def _run_per_bucket(
         self,
         rows_df,

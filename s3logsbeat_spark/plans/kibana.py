@@ -1,0 +1,189 @@
+"""Kibana saved-object export — the reference's dashboard assets
+(``_meta/kibana/default/index-pattern/s3logsbeat.json``,
+``_meta/kibana/5.x``) regenerated from the parse specs instead of
+hand-maintained JSON.
+
+The reference ships a pre-rendered Kibana index-pattern whose ``fields``
+attribute is a JSON-encoded list of field descriptors (count/analyzed/
+aggregatable/name/searchable/indexed/doc_values/type/scripted) plus a
+``fieldFormatMap`` pinning ``@timestamp`` to the date formatter. Here the
+same descriptors derive from :func:`..mapping.export_mapping` (itself
+generated from the :class:`~.parsespec.ParseSpec` declarations), so the
+export can never drift from the mapping: a new regex group appears in the
+ES template AND the Kibana pattern in the same commit.
+
+Type translation follows Kibana's own mapping of ES types:
+``keyword``/``text`` -> ``string`` (``analyzed`` distinguishes them),
+``integer``/``double`` -> ``number``; a field indexed with different ES
+types across formats becomes type ``conflict`` (non-aggregatable), which
+is exactly how Kibana renders mixed-type fields of a star pattern.
+"""
+
+from __future__ import annotations
+
+import json
+
+from .mapping import export_mapping
+from .parsespec import ParseSpec
+
+#: ES field type -> Kibana index-pattern field type
+#: (reference export: 56 string / 11 number / 1 date descriptors).
+_ES_TO_KIBANA = {
+    "keyword": "string",
+    "text": "string",
+    "integer": "number",
+    "double": "number",
+    "date": "date",
+    "boolean": "boolean",
+}
+
+EXPORT_VERSION = "6.0.1"  # the reference export's envelope version
+
+
+def _kibana_field(f: dict) -> dict:
+    """One index-pattern field descriptor in the reference's exact key
+    set. ``analyzed`` is true only for ES ``text`` fields, which are
+    neither aggregatable nor doc_values-backed (the ES rule Kibana
+    mirrors)."""
+    analyzed = f["type"] == "text"
+    return {
+        "count": 0,
+        "analyzed": analyzed,
+        "aggregatable": not analyzed,
+        "name": f["name"],
+        "searchable": True,
+        "indexed": True,
+        "doc_values": not analyzed,
+        "type": _ES_TO_KIBANA[f["type"]],
+        "scripted": False,
+    }
+
+
+def export_index_pattern(
+    specs: list[ParseSpec],
+    title: str = "s3logsbeat-*",
+    version: str = EXPORT_VERSION,
+) -> dict:
+    """Kibana index-pattern saved object covering the given formats —
+    the union of their generated mappings in first-seen field order,
+    wrapped in the reference's ``{"version", "objects": [...]}``
+    envelope (the object's ``id`` is the pattern title, ``timeFieldName``
+    is the lifted ``@timestamp``, like the reference export)."""
+    fields: list[dict] = []
+    by_name: dict[str, dict] = {}
+    for spec in specs:
+        for f in export_mapping(spec):
+            kf = _kibana_field(f)
+            prev = by_name.get(f["name"])
+            if prev is None:
+                by_name[f["name"]] = kf
+                fields.append(kf)
+            elif prev["type"] != kf["type"] and prev["type"] != "conflict":
+                prev["type"] = "conflict"
+                prev["aggregatable"] = False
+    return {
+        "version": version,
+        "objects": [
+            {
+                "attributes": {
+                    "fields": json.dumps(fields),
+                    "fieldFormatMap": json.dumps({"@timestamp": {"id": "date"}}),
+                    "timeFieldName": "@timestamp",
+                    "title": title,
+                },
+                "version": 1,
+                "type": "index-pattern",
+                "id": title,
+            }
+        ],
+    }
+
+
+def _first_keyword_field(spec: ParseSpec) -> str:
+    """First aggregatable string field after the implicit pair — the
+    natural 'top values' breakdown for a minimal dashboard."""
+    for f in export_mapping(spec)[2:]:  # skip @timestamp / _id
+        if f["type"] == "keyword":
+            return f["name"]
+    return "_id"
+
+
+def export_dashboard(
+    spec: ParseSpec,
+    index_pattern: str = "s3logsbeat-*",
+    version: str = EXPORT_VERSION,
+) -> dict:
+    """Minimal Kibana dashboard for one format: an events-over-time
+    date histogram plus a top-values terms chart on the format's first
+    keyword field, and the dashboard object referencing both panels —
+    the same saved-object triple the beats dashboard directories carry."""
+    field = _first_keyword_field(spec)
+    search_source = json.dumps(
+        {"index": index_pattern, "query": {"query": "", "language": "lucene"},
+         "filter": []}
+    )
+    hist_id = f"{spec.name}-events-over-time"
+    terms_id = f"{spec.name}-top-{field}"
+    viz_hist = {
+        "attributes": {
+            "title": f"[{spec.name}] Events over time",
+            "visState": json.dumps({
+                "title": f"[{spec.name}] Events over time",
+                "type": "histogram",
+                "params": {"addLegend": True, "addTooltip": True},
+                "aggs": [
+                    {"id": "1", "enabled": True, "type": "count",
+                     "schema": "metric", "params": {}},
+                    {"id": "2", "enabled": True, "type": "date_histogram",
+                     "schema": "segment",
+                     "params": {"field": "@timestamp", "interval": "auto",
+                                "min_doc_count": 1}},
+                ],
+            }),
+            "uiStateJSON": "{}",
+            "kibanaSavedObjectMeta": {"searchSourceJSON": search_source},
+        },
+        "version": 1,
+        "type": "visualization",
+        "id": hist_id,
+    }
+    viz_terms = {
+        "attributes": {
+            "title": f"[{spec.name}] Top {field}",
+            "visState": json.dumps({
+                "title": f"[{spec.name}] Top {field}",
+                "type": "pie",
+                "params": {"addLegend": True, "addTooltip": True},
+                "aggs": [
+                    {"id": "1", "enabled": True, "type": "count",
+                     "schema": "metric", "params": {}},
+                    {"id": "2", "enabled": True, "type": "terms",
+                     "schema": "segment",
+                     "params": {"field": field, "size": 10,
+                                "order": "desc", "orderBy": "1"}},
+                ],
+            }),
+            "uiStateJSON": "{}",
+            "kibanaSavedObjectMeta": {"searchSourceJSON": search_source},
+        },
+        "version": 1,
+        "type": "visualization",
+        "id": terms_id,
+    }
+    dash = {
+        "attributes": {
+            "title": f"[{spec.name}] Overview",
+            "panelsJSON": json.dumps([
+                {"id": hist_id, "type": "visualization", "panelIndex": 1,
+                 "gridData": {"x": 0, "y": 0, "w": 12, "h": 4, "i": "1"}},
+                {"id": terms_id, "type": "visualization", "panelIndex": 2,
+                 "gridData": {"x": 0, "y": 4, "w": 6, "h": 4, "i": "2"}},
+            ]),
+            "timeRestore": False,
+            "kibanaSavedObjectMeta": {"searchSourceJSON": search_source},
+        },
+        "version": 1,
+        "type": "dashboard",
+        "id": f"{spec.name}-overview",
+    }
+    return {"version": version, "objects": [viz_hist, viz_terms, dash]}

@@ -1,0 +1,106 @@
+"""Kibana export golden tests: the generated index-pattern / dashboard
+saved objects must carry exactly the fields plans/mapping.py generates,
+in the reference export's envelope shape
+(``_meta/kibana/default/index-pattern/s3logsbeat.json``)."""
+
+from __future__ import annotations
+
+import json
+
+from s3logsbeat_spark.plans.formats import FORMATS
+from s3logsbeat_spark.plans.kibana import (
+    _ES_TO_KIBANA,
+    export_dashboard,
+    export_index_pattern,
+)
+from s3logsbeat_spark.plans.mapping import export_mapping
+from s3logsbeat_spark.plans.parsespec import ParseSpec
+
+# the reference export's per-field descriptor key set
+_FIELD_KEYS = {
+    "count", "analyzed", "aggregatable", "name", "searchable",
+    "indexed", "doc_values", "type", "scripted",
+}
+
+
+def _pattern_fields(doc: dict) -> list[dict]:
+    (obj,) = doc["objects"]
+    return json.loads(obj["attributes"]["fields"])
+
+
+def test_index_pattern_fields_match_mapping_alb_cloudfront():
+    for fmt in ("alb", "cloudfront"):
+        spec = FORMATS[fmt]
+        doc = export_index_pattern([spec], title=f"{fmt}-*")
+        fields = _pattern_fields(doc)
+        mapping = export_mapping(spec)
+        # same names, same order — the pattern can't drift from the mapping
+        assert [f["name"] for f in fields] == [m["name"] for m in mapping]
+        for f, m in zip(fields, mapping):
+            assert set(f) == _FIELD_KEYS
+            assert f["type"] == _ES_TO_KIBANA[m["type"]]
+            assert f["analyzed"] == (m["type"] == "text")
+            assert f["aggregatable"] == (m["type"] != "text")
+            assert f["doc_values"] == (m["type"] != "text")
+            assert f["searchable"] and f["indexed"] and not f["scripted"]
+
+
+def test_index_pattern_envelope_shape():
+    doc = export_index_pattern([FORMATS["alb"]])
+    assert set(doc) == {"version", "objects"}
+    (obj,) = doc["objects"]
+    assert set(obj) == {"attributes", "version", "type", "id"}
+    assert obj["type"] == "index-pattern"
+    assert obj["id"] == "s3logsbeat-*" == obj["attributes"]["title"]
+    assert obj["attributes"]["timeFieldName"] == "@timestamp"
+    assert json.loads(obj["attributes"]["fieldFormatMap"]) == {
+        "@timestamp": {"id": "date"}
+    }
+
+
+def test_union_pattern_covers_all_formats_first_seen_order():
+    specs = [FORMATS["alb"], FORMATS["cloudfront"]]
+    fields = _pattern_fields(export_index_pattern(specs))
+    names = [f["name"] for f in fields]
+    assert len(names) == len(set(names))  # one descriptor per field
+    want = set()
+    for s in specs:
+        want |= {m["name"] for m in export_mapping(s)}
+    assert set(names) == want
+    # alb fields come first (first-seen order), starting with the
+    # implicit pair
+    assert names[:2] == ["@timestamp", "_id"]
+
+
+def test_type_conflict_across_formats_marked_conflict():
+    a = ParseSpec(name="fmt_a", pattern=r"(?P<x>\S+)", kinds={"x": "int64"})
+    b = ParseSpec(name="fmt_b", pattern=r"(?P<x>\S+)")  # keyword
+    fields = _pattern_fields(export_index_pattern([a, b]))
+    (x,) = [f for f in fields if f["name"] == "x"]
+    assert x["type"] == "conflict"
+    assert x["aggregatable"] is False
+
+
+def test_dashboard_references_existing_fields():
+    for fmt in ("alb", "cloudfront"):
+        spec = FORMATS[fmt]
+        doc = export_dashboard(spec, index_pattern=f"{fmt}-*")
+        by_type = {o["type"]: o for o in doc["objects"] if o["type"] == "dashboard"}
+        vizzes = [o for o in doc["objects"] if o["type"] == "visualization"]
+        assert len(vizzes) == 2 and "dashboard" in by_type
+        panel_ids = {
+            p["id"]
+            for p in json.loads(by_type["dashboard"]["attributes"]["panelsJSON"])
+        }
+        assert panel_ids == {v["id"] for v in vizzes}
+        mapped = {m["name"] for m in export_mapping(spec)}
+        for v in vizzes:
+            state = json.loads(v["attributes"]["visState"])
+            for agg in state["aggs"]:
+                fld = agg["params"].get("field")
+                if fld is not None:
+                    assert fld in mapped, (fmt, fld)
+            src = json.loads(
+                v["attributes"]["kibanaSavedObjectMeta"]["searchSourceJSON"]
+            )
+            assert src["index"] == f"{fmt}-*"

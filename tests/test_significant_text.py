@@ -1,0 +1,107 @@
+"""significant_text aggregation: re-analyzed foreground over the sampled
+top hits, ES filter_duplicate_text semantics, JLH scoring identity with
+significant_terms when sampling and dedup are no-ops."""
+
+from __future__ import annotations
+
+import pytest
+
+from s3logsbeat_spark.functions.tokenizer import tokenize_text
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+# Deterministic tiny corpus: "alpha" is the query term; docs 0-2 are
+# byte-identical (the duplicate-text trio), the rest perturb the mix so
+# significance ordering is non-trivial.
+_DUP_TEXT = "alpha beta gamma beta shared"
+_ROWS = (
+    [(i, _DUP_TEXT, "py") for i in range(3)]
+    + [(3, "alpha delta shared shared", "py"),
+       (4, "alpha beta epsilon", "py"),
+       (5, "alpha gamma gamma zeta", "py"),
+       (6, "beta delta shared", "py"),
+       (7, "gamma epsilon zeta shared", "py"),
+       (8, "delta epsilon shared noise", "py"),
+       (9, "zeta noise noise shared", "py")]
+)
+
+
+@pytest.fixture(scope="module")
+def sig_built(spark, tmp_path_factory):
+    df = spark.createDataFrame(_ROWS, "doc_id long, content string, lang string")
+    out = str(tmp_path_factory.mktemp("sigtext"))
+    build_index(df, IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10))
+    return out, df
+
+
+def _jlh_brute(fg_ids: list[int], terms: list[str]) -> list[tuple[str, float]]:
+    """Python oracle: fg df over the given doc ids (re-analysis = the
+    same tokenizer), bg df over the whole corpus, JLH, query terms out."""
+    texts = {i: t for i, t, _ in _ROWS}
+    n = len(_ROWS)
+    m = len(fg_ids)
+    df: dict[str, int] = {}
+    for i in texts:
+        for t, _ in tokenize_text(texts[i], "py"):
+            df[t] = df.get(t, 0) + 1
+    fg: dict[str, int] = {}
+    for i in fg_ids:
+        for t, _ in tokenize_text(texts[i], "py"):
+            fg[t] = fg.get(t, 0) + 1
+    out = []
+    for t, f in fg.items():
+        if t in set(terms):
+            continue
+        fr, br = f / m, df[t] / n
+        out.append((t, round((fr - br) * (fr / br), 9)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out
+
+
+def test_full_sample_no_dedup_equals_significant_terms(spark, sig_built):
+    """sample covers every match and dedup is off -> fg set == matched
+    set -> identical scores (and order) to exact significant_terms."""
+    out, df = sig_built
+    rdr = IndexReader(spark, out)
+    st = rdr.significant_text(df, ["alpha"], 10, sample_size=100)
+    assert st == rdr.significant_terms(["alpha"], 10)
+
+
+def test_filter_duplicate_text_counts_dup_once(spark, sig_built):
+    out, df = sig_built
+    rdr = IndexReader(spark, out)
+    got = rdr.significant_text(
+        df, ["alpha"], 10, sample_size=100, filter_duplicate_text=True
+    )
+    matched = [d for d, _ in rdr.query(["alpha"], k=100)]
+    kept, seen = [], set()
+    for d in sorted(matched):  # lowest doc_id survives per distinct text
+        txt = {i: t for i, t, _ in _ROWS}[d]
+        if txt not in seen:
+            seen.add(txt)
+            kept.append(d)
+    want = _jlh_brute(kept, ["alpha"])
+    assert [t for t, _ in got] == [t for t, _ in want[:10]]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # the dedup must actually change the result on this corpus
+    no_dedup = rdr.significant_text(df, ["alpha"], 10, sample_size=100)
+    assert got != no_dedup
+
+
+def test_small_sample_uses_topk_docs(spark, sig_built):
+    """sample_size=2 -> fg = the 2 best-BM25 matches only."""
+    out, df = sig_built
+    rdr = IndexReader(spark, out)
+    top2 = [int(d) for d, _ in rdr.query(["alpha"], k=2)]
+    got = rdr.significant_text(df, ["alpha"], 10, sample_size=2)
+    want = _jlh_brute(top2, ["alpha"])
+    assert [t for t, _ in got] == [t for t, _ in want[:10]]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+
+
+def test_no_match_returns_empty(spark, sig_built):
+    out, df = sig_built
+    rdr = IndexReader(spark, out)
+    assert rdr.significant_text(df, ["zzz_missing"], 10) == []
