@@ -136,6 +136,17 @@ def run_default() -> dict:
     times["bm25_wand_p50"] = round(statistics.median(lat), 4)
     times["bm25_wand_p95"] = round(sorted(lat)[int(0.95 * (len(lat) - 1))], 4)
 
+    # range-filtered query (the Kibana time-picker shape, r4): same WAND
+    # kernel under a sidecar range predicate on n_chars. NOT added to
+    # `times` — the headline sum stays comparable across rounds.
+    rlat = []
+    for _ in range(5):
+        for terms in WAND_QUERY_SETS:
+            t0 = time.perf_counter()
+            rdr.query(terms, 10, doc_filter={"n_chars": {"gte": 150, "lt": 400}})
+            rlat.append(time.perf_counter() - t0)
+    range_p50 = round(statistics.median(rlat), 4)
+
     docs = load_documents(spark, SF_DIR)
     t0 = time.perf_counter()
     bm25_topk_naive(docs, ["merge", "window", "spark"], 10).collect()
@@ -158,6 +169,7 @@ def run_default() -> dict:
         "sf": SF_DIR,
         "docs": n_docs,
         "index_build_docs_per_sec": round(docs_per_sec, 1),
+        "bm25_range_filtered_p50": range_p50,
         "cores": CPUS,
     }
     if os.environ.get("SPARK_GRAFT_SKIP_DATA_OPS") != "1":
@@ -552,6 +564,11 @@ def run_code_corpus(n_docs: int = 20_000) -> dict:
     t0 = time.perf_counter()
     rdr.significant_terms(["return"], 10, sample_size=200)
     surface["sig_terms_sampled_sec"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    rdr.significant_text(
+        docs, ["return"], 10, sample_size=200, filter_duplicate_text=True
+    )
+    surface["sig_text_sec"] = round(time.perf_counter() - t0, 4)
     # --- msearch batching: the 7 reference queries in ONE pass (union-
     # pruned read, shared payload decode) vs the sum of their solo runs
     # above; a fresh reader so the df cache doesn't flatter the batch

@@ -19,9 +19,11 @@ constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
 and ``aggs``
 (terms / stats / histogram / range / cardinality / percentiles / value_count
-— one nesting supported: ``terms`` -> ``top_hits``; ``stats``/
-``value_count`` accept a Catalyst ``script`` instead of ``field``, the
-runtime_mappings shape). Unsupported constructs raise ``ValueError``
+/ significant_terms / significant_text — one nesting supported:
+``terms`` -> ``top_hits``; ``stats``/``value_count`` accept a Catalyst
+``script`` instead of ``field``, the runtime_mappings shape;
+``significant_text`` re-analyzes sampled ``_source`` rows and needs the
+documents table passed as ``execute_search(..., docs=...)``). Unsupported constructs raise ``ValueError``
 naming the construct, never silently mis-execute.
 
 Scale: everything dispatches to the reader's existing kernels (pruned
@@ -299,10 +301,14 @@ def _range_page(reader, rng: dict, k: int, boost: float):
     return [(int(d), boost) for d in page_ids], total
 
 
-def execute_search(reader, body: dict) -> dict:
+def execute_search(reader, body: dict, docs=None) -> dict:
     """Run an ES ``_search`` request body; returns the ES response shape
     ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}]},
-    "aggregations": {...}}``."""
+    "aggregations": {...}}``.
+
+    ``docs`` (optional): the source-documents DataFrame — required only
+    by the ``significant_text`` aggregation, whose foreground re-analyzes
+    ``_source`` content the index itself doesn't store."""
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))
     q = body.get("query", {"match_all": {}})
@@ -606,12 +612,12 @@ def execute_search(reader, body: dict) -> dict:
                 "refusing beats silently mis-scoped aggregations)"
             )
         resp["aggregations"] = _run_aggs(
-            reader, terms_for_aggs, agg_mode, doc_filter, aggs
+            reader, terms_for_aggs, agg_mode, doc_filter, aggs, docs=docs
         )
     return resp
 
 
-def _run_aggs(reader, terms, mode, doc_filter, aggs: dict) -> dict:
+def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
     out = {}
     for name, spec in aggs.items():
         sub = spec.get("aggs") or spec.get("aggregations")
@@ -709,6 +715,40 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict) -> dict:
                     )
                 )
             }
+        elif kind == "significant_terms":
+            if field not in (None, "content"):
+                raise ValueError(
+                    "significant_terms supports the indexed field only "
+                    "('content')"
+                )
+            ss = a.get("shard_size")  # the sampler-size analogue
+            rows = reader.significant_terms(
+                terms, int(a.get("size", 10)), mode=mode,
+                doc_filter=doc_filter,
+                sample_size=int(ss) if ss is not None else None,
+                heuristic="chi_square" if "chi_square" in a else "jlh",
+            )
+            out[name] = {
+                "buckets": [{"key": t, "score": s} for t, s in rows]
+            }
+        elif kind == "significant_text":
+            if docs is None:
+                raise ValueError(
+                    "significant_text re-analyzes _source: pass the "
+                    "documents table via execute_search(..., docs=...)"
+                )
+            rows = reader.significant_text(
+                docs, terms, int(a.get("size", 10)),
+                sample_size=int(a.get("shard_size", 200)),
+                mode=mode, doc_filter=doc_filter,
+                text_col=field or "content",
+                lang_col="lang" if "lang" in docs.columns else None,
+                heuristic="chi_square" if "chi_square" in a else "jlh",
+                filter_duplicate_text=bool(a.get("filter_duplicate_text", False)),
+            )
+            out[name] = {
+                "buckets": [{"key": t, "score": s} for t, s in rows]
+            }
         elif kind == "percentiles":
             pcts = tuple(a.get("percents", (25.0, 50.0, 75.0, 95.0, 99.0)))
             out[name] = {
@@ -758,7 +798,7 @@ def execute_count(reader, body: dict | None = None) -> dict:
     return {"count": int(reader.count(terms, mode=mode, doc_filter=doc_filter))}
 
 
-def execute_msearch(reader, bodies: list[dict]) -> list[dict]:
+def execute_msearch(reader, bodies: list[dict], docs=None) -> list[dict]:
     """ES ``_msearch``: a batch of ``_search`` bodies. Term-resolvable
     bodies (plain match/term/terms without sort/paging/aggs/extras)
     route together through the reader's batched msearch kernel — ONE
@@ -808,5 +848,5 @@ def execute_msearch(reader, bodies: list[dict]) -> list[dict]:
                 }
             })
         else:
-            out.append(execute_search(reader, body))
+            out.append(execute_search(reader, body, docs=docs))
     return out

@@ -688,3 +688,54 @@ def test_tombstones_memoized_across_pages(rdr, monkeypatch):
     rdr.refresh()
     execute_search(rdr, {"query": {"match_all": {}}, "size": 5})
     assert calls["n"] == 2
+
+
+# ------------------------------------------------- significant_* aggs (r4) --
+
+
+def test_significant_terms_agg_matches_direct(rdr):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_terms": {"field": "content",
+                                                   "size": 5}}}}
+    got = execute_search(rdr, body)["aggregations"]["sig"]["buckets"]
+    want = rdr.significant_terms(["return"], 5)
+    assert [(b["key"], b["score"]) for b in got] == want
+
+
+def test_significant_terms_agg_shard_size_chi2(rdr):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "content", "size": 5, "shard_size": 25,
+                "chi_square": {}}}}}
+    got = execute_search(rdr, body)["aggregations"]["sig"]["buckets"]
+    want = rdr.significant_terms(
+        ["return"], 5, sample_size=25, heuristic="chi_square"
+    )
+    assert [(b["key"], b["score"]) for b in got] == want
+
+
+def test_significant_text_agg_matches_direct(rdr, corpus_df):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_text": {
+                "field": "content", "size": 5, "shard_size": 25,
+                "filter_duplicate_text": True}}}}
+    got = execute_search(rdr, body, docs=corpus_df)
+    buckets = got["aggregations"]["sig"]["buckets"]
+    want = rdr.significant_text(
+        corpus_df, ["return"], 5, sample_size=25, filter_duplicate_text=True
+    )
+    assert [(b["key"], b["score"]) for b in buckets] == want
+
+
+def test_significant_text_agg_requires_docs(rdr):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_text": {"field": "content"}}}}
+    with pytest.raises(ValueError, match="significant_text"):
+        execute_search(rdr, body)
+
+
+def test_significant_terms_agg_foreign_field_raises(rdr):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_terms": {"field": "lang"}}}}
+    with pytest.raises(ValueError, match="indexed field"):
+        execute_search(rdr, body)
