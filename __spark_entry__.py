@@ -1829,6 +1829,32 @@ def q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_sig_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_text arriving as a JSON _search aggregation body
+    (the shape Kibana's 'significant terms' panel posts): the DSL
+    translation must reproduce q_significant_text exactly — same oracle,
+    zero new scoring paths."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    rdr = _driver_index(spark, sf_dir)
+    docs = load_documents(spark, sf_dir)
+    body = {
+        "query": {"terms": {"content": BM25_TERMS}},
+        "size": 0,
+        "aggs": {"sig": {"significant_text": {
+            "field": "content", "size": BM25_K,
+            "shard_size": SIG_TEXT_SAMPLE,
+            "filter_duplicate_text": True,
+        }}},
+    }
+    buckets = execute_search(rdr, body, docs=docs)["aggregations"]["sig"]["buckets"]
+    return spark.createDataFrame(
+        [(b["key"], round(b["score"], 6)) for b in buckets],
+        "term string, score double",
+    )
+
+
 def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES minimum_should_match: BM25 over the query terms keeping only
     docs that match >= 2 of the 3 distinct terms (the middle ground
@@ -3511,6 +3537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_sampled": q_significant_terms_sampled,
         "significant_chi2": q_significant_chi2,
         "significant_text": q_significant_text,
+        "search_dsl_sig_text": q_search_dsl_sig_text,
         "frequent_item_sets": q_frequent_item_sets,
         "frequent_item_sets_capped": q_frequent_item_sets_capped,
         "match_count": q_match_count,
@@ -6251,6 +6278,7 @@ FROM b GROUP BY 1
         "significant_terms_sampled": _SIG_TERMS_SAMPLED_SQL,
         "significant_chi2": _SIG_CHI2_SQL,
         "significant_text": _SIG_TEXT_SQL,
+        "search_dsl_sig_text": _SIG_TEXT_SQL,
         "frequent_item_sets": f"""
 WITH dt AS (
   SELECT DISTINCT doc_id,
