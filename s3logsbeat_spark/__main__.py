@@ -113,6 +113,35 @@ def _cmd_mapping(args) -> int:
     return 0
 
 
+def _cmd_export_kibana(args) -> int:
+    """Write the Kibana saved-object assets the reference ships as
+    ``_meta/kibana/<v>/index-pattern/s3logsbeat.json`` — regenerated from
+    the parse specs (one index-pattern covering the chosen formats, plus
+    one dashboard per format) into ``<out>/index-pattern/`` and
+    ``<out>/dashboard/``."""
+    import os
+
+    from .plans.formats import FORMATS
+    from .plans.kibana import export_dashboard, export_index_pattern
+
+    specs = [FORMATS[f] for f in args.formats]
+    os.makedirs(os.path.join(args.out, "index-pattern"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "dashboard"), exist_ok=True)
+    pat = export_index_pattern(specs, title=args.title)
+    with open(os.path.join(args.out, "index-pattern",
+                           f"{args.title.rstrip('-*') or 's3logsbeat'}.json"),
+              "w") as fh:
+        json.dump(pat, fh, indent=2)
+    for spec in specs:
+        with open(os.path.join(args.out, "dashboard", f"{spec.name}.json"),
+                  "w") as fh:
+            json.dump(export_dashboard(spec, index_pattern=args.title),
+                      fh, indent=2)
+    print(json.dumps({"formats": args.formats, "out": args.out,
+                      "objects": 1 + len(specs)}))
+    return 0
+
+
 def _cmd_query(args) -> int:
     from .operators.wand import IndexReader
 
@@ -223,6 +252,17 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--template", action="store_true",
                    help="emit a full ES index template instead of the field list")
     m.set_defaults(fn=_cmd_mapping)
+
+    ek = sub.add_parser(
+        "export-kibana",
+        help="write Kibana index-pattern + dashboard JSON for log formats",
+    )
+    ek.add_argument("out", help="output dir (gets index-pattern/, dashboard/)")
+    ek.add_argument("--formats", nargs="+", default=["alb", "cloudfront"],
+                    choices=["alb", "elb", "cloudfront", "s3access",
+                             "combined"])
+    ek.add_argument("--title", default="s3logsbeat-*")
+    ek.set_defaults(fn=_cmd_export_kibana)
 
     q = sub.add_parser("query", help="top-k BM25 over a built index")
     q.add_argument("index_dir")

@@ -175,3 +175,23 @@ def test_analyze_cli(capsys):
     # subtokens share their raw token's position
     pos = {d["token"]: d["position"] for d in out["tokens"]}
     assert pos["parse"] == pos["parsebuffer"]
+
+
+def test_export_kibana_cli(tmp_path, capsys):
+    out = tmp_path / "kib"
+    assert main(["export-kibana", str(out), "--formats", "alb",
+                 "cloudfront"]) == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["objects"] == 3  # one pattern + two dashboards
+    pat = json.loads((out / "index-pattern" / "s3logsbeat.json").read_text())
+    fields = json.loads(pat["objects"][0]["attributes"]["fields"])
+    from s3logsbeat_spark.plans.formats import FORMATS
+    from s3logsbeat_spark.plans.mapping import export_mapping
+
+    want = {f["name"] for s in ("alb", "cloudfront")
+            for f in export_mapping(FORMATS[s])}
+    assert {f["name"] for f in fields} == want
+    dash = json.loads((out / "dashboard" / "alb.json").read_text())
+    assert [o["type"] for o in dash["objects"]] == [
+        "visualization", "visualization", "dashboard"
+    ]
