@@ -461,6 +461,78 @@ def q_search_dsl_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: filter-node constants: NOT lang, and the cross-field OR pair
+NOT_LANG = "de"
+OR_LANG = "zh"
+OR_CHARS_GTE = 350
+
+
+def q_search_dsl_not_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-context ``must_not`` through the DSL front door — the
+    body every ES client generates for exclusion filters
+    (``bool.filter: [{bool: {must_not: [{term: ...}]}}]``). The negation
+    becomes a ``_not`` node in the sidecar doc_filter, evaluated
+    identically on the pyarrow driver read and the distributed Spark
+    reroute (shared builders ``spark_filter_cond``/``arrow_filter_expr``
+    — null-safe: a doc missing the field SURVIVES must_not, ES
+    semantics). Scoring stats stay corpus-global, so surviving scores
+    equal their unfiltered values."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(
+        rdr,
+        {
+            "query": {"bool": {
+                "must": [{"match": {"content": " ".join(BM25_TERMS)}}],
+                "filter": [
+                    {"bool": {"must_not": [{"term": {"lang": NOT_LANG}}]}}
+                ],
+            }},
+            "size": BM25_K,
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (int(h["_id"]), round(h["_score"], 6))
+            for h in resp["hits"]["hits"]
+        ],
+        "doc_id long, score double",
+    )
+
+
+def q_search_dsl_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-context cross-field OR through the DSL front door
+    (``bool.filter: [{bool: {should: [{term: lang}, {range: n_chars}]}}]``
+    with ES's default minimum_should_match=1). The disjunction becomes
+    an ``_or`` node — one sidecar scan evaluating ``lang = x OR
+    n_chars >= y``, never two scans unioned — on both the driver and
+    distributed paths."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(
+        rdr,
+        {
+            "query": {"bool": {
+                "must": [{"match": {"content": " ".join(BM25_TERMS)}}],
+                "filter": [{"bool": {"should": [
+                    {"term": {"lang": OR_LANG}},
+                    {"range": {"n_chars": {"gte": OR_CHARS_GTE}}},
+                ]}}],
+            }},
+            "size": BM25_K,
+        },
+    )
+    return spark.createDataFrame(
+        [
+            (int(h["_id"]), round(h["_score"], 6))
+            for h in resp["hits"]["hits"]
+        ],
+        "doc_id long, score double",
+    )
+
+
 def q_search_dsl_range_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A bare ``range`` query in query position (filter-context
     semantics: every matching doc scores the boost). Paging stays
@@ -3627,6 +3699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_query": q_delete_by_query,
         "search_dsl": q_search_dsl,
         "search_dsl_range": q_search_dsl_range,
+        "search_dsl_not_filter": q_search_dsl_not_filter,
+        "search_dsl_or_filter": q_search_dsl_or_filter,
         "search_dsl_range_only": q_search_dsl_range_only,
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
@@ -3714,6 +3788,22 @@ _BM25_RANGE_SQL = _BM25_WAND_SQL.replace(
     "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
     "JOIN documents d2 ON d2.doc_id = s2.doc_id "
     f"WHERE d2.n_chars >= {RANGE_LO} AND d2.n_chars < {RANGE_HI}",
+).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
+
+
+_BM25_NOT_SQL = _BM25_WAND_SQL.replace(
+    "SELECT doc_id, round(raw, 6) AS score FROM scored",
+    "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
+    "JOIN documents d2 ON d2.doc_id = s2.doc_id "
+    f"WHERE d2.lang IS NULL OR d2.lang <> '{NOT_LANG}'",
+).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
+
+
+_BM25_OR_SQL = _BM25_WAND_SQL.replace(
+    "SELECT doc_id, round(raw, 6) AS score FROM scored",
+    "SELECT s2.doc_id, round(s2.raw, 6) AS score FROM scored s2 "
+    "JOIN documents d2 ON d2.doc_id = s2.doc_id "
+    f"WHERE d2.lang = '{OR_LANG}' OR d2.n_chars >= {OR_CHARS_GTE}",
 ).replace("ORDER BY score DESC, doc_id ASC", "ORDER BY score DESC, s2.doc_id ASC")
 
 
@@ -6800,6 +6890,8 @@ FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
 """,
         "search_dsl": _BM25_WAND_SQL,
         "search_dsl_range": _BM25_RANGE_SQL,
+        "search_dsl_not_filter": _BM25_NOT_SQL,
+        "search_dsl_or_filter": _BM25_OR_SQL,
         "search_dsl_range_only": f"""
 WITH m AS (
   SELECT doc_id FROM documents

@@ -13,7 +13,11 @@ Supported body surface (v1): ``query`` clauses match_all / match (with
 operator, minimum_should_match, fuzziness) / term / terms / match_phrase
 / match_phrase_prefix / prefix / wildcard / fuzzy / ids / more_like_this
 / range (gte/gt/lte/lt — the Kibana time-picker body, also accepted
-inside ``bool.filter`` and ``constant_score.filter``) /
+inside ``bool.filter`` and ``constant_score.filter``; a ``bool`` nested
+in filter context additionally supports ``must_not`` (negation — a doc
+with the field missing survives, ES semantics) and cross-field
+``should`` (OR), both evaluated identically on the pyarrow driver read
+and the distributed Spark reroute via the shared condition builders) /
 bool (must, should, must_not, filter, minimum_should_match) /
 constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
@@ -94,6 +98,10 @@ def _merge_filter(out: dict, add: dict | None) -> dict:
         cur = out.get(f)
         if f not in out:
             out[f] = v
+        elif f in ("_not", "_or"):
+            # boolean nodes AND-compose by construction: concatenating
+            # the lists is exactly ANDing the clauses
+            out[f] = list(cur) + list(v)
         elif isinstance(v, dict) and isinstance(cur, dict):
             dup = set(v) & set(cur)
             if dup:
@@ -107,29 +115,39 @@ def _merge_filter(out: dict, add: dict | None) -> dict:
     return out
 
 
+def _filter_leaf(sub: dict, role: str) -> dict:
+    """One term/terms/range clause in filter context -> a one-field
+    doc_filter dict."""
+    kind, clause = _one(sub, role)
+    if kind not in ("term", "terms", "range"):
+        raise ValueError(f"unsupported {role} clause: {kind}")
+    field, value = _one(clause, kind)
+    return {field: _range_spec(field, value) if kind == "range" else value}
+
+
 def _bool_filter_ctx(b: dict) -> dict:
     """A ``bool`` nested inside filter context -> doc_filter dict. ES
-    filter-context rules: ``must``/``filter`` AND-compose; ``should`` is
-    restrictive (default minimum_should_match=1) and is accepted as the
-    classic same-field OR (``should: [{term: {lang: py}}, {term: {lang:
-    go}}]`` -> isin); cross-field should, must_not, msm != 1, and deeper
-    nesting raise — never silently mis-filter."""
+    filter-context rules: ``must``/``filter`` AND-compose; ``must_not``
+    clauses become ``_not`` nodes (negation, ES missing-field semantics:
+    a doc with a null field survives must_not on it); ``should`` is
+    restrictive (default minimum_should_match=1) — same-field term/terms
+    stay the classic isin, cross-field (or range-bearing) disjunctions
+    become an ``_or`` node. msm != 1 and deeper nesting raise — never
+    silently mis-filter. Both node kinds evaluate on the Spark sidecar
+    scan AND the pyarrow driver read via the shared condition builders
+    (wand.spark_filter_cond / arrow_filter_expr), so the two paths
+    cannot drift."""
     if not isinstance(b, dict):
         raise ValueError("filter bool needs a dict body")
-    if _as_list(b.get("must_not", [])):
-        raise ValueError(
-            "must_not inside a filter-context bool is unsupported "
-            "(the sidecar doc_filter cannot express negation)"
-        )
     out: dict = {}
     for sub in _as_list(b.get("must", [])) + _as_list(b.get("filter", [])):
-        kind, clause = _one(sub, "filter.bool")
-        if kind not in ("term", "terms", "range"):
-            raise ValueError(f"unsupported filter.bool clause: {kind}")
-        field, value = _one(clause, kind)
+        out = _merge_filter(out, _filter_leaf(sub, "filter.bool"))
+    mn = _as_list(b.get("must_not", []))
+    if mn:
         out = _merge_filter(
             out,
-            {field: _range_spec(field, value) if kind == "range" else value},
+            {"_not": [_filter_leaf(sub, "filter.bool.must_not")
+                      for sub in mn]},
         )
     sh = _as_list(b.get("should", []))
     if sh:
@@ -138,23 +156,21 @@ def _bool_filter_ctx(b: dict) -> dict:
             raise ValueError(
                 "filter bool.should supports minimum_should_match=1 only"
             )
-        field0, vals = None, []
-        for sub in sh:
-            kind, clause = _one(sub, "filter.bool.should")
-            if kind not in ("term", "terms"):
-                raise ValueError(
-                    f"unsupported filter.bool.should clause: {kind}"
-                )
-            field, value = _one(clause, kind)
-            if field0 is None:
-                field0 = field
-            elif field != field0:
-                raise ValueError(
-                    "filter bool.should across different fields is "
-                    "unsupported (no cross-field OR in the sidecar filter)"
-                )
-            vals.extend(value if isinstance(value, list) else [value])
-        out = _merge_filter(out, {field0: vals})
+        leaves = [_filter_leaf(sub, "filter.bool.should") for sub in sh]
+        fields = {f for leaf in leaves for f in leaf}
+        if len(fields) == 1 and all(
+            not isinstance(v, dict) for leaf in leaves for v in leaf.values()
+        ):
+            # same-field term/terms disjunction -> plain isin (pyarrow
+            # pushes isin to row-group stats; the _or node is the
+            # general path)
+            vals: list = []
+            for leaf in leaves:
+                [(_f, value)] = leaf.items()
+                vals.extend(value if isinstance(value, list) else [value])
+            out = _merge_filter(out, {next(iter(fields)): vals})
+        else:
+            out = _merge_filter(out, {"_or": [leaves]})
     if not out:
         raise ValueError("empty bool in filter context")
     return out
@@ -617,6 +633,57 @@ def execute_search(reader, body: dict, docs=None) -> dict:
     return resp
 
 
+#: ES significance heuristics this engine does NOT implement — named
+#: explicitly so a body carrying one raises instead of silently scoring
+#: with JLH (the module contract: refuse over mis-execute).
+_SIG_UNSUPPORTED = (
+    "gnd", "mutual_information", "percentage", "script_heuristic",
+)
+
+
+def _sig_heuristic(name: str, a: dict, allowed_keys: frozenset) -> str:
+    """Pick the significance heuristic from an agg body with a STRICT
+    key whitelist: every body key must be a known option or a known
+    heuristic selector. ``jlh`` (the ES default) and ``chi_square`` are
+    supported; any other recognized ES heuristic — or any unrecognized
+    sibling key — raises ValueError naming it. ``chi_square`` with
+    ``include_negatives: true`` raises too (the ranking kernel hardcodes
+    ES's include_negatives=false: underrepresented terms are dropped)."""
+    unknown = set(a) - allowed_keys - {"jlh", "chi_square"}
+    if unknown:
+        bad = sorted(unknown)
+        hint = (
+            " (unimplemented ES heuristic)"
+            if any(k in _SIG_UNSUPPORTED for k in bad)
+            else ""
+        )
+        raise ValueError(f"unsupported {name} option(s): {bad}{hint}")
+    if "chi_square" in a and "jlh" in a:
+        raise ValueError(f"{name}: at most one significance heuristic")
+    if "chi_square" in a:
+        opts = a["chi_square"] or {}
+        if not isinstance(opts, dict):
+            raise ValueError(f"{name}.chi_square must be an options dict")
+        extra = set(opts) - {"include_negatives", "background_is_superset"}
+        if extra:
+            raise ValueError(
+                f"unsupported {name}.chi_square option(s): {sorted(extra)}"
+            )
+        if opts.get("include_negatives"):
+            raise ValueError(
+                f"{name}.chi_square include_negatives=true is unsupported "
+                "(the kernel drops underrepresented terms, ES's "
+                "include_negatives=false)"
+            )
+        if opts.get("background_is_superset") is False:
+            raise ValueError(
+                f"{name}.chi_square background_is_superset=false is "
+                "unsupported (background stats are always index-global)"
+            )
+        return "chi_square"
+    return "jlh"
+
+
 def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
     out = {}
     for name, spec in aggs.items():
@@ -721,12 +788,21 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
                     "significant_terms supports the indexed field only "
                     "('content')"
                 )
-            ss = a.get("shard_size")  # the sampler-size analogue
+            heur = _sig_heuristic(
+                "significant_terms", a,
+                frozenset({"field", "size", "shard_size"}),
+            )
+            # DEVIATION from ES: shard_size here selects the SAMPLED
+            # foreground path (fg = top-shard_size matched docs), the
+            # sampler-agg analogue — in ES shard_size only widens
+            # per-shard candidate collection and never changes the
+            # foreground set, so scores differ when it is set.
+            ss = a.get("shard_size")
             rows = reader.significant_terms(
                 terms, int(a.get("size", 10)), mode=mode,
                 doc_filter=doc_filter,
                 sample_size=int(ss) if ss is not None else None,
-                heuristic="chi_square" if "chi_square" in a else "jlh",
+                heuristic=heur,
             )
             out[name] = {
                 "buckets": [{"key": t, "score": s} for t, s in rows]
@@ -737,13 +813,24 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
                     "significant_text re-analyzes _source: pass the "
                     "documents table via execute_search(..., docs=...)"
                 )
+            heur = _sig_heuristic(
+                "significant_text", a,
+                frozenset({"field", "size", "shard_size",
+                           "filter_duplicate_text"}),
+            )
+            # DEVIATION from ES: shard_size (default 200) IS the sampler
+            # size — the foreground re-analyzes the top-shard_size
+            # matched docs' _source. ES's significant_text under a
+            # sampler agg behaves the same way; a bare ES
+            # significant_text would re-analyze every matched doc, which
+            # this engine refuses to do implicitly at scale.
             rows = reader.significant_text(
                 docs, terms, int(a.get("size", 10)),
                 sample_size=int(a.get("shard_size", 200)),
                 mode=mode, doc_filter=doc_filter,
                 text_col=field or "content",
                 lang_col="lang" if "lang" in docs.columns else None,
-                heuristic="chi_square" if "chi_square" in a else "jlh",
+                heuristic=heur,
                 filter_duplicate_text=bool(a.get("filter_duplicate_text", False)),
             )
             out[name] = {

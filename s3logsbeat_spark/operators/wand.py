@@ -69,16 +69,60 @@ def _check_range_spec(col: str, spec: dict) -> None:
         )
 
 
+def _check_filter_nodes(key: str, v) -> list:
+    """Validate a ``_not`` / ``_or`` node list (see
+    :func:`spark_filter_cond` for the grammar)."""
+    if not isinstance(v, (list, tuple)) or not v:
+        raise ValueError(f"doc_filter {key!r} needs a non-empty list")
+    return list(v)
+
+
+def _check_sub_filter(key: str, sub) -> dict:
+    if not isinstance(sub, dict) or not sub:
+        raise ValueError(
+            f"doc_filter {key!r} entries must be non-empty filter dicts"
+        )
+    return sub
+
+
 def spark_filter_cond(doc_filter: dict):
     """doc_filter dict -> one Spark Column: AND across columns of
     equality (scalar), membership (list), or range compare (dict with
     gte/gt/lte/lt keys — ES range filter context). Shared by every
-    distributed reroute so driver and executor paths agree exactly."""
+    distributed reroute so driver and executor paths agree exactly.
+
+    Boolean nodes (ES bool-in-filter-context parity): the reserved key
+    ``"_not"`` holds a list of sub-filters, each NEGATED then ANDed in
+    (``must_not``); ``"_or"`` holds a list of disjunct GROUPS, each
+    group a list of sub-filters OR'd together and the group ANDed in
+    (cross-field ``should`` with minimum_should_match=1). Null
+    semantics match ES: a positive predicate never matches a null
+    value, so NOT/OR coalesce null to false before negating/or-ing —
+    ``must_not {term: {lang: x}}`` KEEPS docs whose lang is null,
+    exactly like ES must_not on a missing field."""
     from pyspark.sql import functions as F
 
     cond = None
     for c, v in doc_filter.items():
-        if isinstance(v, dict):
+        if c == "_not":
+            e = None
+            for sub in _check_filter_nodes(c, v):
+                n = ~F.coalesce(
+                    spark_filter_cond(_check_sub_filter(c, sub)), F.lit(False)
+                )
+                e = n if e is None else e & n
+        elif c == "_or":
+            e = None
+            for group in _check_filter_nodes(c, v):
+                g = None
+                for sub in _check_filter_nodes("_or group", group):
+                    d = F.coalesce(
+                        spark_filter_cond(_check_sub_filter(c, sub)),
+                        F.lit(False),
+                    )
+                    g = d if g is None else g | d
+                e = g if e is None else e & g
+        elif isinstance(v, dict):
             _check_range_spec(c, v)
             e = None
             for op, bound in v.items():
@@ -98,13 +142,36 @@ def spark_filter_cond(doc_filter: dict):
 
 def arrow_filter_expr(doc_filter: dict):
     """doc_filter dict -> pyarrow dataset expression with the same
-    semantics as :func:`spark_filter_cond` (pushed down to parquet
-    row-group stats on the driver read path)."""
+    semantics as :func:`spark_filter_cond`, boolean ``_not``/``_or``
+    nodes included (pushed down to parquet row-group stats on the
+    driver read path; pyarrow prunes conservatively under negation).
+    Null handling mirrors the Spark builder: ``e & ~e.is_null()`` is
+    coalesce(e, false), so NOT keeps null-valued docs like ES."""
     import pyarrow.dataset as ds
+
+    def _coalesce_false(e):
+        return e & ~e.is_null()
 
     expr = None
     for c, v in doc_filter.items():
-        if isinstance(v, dict):
+        if c == "_not":
+            e = None
+            for sub in _check_filter_nodes(c, v):
+                n = ~_coalesce_false(
+                    arrow_filter_expr(_check_sub_filter(c, sub))
+                )
+                e = n if e is None else e & n
+        elif c == "_or":
+            e = None
+            for group in _check_filter_nodes(c, v):
+                g = None
+                for sub in _check_filter_nodes("_or group", group):
+                    d = _coalesce_false(
+                        arrow_filter_expr(_check_sub_filter(c, sub))
+                    )
+                    g = d if g is None else g | d
+                e = g if e is None else e & g
+        elif isinstance(v, dict):
             _check_range_spec(c, v)
             e = None
             for op, bound in v.items():
@@ -3978,9 +4045,16 @@ class IndexReader:
             sampled.unpersist()
         # re-analysis can surface terms absent from the index (docs frame
         # newer than the index, or a different field): no bg -> no score,
-        # like ES's background_is_superset guard
+        # like ES's background_is_superset guard. The same guard clamps
+        # fg > bg (docs newer than the index again): a foreground count
+        # exceeding the global df would make chi_square's o21 = bg - fg
+        # negative and inflate JLH's bg_rate denominator — ES rejects
+        # such terms because the background must be a superset.
         bg = self._df_of([r["term"] for r in rows])
-        rows = [r for r in rows if r["term"] in bg]
+        rows = [
+            r for r in rows
+            if r["term"] in bg and r["fg"] <= bg[r["term"]]
+        ]
         return self._jlh_rank(rows, m_total, set(terms), k, heuristic)
 
     def _run_per_bucket(

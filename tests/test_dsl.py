@@ -361,8 +361,64 @@ try:
             "must_not": s["must_not"], "min_should_match": s["msm"],
         }, 10)
         assert got == want
+
+    _LANGS = ["java", "py", "go", "js", "c"]
+    _filter_st = st.fixed_dictionaries({
+        "not_langs": st.lists(st.sampled_from(_LANGS), max_size=2,
+                              unique=True),
+        "or_langs": st.lists(st.sampled_from(_LANGS), max_size=2,
+                             unique=True),
+        "or_lo": st.one_of(st.none(),
+                           st.integers(min_value=0, max_value=3000)),
+    }).filter(lambda s: s["not_langs"] or s["or_langs"] or s["or_lo"] is not None)
+
+    @given(_filter_st)
+    @settings(max_examples=10, deadline=None)
+    def test_dsl_filter_not_or_property(rdr, attrs_pd, s):
+        """Random negated / or'd filter bodies: the DSL's matched set
+        equals a brute-force pandas evaluation of the same predicate
+        over the sidecar (nulls never match a positive predicate)."""
+        shoulds = [{"term": {"lang": lg}} for lg in s["or_langs"]]
+        if s["or_lo"] is not None:
+            shoulds.append({"range": {"n_chars": {"gte": s["or_lo"]}}})
+        fb = {}
+        if s["not_langs"]:
+            fb["must_not"] = [{"term": {"lang": lg}}
+                              for lg in s["not_langs"]]
+        if shoulds:
+            fb["should"] = shoulds
+        body = {"query": {"bool": {
+            "must": [{"term": {"content": "return"}}],
+            "filter": [{"bool": fb}]}}, "size": 10}
+        got = [h["_id"]
+               for h in execute_search(rdr, body)["hits"]["hits"]]
+        ok = attrs_pd["doc_id"].notna()
+        for lg in s["not_langs"]:
+            ok &= ~(attrs_pd["lang"] == lg)
+        if shoulds:
+            m = attrs_pd["doc_id"] != attrs_pd["doc_id"]  # all-false
+            for lg in s["or_langs"]:
+                m |= attrs_pd["lang"] == lg
+            if s["or_lo"] is not None:
+                m |= attrs_pd["n_chars"] >= s["or_lo"]
+            ok &= m
+        allowed = set(attrs_pd.loc[ok, "doc_id"])
+        want = [d for d, _ in rdr.query(["return"], 500)
+                if d in allowed][:10]
+        assert got == want
 except ImportError:  # pragma: no cover
     pass
+
+
+@pytest.fixture(scope="module")
+def attrs_pd(rdr):
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    rows = load_doc_attrs(rdr.spark, rdr.out_dir).select(
+        "doc_id", "lang", "n_chars").collect()
+    import pandas as pd
+
+    return pd.DataFrame([r.asDict() for r in rows])
 
 
 def test_script_aggs_and_top_hits_nesting(rdr):
@@ -639,19 +695,6 @@ def test_nested_bool_refusals(rdr):
         execute_search(rdr, {"query": {"bool": {"must": [
             {"bool": {"must": [{"bool": {"must": [
                 {"term": {"content": "merge"}}]}}]}}]}}})
-    # filter-context bool with must_not (no sidecar negation)
-    with pytest.raises(ValueError, match="negation"):
-        execute_search(rdr, {"query": {"bool": {
-            "must": [{"term": {"content": "merge"}}],
-            "filter": [{"bool": {"must_not": [
-                {"term": {"lang": "py"}}]}}]}}})
-    # filter bool.should across different fields
-    with pytest.raises(ValueError, match="different fields"):
-        execute_search(rdr, {"query": {"bool": {
-            "must": [{"term": {"content": "merge"}}],
-            "filter": [{"bool": {"should": [
-                {"term": {"lang": "py"}},
-                {"term": {"source": "web"}}]}}]}}})
     # conflicting duplicate bound on the same field
     with pytest.raises(ValueError, match="duplicate range bound"):
         execute_search(rdr, {"query": {"bool": {
@@ -739,3 +782,136 @@ def test_significant_terms_agg_foreign_field_raises(rdr):
             "aggs": {"sig": {"significant_terms": {"field": "lang"}}}}
     with pytest.raises(ValueError, match="indexed field"):
         execute_search(rdr, body)
+
+
+# --------------------------------------- sig heuristic whitelist (r5) --
+
+
+def test_sig_terms_unknown_heuristic_raises(rdr):
+    # gnd is a real ES heuristic this engine does not implement: it must
+    # raise, never silently score with JLH
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "content", "gnd": {}}}}}
+    with pytest.raises(ValueError, match="gnd.*unimplemented"):
+        execute_search(rdr, body)
+
+
+def test_sig_terms_unknown_option_raises(rdr):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "content", "min_doc_count": 3}}}}
+    with pytest.raises(ValueError, match="min_doc_count"):
+        execute_search(rdr, body)
+
+
+def test_sig_terms_chi2_include_negatives_raises(rdr):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "content",
+                "chi_square": {"include_negatives": True}}}}}
+    with pytest.raises(ValueError, match="include_negatives"):
+        execute_search(rdr, body)
+
+
+def test_sig_terms_two_heuristics_raise(rdr):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_terms": {
+                "field": "content", "chi_square": {}, "jlh": {}}}}}
+    with pytest.raises(ValueError, match="at most one"):
+        execute_search(rdr, body)
+
+
+def test_sig_text_unknown_heuristic_raises(rdr, corpus_df):
+    body = {"query": {"match": {"content": "return"}},
+            "aggs": {"sig": {"significant_text": {
+                "field": "content", "mutual_information": {}}}}}
+    with pytest.raises(ValueError, match="mutual_information"):
+        execute_search(rdr, body, docs=corpus_df)
+
+
+# ------------------------------------------ NOT / OR filter context (r5) --
+
+
+def test_filter_must_not_equals_complement_isin(rdr):
+    # lang is never null in this corpus, so NOT lang=py == isin(rest);
+    # the _not node must agree with the positive-membership filter on
+    # BOTH the DSL route and the direct reader route
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "filter": [{"bool": {"must_not": [{"term": {"lang": "py"}}]}}]}},
+        "size": 10}
+    got = execute_search(rdr, body)
+    want = rdr.query(["merge"], 10,
+                     doc_filter={"lang": ["java", "go", "js", "c"]})
+    assert _ids_scores(got) == want
+    assert rdr.query(
+        ["merge"], 10, doc_filter={"_not": [{"lang": "py"}]}
+    ) == want
+
+
+def test_filter_cross_field_or(rdr):
+    body = {"query": {"bool": {
+        "must": [{"term": {"content": "merge"}}],
+        "filter": [{"bool": {"should": [
+            {"term": {"lang": "py"}},
+            {"range": {"n_chars": {"gte": 1500}}},
+        ]}}]}}, "size": 20}
+    got = execute_search(rdr, body)
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+    allowed = {
+        r["doc_id"] for r in load_doc_attrs(rdr.spark, rdr.out_dir)
+        .filter((F.col("lang") == "py") | (F.col("n_chars") >= 1500))
+        .select("doc_id").collect()
+    }
+    want = [(d, s) for d, s in rdr.query(["merge"], 200) if d in allowed][:20]
+    assert _ids_scores(got) == want
+
+
+def test_filter_not_and_or_combined_filter_only(rdr):
+    # filter-only bool (score 0.0, distributed _range_page path) with
+    # BOTH node kinds plus a positive leaf
+    body = {"query": {"bool": {"filter": [{"bool": {
+        "must": [{"range": {"n_chars": {"gte": 100}}}],
+        "must_not": [{"term": {"lang": "go"}}],
+        "should": [{"term": {"lang": "py"}},
+                   {"range": {"n_chars": {"gte": 2000}}}],
+    }}]}}, "size": 10, "track_total_hits": True}
+    got = execute_search(rdr, body)
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+    want_ids = sorted(
+        r["doc_id"] for r in load_doc_attrs(rdr.spark, rdr.out_dir)
+        .filter(
+            (F.col("n_chars") >= 100)
+            & ~(F.col("lang") == "go")
+            & ((F.col("lang") == "py") | (F.col("n_chars") >= 2000))
+        ).select("doc_id").collect()
+    )
+    assert [h["_id"] for h in got["hits"]["hits"]] == want_ids[:10]
+    assert got["hits"]["total"]["value"] == len(want_ids)
+
+
+def test_must_not_keeps_null_attrs(spark, tmp_path_factory):
+    """ES must_not on a field MATCHES docs where the field is missing;
+    driver (pyarrow) and distributed (Spark) paths must agree."""
+    rows = [(0, "alpha beta", "py"), (1, "alpha gamma", None),
+            (2, "alpha", "go")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string")
+    out = str(tmp_path_factory.mktemp("notnull"))
+    build_index(df, IndexConfig(out_dir=out, n_buckets=2,
+                                hot_df_threshold=10))
+    r = IndexReader(spark, out)
+    flt = {"_not": [{"lang": "py"}]}
+    got = r.query(["alpha"], 10, doc_filter=flt)
+    assert sorted(d for d, _ in got) == [1, 2]
+    got2 = r.query(["alpha"], 10, distributed=True, doc_filter=flt)
+    assert sorted(d for d, _ in got2) == [1, 2]
+    # OR node: lang=py OR lang=go excludes only the null-lang doc
+    flt = {"_or": [[{"lang": "py"}, {"lang": "go"}]]}
+    assert sorted(
+        d for d, _ in r.query(["alpha"], 10, doc_filter=flt)) == [0, 2]

@@ -105,3 +105,27 @@ def test_no_match_returns_empty(spark, sig_built):
     out, df = sig_built
     rdr = IndexReader(spark, out)
     assert rdr.significant_text(df, ["zzz_missing"], 10) == []
+
+
+def test_fg_exceeding_bg_is_dropped(spark, sig_built):
+    """Docs-newer-than-index: a term whose re-analyzed foreground count
+    exceeds the index's global df is dropped (ES background_is_superset
+    rejection) instead of producing a negative chi_square cell or an
+    inflated JLH score."""
+    out, df = sig_built
+    rdr = IndexReader(spark, out)
+    # a docs frame where every alpha-doc also gains the rare term
+    # "zeta" (index df for zeta = 3) -> fg(zeta)=7 > bg(zeta)=3
+    from pyspark.sql import functions as F
+
+    newer = df.withColumn(
+        "content",
+        F.when(F.col("content").contains("alpha"),
+               F.concat(F.col("content"), F.lit(" zeta zeta")))
+        .otherwise(F.col("content")),
+    )
+    got = rdr.significant_text(newer, ["alpha"], 10, sample_size=100)
+    assert all(t != "zeta" for t, _ in got)
+    # sanity: without the mutation zeta IS scoreable
+    base = rdr.significant_text(df, ["alpha"], 10, sample_size=100)
+    assert any(t == "zeta" for t, _ in base)
