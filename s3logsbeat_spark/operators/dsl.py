@@ -301,13 +301,17 @@ def _range_page(reader, rng: dict, k: int, boost: float):
     from pyspark.sql import functions as F
 
     from .segments import load_doc_attrs
-    from .wand import spark_filter_cond
+    from .wand import TOMBSTONE_INLINE_MAX, spark_filter_cond
 
     m = load_doc_attrs(reader.spark, reader.out_dir).filter(
         spark_filter_cond(rng)
     )
     blocked = [int(x) for x in reader._blocked()]
-    if blocked:
+    if len(blocked) > TOMBSTONE_INLINE_MAX:
+        # a huge tombstone set as an isin literal would bloat the plan:
+        # anti-join a tombstone DataFrame instead (AQE broadcasts it)
+        m = m.join(reader._tombstones_df(), "doc_id", "left_anti")
+    elif blocked:
         m = m.filter(~F.col("doc_id").isin(blocked))
     total = m.count()
     page_ids = [

@@ -189,6 +189,14 @@ def arrow_filter_expr(doc_filter: dict):
     return expr
 
 
+#: Above this many tombstoned ids, plans switch from an inlined id list
+#: (an ``isin`` plan literal or a task-closure array) to a left-anti
+#: join against a tombstone DataFrame: thousands of 8-byte ids inline
+#: fine, millions blow up the plan / per-task closure. The anti-join
+#: keeps the blocked set distributed (broadcast by AQE when small).
+TOMBSTONE_INLINE_MAX = 8192
+
+
 class DocFilter:
     """Filter-context doc mask for the scoring kernels (ES bool-filter /
     delete-tombstone analogue): ``allowed`` (None = all) minus ``blocked``.
@@ -1445,6 +1453,14 @@ class IndexReader:
 
             self._tombstones = np.asarray(read_tombstones(self.out_dir), dtype=np.int64)
         return self._tombstones
+
+    def _tombstones_df(self):
+        """Blocked ids as a (doc_id) DataFrame — the anti-join side when
+        the tombstone set exceeds :data:`TOMBSTONE_INLINE_MAX` (an
+        inlined literal would bloat every plan that subtracts it)."""
+        return self.spark.createDataFrame(
+            [(int(x),) for x in self._blocked()], "doc_id long"
+        )
 
     def _filter_expr(self, doc_filter: dict):
         """doc_filter dict -> pyarrow dataset expression (AND of
@@ -2809,6 +2825,12 @@ class IndexReader:
             return []
         blocked = self._blocked()
         blocked_list = [int(x) for x in blocked]
+        # large tombstone sets leave the task closure and anti-join
+        # below instead (membership is order-free, so post-filtering
+        # is exact here, unlike the top-k kernels)
+        big_tomb = len(blocked_list) > TOMBSTONE_INLINE_MAX
+        if big_tomb:
+            blocked_list = []
         n_required = len(present)
 
         from ..shipping import ensure_shipped
@@ -2819,6 +2841,10 @@ class IndexReader:
         if doc_filter:
             attrs = attrs.filter(spark_filter_cond(doc_filter))
         attrs = attrs.select("bucket", "doc_id", field)
+        if big_tomb:
+            # counting happens against the cogrouped attrs slice, so
+            # anti-joining tombstones out of it is exact
+            attrs = attrs.join(self._tombstones_df(), "doc_id", "left_anti")
         # docs stream only (membership): tf/dl bytes stay in parquet
         rows_df = self._segment_rows(present).select("bucket", "term", "docs")
 
@@ -2875,6 +2901,12 @@ class IndexReader:
         if not present or (mode == "and" and len(present) < len(set(terms))):
             return None
         blocked_list = [int(x) for x in self._blocked()]
+        # large tombstone sets leave the task closure and anti-join
+        # below instead (membership is order-free, so post-filtering
+        # is exact here, unlike the top-k kernels)
+        big_tomb = len(blocked_list) > TOMBSTONE_INLINE_MAX
+        if big_tomb:
+            blocked_list = []
         n_required = len(present)
 
         from ..shipping import ensure_shipped
@@ -2905,6 +2937,10 @@ class IndexReader:
         matched_df = rows_df.groupBy("bucket").applyInPandas(
             per_bucket, schema="bucket long, doc_id long"
         )
+        if big_tomb:
+            matched_df = matched_df.join(
+                self._tombstones_df(), "doc_id", "left_anti"
+            )
         if doc_filter is not None:
             from .segments import load_doc_attrs
 
@@ -4068,12 +4104,23 @@ class IndexReader:
         """Distribute a per-bucket scoring kernel (``score_rows(pdf, filt)
         -> pandas (doc_id, score)``) and k-row-merge the results. Buckets
         partition docs, so per-bucket top-k is exact."""
+        import os
+
         import pandas as pd
 
         from ..shipping import ensure_shipped
 
         ensure_shipped(self.spark)
-        if doc_filter is None:
+        # a large tombstone set must not ship per-task: fold it into the
+        # cogrouped allowed set (exact — top-k filtering stays INSIDE the
+        # kernel, unlike a post-hoc subtract which could under-fill k).
+        # Needs the doc_attrs sidecar to enumerate the live doc set; an
+        # index built without one keeps the closure path.
+        big_tomb = len(blocked_list) > TOMBSTONE_INLINE_MAX and (
+            doc_filter is not None
+            or os.path.isdir(os.path.join(self.out_dir, "doc_attrs"))
+        )
+        if doc_filter is None and not big_tomb:
             # tombstones-only (or no filter): the blocked set is driver-held
             # and small — ship it in the closure, keep the groupBy plan
             def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -4095,9 +4142,15 @@ class IndexReader:
             from .segments import load_doc_attrs
 
             attrs = load_doc_attrs(self.spark, self.out_dir)
-            allowed_df = attrs.filter(
-                spark_filter_cond(doc_filter)
+            allowed_df = (
+                attrs.filter(spark_filter_cond(doc_filter))
+                if doc_filter is not None else attrs
             ).select("bucket", "doc_id")
+            if big_tomb:
+                allowed_df = allowed_df.join(
+                    self._tombstones_df(), "doc_id", "left_anti"
+                )
+                blocked_list = []
 
             def per_bucket_cg(seg_pdf: pd.DataFrame, attr_pdf: pd.DataFrame) -> pd.DataFrame:
                 if len(seg_pdf) == 0 or len(attr_pdf) == 0:

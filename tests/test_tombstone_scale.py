@@ -1,0 +1,82 @@
+"""Large tombstone sets: above TOMBSTONE_INLINE_MAX the blocked ids
+leave the plan (no isin literal / task closure) and subtract via a
+left-anti join — results must be identical to the inline path."""
+
+from __future__ import annotations
+
+import pytest
+
+import s3logsbeat_spark.operators.wand as W
+from s3logsbeat_spark.operators.dsl import execute_search
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    delete_docs,
+)
+from s3logsbeat_spark.operators.wand import IndexReader
+
+
+@pytest.fixture(scope="module")
+def tomb_index(spark, tmp_path_factory):
+    rows = [
+        (i, f"alpha beta{'x' * (i % 5)} gamma{i % 7}", "py" if i % 3 else "go",
+         100 + i)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content string, lang string, n_chars long")
+    out = str(tmp_path_factory.mktemp("tombscale"))
+    build_index(df, IndexConfig(out_dir=out, n_buckets=2,
+                                hot_df_threshold=100))
+    # 3 real deletions + a big synthetic block (absent ids are inert but
+    # must still travel through whichever subtract path is active)
+    delete_docs(out, [1, 3, 5] + list(range(1_000, 1_600)))
+    return out
+
+
+def _results(spark, out):
+    r = IndexReader(spark, out)
+    q = r.query(["alpha"], 10)
+    qd = r.query(["alpha"], 10, distributed=True)
+    qf = r.query(["alpha"], 10, distributed=True,
+                 doc_filter={"lang": "py"})
+    m = r._matched_docs_df(["alpha"], "or", None)
+    matched = sorted(x["doc_id"] for x in m.select("doc_id").collect())
+    page = execute_search(r, {
+        "query": {"range": {"n_chars": {"gte": 110, "lt": 130}}},
+        "size": 5})
+    page_ids = [h["_id"] for h in page["hits"]["hits"]]
+    total = page["hits"]["total"]["value"]
+    return q, qd, qf, matched, page_ids, total
+
+
+def test_anti_join_path_matches_inline(spark, tomb_index, monkeypatch):
+    base = _results(spark, tomb_index)
+    assert 1 not in base[3] and 3 not in base[3] and 5 not in base[3]
+    monkeypatch.setattr(W, "TOMBSTONE_INLINE_MAX", 4)  # force anti-join
+    assert _results(spark, tomb_index) == base
+
+
+def test_anti_join_no_plan_literal(spark, tomb_index, monkeypatch):
+    """The blocked ids must NOT appear inlined in the Spark plan when
+    the anti-join path is active."""
+    monkeypatch.setattr(W, "TOMBSTONE_INLINE_MAX", 4)
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+    from s3logsbeat_spark.operators.wand import spark_filter_cond
+
+    r = IndexReader(spark, tomb_index)
+    m = load_doc_attrs(spark, tomb_index).filter(
+        spark_filter_cond({"n_chars": {"gte": 110}}))
+    m = m.join(r._tombstones_df(), "doc_id", "left_anti")
+    plan = m._jdf.queryExecution().toString()
+    assert "1599" not in plan  # the largest synthetic tombstone id
+
+
+def test_facet_counts_anti_join(spark, tomb_index, monkeypatch):
+    r = IndexReader(spark, tomb_index)
+    base = r.facet_counts(["alpha"], "lang")
+    monkeypatch.setattr(W, "TOMBSTONE_INLINE_MAX", 4)
+    r2 = IndexReader(spark, tomb_index)
+    assert r2.facet_counts(["alpha"], "lang") == base
