@@ -267,6 +267,94 @@ def _driver_index(spark: SparkSession, sf_dir: str):
     return IndexReader(spark, out)
 
 
+def _events_index(spark: SparkSession, sf_dir: str):
+    """Build (or resume) a LOG index over the events table — the
+    reference's own deployment shape (s3logsbeat ships log events into
+    an ES index whose primary dashboard panel is a date_histogram over
+    @timestamp; `_meta/kibana/default/dashboard` anchor). Each event is
+    a doc: content = "<event_type> k<props.k>" (the code tokenizer
+    yields exactly those two tokens, so the DuckDB matched-set oracle is
+    `event_type = t`), sidecar attrs carry ts/value/user_id/event_type
+    for filter context and time aggregations."""
+    import hashlib
+    import tempfile
+
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+    from s3logsbeat_spark.operators.wand import IndexReader
+
+    ev = _read(spark, sf_dir, "events")
+    docs = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.col("event_type"),
+            F.concat(F.lit("k"), F.get_json_object("props", "$.k")),
+        ).alias("content"),
+        "ts", "value", "user_id", "event_type",
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"{tempfile.gettempdir()}/s3lb_evindex_v1_{tag}"
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=8, hot_df_threshold=20_000,
+        attr_cols=("ts", "value", "user_id", "event_type"),
+    )
+    build_index(docs, cfg, lang_col=None)
+    return IndexReader(spark, out)
+
+
+def _dh_frame(spark: SparkSession, buckets: list[dict]) -> DataFrame:
+    """DSL date_histogram response buckets -> (bucket ts, doc_count)."""
+    from datetime import datetime, timezone
+
+    rows = [
+        (datetime.fromtimestamp(b["key"] / 1000.0, tz=timezone.utc)
+         .replace(tzinfo=None), int(b["doc_count"]))
+        for b in buckets
+    ]
+    return spark.createDataFrame(rows, "bucket timestamp, doc_count long")
+
+
+def q_search_dsl_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram (calendar_interval=day) through the DSL agg
+    front door — the body every Kibana dashboard histogram panel sends.
+    ES default min_doc_count=0: the bucket frame is dense between the
+    first and last matching day, zero-filled. The groupBy output is
+    bounded by timespan/interval; the dense frame is generated from two
+    driver scalars, never joined-cross."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"per_day": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day"}}},
+    })
+    return _dh_frame(spark, resp["aggregations"]["per_day"]["buckets"])
+
+
+DH_FIXED = "6h"
+DH_FIXED_S = 21_600
+
+
+def q_search_dsl_date_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_histogram with fixed_interval=6h and min_doc_count=0 through
+    the DSL: epoch-floor bucketing, dense zero-filled frame — buckets
+    with no matching docs MUST appear with doc_count 0 (the continuous
+    time axis Kibana charts require). The k7 prop token matches ~1% of
+    events, so a large share of the 6h buckets are genuinely zero."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"term": {"content": "k7"}},
+        "size": 0,
+        "aggs": {"per6h": {"date_histogram": {
+            "field": "ts", "fixed_interval": DH_FIXED,
+            "min_doc_count": 0}}},
+    })
+    return _dh_frame(spark, resp["aggregations"]["per6h"]["buckets"])
+
+
 def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL engine path: build compressed segments (delta+varbyte,
     block-max metadata, per-bucket checkpoints), query with Block-Max
@@ -3701,6 +3789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_range": q_search_dsl_range,
         "search_dsl_not_filter": q_search_dsl_not_filter,
         "search_dsl_or_filter": q_search_dsl_or_filter,
+        "search_dsl_date_histogram": q_search_dsl_date_histogram,
+        "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
         "search_dsl_range_only": q_search_dsl_range_only,
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
@@ -6892,6 +6982,43 @@ FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
         "search_dsl_range": _BM25_RANGE_SQL,
         "search_dsl_not_filter": _BM25_NOT_SQL,
         "search_dsl_or_filter": _BM25_OR_SQL,
+        "search_dsl_date_histogram": """
+WITH m AS (
+  SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error'
+), b AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM m GROUP BY 1
+), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b)
+SELECT d.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM (
+  SELECT unnest(generate_series(
+    (SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 DAY
+  )) AS bucket
+) d
+LEFT JOIN b USING (bucket)
+ORDER BY bucket
+""",
+        "search_dsl_date_histogram_fixed": f"""
+WITH m AS (
+  SELECT ts::TIMESTAMP AS ts FROM events
+  WHERE json_extract_string(props, '$.k') = '7'
+), b AS (
+  SELECT epoch_ms(((floor(epoch(ts))::BIGINT // {DH_FIXED_S})
+                   * {DH_FIXED_S}) * 1000) AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM m GROUP BY 1
+), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b)
+SELECT d.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM (
+  SELECT unnest(generate_series(
+    (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+    INTERVAL {DH_FIXED_S} SECOND
+  )) AS bucket
+) d
+LEFT JOIN b USING (bucket)
+ORDER BY bucket
+""",
         "search_dsl_range_only": f"""
 WITH m AS (
   SELECT doc_id FROM documents

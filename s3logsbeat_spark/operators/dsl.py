@@ -333,7 +333,10 @@ def execute_search(reader, body: dict, docs=None) -> dict:
     frm = int(body.get("from", 0))
     q = body.get("query", {"match_all": {}})
     kind, clause = _one(q, "query")
-    k = frm + size
+    # size=0 (aggs-only bodies, the Kibana dashboard shape) still runs
+    # the query for its matched set; fetch one hit so the top-k kernels
+    # keep a defined heap — the page slice below still yields zero hits
+    k = max(frm + size, 1)
     doc_filter = None
     terms_for_aggs: list[str] | None = None
     agg_mode = "or"
@@ -637,6 +640,15 @@ def execute_search(reader, body: dict, docs=None) -> dict:
     return resp
 
 
+def _epoch_ms(ts) -> int:
+    """Naive bucket timestamp -> ES's epoch-millis bucket key (naive
+    values are UTC here: the engine runs sessions in UTC and the
+    parquet timestamps are stored tz-less)."""
+    import calendar
+
+    return calendar.timegm(ts.utctimetuple()) * 1000 + ts.microsecond // 1000
+
+
 #: ES significance heuristics this engine does NOT implement — named
 #: explicitly so a body carrying one raises instead of silently scoring
 #: with JLH (the module contract: refuse over mis-execute).
@@ -756,6 +768,34 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
         elif kind == "value_count":
             st = reader.stats_agg(terms, field, mode=mode, doc_filter=doc_filter)
             out[name] = {"value": st["count"]}
+        elif kind == "date_histogram":
+            allowed = {"field", "fixed_interval", "calendar_interval",
+                       "min_doc_count", "extended_bounds"}
+            unknown = set(a) - allowed - {"interval"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported date_histogram option(s): {sorted(unknown)}"
+                )
+            if "interval" in a:
+                raise ValueError(
+                    "date_histogram 'interval' (removed in ES 8) is "
+                    "ambiguous: use fixed_interval or calendar_interval"
+                )
+            rows = reader.date_histogram_agg(
+                terms, a["field"],
+                calendar_interval=a.get("calendar_interval"),
+                fixed_interval=a.get("fixed_interval"),
+                min_doc_count=int(a.get("min_doc_count", 0)),
+                extended_bounds=a.get("extended_bounds"),
+                mode=mode, doc_filter=doc_filter,
+            )
+            out[name] = {
+                "buckets": [
+                    {"key": _epoch_ms(ts), "key_as_string": ts.isoformat(),
+                     "doc_count": int(n)}
+                    for ts, n in rows
+                ]
+            }
         elif kind == "histogram":
             out[name] = {
                 "buckets": [

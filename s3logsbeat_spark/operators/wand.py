@@ -196,6 +196,45 @@ def arrow_filter_expr(doc_filter: dict):
 #: keeps the blocked set distributed (broadcast by AQE when small).
 TOMBSTONE_INLINE_MAX = 8192
 
+#: ES calendar_interval values -> Spark date_trunc unit (calendar-aware:
+#: months/quarters/years have varying lengths, so truncation — not
+#: epoch arithmetic — is the only correct bucketing, same as ES)
+_CAL_UNITS = {
+    "minute": "minute", "1m": "minute",
+    "hour": "hour", "1h": "hour",
+    "day": "day", "1d": "day",
+    "week": "week", "1w": "week",
+    "month": "month", "1M": "month",
+    "quarter": "quarter", "1q": "quarter",
+    "year": "year", "1y": "year",
+}
+
+#: dense-frame step per calendar unit (stepping from a truncated
+#: boundary stays on boundaries: date_trunc('week') is Monday-aligned
+#: and 7-day steps keep it there; +1 month from a month start lands on
+#: the next month start, etc.)
+_CAL_STEP = {
+    "minute": "interval 1 minute", "hour": "interval 1 hour",
+    "day": "interval 1 day", "week": "interval 7 day",
+    "month": "interval 1 month", "quarter": "interval 3 month",
+    "year": "interval 1 year",
+}
+
+_FIXED_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+             "d": 86_400_000}
+
+
+def _parse_fixed_interval(s: str) -> int:
+    """ES fixed_interval (``<n>(ms|s|m|h|d)``) -> milliseconds."""
+    import re
+
+    m = re.fullmatch(r"(\d+)(ms|s|m|h|d)", s or "")
+    if not m or int(m.group(1)) == 0:
+        raise ValueError(
+            f"unsupported fixed_interval: {s!r} (expected <n>(ms|s|m|h|d))"
+        )
+    return int(m.group(1)) * _FIXED_MS[m.group(2)]
+
 
 class DocFilter:
     """Filter-context doc mask for the scoring kernels (ES bool-filter /
@@ -3288,6 +3327,128 @@ class IndexReader:
             .collect()
         )
         return [(float(r["key"]), int(r["doc_count"])) for r in rows]
+
+    def date_histogram_agg(
+        self,
+        terms: list[str],
+        field: str,
+        *,
+        calendar_interval: str | None = None,
+        fixed_interval: str | None = None,
+        min_doc_count: int = 0,
+        extended_bounds: dict | None = None,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple]:
+        """ES date_histogram aggregation over a timestamp sidecar
+        attribute — the primary Kibana dashboard panel. Exactly one of
+        ``calendar_interval`` (minute/hour/day/week/month/quarter/year,
+        or the 1m/1h/1d/1w/1M/1q/1y aliases — calendar-aware truncation
+        via ``date_trunc``) or ``fixed_interval`` (``<n>(ms|s|m|h|d)``
+        — epoch-floor arithmetic) must be given, like ES.
+
+        With ES's default ``min_doc_count=0`` the bucket frame is DENSE:
+        every interval between the first and last matching bucket
+        (widened to ``extended_bounds`` {"min","max"} when given, each
+        floored by the SAME bucketing expression) is emitted,
+        zero-filled — the continuous-axis contract Kibana charts need.
+        ``min_doc_count >= 1`` returns only buckets meeting the count.
+
+        Scale shape: one map-side-combined groupBy over the
+        matched-docs/sidecar join whose output is bounded by
+        timespan/interval, never doc count; the dense frame is
+        GENERATED from two driver scalars (min/max bucket) and
+        left-joins the counts — no cross join, no full-range shuffle.
+        Returns [(bucket_start_ts, doc_count)] sorted by bucket."""
+        if (calendar_interval is None) == (fixed_interval is None):
+            raise ValueError(
+                "date_histogram needs exactly one of calendar_interval / "
+                "fixed_interval"
+            )
+        if calendar_interval is not None:
+            unit = _CAL_UNITS.get(calendar_interval)
+            if unit is None:
+                raise ValueError(
+                    f"unsupported calendar_interval: {calendar_interval!r} "
+                    f"(supported: {sorted(_CAL_UNITS)})"
+                )
+            step = _CAL_STEP[unit]
+
+            def bucket_of(col):
+                # parquet dates land as TIMESTAMP_NTZ; normalize to the
+                # session-tz TIMESTAMP (sessions run UTC) so both paths
+                # and the generated dense frame share one type
+                return F.date_trunc(unit, col.cast("timestamp"))
+        else:
+            ms = _parse_fixed_interval(fixed_interval)
+            step = f"interval {ms} millisecond"
+
+            def bucket_of(col):
+                return F.timestamp_millis(
+                    (F.floor(F.unix_millis(col.cast("timestamp")) / F.lit(ms))
+                     * F.lit(ms)).cast("long")
+                )
+
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        dense = int(min_doc_count) == 0
+        if matched is None and not (dense and extended_bounds):
+            return []
+        from .segments import load_doc_attrs
+
+        if matched is None:
+            counts = self.spark.createDataFrame(
+                [], "key timestamp, doc_count long"
+            )
+        else:
+            attrs = load_doc_attrs(self.spark, self.out_dir).select(
+                "bucket", "doc_id", field
+            )
+            counts = (
+                matched.join(attrs, ["bucket", "doc_id"])
+                .select(bucket_of(F.col(field)).alias("key"))
+                .groupBy("key")
+                .agg(F.count("*").alias("doc_count"))
+            )
+        if not dense:
+            rows = (
+                counts.filter(F.col("doc_count") >= int(min_doc_count))
+                .orderBy("key").collect()
+            )
+            return [(r["key"], int(r["doc_count"])) for r in rows]
+        # dense frame: bounds = data min/max widened by extended_bounds,
+        # both run through the SAME bucketing expression so driver-side
+        # calendar math can never drift from the executor's
+        keys = counts.select("key")
+        if extended_bounds:
+            for side in ("min", "max"):
+                v = extended_bounds.get(side)
+                if v is None:
+                    raise ValueError(
+                        "extended_bounds needs both 'min' and 'max'"
+                    )
+                if not isinstance(v, str):
+                    raise ValueError(
+                        "extended_bounds values must be timestamp strings"
+                    )
+                keys = keys.union(
+                    self.spark.range(1).select(
+                        bucket_of(F.lit(v).cast("timestamp")).alias("key")
+                    )
+                )
+        b = keys.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
+        if b["lo"] is None:
+            return []
+        seq = F.expr(
+            f"sequence(timestamp'{b['lo']}', timestamp'{b['hi']}', {step})"
+        )
+        dims = self.spark.range(1).select(F.explode(seq).alias("key"))
+        rows = (
+            dims.join(counts, "key", "left")
+            .select("key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
+            .orderBy("key")
+            .collect()
+        )
+        return [(r["key"], int(r["doc_count"])) for r in rows]
 
     def range_agg(
         self,

@@ -1,0 +1,156 @@
+"""date_histogram: reader kernel semantics (calendar vs fixed bucketing,
+dense zero-fill, extended_bounds) and the DSL front door pinning to the
+direct kernel call."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from s3logsbeat_spark.operators.dsl import execute_search
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import (
+    IndexReader,
+    _parse_fixed_interval,
+)
+
+# 3 calendar days with a one-day gap for "alpha" (day 2024-03-02 has
+# only beta docs -> a zero bucket in alpha's dense day frame)
+_ROWS = [
+    (0, "alpha", datetime(2024, 3, 1, 1, 30)),
+    (1, "alpha", datetime(2024, 3, 1, 13, 0)),
+    (2, "beta", datetime(2024, 3, 2, 2, 0)),
+    (3, "alpha", datetime(2024, 3, 3, 5, 45)),
+    (4, "alpha beta", datetime(2024, 3, 3, 23, 59)),
+]
+
+
+@pytest.fixture(scope="module")
+def dh_rdr(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        _ROWS, "doc_id long, content string, ts timestamp")
+    out = str(tmp_path_factory.mktemp("dhidx"))
+    build_index(
+        df,
+        IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10,
+                    attr_cols=("ts",)),
+        lang_col=None,
+    )
+    return IndexReader(spark, out)
+
+
+def test_calendar_day_dense_zero_fill(dh_rdr):
+    got = dh_rdr.date_histogram_agg(
+        ["alpha"], "ts", calendar_interval="day")
+    assert got == [
+        (datetime(2024, 3, 1), 2),
+        (datetime(2024, 3, 2), 0),  # the gap day MUST appear
+        (datetime(2024, 3, 3), 2),
+    ]
+    # min_doc_count=1 drops it (sparse mode)
+    got = dh_rdr.date_histogram_agg(
+        ["alpha"], "ts", calendar_interval="day", min_doc_count=1)
+    assert got == [(datetime(2024, 3, 1), 2), (datetime(2024, 3, 3), 2)]
+
+
+def test_fixed_interval_epoch_floor(dh_rdr):
+    got = dh_rdr.date_histogram_agg(
+        ["alpha"], "ts", fixed_interval="12h", min_doc_count=1)
+    assert got == [
+        (datetime(2024, 3, 1, 0), 1),
+        (datetime(2024, 3, 1, 12), 1),
+        (datetime(2024, 3, 3, 0), 1),
+        (datetime(2024, 3, 3, 12), 1),
+    ]
+    # dense: 6 twelve-hour buckets from 03-01T00 to 03-03T12
+    dense = dh_rdr.date_histogram_agg(["alpha"], "ts", fixed_interval="12h")
+    assert len(dense) == 6
+    assert [n for _t, n in dense] == [1, 1, 0, 0, 1, 1]
+
+
+def test_extended_bounds_widen(dh_rdr):
+    got = dh_rdr.date_histogram_agg(
+        ["alpha"], "ts", calendar_interval="day",
+        extended_bounds={"min": "2024-02-28 10:00:00",
+                         "max": "2024-03-04 00:00:00"})
+    assert got[0] == (datetime(2024, 2, 28), 0)  # bound floored to day
+    assert got[-1] == (datetime(2024, 3, 4), 0)
+    assert len(got) == 6
+    # bounds matter even when the query matches nothing
+    got = dh_rdr.date_histogram_agg(
+        ["zzznope"], "ts", calendar_interval="day",
+        extended_bounds={"min": "2024-03-01 00:00:00",
+                         "max": "2024-03-02 00:00:00"})
+    assert got == [(datetime(2024, 3, 1), 0), (datetime(2024, 3, 2), 0)]
+    assert dh_rdr.date_histogram_agg(
+        ["zzznope"], "ts", calendar_interval="day") == []
+
+
+def test_dsl_matches_direct(dh_rdr):
+    body = {"query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"h": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day"}}}}
+    got = execute_search(dh_rdr, body)
+    assert got["hits"]["hits"] == []  # size 0: aggs-only body
+    want = dh_rdr.date_histogram_agg(["alpha"], "ts",
+                                     calendar_interval="day")
+    buckets = got["aggregations"]["h"]["buckets"]
+    assert [(b["key_as_string"], b["doc_count"]) for b in buckets] == [
+        (t.isoformat(), n) for t, n in want
+    ]
+    # epoch-millis keys round-trip to the bucket instants (UTC)
+    from datetime import timezone
+
+    assert [
+        datetime.fromtimestamp(b["key"] / 1000.0, tz=timezone.utc)
+        .replace(tzinfo=None)
+        for b in buckets
+    ] == [t for t, _n in want]
+    # min_doc_count + fixed_interval + extended_bounds thread through
+    body = {"query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"h": {"date_histogram": {
+                "field": "ts", "fixed_interval": "12h",
+                "min_doc_count": 1}}}}
+    got = execute_search(dh_rdr, body)["aggregations"]["h"]["buckets"]
+    want = dh_rdr.date_histogram_agg(["alpha"], "ts", fixed_interval="12h",
+                                     min_doc_count=1)
+    assert [(b["key_as_string"], b["doc_count"]) for b in got] == [
+        (t.isoformat(), n) for t, n in want
+    ]
+
+
+def test_interval_validation(dh_rdr):
+    with pytest.raises(ValueError, match="exactly one"):
+        dh_rdr.date_histogram_agg(["alpha"], "ts")
+    with pytest.raises(ValueError, match="exactly one"):
+        dh_rdr.date_histogram_agg(["alpha"], "ts", calendar_interval="day",
+                                  fixed_interval="1h")
+    with pytest.raises(ValueError, match="calendar_interval"):
+        dh_rdr.date_histogram_agg(["alpha"], "ts",
+                                  calendar_interval="fortnight")
+    with pytest.raises(ValueError, match="fixed_interval"):
+        dh_rdr.date_histogram_agg(["alpha"], "ts", fixed_interval="2w")
+    with pytest.raises(ValueError, match="both 'min' and 'max'"):
+        dh_rdr.date_histogram_agg(
+            ["alpha"], "ts", calendar_interval="day",
+            extended_bounds={"min": "2024-03-01 00:00:00"})
+
+
+def test_dsl_option_whitelist(dh_rdr):
+    base = {"query": {"term": {"content": "alpha"}}, "size": 0}
+    with pytest.raises(ValueError, match="interval.*removed in ES 8"):
+        execute_search(dh_rdr, {**base, "aggs": {"h": {"date_histogram": {
+            "field": "ts", "interval": "day"}}}})
+    with pytest.raises(ValueError, match="offset"):
+        execute_search(dh_rdr, {**base, "aggs": {"h": {"date_histogram": {
+            "field": "ts", "calendar_interval": "day", "offset": "+6h"}}}})
+
+
+def test_parse_fixed_interval():
+    assert _parse_fixed_interval("30m") == 1_800_000
+    assert _parse_fixed_interval("1d") == 86_400_000
+    assert _parse_fixed_interval("500ms") == 500
+    for bad in ("0s", "1w", "h", "", None):
+        with pytest.raises(ValueError):
+            _parse_fixed_interval(bad)
