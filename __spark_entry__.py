@@ -621,6 +621,60 @@ def q_search_dsl_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES filters aggregation through the DSL agg body: three named
+    filter-context buckets (term / range / must_not-bool) counted in ONE
+    conditional-sum pass over the matched-docs/sidecar join — never a
+    scan per filter (searchext.filters_agg shape on the index reader)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match": {"content": " ".join(BM25_TERMS)}},
+        "size": 0,
+        "aggs": {"slices": {"filters": {"filters": {
+            "es": {"term": {"lang": "es"}},
+            "short": {"range": {"n_chars": {"lt": 250}}},
+            "not_en": {"bool": {"must_not": [{"term": {"lang": "en"}}]}},
+        }}}},
+    })
+    buckets = resp["aggregations"]["slices"]["buckets"]
+    return spark.createDataFrame(
+        [(n, int(b["doc_count"])) for n, b in buckets.items()],
+        "filter_name string, doc_count long",
+    )
+
+
+def q_search_dsl_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES composite aggregation through the DSL agg body: (lang, source)
+    buckets over the matched set, key-ordered, resuming AFTER a cursor —
+    the after predicate prunes before the bounded groupBy; the page is
+    TakeOrderedAndProject (q_search_composite's shape behind the JSON
+    front door)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    al, asrc = COMPOSITE_AFTER
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match": {"content": " ".join(BM25_TERMS)}},
+        "size": 0,
+        "aggs": {"pages": {"composite": {
+            "size": COMPOSITE_SIZE,
+            # canonical schema: the raw table's `source` column is the
+            # index's `repo` attr (sources/documents.py::normalize)
+            "sources": [{"lang": {"terms": {"field": "lang"}}},
+                        {"src": {"terms": {"field": "repo"}}}],
+            "after": {"lang": al, "src": asrc},
+        }}},
+    })
+    buckets = resp["aggregations"]["pages"]["buckets"]
+    return spark.createDataFrame(
+        [(b["key"]["lang"], b["key"]["src"], int(b["doc_count"]))
+         for b in buckets],
+        "lang string, src string, n long",
+    )
+
+
 def q_search_dsl_range_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A bare ``range`` query in query position (filter-context
     semantics: every matching doc scores the boost). Paging stays
@@ -794,6 +848,35 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return highlight_hits(
         _docs(spark, sf_dir), hits, BM25_TERMS, window=HL_WINDOW, text_col="text"
+    )
+
+
+def q_search_dsl_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same highlight as q_highlight arriving through the DSL body
+    (``"highlight": {"fields": {...}}`` — Kibana Discover sends this
+    with nearly every query). Translation must not change snippets: the
+    oracle is q_highlight's. Content stays k-bounded (broadcast join on
+    the page ids inside search.highlight_hits)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(
+        rdr,
+        {
+            "query": {"match": {"content": " ".join(BM25_TERMS)}},
+            "size": BM25_K,
+            "highlight": {"fields": {
+                "text": {"fragment_size": 2 * HL_WINDOW}}},
+        },
+        docs=_docs(spark, sf_dir),
+    )
+    rows = [
+        (int(h["_id"]), round(h["_score"], 6),
+         (h.get("highlight") or {}).get("text", [None])[0])
+        for h in resp["hits"]["hits"]
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, score double, snippet string"
     )
 
 
@@ -3624,6 +3707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand": q_bm25_wand,
         "search_template": q_search_template,
         "highlight": q_highlight,
+        "search_dsl_highlight": q_search_dsl_highlight,
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
@@ -3791,6 +3875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_or_filter": q_search_dsl_or_filter,
         "search_dsl_date_histogram": q_search_dsl_date_histogram,
         "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
+        "search_dsl_filters": q_search_dsl_filters,
+        "search_dsl_composite": q_search_dsl_composite,
         "search_dsl_range_only": q_search_dsl_range_only,
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
@@ -6359,6 +6445,7 @@ FROM contrib c JOIN top1 USING (doc_id)
         "bm25_wand": _BM25_WAND_SQL,
         "search_template": _BM25_WAND_SQL,
         "highlight": _HIGHLIGHT_SQL,
+        "search_dsl_highlight": _HIGHLIGHT_SQL,
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,
@@ -6982,6 +7069,31 @@ FROM r WHERE rn <= {GEO_LINE_N} GROUP BY lang
         "search_dsl_range": _BM25_RANGE_SQL,
         "search_dsl_not_filter": _BM25_NOT_SQL,
         "search_dsl_or_filter": _BM25_OR_SQL,
+        "search_dsl_filters": f"""
+WITH j AS (
+  SELECT * FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+), w AS (
+  SELECT
+    sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS a,
+    sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END)::BIGINT AS b,
+    sum(CASE WHEN lang IS NULL OR lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS c
+  FROM j
+)
+SELECT unnest(['es', 'short', 'not_en']) AS filter_name,
+       unnest([a, b, c])::BIGINT AS doc_count
+FROM w
+""",
+        "search_dsl_composite": f"""
+SELECT lang, source AS src, count(*)::BIGINT AS n
+FROM documents
+WHERE doc_id IN ({_MATCHING_DOCS})
+  AND (lang > '{COMPOSITE_AFTER[0]}'
+       OR (lang = '{COMPOSITE_AFTER[0]}'
+           AND source > '{COMPOSITE_AFTER[1]}'))
+GROUP BY lang, source
+ORDER BY lang, src
+LIMIT {COMPOSITE_SIZE}
+""",
         "search_dsl_date_histogram": """
 WITH m AS (
   SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error'

@@ -21,8 +21,14 @@ and the distributed Spark reroute via the shared condition builders) /
 bool (must, should, must_not, filter, minimum_should_match) /
 constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
+``highlight`` (one field, fragment window around the earliest query-term
+occurrence — content read for the page's k docs only; needs ``docs=``),
 and ``aggs``
-(terms / stats / histogram / range / cardinality / percentiles / value_count
+(terms / stats / histogram / date_histogram (fixed_interval /
+calendar_interval, min_doc_count=0 dense zero-fill, extended_bounds) /
+filters (named buckets, one conditional-sum pass) / composite (terms
+sources, key-ordered ``after`` paging) / range / cardinality /
+percentiles / value_count
 / significant_terms / significant_text — one nesting supported:
 ``terms`` -> ``top_hits``; ``stats``/``value_count`` accept a Catalyst
 ``script`` instead of ``field``, the runtime_mappings shape;
@@ -599,6 +605,59 @@ def execute_search(reader, body: dict, docs=None) -> dict:
         for h in resp["hits"]["hits"]:
             r = by_id.get(h["_id"])
             h["fields"] = {f: [r[f]] for f in dvf} if r is not None else {}
+    hl = body.get("highlight")
+    if hl:
+        # ES highlight: one snippet per page hit around the earliest
+        # query-term occurrence. Content is read for the page's k docs
+        # only (broadcast join in search.highlight_hits — the same
+        # prune as docvalue_fields), never for the candidate set.
+        if docs is None:
+            raise ValueError(
+                "highlight re-reads _source: pass the documents table "
+                "via execute_search(..., docs=...)"
+            )
+        unknown = set(hl) - {"fields"}
+        if unknown:
+            raise ValueError(
+                f"unsupported highlight option(s): {sorted(unknown)}"
+            )
+        fields = hl.get("fields")
+        if not isinstance(fields, dict) or len(fields) != 1:
+            raise ValueError("highlight supports exactly one field")
+        [(hfield, hopts)] = fields.items()
+        hopts = hopts or {}
+        bad = set(hopts) - {"fragment_size", "number_of_fragments"}
+        if bad:
+            raise ValueError(
+                f"unsupported highlight field option(s): {sorted(bad)}"
+            )
+        if int(hopts.get("number_of_fragments", 1)) != 1:
+            raise ValueError("highlight supports number_of_fragments=1")
+        if hfield not in docs.columns:
+            raise ValueError(f"highlight field not in docs: {hfield!r}")
+        hterms = explain_terms or terms_for_aggs
+        if not hterms:
+            raise ValueError("highlight needs a term-resolvable query")
+        page_hits = resp["hits"]["hits"]
+        if page_hits:
+            from .search import highlight_hits
+
+            hits_df = reader.spark.createDataFrame(
+                [(int(h["_id"]),
+                  0.0 if h["_score"] is None else float(h["_score"]))
+                 for h in page_hits],
+                "doc_id long, score double",
+            )
+            window = int(hopts.get("fragment_size", 80)) // 2
+            rows = highlight_hits(
+                docs, hits_df, hterms, window=window, text_col=hfield
+            ).collect()
+            snip = {r["doc_id"]: r["snippet"] for r in rows}
+            for h in page_hits:
+                s = snip.get(h["_id"])
+                if s is not None:
+                    # ES shape: absent when no fragment was produced
+                    h["highlight"] = {hfield: [s]}
     if body.get("explain"):
         # ES explain=true: per-hit score breakdown; only term-resolvable
         # queries carry one (the reader's per-term BM25 explanation)
@@ -768,6 +827,59 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
         elif kind == "value_count":
             st = reader.stats_agg(terms, field, mode=mode, doc_filter=doc_filter)
             out[name] = {"value": st["count"]}
+        elif kind == "filters":
+            unknown = set(a) - {"filters"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported filters agg option(s): {sorted(unknown)}"
+                )
+            named = a.get("filters")
+            if not isinstance(named, dict) or not named:
+                raise ValueError(
+                    "filters agg needs a non-empty named 'filters' dict "
+                    "(anonymous filter arrays are unsupported)"
+                )
+            translated = {
+                n: _filter_to_doc_filter([body]) for n, body in named.items()
+            }
+            counts = reader.filters_agg(
+                terms, translated, mode=mode, doc_filter=doc_filter
+            )
+            # ES keyed-bucket response shape for named filters
+            out[name] = {
+                "buckets": {n: {"doc_count": c} for n, c in counts.items()}
+            }
+        elif kind == "composite":
+            unknown = set(a) - {"sources", "size", "after"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported composite option(s): {sorted(unknown)}"
+                )
+            srcs = []
+            for s in a.get("sources") or []:
+                sname, sspec = _one(s, "composite.sources")
+                skind, sbody = _one(sspec, f"composite source {sname}")
+                if skind != "terms":
+                    raise ValueError(
+                        f"unsupported composite source type: {skind} "
+                        "(terms only)"
+                    )
+                extra = set(sbody) - {"field"}
+                if extra:
+                    raise ValueError(
+                        f"unsupported composite source option(s): "
+                        f"{sorted(extra)} (key-ascending order only)"
+                    )
+                srcs.append((sname, sbody["field"]))
+            if not srcs:
+                raise ValueError("composite needs at least one source")
+            buckets, after_key = reader.composite_agg(
+                terms, srcs, size=int(a.get("size", 10)),
+                after=a.get("after"), mode=mode, doc_filter=doc_filter,
+            )
+            out[name] = {"buckets": buckets}
+            if after_key is not None:
+                out[name]["after_key"] = after_key
         elif kind == "date_histogram":
             allowed = {"field", "fixed_interval", "calendar_interval",
                        "min_doc_count", "extended_bounds"}

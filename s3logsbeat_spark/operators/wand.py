@@ -224,6 +224,23 @@ _FIXED_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
              "d": 86_400_000}
 
 
+def _filter_fields(f: dict) -> set:
+    """Every sidecar column a doc_filter dict references (through
+    ``_not``/``_or`` nodes too) — for column-pruned attr reads."""
+    out: set = set()
+    for k, v in f.items():
+        if k == "_not":
+            for sub in v:
+                out |= _filter_fields(sub)
+        elif k == "_or":
+            for group in v:
+                for sub in group:
+                    out |= _filter_fields(sub)
+        else:
+            out.add(k)
+    return out
+
+
 def _parse_fixed_interval(s: str) -> int:
     """ES fixed_interval (``<n>(ms|s|m|h|d)``) -> milliseconds."""
     import re
@@ -3491,6 +3508,98 @@ class IndexReader:
             (key(lo, hi), int(row[f"r{i}"] or 0))
             for i, (lo, hi) in enumerate(ranges)
         ]
+
+    def filters_agg(
+        self,
+        terms: list[str],
+        named_filters: dict,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> dict:
+        """ES filters aggregation on a query: one named bucket per
+        filter-context predicate (full doc_filter grammar incl.
+        ``_not``/``_or`` nodes), each counting matching docs. ONE
+        conditional-sum pass over the matched-docs/sidecar join — never
+        a scan per filter; buckets are independent (a doc can land in
+        several), exactly like ES. Returns {name: doc_count} in input
+        order."""
+        names = list(named_filters)
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return {n: 0 for n in names}
+        from .segments import load_doc_attrs
+
+        fields = sorted(
+            set().union(*(_filter_fields(f) for f in named_filters.values()))
+        )
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", *fields
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"])
+        aggs = [
+            F.sum(
+                F.coalesce(spark_filter_cond(f), F.lit(False)).cast("int")
+            ).cast("long").alias(f"f{i}")
+            for i, f in enumerate(named_filters.values())
+        ]
+        row = j.agg(*aggs).collect()[0]
+        return {n: int(row[f"f{i}"] or 0) for i, n in enumerate(names)}
+
+    def composite_agg(
+        self,
+        terms: list[str],
+        sources: list[tuple[str, str]],
+        size: int = 10,
+        after: dict | None = None,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> tuple[list, dict | None]:
+        """ES composite aggregation on a query: key-ordered
+        (source, ...) buckets with doc counts, resuming AFTER a cursor
+        key — the scalable alternative to deep terms-agg pagination.
+        ``sources`` is [(bucket_key_name, sidecar_field)]; ``after``
+        maps bucket_key_name -> value. The after-key predicate (strict
+        lexicographic >) prunes BEFORE the aggregation; the page is
+        TakeOrderedAndProject over the bounded bucket frame. Returns
+        (buckets, after_key) where after_key is the last returned
+        bucket's key (pass it back to continue), None on an empty
+        page."""
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return [], None
+        from .segments import load_doc_attrs
+
+        fields = [f for _n, f in sources]
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", *fields
+        )
+        j = matched.join(attrs, ["bucket", "doc_id"])
+        if after is not None:
+            missing = [n for n, _f in sources if n not in after]
+            if missing:
+                raise ValueError(f"composite after key missing: {missing}")
+            cond = None
+            prev_eq = None
+            for n, f in sources:
+                gt = F.col(f) > F.lit(after[n])
+                this = gt if prev_eq is None else prev_eq & gt
+                cond = this if cond is None else cond | this
+                eq = F.col(f) == F.lit(after[n])
+                prev_eq = eq if prev_eq is None else prev_eq & eq
+            j = j.filter(cond)
+        rows = (
+            j.groupBy(*fields)
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(*fields)
+            .limit(int(size))
+            .collect()
+        )
+        buckets = [
+            {"key": {n: r[f] for n, f in sources},
+             "doc_count": int(r["doc_count"])}
+            for r in rows
+        ]
+        return buckets, (buckets[-1]["key"] if buckets else None)
 
     def cardinality_agg(
         self,

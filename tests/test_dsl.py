@@ -915,3 +915,132 @@ def test_must_not_keeps_null_attrs(spark, tmp_path_factory):
     flt = {"_or": [[{"lang": "py"}, {"lang": "go"}]]}
     assert sorted(
         d for d, _ in r.query(["alpha"], 10, doc_filter=flt)) == [0, 2]
+
+
+# --------------------------------------------------- DSL highlight (r5) --
+
+
+def test_dsl_highlight_matches_direct(rdr, corpus_df):
+    from s3logsbeat_spark.operators.search import highlight_hits
+
+    body = {"query": {"match": {"content": "merge hash"}}, "size": 5,
+            "highlight": {"fields": {"content": {"fragment_size": 80}}}}
+    got = execute_search(rdr, body, docs=corpus_df)
+    top = rdr.query(["hash", "merge"], 5)
+    hits_df = rdr.spark.createDataFrame(
+        [(d, s) for d, s in top], "doc_id long, score double")
+    want = {
+        r["doc_id"]: r["snippet"]
+        for r in highlight_hits(corpus_df, hits_df, ["hash", "merge"],
+                                window=40).collect()
+    }
+    for h in got["hits"]["hits"]:
+        snip = want.get(h["_id"])
+        if snip is None:
+            assert "highlight" not in h
+        else:
+            assert h["highlight"] == {"content": [snip]}
+
+
+def test_dsl_highlight_refusals(rdr, corpus_df):
+    base = {"query": {"match": {"content": "merge"}}, "size": 3}
+    with pytest.raises(ValueError, match="docs"):
+        execute_search(rdr, {**base, "highlight": {"fields": {
+            "content": {}}}})
+    with pytest.raises(ValueError, match="pre_tags"):
+        execute_search(rdr, {**base, "highlight": {
+            "pre_tags": ["<em>"], "fields": {"content": {}}}},
+            docs=corpus_df)
+    with pytest.raises(ValueError, match="number_of_fragments"):
+        execute_search(rdr, {**base, "highlight": {"fields": {
+            "content": {"number_of_fragments": 3}}}}, docs=corpus_df)
+    with pytest.raises(ValueError, match="not in docs"):
+        execute_search(rdr, {**base, "highlight": {"fields": {
+            "body": {}}}}, docs=corpus_df)
+
+
+# ------------------------------------------ filters / composite aggs (r5) --
+
+
+def test_filters_agg_matches_brute(rdr, attrs_pd):
+    body = {"query": {"match": {"content": "merge hash"}}, "size": 0,
+            "aggs": {"s": {"filters": {"filters": {
+                "py": {"term": {"lang": "py"}},
+                "big": {"range": {"n_chars": {"gte": 1200}}},
+                "not_go": {"bool": {"must_not": [
+                    {"term": {"lang": "go"}}]}},
+            }}}}}
+    got = execute_search(rdr, body)["aggregations"]["s"]["buckets"]
+    matched = set(rdr.matching_doc_ids(["hash", "merge"]))
+    m = attrs_pd[attrs_pd["doc_id"].isin(matched)]
+    assert got["py"]["doc_count"] == int((m["lang"] == "py").sum())
+    assert got["big"]["doc_count"] == int((m["n_chars"] >= 1200).sum())
+    assert got["not_go"]["doc_count"] == int((~(m["lang"] == "go")).sum())
+
+
+def test_filters_agg_refusals(rdr):
+    base = {"query": {"match": {"content": "merge"}}, "size": 0}
+    with pytest.raises(ValueError, match="other_bucket"):
+        execute_search(rdr, {**base, "aggs": {"s": {"filters": {
+            "filters": {"a": {"term": {"lang": "py"}}},
+            "other_bucket": True}}}})
+    with pytest.raises(ValueError, match="anonymous"):
+        execute_search(rdr, {**base, "aggs": {"s": {"filters": {
+            "filters": [{"term": {"lang": "py"}}]}}}})
+
+
+def test_composite_agg_pages_match_direct(rdr):
+    body = {"query": {"match": {"content": "merge hash"}}, "size": 0,
+            "aggs": {"c": {"composite": {
+                "size": 4,
+                "sources": [{"l": {"terms": {"field": "lang"}}},
+                            {"r": {"terms": {"field": "repo"}}}],
+            }}}}
+    page1 = execute_search(rdr, body)["aggregations"]["c"]
+    want1, after1 = rdr.composite_agg(
+        ["hash", "merge"], [("l", "lang"), ("r", "repo")], size=4)
+    assert page1["buckets"] == want1
+    assert page1["after_key"] == after1
+    # resume with after: pages tile the full bucket list with no
+    # overlap and no gap
+    seen = [tuple(b["key"].values()) for b in page1["buckets"]]
+    counts = {tuple(b["key"].values()): b["doc_count"]
+              for b in page1["buckets"]}
+    after = page1["after_key"]
+    while after is not None:
+        resp = execute_search(rdr, {
+            **body, "aggs": {"c": {"composite": {
+                "size": 4, "after": after,
+                "sources": [{"l": {"terms": {"field": "lang"}}},
+                            {"r": {"terms": {"field": "repo"}}}],
+            }}}})["aggregations"]["c"]
+        if not resp["buckets"]:
+            break
+        for b in resp["buckets"]:
+            k = tuple(b["key"].values())
+            assert k not in counts
+            seen.append(k)
+            counts[k] = b["doc_count"]
+        after = resp.get("after_key")
+    assert seen == sorted(seen)
+    # the union equals the one-shot full frame
+    full, _ = rdr.composite_agg(
+        ["hash", "merge"], [("l", "lang"), ("r", "repo")], size=10**6)
+    assert counts == {tuple(b["key"].values()): b["doc_count"]
+                      for b in full}
+
+
+def test_composite_refusals(rdr):
+    base = {"query": {"match": {"content": "merge"}}, "size": 0}
+    with pytest.raises(ValueError, match="terms only"):
+        execute_search(rdr, {**base, "aggs": {"c": {"composite": {
+            "sources": [{"h": {"histogram": {"field": "n_chars",
+                                             "interval": 10}}}]}}}})
+    with pytest.raises(ValueError, match="key-ascending"):
+        execute_search(rdr, {**base, "aggs": {"c": {"composite": {
+            "sources": [{"l": {"terms": {"field": "lang",
+                                         "order": "desc"}}}]}}}})
+    with pytest.raises(ValueError, match="after key missing"):
+        execute_search(rdr, {**base, "aggs": {"c": {"composite": {
+            "sources": [{"l": {"terms": {"field": "lang"}}}],
+            "after": {"wrong": "x"}}}}})
