@@ -441,6 +441,49 @@ def q_esql_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ESQL_HAVING_MIN = 70  # drops fr/de at sf0.01 (the HAVING actually filters)
+
+
+def q_esql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL WHERE **after** STATS (the SQL HAVING shape) with aliased
+    aggregates: pipe order is semantics — the comparison filters the
+    aggregated frame, a Catalyst filter over the bounded bucket output,
+    never the raw matched set."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        " | STATS n = COUNT(*), avg_chars = AVG(n_chars) BY lang"
+        f" | WHERE n >= {ESQL_HAVING_MIN} | SORT lang ASC | LIMIT 100",
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), round(float(r[2]), 6)) for r in resp["values"]],
+        "lang string, n long, avg_chars double",
+    )
+
+
+def q_esql_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL time bucketing: EVAL DATE_TRUNC + STATS BY — the pipe-form
+    date_histogram every observability query uses (`STATS count BY
+    hour`). DATE_TRUNC is whitelisted into the EVAL grammar and lands as
+    Spark's calendar-aware date_trunc before the bounded groupBy."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        'FROM events | WHERE MATCH(content, "error")'
+        " | EVAL day = DATE_TRUNC(1 day, ts)"
+        " | STATS n = COUNT(*) BY day | SORT day ASC | LIMIT 10000",
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1])) for r in resp["values"]],
+        "day timestamp, n long",
+    )
+
+
 def q_esql_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL STATS without BY: one global aggregate row over the
     fulltext match — the joined sidecar agg with no grouping keys (a
@@ -3880,6 +3923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_range_only": q_search_dsl_range_only,
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
+        "esql_having": q_esql_having,
+        "esql_time_bucket": q_esql_time_bucket,
         "esql_stats": q_esql_stats,
         "esql_stats_global": q_esql_stats_global,
         "esql_eval_stats": q_esql_eval_stats,
@@ -7141,6 +7186,18 @@ FROM m ORDER BY doc_id ASC LIMIT {BM25_K}
 """,
         "esql_query": _BM25_WAND_SQL,
         "esql_where_range": _BM25_RANGE_SQL,
+        "esql_having": f"""
+SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 6) AS avg_chars
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY lang HAVING count(*) >= {ESQL_HAVING_MIN}
+ORDER BY lang
+""",
+        "esql_time_bucket": """
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
+       count(*)::BIGINT AS n
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY 1
+""",
         "esql_stats": f"""
 SELECT lang, count(*)::BIGINT AS doc_count,
        round(avg(n_chars), 6) AS avg_chars

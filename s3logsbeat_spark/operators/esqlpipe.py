@@ -12,13 +12,19 @@ Grammar (the useful fulltext+analytics core, one statement):
               | <attr> IN ("v1", "v2", ...)
               | <attr> >= n | > n | <= n | < n    -- range filter
                 (numbers or "strings"; same-column bounds AND-merge)
-    | EVAL <name> = <arith>                       -- before STATS only
+    | EVAL <name> = <arith | DATE_TRUNC(1 <unit>, <attr>)>
         arith := +|-|*|/|% over sidecar attrs, EVAL'd names, numeric
-                 literals, and parentheses (no function calls)
-    | STATS <agg>[, <agg>]... [BY <attr>[, <attr>]...]
+                 literals, and parentheses (no other function calls);
+        DATE_TRUNC (before STATS only) buckets a timestamp attr to
+        minute/hour/day/week/month/quarter/year — `STATS ... BY hour`
+        is the ES|QL histogram shape
+    | STATS [<name> =] <agg>[, ...] [BY <attr>[, <attr>]...]
         agg  := COUNT(*) | AVG(f) | SUM(f) | MIN(f) | MAX(f)
-        (no BY = one global row; f may be an EVAL'd name)
-    | SORT <_score | attr> [ASC | DESC]
+        (no BY = one global row; f may be an EVAL'd name; the optional
+        alias names the output column — referenced by later pipes)
+    | WHERE <name> (==|>=|>|<=|<) <value>  [AND ...]   -- after STATS:
+        HAVING over the aggregated frame (names = aliases / BY cols)
+    | SORT <_score | attr | stats name> [ASC | DESC]
     | LIMIT <n>
     | KEEP <col>[, <col>]...
 
@@ -48,7 +54,14 @@ _COND = re.compile(
 _RANGE_KEY = {">=": "gte", ">": "gt", "<=": "lte", "<": "lt"}
 
 _AGG = re.compile(
-    r"""(?P<fn>COUNT|AVG|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)""",
+    r"""(?:(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*)?
+    (?P<fn>COUNT|AVG|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+_HAVING = re.compile(
+    r"""(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*(?P<op>==|>=|<=|>|<)\s*
+    (?P<val>"[^"]*"|-?\d+(?:\.\d+)?)""",
     re.IGNORECASE | re.VERBOSE,
 )
 
@@ -67,13 +80,18 @@ def parse_esql(stmt: str) -> dict:
     plan: dict = {
         "index": m.group(1), "terms": [], "mode": "or", "required": None,
         "filters": None, "stats": None, "by": None, "sort": None,
-        "limit": 10, "keep": None, "eval": [],
+        "limit": 10, "keep": None, "eval": [], "having": [],
     }
     for p in pipes[1:]:
         head = p.split(None, 1)[0].upper() if p else ""
         body = p[len(head):].strip()
         if head == "WHERE":
-            _parse_where(body, plan)
+            if plan["stats"] is not None:
+                # pipe order is semantics: WHERE after STATS filters the
+                # aggregated frame (the SQL HAVING shape)
+                _parse_having(body, plan)
+            else:
+                _parse_where(body, plan)
         elif head == "EVAL":
             if plan["stats"] is not None:
                 raise ValueError("EVAL must come before STATS")
@@ -94,7 +112,7 @@ def parse_esql(stmt: str) -> dict:
                 fn, arg = am.group("fn").lower(), am.group("arg")
                 if (arg == "*") != (fn == "count"):
                     raise ValueError(f"{fn.upper()}({arg}) unsupported")
-                aggs.append((fn, arg))
+                aggs.append((fn, arg, am.group("alias")))
             by = sm.group("by")
             plan["stats"] = aggs
             plan["by"] = ([c.strip() for c in by.split(",")]
@@ -131,11 +149,35 @@ _EVAL = re.compile(
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
+_DT = re.compile(
+    r"""DATE_TRUNC\(\s*1\s+
+    (?P<unit>minute|hour|day|week|month|quarter|year)s?\s*,\s*
+    (?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*\)""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
 def _parse_eval(body: str, plan: dict) -> tuple[str, str, list[str]]:
     """``EVAL name = arith`` -> (name, validated_expr, referenced_idents).
     The charset excludes quotes/commas/semicolons and function calls are
     rejected, so the expression can only be arithmetic over columns and
-    numeric literals — safe to hand to ``F.expr``."""
+    numeric literals — safe to hand to ``F.expr``. One whitelisted
+    function: ``DATE_TRUNC(1 <unit>, <col>)`` (the ES|QL time-bucketing
+    shape) translates to Spark's calendar-aware ``date_trunc`` — unit
+    and column are regex-validated, nothing user-controlled reaches the
+    expression string."""
+    g = re.fullmatch(
+        r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*(?P<rhs>.+)",
+        body.strip(), re.DOTALL,
+    )
+    if g:
+        dm = _DT.fullmatch(g.group("rhs").strip())
+        if dm:
+            name = g.group("name")
+            if name in {n for n, _e, _r in plan["eval"]}:
+                raise ValueError(f"duplicate EVAL name: {name}")
+            unit, col = dm.group("unit").lower(), dm.group("col")
+            return name, f"date_trunc('{unit}', cast({col} as timestamp))", [col]
     m = _EVAL.fullmatch(body.strip())
     if not m:
         raise ValueError(f"unsupported EVAL clause: {body!r}")
@@ -151,6 +193,24 @@ def _parse_eval(body: str, plan: dict) -> tuple[str, str, list[str]]:
         raise ValueError(f"duplicate EVAL name: {name}")
     idents = [t for t in _IDENT.findall(expr)]
     return name, expr, idents
+
+
+def _parse_having(body: str, plan: dict) -> None:
+    """WHERE after STATS: comparison predicates over the aggregated
+    frame's columns (aliases / BY cols) — the SQL HAVING shape. AND-
+    composed like the pre-STATS WHERE."""
+    for part in re.split(r"\s+AND\s+", body, flags=re.IGNORECASE):
+        m = _HAVING.fullmatch(part.strip())
+        if not m:
+            raise ValueError(
+                f"unsupported post-STATS WHERE condition: {part.strip()!r}"
+            )
+        raw = m.group("val")
+        if raw.startswith('"'):
+            val = raw.strip('"')
+        else:
+            val = float(raw) if "." in raw else int(raw)
+        plan["having"].append((m.group("col"), m.group("op"), val))
 
 
 def _parse_where(body: str, plan: dict) -> None:
@@ -252,6 +312,22 @@ def _hits_response(pairs, keep) -> dict:
     return {"columns": cols, "values": vals}
 
 
+import operator as _op
+
+_CMP = {"==": _op.eq, ">=": _op.ge, ">": _op.gt, "<=": _op.le, "<": _op.lt}
+
+
+def _having_row(row: dict, having: list) -> bool:
+    """Apply post-STATS WHERE conditions to one driver-side row (the
+    global-STATS empty-relation shortcut). Null never satisfies a
+    comparison, matching Spark's filter semantics."""
+    for c, op, v in having:
+        x = row.get(c)
+        if x is None or not _CMP[op](x, v):
+            return False
+    return True
+
+
 #: Spark dtype -> ES|QL wire type label
 _ES_TYPE = {"bigint": "long", "long": "long", "int": "integer",
             "double": "double", "float": "double", "string": "keyword",
@@ -282,8 +358,10 @@ def _run_stats(reader, plan: dict) -> dict:
         attrs = attrs.withColumn(name, F.expr(expr))
         known.add(name)
     names, exprs = list(by_cols), []
-    for fn, arg in plan["stats"]:
-        name = f"{fn}({arg})"
+    for fn, arg, alias in plan["stats"]:
+        name = alias or f"{fn}({arg})"
+        if name in names:
+            raise ValueError(f"duplicate STATS output column: {name}")
         names.append(name)
         if arg != "*" and arg not in known:
             raise ValueError(f"aggregate over unknown column: {arg}")
@@ -294,6 +372,12 @@ def _run_stats(reader, plan: dict) -> dict:
     missing_by = [c for c in by_cols if c not in known]
     if missing_by:
         raise ValueError(f"BY references unknown columns: {missing_by}")
+    bad_having = [c for c, _op, _v in plan["having"] if c not in names]
+    if bad_having:
+        raise ValueError(
+            f"post-STATS WHERE references columns not in the STATS "
+            f"output: {bad_having}"
+        )
     if matched is None:
         # empty matched set: a grouped STATS has zero buckets; a global
         # STATS still answers one row (COUNT 0, other aggs null) — the
@@ -303,17 +387,21 @@ def _run_stats(reader, plan: dict) -> dict:
                                              "keyword")}
             for c in by_cols
         ] + [
-            {"name": f"{fn}({arg})",
+            {"name": alias or f"{fn}({arg})",
              "type": "long" if fn == "count" else "double"}
-            for fn, arg in plan["stats"]
+            for fn, arg, alias in plan["stats"]
         ]
         if by_cols:
             return {"columns": empty_types, "values": []}
-        row = [0 if fn == "count" else None for fn, _a in plan["stats"]]
+        row = [0 if fn == "count" else None for fn, _a, _al in plan["stats"]]
+        if not _having_row(dict(zip(names, row)), plan["having"]):
+            return {"columns": empty_types, "values": []}
         return {"columns": empty_types, "values": [row]}
     joined = matched.join(attrs, ["bucket", "doc_id"])
     grouped = (joined.groupBy(*by_cols).agg(*exprs)
                if by_cols else joined.agg(*exprs))
+    for c, op, v in plan["having"]:
+        grouped = grouped.filter(_CMP[op](F.col(c), F.lit(v)))
     types = [{"name": n, "type": _ES_TYPE.get(t, t)}
              for n, t in grouped.dtypes]
     if plan["sort"]:

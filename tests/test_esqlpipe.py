@@ -115,7 +115,7 @@ def test_parse_shapes():
     )
     assert p["index"] == "documents" and p["terms"] == ["a", "b"]
     assert p["filters"] == {"lang": "en"}
-    assert p["stats"] == [("count", "*")] and p["by"] == ["lang"]
+    assert p["stats"] == [("count", "*", None)] and p["by"] == ["lang"]
     assert p["sort"] == ("lang", "ASC") and p["limit"] == 7
 
 
@@ -249,3 +249,86 @@ def test_eval_refusals(rdr):
         parse_esql('FROM code | WHERE MATCH(content, "x")'
                    " | EVAL y = 1 + 1 | EVAL y = 2 + 2"
                    " | STATS AVG(y) BY lang")
+
+
+# -------------------------------------------------- post-STATS pipes (r5) --
+
+
+def test_stats_alias_and_having(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS n = COUNT(*), avg_chars = AVG(n_chars) BY lang'
+        ' | WHERE n >= 3 | SORT n DESC | LIMIT 100',
+    )
+    assert [c["name"] for c in got["columns"]] == ["lang", "n", "avg_chars"]
+    counts = dict(rdr.facet_counts(["hash", "merge"], "lang"))
+    want = {lg: c for lg, c in counts.items() if c >= 3}
+    assert {v[0]: v[1] for v in got["values"]} == want
+    # DESC order on the alias
+    ns = [v[1] for v in got["values"]]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_having_unknown_column_raises(rdr):
+    with pytest.raises(ValueError, match="not in the STATS output"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge")'
+            ' | STATS n = COUNT(*) BY lang | WHERE zz >= 3',
+        )
+
+
+def test_having_on_global_stats_empty_match(rdr):
+    # COUNT-0 global row is dropped by a failing HAVING, kept by a
+    # passing one — evaluated with the same null-never-matches rule
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "zzzznope")'
+        ' | STATS n = COUNT(*) | WHERE n >= 1',
+    )
+    assert got["values"] == []
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "zzzznope")'
+        ' | STATS n = COUNT(*) | WHERE n <= 5',
+    )
+    assert got["values"] == [[0]]
+
+
+def test_eval_date_trunc_buckets(spark, rdr, tmp_path_factory):
+    from datetime import datetime
+
+    from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+    from s3logsbeat_spark.operators.wand import IndexReader
+
+    rows = [
+        (0, "alpha", datetime(2024, 3, 1, 1, 0)),
+        (1, "alpha", datetime(2024, 3, 1, 2, 30)),
+        (2, "alpha", datetime(2024, 3, 2, 1, 15)),
+        (3, "beta", datetime(2024, 3, 2, 9, 0)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, content string, ts timestamp")
+    out = str(tmp_path_factory.mktemp("esqldt"))
+    build_index(df, IndexConfig(out_dir=out, n_buckets=2,
+                                hot_df_threshold=10, attr_cols=("ts",)),
+                lang_col=None)
+    r = IndexReader(spark, out)
+    got = execute_esql(
+        r,
+        'FROM t | WHERE MATCH(content, "alpha")'
+        ' | EVAL day = DATE_TRUNC(1 day, ts)'
+        ' | STATS n = COUNT(*) BY day | SORT day ASC | LIMIT 10',
+    )
+    assert [(v[0], v[1]) for v in got["values"]] == [
+        (datetime(2024, 3, 1), 2), (datetime(2024, 3, 2), 1)]
+    # only n=1 intervals and known units parse
+    with pytest.raises(ValueError, match="EVAL"):
+        execute_esql(r, 'FROM t | WHERE MATCH(content, "alpha")'
+                        ' | EVAL d = DATE_TRUNC(2 day, ts)'
+                        ' | STATS n = COUNT(*) BY d')
+    with pytest.raises(ValueError, match="EVAL"):
+        execute_esql(r, 'FROM t | WHERE MATCH(content, "alpha")'
+                        ' | EVAL d = DATE_TRUNC(1 fortnight, ts)'
+                        ' | STATS n = COUNT(*) BY d')
