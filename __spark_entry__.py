@@ -267,6 +267,21 @@ def _driver_index(spark: SparkSession, sf_dir: str):
     return IndexReader(spark, out)
 
 
+def _events_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as index docs: one row per event, content is the
+    structured log line "<event_type> k<props.k>" (also the _source
+    frame handed to DISSECT/GROK via docs=)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.col("event_type"),
+            F.concat(F.lit("k"), F.get_json_object("props", "$.k")),
+        ).alias("content"),
+        "ts", "value", "user_id", "event_type",
+    )
+
+
 def _events_index(spark: SparkSession, sf_dir: str):
     """Build (or resume) a LOG index over the events table — the
     reference's own deployment shape (s3logsbeat ships log events into
@@ -282,15 +297,7 @@ def _events_index(spark: SparkSession, sf_dir: str):
     from s3logsbeat_spark.operators.segments import IndexConfig, build_index
     from s3logsbeat_spark.operators.wand import IndexReader
 
-    ev = _read(spark, sf_dir, "events")
-    docs = ev.select(
-        F.col("event_id").alias("doc_id"),
-        F.concat_ws(
-            " ", F.col("event_type"),
-            F.concat(F.lit("k"), F.get_json_object("props", "$.k")),
-        ).alias("content"),
-        "ts", "value", "user_id", "event_type",
-    )
+    docs = _events_docs(spark, sf_dir)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
     out = f"{tempfile.gettempdir()}/s3lb_evindex_v1_{tag}"
     cfg = IndexConfig(
@@ -481,6 +488,51 @@ def q_esql_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(r[0], int(r[1])) for r in resp["values"]],
         "day timestamp, n long",
+    )
+
+
+def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL DISSECT: delimiter-pattern field extraction from the
+    _source line ("<etype> k<kv>"), then STATS BY the extracted field.
+    The content column is read for matched docs only (matched ⨝ docs,
+    pruned to content); extraction is one JVM-side regexp per pattern —
+    no Python in the hot path."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        'FROM events | WHERE MATCH(content, "error")'
+        ' | DISSECT content "%{etype} k%{kv}"'
+        " | STATS n = COUNT(*) BY kv | SORT kv ASC | LIMIT 1000",
+        docs=_events_docs(spark, sf_dir),
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1])) for r in resp["values"]], "kv string, n long"
+    )
+
+
+def q_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL GROK: library-pattern extraction with typed fields
+    (%{INT:kv:int} casts to long so AVG/MAX aggregate numerically) —
+    the parse-then-aggregate pipe every log exploration session runs.
+    Same distributed shape as DISSECT: matched ⨝ docs, codegen regexp,
+    bounded groupBy."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        'FROM events | WHERE MATCH(content, "purchase")'
+        ' | GROK content "%{WORD:etype} k%{INT:kv:int}"'
+        " | STATS n = COUNT(*), avg_k = AVG(kv), max_k = MAX(kv)"
+        " BY etype | LIMIT 10",
+        docs=_events_docs(spark, sf_dir),
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), round(float(r[2]), 6), int(r[3]))
+         for r in resp["values"]],
+        "etype string, n long, avg_k double, max_k long",
     )
 
 
@@ -3925,6 +3977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_where_range": q_esql_where_range,
         "esql_having": q_esql_having,
         "esql_time_bucket": q_esql_time_bucket,
+        "esql_dissect": q_esql_dissect,
+        "esql_grok": q_esql_grok,
         "esql_stats": q_esql_stats,
         "esql_stats_global": q_esql_stats_global,
         "esql_eval_stats": q_esql_eval_stats,
@@ -7197,6 +7251,18 @@ SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
        count(*)::BIGINT AS n
 FROM events WHERE event_type = 'error'
 GROUP BY 1 ORDER BY 1
+""",
+        "esql_dissect": """
+SELECT props->>'$.k' AS kv, count(*)::BIGINT AS n
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY 1
+""",
+        "esql_grok": """
+SELECT event_type AS etype, count(*)::BIGINT AS n,
+       round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+       max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
 """,
         "esql_stats": f"""
 SELECT lang, count(*)::BIGINT AS doc_count,

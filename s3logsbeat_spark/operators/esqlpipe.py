@@ -18,10 +18,24 @@ Grammar (the useful fulltext+analytics core, one statement):
         DATE_TRUNC (before STATS only) buckets a timestamp attr to
         minute/hour/day/week/month/quarter/year — `STATS ... BY hour`
         is the ES|QL histogram shape
+    | DISSECT <col> "<pattern>"                   -- before STATS only
+        pattern := literal delimiters around %{name} fields (%{} skips);
+        full-string match, non-matching rows yield null fields; outputs
+        are keyword columns usable in BY / COUNT / MIN / MAX. <col> is a
+        sidecar string attr or ``content`` (the _source text — pass
+        ``docs=`` to execute_esql, the significant_text convention).
+        Append/named-skip/pad modifiers (%{+x} %{?x} %{x->}) raise.
+    | GROK <col> "<pattern>"                      -- before STATS only
+        pattern := regex with %{PATTERN:field[:int|:float]} refs from a
+        built-in library (WORD NUMBER INT IP DATA GREEDYDATA NOTSPACE
+        TIMESTAMP_ISO8601 LOGLEVEL); unanchored like ES, typed fields
+        cast to long/double; literal regex between refs is kept but its
+        capture groups are rewritten non-capturing (no backreferences)
     | STATS [<name> =] <agg>[, ...] [BY <attr>[, <attr>]...]
         agg  := COUNT(*) | AVG(f) | SUM(f) | MIN(f) | MAX(f)
-        (no BY = one global row; f may be an EVAL'd name; the optional
-        alias names the output column — referenced by later pipes)
+        (no BY = one global row; f may be an EVAL'd or DISSECT/GROK'd
+        name; the optional alias names the output column — referenced
+        by later pipes)
     | WHERE <name> (==|>=|>|<=|<) <value>  [AND ...]   -- after STATS:
         HAVING over the aggregated frame (names = aliases / BY cols)
     | SORT <_score | attr | stats name> [ASC | DESC]
@@ -69,10 +83,28 @@ _AGG_FN = {"count": F.count, "avg": F.avg, "sum": F.sum,
            "min": F.min, "max": F.max}
 
 
+def _split_pipes(stmt: str) -> list[str]:
+    """Split on ``|`` outside double quotes — a ``|`` inside a quoted
+    string (grok alternation, a searched phrase) is content, not a pipe
+    separator."""
+    parts, buf, inq = [], [], False
+    for c in stmt:
+        if c == '"':
+            inq = not inq
+            buf.append(c)
+        elif c == "|" and not inq:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+    parts.append("".join(buf).strip())
+    return parts
+
+
 def parse_esql(stmt: str) -> dict:
     """Parse one ES|QL statement into a plan dict; raise ValueError on
     anything outside the grammar."""
-    pipes = [p.strip() for p in stmt.strip().rstrip(";").split("|")]
+    pipes = _split_pipes(stmt.strip().rstrip(";"))
     m = re.fullmatch(r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)", pipes[0],
                      re.IGNORECASE)
     if not m:
@@ -81,6 +113,7 @@ def parse_esql(stmt: str) -> dict:
         "index": m.group(1), "terms": [], "mode": "or", "required": None,
         "filters": None, "stats": None, "by": None, "sort": None,
         "limit": 10, "keep": None, "eval": [], "having": [],
+        "extract": [],
     }
     for p in pipes[1:]:
         head = p.split(None, 1)[0].upper() if p else ""
@@ -96,6 +129,10 @@ def parse_esql(stmt: str) -> dict:
             if plan["stats"] is not None:
                 raise ValueError("EVAL must come before STATS")
             plan["eval"].append(_parse_eval(body, plan))
+        elif head in ("DISSECT", "GROK"):
+            if plan["stats"] is not None:
+                raise ValueError(f"{head} must come before STATS")
+            plan["extract"].append(_parse_extract(head, body, plan))
         elif head == "STATS":
             sm = re.fullmatch(
                 r"(?P<aggs>.+?)"
@@ -138,6 +175,11 @@ def parse_esql(stmt: str) -> dict:
     if plan["eval"] and plan["stats"] is None:
         raise ValueError(
             "EVAL is supported before STATS only (hits carry no "
+            "computed columns)"
+        )
+    if plan["extract"] and plan["stats"] is None:
+        raise ValueError(
+            "DISSECT/GROK are supported with STATS only (hits carry no "
             "computed columns)"
         )
     return plan
@@ -193,6 +235,148 @@ def _parse_eval(body: str, plan: dict) -> tuple[str, str, list[str]]:
         raise ValueError(f"duplicate EVAL name: {name}")
     idents = [t for t in _IDENT.findall(expr)]
     return name, expr, idents
+
+
+#: grok pattern library — the subset every shipped ES grok config leans
+#: on (reference parity surface: the same names Logstash/Filebeat docs
+#: use; regexes re-derived, not copied)
+_GROK_LIB = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "NUMBER": r"-?\d+(?:\.\d+)?",
+    "INT": r"-?\d+",
+    "IP": r"\d{1,3}(?:\.\d{1,3}){3}",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN(?:ING)?|ERROR|FATAL)",
+}
+#: grok type suffix -> Spark cast target
+_GROK_CAST = {"int": "long", "float": "double"}
+
+_DISSECT_KEY = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_GROK_REF = re.compile(
+    r"%\{(?P<pat>[A-Z][A-Z0-9_]*)"
+    r"(?::(?P<field>[A-Za-z_][A-Za-z0-9_]*))?"
+    r"(?::(?P<typ>int|float))?\}"
+)
+
+
+def _noncapture(lit: str) -> str:
+    """Rewrite a user-supplied literal regex fragment so any capture
+    group becomes non-capturing — our extraction indexes groups by
+    position, so user groups must not shift them. Escapes are kept;
+    backreferences are therefore unsupported (they'd have nothing to
+    refer to)."""
+    out, i = [], 0
+    while i < len(lit):
+        c = lit[i]
+        if c == "\\" and i + 1 < len(lit):
+            out.append(lit[i:i + 2])
+            i += 2
+            continue
+        if c == "(" and not lit.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _compile_dissect(pattern: str) -> tuple[str, list]:
+    """Dissect pattern -> (anchored Java regex, [(field, group, cast)]).
+    ``%{name}`` fields are non-greedy captures between re.escape'd
+    literal delimiters (the last field is greedy, dissect's
+    consume-to-end rule); ``%{}`` skips. Append/named-skip/pad
+    modifiers raise — refuse over mis-parse."""
+    parts = re.split(r"(%\{[^}]*\})", pattern)
+    refs = [p for p in parts if p.startswith("%{") and p.endswith("}")]
+    if not refs:
+        raise ValueError(f"dissect pattern has no %{{field}}s: {pattern!r}")
+    regex, fields, seen = ["^"], [], set()
+    gi = nref = 0
+    for p in parts:
+        if p.startswith("%{") and p.endswith("}"):
+            key = p[2:-1]
+            if key and not _DISSECT_KEY.fullmatch(key):
+                raise ValueError(
+                    f"unsupported dissect key modifier: {p!r} (append/"
+                    f"named-skip/pad modifiers are not supported)"
+                )
+            nref += 1
+            gi += 1
+            regex.append("(.*)" if nref == len(refs) else "(.*?)")
+            if key:
+                if key in seen:
+                    raise ValueError(f"duplicate dissect field: {key}")
+                seen.add(key)
+                fields.append((key, gi, None))
+        elif p:
+            regex.append(re.escape(p))
+    if not fields:
+        raise ValueError(
+            f"dissect pattern extracts no named fields: {pattern!r}"
+        )
+    regex.append("$")
+    return "".join(regex), fields
+
+
+def _compile_grok(pattern: str) -> tuple[str, list]:
+    """Grok pattern -> (unanchored Java regex, [(field, group, cast)]).
+    ``%{PATTERN:field[:type]}`` refs come from _GROK_LIB; surrounding
+    literal text is regex (ES semantics) with capture groups rewritten
+    non-capturing so extraction group indexes stay stable."""
+    out, fields, seen = [], [], set()
+    gi = pos = 0
+    for m in _GROK_REF.finditer(pattern):
+        out.append(_noncapture(pattern[pos:m.start()]))
+        pos = m.end()
+        pat, field, typ = m.group("pat"), m.group("field"), m.group("typ")
+        body = _GROK_LIB.get(pat)
+        if body is None:
+            raise ValueError(
+                f"unknown grok pattern %{{{pat}}} (supported: "
+                f"{' '.join(sorted(_GROK_LIB))})"
+            )
+        if field:
+            if field in seen:
+                raise ValueError(f"duplicate grok field: {field}")
+            seen.add(field)
+            gi += 1
+            out.append(f"({body})")
+            fields.append((field, gi, _GROK_CAST.get(typ)))
+        else:
+            out.append(f"(?:{body})")
+    out.append(_noncapture(pattern[pos:]))
+    full = "".join(out)
+    if "%{" in full:
+        raise ValueError(f"malformed grok reference in: {pattern!r}")
+    if not fields:
+        raise ValueError(f"grok pattern extracts no named fields: {pattern!r}")
+    return full, fields
+
+
+_EXTRACT = re.compile(
+    r'(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s+"(?P<pattern>[^"]+)"'
+)
+
+
+def _parse_extract(head: str, body: str, plan: dict) -> tuple:
+    """``DISSECT/GROK <col> "<pattern>"`` -> (col, regex, fields,
+    anchored). Field names are checked for clashes across all prior
+    extract pipes here; clashes with index columns are checked at run
+    time (the parser has no schema)."""
+    m = _EXTRACT.fullmatch(body.strip())
+    if not m:
+        raise ValueError(f"unsupported {head} clause: {body!r}")
+    compiled = (_compile_dissect if head == "DISSECT" else _compile_grok)
+    regex, fields = compiled(m.group("pattern"))
+    prior = {f for _c, _r, fs, _a in plan["extract"] for f, _g, _t in fs}
+    clash = [f for f, _g, _t in fields if f in prior]
+    if clash:
+        raise ValueError(f"duplicate extracted field names: {clash}")
+    return m.group("col"), regex, fields, head == "DISSECT"
 
 
 def _parse_having(body: str, plan: dict) -> None:
@@ -264,13 +448,16 @@ def _parse_where(body: str, plan: dict) -> None:
             plan["filters"][col] = val
 
 
-def execute_esql(reader, stmt: str) -> dict:
+def execute_esql(reader, stmt: str, docs=None) -> dict:
     """Run one ES|QL statement; returns the ES|QL response shape
-    ``{"columns": [{"name", "type"}], "values": [[...]]}``."""
+    ``{"columns": [{"name", "type"}], "values": [[...]]}``. ``docs`` is
+    the _source DataFrame (doc_id + text columns) — required only when a
+    DISSECT/GROK pipe reads ``content``, the same convention the DSL
+    uses for significant_text."""
     plan = parse_esql(stmt)
     k = plan["limit"]
     if plan["stats"] is not None:
-        return _run_stats(reader, plan)
+        return _run_stats(reader, plan, docs)
     # hits path
     if plan["required"] and plan["terms"]:
         if plan["sort"] and plan["sort"][0] != "_score":
@@ -334,7 +521,7 @@ _ES_TYPE = {"bigint": "long", "long": "long", "int": "integer",
             "boolean": "boolean"}
 
 
-def _run_stats(reader, plan: dict) -> dict:
+def _run_stats(reader, plan: dict, docs=None) -> dict:
     from .segments import load_doc_attrs
 
     # the matched set enforces MATCH_ALL (must); a MATCH beside it is
@@ -357,6 +544,31 @@ def _run_stats(reader, plan: dict) -> dict:
             raise ValueError(f"EVAL references unknown columns: {unknown}")
         attrs = attrs.withColumn(name, F.expr(expr))
         known.add(name)
+    # DISSECT/GROK columns: validated here (the parser has no schema),
+    # applied below — on the sidecar for attr sources, after the
+    # matched⨝docs join for ``content`` (the _source text is read for
+    # matched docs only, pruned to the referenced column)
+    extract_types: dict[str, str] = {}
+    needs_content = False
+    for src, _regex, fields, _anch in plan["extract"]:
+        if src == "content":
+            if docs is None:
+                raise ValueError(
+                    "DISSECT/GROK over content requires docs= (the "
+                    "_source DataFrame)"
+                )
+            needs_content = True
+        elif src not in known:
+            raise ValueError(
+                f"DISSECT/GROK source column unknown: {src}"
+            )
+        for fname, _gi, cast in fields:
+            if fname in known:
+                raise ValueError(
+                    f"extracted field shadows an existing column: {fname}"
+                )
+            known.add(fname)
+            extract_types[fname] = cast or "string"
     names, exprs = list(by_cols), []
     for fn, arg, alias in plan["stats"]:
         name = alias or f"{fn}({arg})"
@@ -382,9 +594,9 @@ def _run_stats(reader, plan: dict) -> dict:
         # empty matched set: a grouped STATS has zero buckets; a global
         # STATS still answers one row (COUNT 0, other aggs null) — the
         # SQL aggregate-over-empty-relation shape
+        col_types = dict(attrs.dtypes) | extract_types
         empty_types = [
-            {"name": c, "type": _ES_TYPE.get(dict(attrs.dtypes)[c],
-                                             "keyword")}
+            {"name": c, "type": _ES_TYPE.get(col_types[c], "keyword")}
             for c in by_cols
         ] + [
             {"name": alias or f"{fn}({arg})",
@@ -398,6 +610,18 @@ def _run_stats(reader, plan: dict) -> dict:
             return {"columns": empty_types, "values": []}
         return {"columns": empty_types, "values": [row]}
     joined = matched.join(attrs, ["bucket", "doc_id"])
+    if needs_content:
+        joined = joined.join(docs.select("doc_id", "content"), "doc_id")
+    for src, regex, fields, anchored in plan["extract"]:
+        srccol = F.col(src).cast("string")
+        # one guard per pattern: non-matching rows yield null fields
+        # (regexp_extract alone would yield ""), ES null-on-no-match
+        hit = srccol.rlike(regex)
+        for fname, gi, cast in fields:
+            c = F.when(hit, F.regexp_extract(srccol, regex, gi))
+            if cast:
+                c = c.cast(cast)
+            joined = joined.withColumn(fname, c)
     grouped = (joined.groupBy(*by_cols).agg(*exprs)
                if by_cols else joined.agg(*exprs))
     for c, op, v in plan["having"]:

@@ -332,3 +332,157 @@ def test_eval_date_trunc_buckets(spark, rdr, tmp_path_factory):
         execute_esql(r, 'FROM t | WHERE MATCH(content, "alpha")'
                         ' | EVAL d = DATE_TRUNC(1 fortnight, ts)'
                         ' | STATS n = COUNT(*) BY d')
+
+
+@pytest.fixture(scope="module")
+def logidx(spark, tmp_path_factory):
+    """Structured-log index: content is a fixed-shape message line (the
+    DISSECT/GROK target), sidecar carries one string attr."""
+    levels = ["INFO", "WARN", "ERROR"]
+    rows = [
+        (i, f"{levels[i % 3]} 10.0.0.{i % 5} request k{i % 7}"
+            f" took {i * 3} ms", levels[i % 3])
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, content string, level string")
+    out = str(tmp_path_factory.mktemp("esql_logidx"))
+    build_index(docs, IndexConfig(out_dir=out, n_buckets=4,
+                                  hot_df_threshold=10,
+                                  attr_cols=("level",)), lang_col=None)
+    return IndexReader(spark, out), docs
+
+
+def test_dissect_content_by_field(logidx):
+    r, docs = logidx
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | DISSECT content "%{lvl} %{ip} request k%{kv} took %{ms} ms"'
+        ' | STATS n = COUNT(*) BY lvl | SORT lvl ASC | LIMIT 10',
+        docs=docs,
+    )
+    assert [tuple(v) for v in got["values"]] == [
+        ("ERROR", 20), ("INFO", 20), ("WARN", 20)]
+    assert got["columns"][0]["type"] == "keyword"
+
+
+def test_dissect_skip_and_last_greedy(logidx):
+    r, docs = logidx
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | DISSECT content "%{} %{ip} request %{rest}"'
+        ' | STATS n = COUNT(*) BY ip | SORT ip ASC | LIMIT 10',
+        docs=docs,
+    )
+    assert [tuple(v) for v in got["values"]] == [
+        (f"10.0.0.{i}", 12) for i in range(5)]
+
+
+def test_dissect_nonmatching_rows_null(logidx):
+    r, docs = logidx
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | DISSECT content "ERROR %{rest}"'
+        ' | STATS n = COUNT(*) BY rest | SORT n DESC | LIMIT 2',
+        docs=docs,
+    )
+    # 40 non-ERROR rows -> null field (one null bucket); 20 ERROR rows
+    # split across distinct tails
+    assert got["values"][0][0] is None and got["values"][0][1] == 40
+
+
+def test_grok_typed_fields(logidx):
+    r, docs = logidx
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | GROK content "%{LOGLEVEL:lvl} %{IP:ip} request'
+        ' k%{INT:kv:int} took %{INT:ms:int} ms"'
+        ' | STATS s = SUM(ms), a = AVG(kv) BY lvl | SORT lvl ASC'
+        ' | LIMIT 10',
+        docs=docs,
+    )
+    import statistics
+    want = []
+    for lvl, base in [("ERROR", 2), ("INFO", 0), ("WARN", 1)]:
+        ids = [i for i in range(60) if i % 3 == base]
+        want.append((lvl, sum(i * 3 for i in ids),
+                     statistics.mean(i % 7 for i in ids)))
+    assert [(v[0], v[1], round(v[2], 9)) for v in got["values"]] == [
+        (l, s, round(a, 9)) for l, s, a in want]
+    types = {c["name"]: c["type"] for c in got["columns"]}
+    assert types["s"] == "long" and types["a"] == "double"
+
+
+def test_grok_unanchored_substring(logidx):
+    r, docs = logidx
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | GROK content "%{IP:ip}"'
+        ' | STATS n = COUNT(*) BY ip | SORT ip ASC | LIMIT 10',
+        docs=docs,
+    )
+    assert [tuple(v) for v in got["values"]] == [
+        (f"10.0.0.{i}", 12) for i in range(5)]
+
+
+def test_grok_sidecar_attr_no_docs_needed(logidx):
+    r, _docs = logidx
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | GROK level "%{WORD:lv}"'
+        ' | STATS n = COUNT(*) BY lv | SORT lv ASC | LIMIT 10',
+    )
+    assert [tuple(v) for v in got["values"]] == [
+        ("ERROR", 20), ("INFO", 20), ("WARN", 20)]
+
+
+def test_extract_refusals(logidx):
+    r, docs = logidx
+    pre = 'FROM logs | WHERE MATCH(content, "request") | '
+    post = ' | STATS n = COUNT(*) BY lvl'
+    with pytest.raises(ValueError, match="STATS only"):
+        execute_esql(r, pre + 'DISSECT content "%{lvl} %{rest}"',
+                     docs=docs)
+    with pytest.raises(ValueError, match="modifier"):
+        execute_esql(r, pre + 'DISSECT content "%{+lvl} %{rest}"' + post,
+                     docs=docs)
+    with pytest.raises(ValueError, match="unknown grok pattern"):
+        execute_esql(r, pre + 'GROK content "%{NOPE:lvl}"' + post,
+                     docs=docs)
+    with pytest.raises(ValueError, match="docs="):
+        execute_esql(r, pre + 'DISSECT content "%{lvl} %{rest}"' + post)
+    with pytest.raises(ValueError, match="shadows"):
+        execute_esql(
+            r, pre + 'DISSECT content "%{level} %{rest}" | STATS n ='
+            ' COUNT(*) BY level', docs=docs)
+    with pytest.raises(ValueError, match="duplicate"):
+        execute_esql(
+            r, pre + 'DISSECT content "%{a} %{a} %{rest}" | STATS n ='
+            ' COUNT(*) BY a', docs=docs)
+    with pytest.raises(ValueError, match="source column unknown"):
+        execute_esql(
+            r, pre + 'GROK nosuch "%{WORD:w}" | STATS n = COUNT(*) BY w',
+            docs=docs)
+    with pytest.raises(ValueError, match="no named fields|extracts no"):
+        execute_esql(r, pre + 'GROK content "%{IP}"' + post, docs=docs)
+
+
+def test_grok_literal_group_rewritten_noncapturing(logidx):
+    # a user capture group in the literal regex must not shift our
+    # extraction group indexes
+    r, docs = logidx
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | GROK content "(INFO|WARN|ERROR) %{IP:ip} request"'
+        ' | STATS n = COUNT(*) BY ip | SORT ip ASC | LIMIT 10',
+        docs=docs,
+    )
+    assert [tuple(v) for v in got["values"]] == [
+        (f"10.0.0.{i}", 12) for i in range(5)]
