@@ -491,6 +491,32 @@ def q_esql_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_runtime_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``runtime_mappings`` through the _search body: a script-derived
+    field used as the sort key and echoed via docvalue_fields. The
+    expression is a Catalyst projection computed before TakeOrdered —
+    Catalyst prunes the sidecar scan to the expression's inputs, so the
+    runtime sort costs one codegen projection, never a second pass."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match": {"content": " ".join(BM25_TERMS)}},
+        "runtime_mappings": {"eff": {
+            "type": "long",
+            "script": {"source": "n_chars % 97 + doc_id % 3"},
+        }},
+        "sort": [{"eff": "desc"}],
+        "size": BM25_K,
+        "docvalue_fields": ["eff"],
+    })
+    return spark.createDataFrame(
+        [(int(h["_id"]), int(h["fields"]["eff"][0]))
+         for h in resp["hits"]["hits"]],
+        "doc_id long, eff long",
+    )
+
+
 def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL DISSECT: delimiter-pattern field extraction from the
     _source line ("<etype> k<kv>"), then STATS BY the extracted field.
@@ -3972,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
         "search_dsl_filters": q_search_dsl_filters,
         "search_dsl_composite": q_search_dsl_composite,
+        "search_dsl_runtime_sort": q_search_dsl_runtime_sort,
         "search_dsl_range_only": q_search_dsl_range_only,
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
@@ -7192,6 +7219,11 @@ WHERE doc_id IN ({_MATCHING_DOCS})
 GROUP BY lang, source
 ORDER BY lang, src
 LIMIT {COMPOSITE_SIZE}
+""",
+        "search_dsl_runtime_sort": f"""
+SELECT doc_id, (n_chars % 97 + doc_id % 3)::BIGINT AS eff
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+ORDER BY eff DESC, doc_id ASC LIMIT {BM25_K}
 """,
         "search_dsl_date_histogram": """
 WITH m AS (

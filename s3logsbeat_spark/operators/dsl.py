@@ -23,6 +23,9 @@ constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
 ``highlight`` (one field, fragment window around the earliest query-term
 occurrence — content read for the page's k docs only; needs ``docs=``),
+``runtime_mappings`` (Catalyst-expression script fields — usable as the
+sort key, in ``docvalue_fields``, and as the ``field`` of
+stats/value_count aggs; may shadow a stored attribute, ES precedence),
 and ``aggs``
 (terms / stats / histogram / date_histogram (fixed_interval /
 calendar_interval, min_doc_count=0 dense zero-fill, extended_bounds) /
@@ -327,6 +330,58 @@ def _range_page(reader, rng: dict, k: int, boost: float):
     return [(int(d), boost) for d in page_ids], total
 
 
+#: runtime_mappings type labels ES accepts that this engine can emit
+#: (the Catalyst expression's own result type is authoritative; the
+#: declared type is validated for membership only, like ES does)
+_RUNTIME_TYPES = frozenset(
+    {"long", "double", "keyword", "boolean", "date", "ip"}
+)
+
+
+def _parse_runtime_mappings(rm) -> dict[str, str]:
+    """Top-level ``runtime_mappings`` -> {field: catalyst_expr}. Each
+    entry must be ``{"type": <es type>, "script": {"source": <expr>}}``
+    — the script source is a Catalyst expression over sidecar
+    attributes (the same convention as scripted_metric / script aggs:
+    declarative expressions instead of a sandboxed Painless
+    interpreter). Unknown keys, types, or script shapes raise."""
+    if not rm:
+        return {}
+    if not isinstance(rm, dict):
+        raise ValueError("runtime_mappings must be an object")
+    out = {}
+    for fname, spec in rm.items():
+        if not isinstance(spec, dict):
+            raise ValueError(f"runtime_mappings.{fname} must be an object")
+        unknown = set(spec) - {"type", "script"}
+        if unknown:
+            raise ValueError(
+                f"unsupported runtime_mappings.{fname} option(s): "
+                f"{sorted(unknown)}"
+            )
+        if spec.get("type") not in _RUNTIME_TYPES:
+            raise ValueError(
+                f"runtime_mappings.{fname}: unsupported type "
+                f"{spec.get('type')!r}"
+            )
+        script = spec.get("script")
+        if isinstance(script, str):
+            src = script
+        elif isinstance(script, dict) and set(script) <= {"source", "lang"}:
+            src = script.get("source")
+        else:
+            raise ValueError(
+                f"runtime_mappings.{fname}: script must be a source "
+                "string or {'source': ...}"
+            )
+        if not isinstance(src, str) or not src.strip():
+            raise ValueError(
+                f"runtime_mappings.{fname}: missing script source"
+            )
+        out[fname] = src
+    return out
+
+
 def execute_search(reader, body: dict, docs=None) -> dict:
     """Run an ES ``_search`` request body; returns the ES response shape
     ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}]},
@@ -356,6 +411,7 @@ def execute_search(reader, body: dict, docs=None) -> dict:
 
     sort = body.get("sort")
     after = body.get("search_after")
+    runtime = _parse_runtime_mappings(body.get("runtime_mappings"))
 
     def _hits(pairs):
         return [
@@ -571,6 +627,7 @@ def execute_search(reader, body: dict, docs=None) -> dict:
             descending=(order == "desc"),
             after=tuple(after) if after is not None else None,
             mode=agg_mode, doc_filter=doc_filter,
+            runtime=runtime.get(field),
         )
         pairs = [(d, None) for d, _v in ranked]
         frm = 0 if after is not None else frm
@@ -595,9 +652,15 @@ def execute_search(reader, body: dict, docs=None) -> dict:
         from .segments import load_doc_attrs
 
         page_ids = [h["_id"] for h in resp["hits"]["hits"]]
+        base = load_doc_attrs(reader.spark, reader.out_dir)
+        for f in dvf:
+            if f in runtime:
+                # runtime field: computed for the page's ids only (the
+                # filter is below the projection), shadows a stored
+                # attr if names collide (ES precedence)
+                base = base.withColumn(f, F.expr(runtime[f]))
         rows = (
-            load_doc_attrs(reader.spark, reader.out_dir)
-            .filter(F.col("doc_id").isin(page_ids))
+            base.filter(F.col("doc_id").isin(page_ids))
             .select("doc_id", *dvf)
             .collect()
         )
@@ -694,7 +757,8 @@ def execute_search(reader, body: dict, docs=None) -> dict:
                 "refusing beats silently mis-scoped aggregations)"
             )
         resp["aggregations"] = _run_aggs(
-            reader, terms_for_aggs, agg_mode, doc_filter, aggs, docs=docs
+            reader, terms_for_aggs, agg_mode, doc_filter, aggs, docs=docs,
+            runtime=runtime,
         )
     return resp
 
@@ -759,7 +823,8 @@ def _sig_heuristic(name: str, a: dict, allowed_keys: frozenset) -> str:
     return "jlh"
 
 
-def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
+def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
+              runtime=None) -> dict:
     out = {}
     for name, spec in aggs.items():
         sub = spec.get("aggs") or spec.get("aggregations")
@@ -771,6 +836,19 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None) -> dict:
         if sub is not None and kind != "terms":
             raise ValueError(f"agg {name}: sub-aggregations unsupported")
         field = a.get("field")
+        if runtime and field in runtime:
+            # runtime field: resolve to its expression. stats/value_count
+            # already run Catalyst script fields; other agg kinds would
+            # need per-kernel expression threading — refuse, never
+            # silently aggregate a missing stored column.
+            if kind in ("stats", "value_count") and "script" not in a:
+                a = {k: v for k, v in a.items() if k != "field"}
+                a["script"] = runtime[field]
+            else:
+                raise ValueError(
+                    f"agg {name}: runtime field {field!r} is supported "
+                    "by stats/value_count aggregations only"
+                )
         if kind == "terms" and sub is not None:
             # the one supported nesting: terms -> top_hits, the grouped
             # best-docs shape top_hits_by computes in a single pass

@@ -3940,21 +3940,36 @@ class IndexReader:
         after: tuple | None = None,
         mode: str = "or",
         doc_filter: dict | None = None,
+        runtime: str | None = None,
     ) -> list[tuple[int, float]]:
         """ES sort-by-attribute query (+ the ES-recommended scalable
         pagination: ``search_after`` on the (field, doc_id) keyset).
         Matched docs join the sidecar bucket-aligned; the cursor is a
         plain predicate pushed below the global TakeOrderedAndProject,
         so page N+1 costs the same as page 1 at any depth. Returns
-        [(doc_id, field_value)]."""
+        [(doc_id, field_value)].
+
+        ``runtime``: a Catalyst expression over sidecar attributes that
+        DEFINES ``field`` (the ES runtime_mappings sort shape). The
+        expression is computed codegen-side before TakeOrdered; Catalyst
+        prunes the scan to the expression's inputs, so a runtime sort
+        costs one extra projection, never an extra pass. A runtime field
+        may shadow a stored attribute (ES precedence rule)."""
         matched = self._matched_docs_df(terms, mode, doc_filter)
         if matched is None:
             return []
         from .segments import load_doc_attrs
 
-        attrs = load_doc_attrs(self.spark, self.out_dir).select(
-            "bucket", "doc_id", field
-        )
+        if runtime is not None:
+            attrs = (
+                load_doc_attrs(self.spark, self.out_dir)
+                .withColumn(field, F.expr(runtime))
+                .select("bucket", "doc_id", field)
+            )
+        else:
+            attrs = load_doc_attrs(self.spark, self.out_dir).select(
+                "bucket", "doc_id", field
+            )
         j = matched.join(attrs, ["bucket", "doc_id"])
         v = F.col(field)
         if after is not None:

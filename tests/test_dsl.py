@@ -1044,3 +1044,106 @@ def test_composite_refusals(rdr):
         execute_search(rdr, {**base, "aggs": {"c": {"composite": {
             "sources": [{"l": {"terms": {"field": "lang"}}}],
             "after": {"wrong": "x"}}}}})
+
+
+# ---- runtime_mappings ------------------------------------------------
+
+
+_RT = {"eff": {"type": "long",
+               "script": {"source": "n_chars % 97 + doc_id % 3"}}}
+
+
+def test_runtime_mappings_sort(rdr):
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge"}},
+        "runtime_mappings": _RT,
+        "sort": [{"eff": "desc"}], "size": 5,
+    })
+    want = rdr.sort_by_field(
+        ["merge"], "eff", 5, descending=True,
+        runtime="n_chars % 97 + doc_id % 3",
+    )
+    assert [h["_id"] for h in got["hits"]["hits"]] == [d for d, _ in want]
+    # and the runtime ranking really differs from the stored-attr sort
+    stored = rdr.sort_by_field(["merge"], "n_chars", 5, descending=True)
+    assert [d for d, _ in want] != [d for d, _ in stored]
+
+
+def test_runtime_mappings_sort_matches_python(rdr, spark):
+    # independent expected ordering computed driver-side from the sidecar
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    matched = {d for d, _s in rdr.query(["merge"], 10_000)}
+    attrs = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_doc_attrs(spark, rdr.out_dir).collect()
+        if r["doc_id"] in matched
+    }
+    want = sorted(
+        attrs, key=lambda d: (-(attrs[d] % 97 + d % 3), d)
+    )[:5]
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge"}},
+        "runtime_mappings": _RT,
+        "sort": [{"eff": "desc"}], "size": 5,
+    })
+    assert [h["_id"] for h in got["hits"]["hits"]] == want
+
+
+def test_runtime_mappings_docvalue_fields(rdr, spark):
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge"}},
+        "runtime_mappings": _RT,
+        "docvalue_fields": ["eff", "n_chars"], "size": 3,
+    })
+    attrs = {r["doc_id"]: r["n_chars"]
+             for r in load_doc_attrs(spark, rdr.out_dir).collect()}
+    for h in got["hits"]["hits"]:
+        n = attrs[h["_id"]]
+        assert h["fields"]["n_chars"] == [n]
+        assert h["fields"]["eff"] == [n % 97 + h["_id"] % 3]
+
+
+def test_runtime_mappings_stats_agg(rdr):
+    from s3logsbeat_spark.operators.scripted import scripted_stats_agg
+
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge"}},
+        "runtime_mappings": _RT, "size": 0,
+        "aggs": {"e": {"stats": {"field": "eff"}}},
+    })
+    want = scripted_stats_agg(rdr, ["merge"],
+                              "n_chars % 97 + doc_id % 3")
+    assert got["aggregations"]["e"] == want
+
+
+def test_runtime_mappings_shadows_stored_attr(rdr):
+    # ES precedence: a runtime field named like a stored one wins
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge"}},
+        "runtime_mappings": {"n_chars": {
+            "type": "long", "script": {"source": "-n_chars"}}},
+        "sort": [{"n_chars": "desc"}], "size": 5,
+    })
+    asc = rdr.sort_by_field(["merge"], "n_chars", 5, descending=False)
+    assert [h["_id"] for h in got["hits"]["hits"]] == [d for d, _ in asc]
+
+
+def test_runtime_mappings_refusals(rdr):
+    base = {"query": {"match": {"content": "merge"}}, "size": 1}
+    with pytest.raises(ValueError, match="unsupported type"):
+        execute_search(rdr, dict(base, runtime_mappings={
+            "x": {"type": "geo_point", "script": {"source": "n_chars"}}}))
+    with pytest.raises(ValueError, match="option"):
+        execute_search(rdr, dict(base, runtime_mappings={
+            "x": {"type": "long", "script": {"source": "n_chars"},
+                  "on_script_error": "continue"}}))
+    with pytest.raises(ValueError, match="script source"):
+        execute_search(rdr, dict(base, runtime_mappings={
+            "x": {"type": "long", "script": {"source": ""}}}))
+    with pytest.raises(ValueError, match="stats/value_count"):
+        execute_search(rdr, dict(base, runtime_mappings={
+            "x": {"type": "keyword", "script": {"source": "lang"}}},
+            aggs={"t": {"terms": {"field": "x"}}}))
