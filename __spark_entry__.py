@@ -562,6 +562,36 @@ def q_esql_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic enrich policy: language -> family (the lookup table an
+#: ES enrich policy would snapshot from a reference index)
+LANG_FAMILY = [("en", "germanic"), ("de", "germanic"),
+               ("fr", "romance"), ("es", "romance"), ("zh", "sinitic")]
+
+
+def q_esql_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL ENRICH: lookup-join the matched docs against a policy table
+    (lang -> language family), then aggregate by the enriched column.
+    Spark-first shape: the policy side is key-deduplicated and BROADCAST
+    under a LEFT join — the matched set never shuffles for the lookup,
+    which is exactly how an enrich policy must behave at 100 TB."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    policy = spark.createDataFrame(LANG_FAMILY, "lang string, family string")
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        " | ENRICH langmap ON lang WITH family"
+        " | STATS n = COUNT(*), avg_chars = AVG(n_chars) BY family"
+        " | SORT family ASC | LIMIT 100",
+        enrich={"langmap": policy},
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), round(float(r[2]), 6)) for r in resp["values"]],
+        "family string, n long, avg_chars double",
+    )
+
+
 def q_esql_stats_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL STATS without BY: one global aggregate row over the
     fulltext match — the joined sidecar agg with no grouping keys (a
@@ -4006,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_time_bucket": q_esql_time_bucket,
         "esql_dissect": q_esql_dissect,
         "esql_grok": q_esql_grok,
+        "esql_enrich": q_esql_enrich,
         "esql_stats": q_esql_stats,
         "esql_stats_global": q_esql_stats_global,
         "esql_eval_stats": q_esql_eval_stats,
@@ -7295,6 +7326,14 @@ SELECT event_type AS etype, count(*)::BIGINT AS n,
        max(CAST(props->>'$.k' AS BIGINT)) AS max_k
 FROM events WHERE event_type = 'purchase'
 GROUP BY 1
+""",
+        "esql_enrich": f"""
+WITH fam(lang, family) AS (VALUES {", ".join(f"('{l}', '{f}')" for l, f in LANG_FAMILY)})
+SELECT fam.family AS family, count(*)::BIGINT AS n,
+       round(avg(d.n_chars), 6) AS avg_chars
+FROM documents d LEFT JOIN fam ON d.lang = fam.lang
+WHERE d.doc_id IN ({_MATCHING_DOCS})
+GROUP BY 1 ORDER BY 1
 """,
         "esql_stats": f"""
 SELECT lang, count(*)::BIGINT AS doc_count,

@@ -31,6 +31,14 @@ Grammar (the useful fulltext+analytics core, one statement):
         TIMESTAMP_ISO8601 LOGLEVEL); unanchored like ES, typed fields
         cast to long/double; literal regex between refs is kept but its
         capture groups are rewritten non-capturing (no backreferences)
+    | ENRICH <policy> ON <key> [WITH <f1>[, <f2>]...]  -- before STATS
+        lookup join against a policy table (execute_esql's ``enrich=``
+        dict of name -> DataFrame): LEFT join on <key> (a sidecar attr,
+        EVAL'd, or DISSECT/GROK'd column — parse-then-enrich works), the
+        policy side deduplicated on the key and BROADCAST (policy tables
+        are small by construction, ES builds them from an index snapshot
+        — no shuffle of the matched set); WITH defaults to every
+        non-key policy column
     | STATS [<name> =] <agg>[, ...] [BY <attr>[, <attr>]...]
         agg  := COUNT(*) | AVG(f) | SUM(f) | MIN(f) | MAX(f)
         (no BY = one global row; f may be an EVAL'd or DISSECT/GROK'd
@@ -113,7 +121,7 @@ def parse_esql(stmt: str) -> dict:
         "index": m.group(1), "terms": [], "mode": "or", "required": None,
         "filters": None, "stats": None, "by": None, "sort": None,
         "limit": 10, "keep": None, "eval": [], "having": [],
-        "extract": [],
+        "extract": [], "enrich": [],
     }
     for p in pipes[1:]:
         head = p.split(None, 1)[0].upper() if p else ""
@@ -133,6 +141,21 @@ def parse_esql(stmt: str) -> dict:
             if plan["stats"] is not None:
                 raise ValueError(f"{head} must come before STATS")
             plan["extract"].append(_parse_extract(head, body, plan))
+        elif head == "ENRICH":
+            if plan["stats"] is not None:
+                raise ValueError("ENRICH must come before STATS")
+            em = re.fullmatch(
+                r"(?P<policy>[A-Za-z_][A-Za-z0-9_]*)\s+"
+                r"ON\s+(?P<key>[A-Za-z_][A-Za-z0-9_]*)"
+                r"(?:\s+WITH\s+(?P<with>[A-Za-z_][A-Za-z0-9_]*"
+                r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*))?",
+                body, re.IGNORECASE)
+            if not em:
+                raise ValueError(f"unsupported ENRICH clause: {body!r}")
+            withs = ([c.strip() for c in em.group("with").split(",")]
+                     if em.group("with") else None)
+            plan["enrich"].append((em.group("policy"), em.group("key"),
+                                   withs))
         elif head == "STATS":
             sm = re.fullmatch(
                 r"(?P<aggs>.+?)"
@@ -180,6 +203,11 @@ def parse_esql(stmt: str) -> dict:
     if plan["extract"] and plan["stats"] is None:
         raise ValueError(
             "DISSECT/GROK are supported with STATS only (hits carry no "
+            "computed columns)"
+        )
+    if plan["enrich"] and plan["stats"] is None:
+        raise ValueError(
+            "ENRICH is supported with STATS only (hits carry no "
             "computed columns)"
         )
     return plan
@@ -448,16 +476,17 @@ def _parse_where(body: str, plan: dict) -> None:
             plan["filters"][col] = val
 
 
-def execute_esql(reader, stmt: str, docs=None) -> dict:
+def execute_esql(reader, stmt: str, docs=None, enrich=None) -> dict:
     """Run one ES|QL statement; returns the ES|QL response shape
     ``{"columns": [{"name", "type"}], "values": [[...]]}``. ``docs`` is
     the _source DataFrame (doc_id + text columns) — required only when a
     DISSECT/GROK pipe reads ``content``, the same convention the DSL
-    uses for significant_text."""
+    uses for significant_text. ``enrich`` maps policy names to lookup
+    DataFrames for ENRICH pipes (the ES enrich-policy registry)."""
     plan = parse_esql(stmt)
     k = plan["limit"]
     if plan["stats"] is not None:
-        return _run_stats(reader, plan, docs)
+        return _run_stats(reader, plan, docs, enrich)
     # hits path
     if plan["required"] and plan["terms"]:
         if plan["sort"] and plan["sort"][0] != "_score":
@@ -521,7 +550,7 @@ _ES_TYPE = {"bigint": "long", "long": "long", "int": "integer",
             "boolean": "boolean"}
 
 
-def _run_stats(reader, plan: dict, docs=None) -> dict:
+def _run_stats(reader, plan: dict, docs=None, enrich=None) -> dict:
     from .segments import load_doc_attrs
 
     # the matched set enforces MATCH_ALL (must); a MATCH beside it is
@@ -569,6 +598,36 @@ def _run_stats(reader, plan: dict, docs=None) -> dict:
                 )
             known.add(fname)
             extract_types[fname] = cast or "string"
+    # ENRICH policies: validated here, joined below (after extraction,
+    # so an extracted field can be the join key)
+    enrich_plan = []  # (policy_df pruned, key, with_cols)
+    for policy, key, withs in plan["enrich"]:
+        pdf = (enrich or {}).get(policy)
+        if pdf is None:
+            raise ValueError(
+                f"unknown enrich policy {policy!r} (pass enrich= to "
+                "execute_esql)"
+            )
+        if key not in known:
+            raise ValueError(f"ENRICH key column unknown: {key}")
+        cols = withs if withs is not None else [
+            c for c in pdf.columns if c != key
+        ]
+        missing = [c for c in [key] + cols if c not in pdf.columns]
+        if missing:
+            raise ValueError(
+                f"enrich policy {policy!r} lacks column(s): {missing}"
+            )
+        for c in cols:
+            if c in known:
+                raise ValueError(
+                    f"enriched field shadows an existing column: {c}"
+                )
+            known.add(c)
+        ptypes = dict(pdf.dtypes)
+        for c in cols:
+            extract_types[c] = ptypes[c]
+        enrich_plan.append((pdf, key, cols))
     names, exprs = list(by_cols), []
     for fn, arg, alias in plan["stats"]:
         name = alias or f"{fn}({arg})"
@@ -622,6 +681,13 @@ def _run_stats(reader, plan: dict, docs=None) -> dict:
             if cast:
                 c = c.cast(cast)
             joined = joined.withColumn(fname, c)
+    for pdf, key, cols in enrich_plan:
+        # LEFT join, policy side key-deduplicated (ES enrich returns one
+        # match) and broadcast — the matched set never shuffles
+        joined = joined.join(
+            F.broadcast(pdf.select(key, *cols).dropDuplicates([key])),
+            on=key, how="left",
+        )
     grouped = (joined.groupBy(*by_cols).agg(*exprs)
                if by_cols else joined.agg(*exprs))
     for c, op, v in plan["having"]:

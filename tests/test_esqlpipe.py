@@ -486,3 +486,79 @@ def test_grok_literal_group_rewritten_noncapturing(logidx):
     )
     assert [tuple(v) for v in got["values"]] == [
         (f"10.0.0.{i}", 12) for i in range(5)]
+
+
+def test_enrich_on_sidecar_attr(logidx, spark):
+    r, _docs = logidx
+    policy = spark.createDataFrame(
+        [("INFO", 1, "low"), ("WARN", 2, "mid"), ("ERROR", 3, "high")],
+        "level string, sev long, label string")
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        " | ENRICH sevmap ON level WITH label"
+        " | STATS n = COUNT(*) BY label | SORT label ASC | LIMIT 10",
+        enrich={"sevmap": policy},
+    )
+    assert [tuple(v) for v in got["values"]] == [
+        ("high", 20), ("low", 20), ("mid", 20)]
+
+
+def test_enrich_left_join_null_for_unmatched(logidx, spark):
+    r, _docs = logidx
+    policy = spark.createDataFrame(
+        [("ERROR", "high")], "level string, label string")
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        " | ENRICH sevmap ON level"
+        " | STATS n = COUNT(*) BY label | SORT n DESC | LIMIT 10",
+        enrich={"sevmap": policy},
+    )
+    assert [tuple(v) for v in got["values"]] == [(None, 40), ("high", 20)]
+
+
+def test_enrich_on_dissected_key(logidx, spark):
+    # the classic log pipeline: parse a field out of the raw line, then
+    # look it up
+    r, docs = logidx
+    policy = spark.createDataFrame(
+        [(f"10.0.0.{i}", f"host{i % 2}") for i in range(5)],
+        "ip string, host string")
+    got = execute_esql(
+        r,
+        'FROM logs | WHERE MATCH(content, "request")'
+        ' | GROK content "%{IP:ip}"'
+        " | ENRICH hosts ON ip WITH host"
+        " | STATS n = COUNT(*) BY host | SORT host ASC | LIMIT 10",
+        docs=docs, enrich={"hosts": policy},
+    )
+    assert [tuple(v) for v in got["values"]] == [("host0", 36), ("host1", 24)]
+
+
+def test_enrich_refusals(logidx, spark):
+    r, _docs = logidx
+    policy = spark.createDataFrame(
+        [("ERROR", "high")], "level string, label string")
+    pre = 'FROM logs | WHERE MATCH(content, "request") | '
+    post = " | STATS n = COUNT(*) BY label"
+    with pytest.raises(ValueError, match="STATS only"):
+        execute_esql(r, pre + "ENRICH sevmap ON level",
+                     enrich={"sevmap": policy})
+    with pytest.raises(ValueError, match="unknown enrich policy"):
+        execute_esql(r, pre + "ENRICH nope ON level" + post,
+                     enrich={"sevmap": policy})
+    with pytest.raises(ValueError, match="key column unknown"):
+        execute_esql(r, pre + "ENRICH sevmap ON nosuch" + post,
+                     enrich={"sevmap": policy})
+    with pytest.raises(ValueError, match="lacks column"):
+        execute_esql(r, pre + "ENRICH sevmap ON level WITH missing" + post,
+                     enrich={"sevmap": policy})
+    with pytest.raises(ValueError, match="shadows"):
+        execute_esql(
+            r, pre + "ENRICH sevmap ON level WITH level"
+            " | STATS n = COUNT(*) BY level",
+            enrich={"sevmap": spark.createDataFrame(
+                [("ERROR", "x")], "level string, level2 string")
+                .withColumnRenamed("level2", "level")},
+        )
