@@ -517,6 +517,17 @@ def q_search_dsl_runtime_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``_terms_enum`` (index-backed autocomplete): the first 10
+    dictionary terms with prefix 's', ascending. Distributed term-
+    dictionary read: StartsWith pushed to the term-sorted segments'
+    row-group stats, distinct + TakeOrdered — the driver receives
+    ``size`` rows regardless of vocabulary size."""
+    rdr = _driver_index(spark, sf_dir)
+    terms = rdr.terms_enum("s", size=10)
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
 def q_esql_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL DISSECT: delimiter-pattern field extraction from the
     _source line ("<etype> k<kv>"), then STATS BY the extracted field.
@@ -4034,6 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_where_range": q_esql_where_range,
         "esql_having": q_esql_having,
         "esql_time_bucket": q_esql_time_bucket,
+        "terms_enum": q_terms_enum,
         "esql_dissect": q_esql_dissect,
         "esql_grok": q_esql_grok,
         "esql_enrich": q_esql_enrich,
@@ -7314,6 +7326,11 @@ SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,
        count(*)::BIGINT AS n
 FROM events WHERE event_type = 'error'
 GROUP BY 1 ORDER BY 1
+""",
+        "terms_enum": f"""
+SELECT DISTINCT t.term
+FROM (SELECT unnest({_TOKS_DUCK}) AS term FROM documents) t
+WHERE t.term LIKE 's%' ORDER BY 1 LIMIT 10
 """,
         "esql_dissect": """
 SELECT props->>'$.k' AS kv, count(*)::BIGINT AS n

@@ -192,6 +192,17 @@ def _cmd_analyze(args) -> int:
     return 0
 
 
+def _cmd_terms_enum(args) -> int:
+    from .operators.wand import IndexReader
+
+    spark = _spark("s3logsbeat-terms-enum")
+    rdr = IndexReader(spark, args.index_dir)
+    terms = rdr.terms_enum(args.string, size=args.size, field=args.field,
+                           search_after=args.search_after)
+    print(json.dumps({"terms": terms, "complete": len(terms) < args.size}))
+    return 0
+
+
 def _cmd_stats(args) -> int:
     from .operators.segments import read_tombstones, summarize_index
 
@@ -294,6 +305,17 @@ def build_parser() -> argparse.ArgumentParser:
     an.add_argument("text")
     an.add_argument("--lang", default=None)
     an.set_defaults(fn=_cmd_analyze)
+
+    te = sub.add_parser(
+        "terms-enum", help="ES _terms_enum: prefix autocomplete over the "
+        "term dictionary or a sidecar attribute"
+    )
+    te.add_argument("index_dir")
+    te.add_argument("string", nargs="?", default="")
+    te.add_argument("--size", type=int, default=10)
+    te.add_argument("--field", default="content")
+    te.add_argument("--search-after", default=None)
+    te.set_defaults(fn=_cmd_terms_enum)
 
     st = sub.add_parser(
         "stats", help="index statistics (the ES _stats admin surface)"

@@ -2590,6 +2590,49 @@ class IndexReader:
             cands.sort()
         return cands
 
+    def terms_enum(
+        self,
+        string: str = "",
+        size: int = 10,
+        field: str = "content",
+        search_after: str | None = None,
+    ) -> list[str]:
+        """ES ``_terms_enum`` (the index-backed autocomplete endpoint):
+        the first ``size`` terms of ``field`` starting with ``string``,
+        ascending, resumable via ``search_after`` (strictly-greater
+        cursor). ``field="content"`` enumerates the indexed term
+        dictionary; any sidecar keyword attribute enumerates its
+        distinct values.
+
+        Scale shape: always distributed — a prefix filter (StartsWith,
+        pushed to parquet row-group stats; segments are term-sorted so
+        only the prefix's byte range is scanned) then distinct +
+        TakeOrdered, so the driver receives ``size`` rows no matter how
+        large the vocabulary. Like ES, terms from deleted (tombstoned)
+        docs may appear — _terms_enum is documented index-state, not
+        live-docs, reads."""
+        from .segments import load_doc_attrs, load_segments
+
+        if field == "content":
+            df = load_segments(self.spark, self.out_dir).select("term")
+        else:
+            attrs = load_doc_attrs(self.spark, self.out_dir)
+            if field not in attrs.columns:
+                raise ValueError(f"terms_enum: unknown field {field!r}")
+            df = attrs.select(F.col(field).cast("string").alias("term"))
+        if string:
+            df = df.filter(F.col("term").startswith(string))
+        if search_after is not None:
+            df = df.filter(F.col("term") > search_after)
+        rows = (
+            df.filter(F.col("term").isNotNull())
+            .distinct()
+            .orderBy("term")
+            .limit(int(size))
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
     def explain(self, doc_id: int, terms: list[str]) -> dict:
         """Score breakdown for one doc (the ES ``explain=true`` analogue):
         per-term tf/df/idf/contribution plus the corpus stats that fed

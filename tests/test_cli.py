@@ -195,3 +195,21 @@ def test_export_kibana_cli(tmp_path, capsys):
     assert [o["type"] for o in dash["objects"]] == [
         "visualization", "visualization", "dashboard"
     ]
+
+
+def test_terms_enum_cli(spark, tmp_path, capsys):
+    docs = tmp_path / "d5" / "documents.parquet"
+    spark.createDataFrame(
+        [(1, "merge the runs madly", "en"), (2, "spark merge join", "en")],
+        "doc_id long, content string, lang string",
+    ).write.parquet(str(docs))
+    idx = tmp_path / "idx5"
+    assert main(["index", str(docs), "--out", str(idx), "--buckets", "2"]) == 0
+    capsys.readouterr()
+    assert main(["terms-enum", str(idx), "m", "--size", "10"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["terms"] == ["madly", "merge"] and out["complete"]
+    assert main(["terms-enum", str(idx), "m", "--size", "1",
+                 "--search-after", "madly"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["terms"] == ["merge"] and not out["complete"]

@@ -680,3 +680,37 @@ def test_adjacency_matrix_agg(spark, nbuilt, oracle):
         if "&" in k:
             a, b = k.split("&")
             assert c <= dict(got)[a] and c <= dict(got)[b]
+
+
+# ---- _terms_enum -----------------------------------------------------
+
+
+def test_terms_enum_prefix_pages(spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    want = sorted(t for t in oracle.df if t.startswith("ge"))
+    assert rdr.terms_enum("ge", size=1000) == want
+    # size truncates from the front of the ascending order
+    assert rdr.terms_enum("ge", size=2) == want[:2]
+    # search_after resumes strictly after the cursor
+    if len(want) > 2:
+        assert rdr.terms_enum("ge", size=1000,
+                              search_after=want[1]) == want[2:]
+
+
+def test_terms_enum_empty_prefix_is_full_dictionary_head(
+        spark, wbuilt, oracle):
+    rdr = IndexReader(spark, wbuilt)
+    want = sorted(oracle.df)[:5]
+    assert rdr.terms_enum("", size=5) == want
+
+
+def test_terms_enum_sidecar_attr_and_unknown_field(spark, corpus_df,
+                                                   tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("teidx"))
+    build_index(corpus_df, IndexConfig(out_dir=out, n_buckets=4,
+                                       hot_df_threshold=10))
+    rdr = IndexReader(spark, out)
+    langs = sorted({r["lang"] for r in corpus_df.select("lang").collect()})
+    assert rdr.terms_enum("", size=100, field="lang") == langs
+    with pytest.raises(ValueError, match="unknown field"):
+        rdr.terms_enum("x", field="nosuch")
