@@ -517,6 +517,27 @@ def q_search_dsl_runtime_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field collapsing through the _search body: the best-scoring
+    hit per ``lang``, _score order — the result-diversification body
+    Kibana/e-commerce searches send. Grouped-top-1 kernel: per-bucket
+    winners merge exactly (buckets partition docs), only one row per
+    lang reaches the driver."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match": {"content": " ".join(BM25_TERMS)}},
+        "collapse": {"field": "lang"},
+        "size": BM25_K,
+    })
+    return spark.createDataFrame(
+        [(int(h["_id"]), round(h["_score"], 6), h["fields"]["lang"][0])
+         for h in resp["hits"]["hits"]],
+        "doc_id long, score double, lang string",
+    )
+
+
 def q_terms_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``_terms_enum`` (index-backed autocomplete): the first 10
     dictionary terms with prefix 's', ascending. Distributed term-
@@ -4040,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_filters": q_search_dsl_filters,
         "search_dsl_composite": q_search_dsl_composite,
         "search_dsl_runtime_sort": q_search_dsl_runtime_sort,
+        "search_dsl_collapse": q_search_dsl_collapse,
         "search_dsl_range_only": q_search_dsl_range_only,
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
@@ -4106,6 +4128,19 @@ _BM25_WAND_SQL = _BM25_SQL.replace(
     # lowercase word-soup corpus, so this CTE is an exact oracle
     "regexp_extract_all(lower(text), '[a-z0-9_]+')",
     "regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')",
+)
+
+# field collapsing through the DSL: best-scoring doc per lang over the
+# WAND variant CTEs (index-exact tokenizer regex, like every reader row)
+_DSL_COLLAPSE_SQL = _BM25_WAND_SQL.replace(
+    f"""SELECT doc_id, round(raw, 6) AS score FROM scored
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}""",
+    f"""SELECT doc_id, round(raw, 6) AS score, lang FROM (
+  SELECT s.doc_id, s.raw, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.raw DESC, s.doc_id ASC) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+) WHERE rn = 1 ORDER BY raw DESC, doc_id ASC LIMIT {BM25_K}""",
 )
 
 
@@ -7263,6 +7298,7 @@ GROUP BY lang, source
 ORDER BY lang, src
 LIMIT {COMPOSITE_SIZE}
 """,
+        "search_dsl_collapse": _DSL_COLLAPSE_SQL,
         "search_dsl_runtime_sort": f"""
 SELECT doc_id, (n_chars % 97 + doc_id % 3)::BIGINT AS eff
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})

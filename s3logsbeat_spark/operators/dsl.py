@@ -23,6 +23,9 @@ constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
 ``highlight`` (one field, fragment window around the earliest query-term
 occurrence — content read for the page's k docs only; needs ``docs=``),
+``collapse`` (field collapsing: the best-scoring hit per value of a
+sidecar attribute, _score order, echoed in hit ``fields`` — the
+grouped-top-1 kernel, so only per-group winners reach the driver),
 ``runtime_mappings`` (Catalyst-expression script fields — usable as the
 sort key, in ``docvalue_fields``, and as the ``field`` of
 stats/value_count aggs; may shadow a stored attribute, ES precedence),
@@ -632,6 +635,44 @@ def execute_search(reader, body: dict, docs=None) -> dict:
         pairs = [(d, None) for d, _v in ranked]
         frm = 0 if after is not None else frm
 
+    collapse = body.get("collapse")
+    cvals: dict = {}
+    if collapse:
+        # ES field collapsing: one hit (the best-scoring doc) per value
+        # of a sidecar attribute, hits ordered by score. Runs on the
+        # top_hits_by kernel (per-bucket top-1 + tiny global merge —
+        # buckets partition docs so merging bucket winners is exact);
+        # only the per-group winners reach the driver.
+        unknown = set(collapse) - {"field"}
+        if unknown:
+            raise ValueError(
+                f"unsupported collapse option(s): {sorted(unknown)}"
+            )
+        cfield = collapse.get("field")
+        if not isinstance(cfield, str):
+            raise ValueError("collapse needs a field name")
+        if terms_for_aggs is None:
+            raise ValueError("collapse needs a term-resolvable query")
+        if not aggs_scope_exact:
+            raise ValueError(
+                "collapse with must_not / minimum_should_match / "
+                "fuzziness is unsupported (the matched set is not "
+                "term-expressible)"
+            )
+        if sort and sort not in ("_score", ["_score"]):
+            raise ValueError("collapse supports _score order only")
+        rows = reader.top_hits_by(
+            terms_for_aggs, cfield, k_per_group=1,
+            mode=agg_mode, doc_filter=doc_filter,
+        )
+        best = sorted(
+            ((int(d), float(s), v) for v, d, s in rows),
+            key=lambda x: (-x[1], x[0]),
+        )
+        pairs = [(d, s) for d, s, _v in best]
+        cvals = {d: v for d, s, v in best}
+        total = None
+
     page = pairs[frm:frm + size]
     resp: dict = {
         "hits": {
@@ -643,6 +684,9 @@ def execute_search(reader, body: dict, docs=None) -> dict:
             "hits": _hits(page),
         }
     }
+    if collapse:
+        for h in resp["hits"]["hits"]:
+            h["fields"] = {cfield: [cvals[h["_id"]]]}
     dvf = body.get("docvalue_fields")
     if dvf and resp["hits"]["hits"]:
         # ES docvalue_fields: per-hit attribute values from the sidecar
@@ -667,7 +711,9 @@ def execute_search(reader, body: dict, docs=None) -> dict:
         by_id = {r["doc_id"]: r for r in rows}
         for h in resp["hits"]["hits"]:
             r = by_id.get(h["_id"])
-            h["fields"] = {f: [r[f]] for f in dvf} if r is not None else {}
+            h.setdefault("fields", {}).update(
+                {f: [r[f]] for f in dvf} if r is not None else {}
+            )
     hl = body.get("highlight")
     if hl:
         # ES highlight: one snippet per page hit around the earliest

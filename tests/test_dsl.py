@@ -1147,3 +1147,50 @@ def test_runtime_mappings_refusals(rdr):
         execute_search(rdr, dict(base, runtime_mappings={
             "x": {"type": "keyword", "script": {"source": "lang"}}},
             aggs={"t": {"terms": {"field": "x"}}}))
+
+
+# ---- collapse --------------------------------------------------------
+
+
+def test_collapse_top_hit_per_value(rdr):
+    got = execute_search(rdr, {
+        "query": {"match": {"content": "merge hash"}},
+        "collapse": {"field": "lang"}, "size": 100,
+    })
+    rows = rdr.top_hits_by(["hash", "merge"], "lang", k_per_group=1)
+    want = sorted(((int(d), float(s), v) for v, d, s in rows),
+                  key=lambda x: (-x[1], x[0]))
+    assert [(h["_id"], h["_score"]) for h in got["hits"]["hits"]] == [
+        (d, s) for d, s, _v in want]
+    # one hit per lang, field value echoed
+    langs = [h["fields"]["lang"][0] for h in got["hits"]["hits"]]
+    assert len(langs) == len(set(langs))
+    assert [(h["_id"], h["fields"]["lang"][0])
+            for h in got["hits"]["hits"]] == [(d, v) for d, _s, v in want]
+
+
+def test_collapse_paging_and_size(rdr):
+    full = execute_search(rdr, {
+        "query": {"match": {"content": "merge hash"}},
+        "collapse": {"field": "lang"}, "size": 100,
+    })["hits"]["hits"]
+    page = execute_search(rdr, {
+        "query": {"match": {"content": "merge hash"}},
+        "collapse": {"field": "lang"}, "size": 1, "from": 1,
+    })["hits"]["hits"]
+    assert page == full[1:2]
+
+
+def test_collapse_refusals(rdr):
+    base = {"query": {"match": {"content": "merge"}}}
+    with pytest.raises(ValueError, match="collapse option"):
+        execute_search(rdr, dict(base, collapse={
+            "field": "lang", "inner_hits": {}}))
+    with pytest.raises(ValueError, match="_score order only"):
+        execute_search(rdr, dict(base, collapse={"field": "lang"},
+                                 sort=[{"n_chars": "desc"}]))
+    with pytest.raises(ValueError, match="term-expressible|unsupported"):
+        execute_search(rdr, {
+            "query": {"bool": {"must": [{"match": {"content": "merge"}}],
+                               "must_not": [{"term": {"content": "hash"}}]}},
+            "collapse": {"field": "lang"}})
