@@ -2060,6 +2060,25 @@ def q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester through the _search ``suggest`` body — the
+    did-you-mean block Kibana attaches to searches. Pure translation
+    onto the suggest_term kernel (distributed length/prefix-gated
+    levenshtein over the term dictionary)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {"suggest": {"fix": {
+        "text": SUGGEST_Q,
+        "term": {"field": "content", "max_edits": 2, "size": 5},
+    }}})
+    opts = resp["suggest"]["fix"][0]["options"]
+    return spark.createDataFrame(
+        [(o["text"], int(o["freq"])) for o in opts],
+        "suggestion string, df long",
+    )
+
+
 def q_suggest_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES completion suggester: highest-df dictionary terms with a
     prefix (term-sorted dictionary scan, prefix-pruned)."""
@@ -3939,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_range": q_search_range,
         "pack_chunks": q_pack_chunks,
         "suggest_term": q_suggest_term,
+        "search_dsl_suggest": q_search_dsl_suggest,
         "suggest_complete": q_suggest_complete,
         "hybrid_rrf": q_hybrid_rrf,
         "sparse_vector": q_sparse_vector,
@@ -4628,6 +4648,17 @@ FROM vdf
 WHERE abs(length(term) - {len(SUGGEST_Q)}) <= 2
   AND levenshtein('{SUGGEST_Q}', term) BETWEEN 1 AND 2
 ORDER BY distance ASC, df DESC, suggestion ASC LIMIT 5
+"""
+
+# the DSL suggest body drops the distance column (ES term-suggester
+# options carry text+freq); ranking stays (distance, df DESC, term)
+_DSL_SUGGEST_SQL = f"""
+WITH {_VOCAB_DF_CTE}
+SELECT term AS suggestion, df FROM vdf
+WHERE abs(length(term) - {len(SUGGEST_Q)}) <= 2
+  AND levenshtein('{SUGGEST_Q}', term) BETWEEN 1 AND 2
+ORDER BY levenshtein('{SUGGEST_Q}', term) ASC, df DESC, suggestion ASC
+LIMIT 5
 """
 
 _SUGGEST_COMPLETE_SQL = f"""
@@ -6721,6 +6752,7 @@ FROM b GROUP BY 1
         "search_range": _SEARCH_RANGE_SQL,
         "pack_chunks": _PACK_SQL,
         "suggest_term": _SUGGEST_TERM_SQL,
+        "search_dsl_suggest": _DSL_SUGGEST_SQL,
         "suggest_complete": _SUGGEST_COMPLETE_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
         "sparse_vector": _SPARSE_VECTOR_SQL,

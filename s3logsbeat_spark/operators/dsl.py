@@ -23,6 +23,8 @@ constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
 ``highlight`` (one field, fragment window around the earliest query-term
 occurrence — content read for the page's k docs only; needs ``docs=``),
+``suggest`` (term / phrase / completion suggesters onto the existing
+suggester kernels — per-token entries for term, ``docs=`` for phrase),
 ``collapse`` (field collapsing: the best-scoring hit per value of a
 sidecar attribute, _score order, echoed in hit ``fields`` — the
 grouped-top-1 kernel, so only per-group winners reach the driver),
@@ -806,7 +808,115 @@ def execute_search(reader, body: dict, docs=None) -> dict:
             reader, terms_for_aggs, agg_mode, doc_filter, aggs, docs=docs,
             runtime=runtime,
         )
+    sug = body.get("suggest")
+    if sug:
+        resp["suggest"] = _run_suggest(reader, sug, docs)
     return resp
+
+
+def _run_suggest(reader, sug: dict, docs=None) -> dict:
+    """ES ``suggest`` body -> per-suggester entries, dispatched onto the
+    existing suggester kernels (term / phrase / completion — all
+    distributed over the term dictionary or corpus; translation adds
+    nothing). Term suggestions are per analyzed token (ES shape); the
+    term suggester emits ``freq`` (the dictionary df) and no ``score``
+    — ranking is ES's (distance, freq, term), the score number itself
+    is a Lucene-internal similarity this engine does not reproduce."""
+    out: dict = {}
+    for sname, sbody in sug.items():
+        if not isinstance(sbody, dict):
+            raise ValueError(f"suggest {sname} must be an object")
+        text = sbody.get("text") or sbody.get("prefix")
+        if not isinstance(text, str) or not text:
+            raise ValueError(f"suggest {sname} needs text")
+        kinds = [k for k in sbody if k not in ("text", "prefix")]
+        if len(kinds) != 1:
+            raise ValueError(
+                f"suggest {sname} must name exactly one suggester"
+            )
+        kind = kinds[0]
+        a = sbody[kind] or {}
+        if kind == "term":
+            unknown = set(a) - {"field", "size", "max_edits",
+                                "prefix_length"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported term suggester option(s): "
+                    f"{sorted(unknown)}"
+                )
+            if a.get("field", "content") != "content":
+                raise ValueError(
+                    "term suggester supports the indexed field only"
+                )
+            entries = []
+            offset = 0
+            for tok in text.split():
+                start = text.index(tok, offset)
+                offset = start + len(tok)
+                rows = reader.suggest_term(
+                    tok.lower(),
+                    max_edits=int(a.get("max_edits", 2)),
+                    max_terms=int(a.get("size", 5)),
+                    prefix_length=int(a.get("prefix_length", 0)),
+                )
+                entries.append({
+                    "text": tok, "offset": start, "length": len(tok),
+                    "options": [
+                        {"text": t, "freq": int(df)} for t, _d, df in rows
+                    ],
+                })
+            out[sname] = entries
+        elif kind == "completion":
+            unknown = set(a) - {"field", "size"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported completion suggester option(s): "
+                    f"{sorted(unknown)}"
+                )
+            if a.get("field", "content") != "content":
+                raise ValueError(
+                    "completion suggester supports the indexed field only"
+                )
+            rows = reader.suggest_complete(
+                text.lower(), max_terms=int(a.get("size", 5))
+            )
+            out[sname] = [{
+                "text": text, "offset": 0, "length": len(text),
+                "options": [
+                    {"text": t, "freq": int(df)} for t, df in rows
+                ],
+            }]
+        elif kind == "phrase":
+            unknown = set(a) - {"field", "size", "max_errors"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported phrase suggester option(s): "
+                    f"{sorted(unknown)}"
+                )
+            if docs is None:
+                raise ValueError(
+                    "phrase suggester re-reads _source: pass docs= to "
+                    "execute_search"
+                )
+            from .suggest import suggest_phrase
+
+            field = a.get("field", "content")
+            if field not in docs.columns:
+                raise ValueError(f"phrase suggester field not in docs: "
+                                 f"{field!r}")
+            rows = suggest_phrase(
+                docs, text, k=int(a.get("size", 3)), text_col=field
+            )
+            out[sname] = [{
+                "text": text, "offset": 0, "length": len(text),
+                "options": [
+                    {"text": t, "score": round(float(sc), 6)}
+                    for t, sc in rows
+                ],
+            }]
+        else:
+            raise ValueError(f"unsupported suggester kind: {kind}")
+    return out
 
 
 def _epoch_ms(ts) -> int:

@@ -1194,3 +1194,55 @@ def test_collapse_refusals(rdr):
             "query": {"bool": {"must": [{"match": {"content": "merge"}}],
                                "must_not": [{"term": {"content": "hash"}}]}},
             "collapse": {"field": "lang"}})
+
+
+# ---- suggest ---------------------------------------------------------
+
+
+def test_suggest_term_per_token(rdr):
+    got = execute_search(rdr, {"suggest": {
+        "fix": {"text": "mrege the hsah",
+                "term": {"field": "content", "max_edits": 2, "size": 3}}}})
+    entries = got["suggest"]["fix"]
+    assert [(e["text"], e["offset"], e["length"]) for e in entries] == [
+        ("mrege", 0, 5), ("the", 6, 3), ("hsah", 10, 4)]
+    for e, tok in zip(entries, ["mrege", "the", "hsah"]):
+        want = rdr.suggest_term(tok, max_edits=2, max_terms=3)
+        assert e["options"] == [
+            {"text": t, "freq": df} for t, _d, df in want]
+
+
+def test_suggest_completion(rdr):
+    got = execute_search(rdr, {"suggest": {
+        "ac": {"prefix": "ge", "completion": {"field": "content",
+                                              "size": 4}}}})
+    want = rdr.suggest_complete("ge", max_terms=4)
+    assert got["suggest"]["ac"][0]["options"] == [
+        {"text": t, "freq": df} for t, df in want]
+
+
+def test_suggest_phrase_needs_docs(rdr, corpus_df):
+    from s3logsbeat_spark.operators.suggest import suggest_phrase
+
+    body = {"suggest": {"dym": {"text": "mrege the buffer",
+                                "phrase": {"field": "content"}}}}
+    with pytest.raises(ValueError, match="docs="):
+        execute_search(rdr, body)
+    got = execute_search(rdr, body, docs=corpus_df)
+    want = suggest_phrase(corpus_df, "mrege the buffer", k=3)
+    assert got["suggest"]["dym"][0]["options"] == [
+        {"text": t, "score": round(float(s), 6)} for t, s in want]
+
+
+def test_suggest_refusals(rdr):
+    with pytest.raises(ValueError, match="exactly one suggester"):
+        execute_search(rdr, {"suggest": {"s": {"text": "x"}}})
+    with pytest.raises(ValueError, match="indexed field only"):
+        execute_search(rdr, {"suggest": {"s": {
+            "text": "x", "term": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="unsupported term suggester"):
+        execute_search(rdr, {"suggest": {"s": {
+            "text": "x", "term": {"suggest_mode": "always"}}}})
+    with pytest.raises(ValueError, match="suggester kind"):
+        execute_search(rdr, {"suggest": {"s": {
+            "text": "x", "fancy": {}}}})
