@@ -148,6 +148,22 @@ def run_default() -> dict:
     range_p50 = round(statistics.median(rlat), 4)
 
     docs = load_documents(spark, SF_DIR)
+
+    # DSL highlight page latency (r5): content fetched for the page's k
+    # docs only (broadcast join) — NOT in the headline sum
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    hlat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        execute_search(rdr, {
+            "query": {"match": {"content": "merge window spark"}},
+            "highlight": {"fields": {"content": {}}},
+            "size": 10,
+        }, docs=docs)
+        hlat.append(time.perf_counter() - t0)
+    highlight_p50 = round(statistics.median(hlat), 4)
+
     t0 = time.perf_counter()
     bm25_topk_naive(docs, ["merge", "window", "spark"], 10).collect()
     times["bm25_naive"] = round(time.perf_counter() - t0, 3)
@@ -170,8 +186,54 @@ def run_default() -> dict:
         "docs": n_docs,
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "bm25_range_filtered_p50": range_p50,
+        "dsl_highlight_p50": highlight_p50,
         "cores": CPUS,
     }
+    ev_path = os.path.join(SF_DIR, "events.parquet")
+    if os.path.exists(ev_path):
+        # events log index (the reference deployment shape, r5): build +
+        # the two new front-door shapes over it — the Kibana dashboard
+        # panel (DSL date_histogram) and the parse-then-aggregate pipe
+        # (ES|QL GROK + STATS). Separate keys, headline sum unchanged.
+        from s3logsbeat_spark.operators.esqlpipe import execute_esql
+        from s3logsbeat_spark.operators.segments import (
+            IndexConfig, build_index,
+        )
+
+        ev = spark.read.parquet(ev_path)
+        edocs = ev.select(
+            F.col("event_id").alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("event_type"),
+                F.concat(F.lit("k"), F.get_json_object("props", "$.k")),
+            ).alias("content"),
+            "ts", "value", "user_id", "event_type",
+        )
+        eout = os.path.join(tempfile.gettempdir(), "s3lb_bench_evindex")
+        shutil.rmtree(eout, ignore_errors=True)  # resume would skip the build
+        t0 = time.perf_counter()
+        build_index(edocs, IndexConfig(
+            out_dir=eout, n_buckets=8, hot_df_threshold=20_000,
+            attr_cols=("ts", "value", "user_id", "event_type"),
+        ), lang_col=None)
+        out["events_index_build_sec"] = round(time.perf_counter() - t0, 3)
+        evr = IndexReader(spark, eout)
+        t0 = time.perf_counter()
+        execute_search(evr, {
+            "query": {"term": {"content": "error"}}, "size": 0,
+            "aggs": {"per_day": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day"}}},
+        })
+        out["dsl_date_histogram_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        execute_esql(
+            evr,
+            'FROM events | WHERE MATCH(content, "error")'
+            ' | GROK content "%{WORD:etype} k%{INT:kv:int}"'
+            " | STATS n = COUNT(*), avg_k = AVG(kv) BY etype | LIMIT 10",
+            docs=edocs,
+        )
+        out["esql_grok_stats_sec"] = round(time.perf_counter() - t0, 3)
     if os.environ.get("SPARK_GRAFT_SKIP_DATA_OPS") != "1":
         # round-2 training-data operators at the same SF, timed separately
         # (NOT in the headline sum, which stays comparable to r01)

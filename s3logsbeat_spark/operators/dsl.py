@@ -307,11 +307,11 @@ def _parse_bool(clause: dict) -> tuple[list, list, list, dict | None, int]:
     return must, should, must_not, (df or None), msm
 
 
-def _range_page(reader, rng: dict, k: int, boost: float):
-    """Page a pure sidecar-filter query (range / constant_score(range))
-    distributed: Spark filters the doc_attrs scan (predicate pushed to
-    parquet), pages ids with TakeOrdered, counts in-cluster. Tombstones
-    subtract as an anti-condition. Returns (pairs, total)."""
+def _range_frame(reader, rng: dict):
+    """The distributed frame behind `_range_page` (exposed for plan
+    audits): filtered doc_attrs scan (predicate pushed to parquet) with
+    tombstones subtracted — an anti-join above TOMBSTONE_INLINE_MAX,
+    an inline isin below it."""
     from pyspark.sql import functions as F
 
     from .segments import load_doc_attrs
@@ -327,6 +327,15 @@ def _range_page(reader, rng: dict, k: int, boost: float):
         m = m.join(reader._tombstones_df(), "doc_id", "left_anti")
     elif blocked:
         m = m.filter(~F.col("doc_id").isin(blocked))
+    return m
+
+
+def _range_page(reader, rng: dict, k: int, boost: float):
+    """Page a pure sidecar-filter query (range / constant_score(range))
+    distributed: Spark filters the doc_attrs scan (predicate pushed to
+    parquet), pages ids with TakeOrdered, counts in-cluster. Tombstones
+    subtract as an anti-condition. Returns (pairs, total)."""
+    m = _range_frame(reader, rng)
     total = m.count()
     page_ids = [
         r["doc_id"]

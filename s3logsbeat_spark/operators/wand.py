@@ -3998,9 +3998,21 @@ class IndexReader:
         prunes the scan to the expression's inputs, so a runtime sort
         costs one extra projection, never an extra pass. A runtime field
         may shadow a stored attribute (ES precedence rule)."""
+        ordered = self._sort_frame(terms, field, descending, after, mode,
+                                   doc_filter, runtime)
+        if ordered is None:
+            return []
+        rows = ordered.select("doc_id", field).limit(k).collect()
+        return [(int(r["doc_id"]), r[field]) for r in rows]
+
+    def _sort_frame(self, terms, field, descending=True, after=None,
+                    mode="or", doc_filter=None, runtime=None):
+        """The distributed frame behind `sort_by_field` (exposed for
+        plan audits): matched ⨝ sidecar (runtime expression projected
+        pre-order), cursor predicate below the TakeOrdered."""
         matched = self._matched_docs_df(terms, mode, doc_filter)
         if matched is None:
-            return []
+            return None
         from .segments import load_doc_attrs
 
         if runtime is not None:
@@ -4019,11 +4031,9 @@ class IndexReader:
             v0, d0 = after[0], int(after[1])
             beyond = (v < F.lit(v0)) if descending else (v > F.lit(v0))
             j = j.filter(beyond | ((v == F.lit(v0)) & (F.col("doc_id") > d0)))
-        ordered = j.orderBy(
+        return j.orderBy(
             v.desc() if descending else v.asc(), F.col("doc_id").asc()
         )
-        rows = ordered.select("doc_id", field).limit(k).collect()
-        return [(int(r["doc_id"]), r[field]) for r in rows]
 
     def top_hits_by(
         self,

@@ -75,6 +75,82 @@ SHOW = [
 ]
 
 
+def _extra_frames(spark, E):
+    """Distributed frames whose contract queries collect internally —
+    audited here pre-collect. Each builds with the SAME shared seams the
+    operator uses (`_range_frame`, `_sort_frame`, the doc_terms
+    foreground join); the two ES|QL shapes replicate `_run_stats`'s
+    frame construction minimally (audit-only copies, noted inline)."""
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.functions.tokenizer import doc_terms
+    from s3logsbeat_spark.operators.dsl import _range_frame
+    from s3logsbeat_spark.operators.segments import (
+        load_doc_attrs,
+        load_segments,
+    )
+    from s3logsbeat_spark.shipping import ensure_shipped
+
+    from s3logsbeat_spark.sources.documents import load_documents
+
+    rdr = E._driver_index(spark, SF)
+    docs = load_documents(spark, SF)  # text -> content rename
+    ensure_shipped(spark)
+
+    # search_dsl_range_only: filtered sidecar scan + tombstone handling,
+    # the frame _range_page pages with TakeOrdered and counts in-cluster
+    yield ("range_page_frame (search_dsl_range_only pre-page)",
+           _range_frame(rdr, {"n_chars": {"gte": E.RANGE_LO,
+                                          "lt": E.RANGE_HI}})
+           .select("doc_id").orderBy("doc_id").limit(E.BM25_K))
+
+    # search_dsl_runtime_sort: runtime expression projected before the
+    # TakeOrdered (scan pruned to the expression's inputs)
+    yield ("runtime_sort_frame (search_dsl_runtime_sort pre-collect)",
+           rdr._sort_frame(E.BM25_TERMS, "eff",
+                           runtime="n_chars % 97 + doc_id % 3")
+           .select("doc_id", "eff").limit(E.BM25_K))
+
+    # significant_text: broadcast-pruned foreground fetch (content read
+    # for sample_size docs only) -> index-tokenizer re-analysis -> fg df
+    top = rdr.query(E.BM25_TERMS, k=200)
+    ids_df = spark.createDataFrame([(int(d),) for d, _ in top],
+                                   "doc_id long")
+    sampled = (docs.select("doc_id", "content", "lang")
+               .join(F.broadcast(ids_df), "doc_id"))
+    yield ("sig_text_foreground (significant_text fg counts)",
+           doc_terms(sampled, lang_col="lang")
+           .groupBy("term").agg(F.count("*").alias("fg")))
+
+    # terms_enum: StartsWith-pruned dictionary scan -> distinct ->
+    # TakeOrdered (driver receives `size` rows)
+    yield ("terms_enum_frame",
+           load_segments(spark, rdr.out_dir).select("term")
+           .filter(F.col("term").startswith("s"))
+           .distinct().orderBy("term").limit(10))
+
+    # esql_grok + esql_enrich: matched ⨝ sidecar ⨝ _source, ONE codegen
+    # regexp per pattern, broadcast LEFT policy join, bounded groupBy
+    # (audit-only replica of esqlpipe._run_stats's frame construction)
+    ev = E._events_index(spark, SF)
+    edocs = E._events_docs(spark, SF)
+    matched = ev._matched_docs_df(["error"], "or", None)
+    attrs = load_doc_attrs(spark, ev.out_dir)
+    rx = r"^(\w+) k(-?\d+)$"
+    j = (matched.join(attrs, ["bucket", "doc_id"])
+         .join(edocs.select("doc_id", "content"), "doc_id")
+         .withColumn("kv", F.when(
+             F.col("content").rlike(rx),
+             F.regexp_extract("content", rx, 2)).cast("long")))
+    policy = spark.createDataFrame(E.LANG_FAMILY,
+                                   "etype string, family string")
+    j = j.withColumn("etype", F.col("event_type")).join(
+        F.broadcast(policy.dropDuplicates(["etype"])), "etype", "left")
+    yield ("esql_extract_enrich_frame (esql_grok/esql_enrich shape)",
+           j.groupBy("family").agg(F.count("*").alias("n"),
+                                   F.avg("kv").alias("avg_k")))
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from s3logsbeat_spark.session import get_spark
@@ -90,8 +166,9 @@ def main() -> int:
         "`BroadcastHashJoin` for dictionary/dim joins, "
         "`TakeOrderedAndProject` for top-k (no global sort).\n"
     )
-    for name in SHOW:
-        df = qs[name](spark, SF)
+    shows = [(name, qs[name](spark, SF)) for name in SHOW]
+    shows += list(_extra_frames(spark, entry_mod))
+    for name, df in shows:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
