@@ -362,6 +362,250 @@ def q_search_dsl_date_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataF
     return _dh_frame(spark, resp["aggregations"]["per6h"]["buckets"])
 
 
+def _ev_dsl_aggs(spark: SparkSession, sf_dir: str, body: dict) -> dict:
+    """Run a ``_search`` body on the events log index; return the
+    aggregations section."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    return execute_search(rdr, body)["aggregations"]
+
+
+def _bucket_ts(b: dict):
+    """DSL bucket epoch-ms key -> naive UTC timestamp (sessions run
+    UTC; the parquet timestamps are tz-less)."""
+    from datetime import datetime, timezone
+
+    return datetime.fromtimestamp(
+        b["key"] / 1000.0, tz=timezone.utc
+    ).replace(tzinfo=None)
+
+
+def _dh_error_day(extra_sub: dict) -> dict:
+    """Shared body: daily histogram of 'error' events + sub-aggs."""
+    return {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               "min_doc_count": 1},
+            "aggs": extra_sub,
+        }},
+    }
+
+
+def q_search_dsl_dh_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with metric sub-aggregations through the DSL
+    body — the "average of value over time" Kibana panel. avg(value)
+    and sum(value) are computed INSIDE the histogram's single groupBy
+    pass (one extra map-side-combinable agg expression each, never a
+    second scan)."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, _dh_error_day({
+        "avg_v": {"avg": {"field": "value"}},
+        "sum_v": {"sum": {"field": "value"}},
+    }))
+    rows = [
+        (_bucket_ts(b), int(b["doc_count"]),
+         b["avg_v"]["value"], b["sum_v"]["value"])
+        for b in aggs["per_day"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "bucket timestamp, doc_count long, avg_v double, sum_v double"
+    ).select(
+        "bucket", "doc_count",
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("sum_v", 6).alias("sum_v"),
+    )
+
+
+def q_search_dsl_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES derivative pipeline agg through the DSL body: day-over-day
+    delta of the histogram doc counts, computed driver-side over the
+    REDUCED bucket list (one row per day at any corpus size) exactly
+    where ES's coordinating node computes it. The first bucket carries
+    no derivative (ES omits the key -> NULL here)."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, _dh_error_day({
+        "deriv": {"derivative": {"buckets_path": "_count"}},
+    }))
+    rows = [
+        (_bucket_ts(b), int(b["doc_count"]),
+         b.get("deriv", {}).get("value"))
+        for b in aggs["per_day"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "bucket timestamp, doc_count long, delta double"
+    )
+
+
+MVFN_WINDOW = 7
+
+
+def q_search_dsl_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_fn pipeline agg through the DSL body: trailing
+    7-bucket unweighted average of the daily counts with shift=0 — the
+    ES default window EXCLUDES the current bucket ([i-7, i-1]), so the
+    first bucket's window is empty (NULL)."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, _dh_error_day({
+        "avg7": {"moving_fn": {
+            "buckets_path": "_count", "window": MVFN_WINDOW,
+            "script": "MovingFunctions.unweightedAvg(values)",
+        }},
+    }))
+    rows = [
+        (_bucket_ts(b), int(b["doc_count"]), b["avg7"]["value"])
+        for b in aggs["per_day"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "bucket timestamp, doc_count long, avg7 double"
+    ).select("bucket", "doc_count", F.round("avg7", 6).alias("avg7"))
+
+
+def q_search_dsl_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cumulative_sum pipeline agg through the DSL body: running
+    total of the daily histogram counts (the Kibana cumulative-traffic
+    panel)."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, _dh_error_day({
+        "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+    }))
+    rows = [
+        (_bucket_ts(b), int(b["doc_count"]), b["cum"]["value"])
+        for b in aggs["per_day"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "bucket timestamp, doc_count long, cum double"
+    )
+
+
+def q_search_dsl_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_script pipeline agg through the DSL body: a per-bucket
+    arithmetic over sibling paths — mean value per day = sum_v / _count.
+    The script surface is a validated pocket calculator (params
+    substitution then arithmetic-only charset), not an interpreter."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, _dh_error_day({
+        "sum_v": {"sum": {"field": "value"}},
+        "mean_v": {"bucket_script": {
+            "buckets_path": {"c": "_count", "v": "sum_v"},
+            "script": "params.v / params.c",
+        }},
+    }))
+    rows = [
+        (_bucket_ts(b), int(b["doc_count"]), b["mean_v"]["value"])
+        for b in aggs["per_day"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "bucket timestamp, doc_count long, mean_v double"
+    ).select("bucket", "doc_count", F.round("mean_v", 6).alias("mean_v"))
+
+
+BSEL_MIN_N = 67
+
+
+def q_search_dsl_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES bucket_selector pipeline agg through the DSL body: REMOVE
+    buckets failing a per-bucket predicate (days with <= BSEL_MIN_N
+    'error' events drop out of the response, ES semantics)."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, _dh_error_day({
+        "keep": {"bucket_selector": {
+            "buckets_path": {"c": "_count"},
+            "script": f"params.c > {BSEL_MIN_N}",
+        }},
+    }))
+    rows = [
+        (_bucket_ts(b), int(b["doc_count"]))
+        for b in aggs["per_day"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "bucket timestamp, doc_count long")
+
+
+def q_search_dsl_avg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sibling pipeline aggs (avg_bucket + max_bucket) through the
+    DSL body: scalars over the daily histogram's reduced buckets —
+    driver-side over tens of rows, the ES coordinating-node reduce."""
+    body = _dh_error_day({})
+    body["aggs"]["avg_daily"] = {
+        "avg_bucket": {"buckets_path": "per_day>_count"}
+    }
+    body["aggs"]["max_daily"] = {
+        "max_bucket": {"buckets_path": "per_day>_count"}
+    }
+    aggs = _ev_dsl_aggs(spark, sf_dir, body)
+    return spark.createDataFrame(
+        [(aggs["avg_daily"]["value"], aggs["max_daily"]["value"])],
+        "avg_daily double, max_daily double",
+    ).select(
+        F.round("avg_daily", 6).alias("avg_daily"),
+        F.round("max_daily", 6).alias("max_daily"),
+    )
+
+
+def q_search_dsl_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES multi_terms aggregation through the DSL body: matched-doc
+    counts per (event_type, user_id) combination among k=7 events —
+    one groupBy with map-side partial agg, top-10 via
+    TakeOrderedAndProject (count desc, keys asc — a deterministic
+    total order, so the LIMIT boundary is tie-stable)."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, {
+        "query": {"term": {"content": "k7"}},
+        "size": 0,
+        "aggs": {"combos": {"multi_terms": {
+            "terms": [{"field": "event_type"}, {"field": "user_id"}],
+            "size": 10,
+        }}},
+    })
+    rows = [
+        (b["key"][0], int(b["key"][1]), int(b["doc_count"]))
+        for b in aggs["combos"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, user_id long, doc_count long"
+    )
+
+
+def q_search_dsl_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rare_terms aggregation through the DSL body (match_all — the
+    agg ranks the GLOBAL term dictionary, so whole-corpus scope is
+    exactly its semantics; a narrowing query raises). Same kernel and
+    oracle as the direct rare_terms row."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {"rare": {"rare_terms": {
+            "field": "content", "max_doc_count": RARE_MAX_DF, "size": 10,
+        }}},
+    })
+    rows = [
+        (b["key"], int(b["doc_count"]))
+        for b in resp["aggregations"]["rare"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "term string, df long")
+
+
+def q_search_dsl_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_metrics aggregation through the DSL body: the value
+    metric at the 3 latest-ts 'error' events (sort ts desc) — matched
+    set joins the pruned sidecar, then TakeOrderedAndProject; ts is
+    globally unique in the synthetic events so the order is total."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"latest": {"top_metrics": {
+            "metrics": [{"field": "value"}],
+            "sort": {"ts": "desc"},
+            "size": 3,
+        }}},
+    })
+    rows = [
+        (t["sort"][0], t["metrics"]["value"])
+        for t in aggs["latest"]["top"]
+    ]
+    return spark.createDataFrame(
+        rows, "sort_ts timestamp, metric_value double"
+    ).select("sort_ts", F.round("metric_value", 6).alias("metric_value"))
+
+
 def q_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL engine path: build compressed segments (delta+varbyte,
     block-max metadata, per-bucket checkpoints), query with Block-Max
@@ -4078,6 +4322,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_or_filter": q_search_dsl_or_filter,
         "search_dsl_date_histogram": q_search_dsl_date_histogram,
         "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
+        "search_dsl_dh_metrics": q_search_dsl_dh_metrics,
+        "search_dsl_derivative": q_search_dsl_derivative,
+        "search_dsl_moving_fn": q_search_dsl_moving_fn,
+        "search_dsl_cumsum": q_search_dsl_cumsum,
+        "search_dsl_bucket_script": q_search_dsl_bucket_script,
+        "search_dsl_bucket_selector": q_search_dsl_bucket_selector,
+        "search_dsl_avg_bucket": q_search_dsl_avg_bucket,
+        "search_dsl_multi_terms": q_search_dsl_multi_terms,
+        "search_dsl_rare_terms": q_search_dsl_rare_terms,
+        "search_dsl_top_metrics": q_search_dsl_top_metrics,
         "search_dsl_filters": q_search_dsl_filters,
         "search_dsl_composite": q_search_dsl_composite,
         "search_dsl_runtime_sort": q_search_dsl_runtime_sort,
@@ -7380,6 +7634,88 @@ WITH m AS (
 )
 SELECT doc_id, 1.0 AS score, (SELECT count(*) FROM m)::BIGINT AS total
 FROM m ORDER BY doc_id ASC LIMIT {BM25_K}
+""",
+        "search_dsl_dh_metrics": """
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS bucket,
+       count(*)::BIGINT AS doc_count,
+       round(avg(value), 6) AS avg_v,
+       round(sum(value), 6) AS sum_v
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY 1
+""",
+        "search_dsl_derivative": """
+WITH b AS (
+  SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT bucket, doc_count,
+       (doc_count - lag(doc_count) OVER (ORDER BY bucket))::DOUBLE AS delta
+FROM b ORDER BY bucket
+""",
+        "search_dsl_moving_fn": f"""
+WITH b AS (
+  SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT bucket, doc_count,
+       round(avg(doc_count) OVER (
+         ORDER BY bucket
+         ROWS BETWEEN {MVFN_WINDOW} PRECEDING AND 1 PRECEDING
+       ), 6) AS avg7
+FROM b ORDER BY bucket
+""",
+        "search_dsl_cumsum": """
+WITH b AS (
+  SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT bucket, doc_count,
+       sum(doc_count) OVER (
+         ORDER BY bucket ROWS UNBOUNDED PRECEDING
+       )::DOUBLE AS cum
+FROM b ORDER BY bucket
+""",
+        "search_dsl_bucket_script": """
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS bucket,
+       count(*)::BIGINT AS doc_count,
+       round(sum(value) / count(*), 6) AS mean_v
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY 1
+""",
+        "search_dsl_bucket_selector": f"""
+WITH b AS (
+  SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT bucket, doc_count FROM b
+WHERE doc_count > {BSEL_MIN_N} ORDER BY bucket
+""",
+        "search_dsl_avg_bucket": """
+WITH b AS (
+  SELECT count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'error'
+  GROUP BY date_trunc('day', ts::TIMESTAMP)
+)
+SELECT round(avg(doc_count), 6) AS avg_daily,
+       round(max(doc_count)::DOUBLE, 6) AS max_daily
+FROM b
+""",
+        "search_dsl_multi_terms": """
+SELECT event_type, user_id, count(*)::BIGINT AS doc_count
+FROM events WHERE json_extract_string(props, '$.k') = '7'
+GROUP BY 1, 2
+ORDER BY doc_count DESC, event_type ASC, user_id ASC
+LIMIT 10
+""",
+        "search_dsl_rare_terms": _RARE_TERMS_SQL,
+        "search_dsl_top_metrics": """
+SELECT ts::TIMESTAMP AS sort_ts, round(value, 6) AS metric_value
+FROM events WHERE event_type = 'error'
+ORDER BY ts DESC LIMIT 3
 """,
         "esql_query": _BM25_WAND_SQL,
         "esql_where_range": _BM25_RANGE_SQL,

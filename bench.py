@@ -225,6 +225,26 @@ def run_default() -> dict:
                 "field": "ts", "calendar_interval": "day"}}},
         })
         out["dsl_date_histogram_sec"] = round(time.perf_counter() - t0, 3)
+        # the Kibana TSVB panel shape: metric sub-aggs inside the
+        # histogram's single groupBy pass + pipeline aggs over the
+        # reduced buckets (NOT in the headline sum)
+        t0 = time.perf_counter()
+        execute_search(evr, {
+            "query": {"term": {"content": "error"}}, "size": 0,
+            "aggs": {"per_day": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {
+                    "avg_v": {"avg": {"field": "value"}},
+                    "deriv": {"derivative": {"buckets_path": "avg_v"}},
+                    "trend": {"moving_fn": {
+                        "buckets_path": "_count", "window": 7,
+                        "script": "MovingFunctions.unweightedAvg(values)",
+                    }},
+                },
+            }},
+        })
+        out["dsl_pipeline_aggs_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         execute_esql(
             evr,

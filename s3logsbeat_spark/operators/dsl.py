@@ -33,13 +33,24 @@ sort key, in ``docvalue_fields``, and as the ``field`` of
 stats/value_count aggs; may shadow a stored attribute, ES precedence),
 and ``aggs``
 (terms / stats / histogram / date_histogram (fixed_interval /
-calendar_interval, min_doc_count=0 dense zero-fill, extended_bounds) /
+calendar_interval, min_doc_count=0 dense zero-fill, extended_bounds;
+sub-``aggs``: avg/sum/min/max/value_count metric sub-aggregations
+computed in the histogram's single groupBy pass, plus parent pipeline
+aggs derivative / cumulative_sum / moving_fn (MovingFunctions
+whitelist, window+shift ES semantics) / serial_diff / bucket_script /
+bucket_selector applied in body order over the reduced bucket list —
+driver-side, exactly where ES's coordinating node computes them) /
 filters (named buckets, one conditional-sum pass) / composite (terms
 sources, key-ordered ``after`` paging) / range / cardinality /
-percentiles / value_count
-/ significant_terms / significant_text — one nesting supported:
-``terms`` -> ``top_hits``; ``stats``/``value_count`` accept a Catalyst
-``script`` instead of ``field``, the runtime_mappings shape;
+percentiles / value_count / multi_terms (composite-key counts) /
+rare_terms (global-dictionary long tail; match_all scope only) /
+top_metrics (metric values at the sort-extreme matched docs)
+/ significant_terms / significant_text — nesting supported:
+``terms`` -> ``top_hits`` and ``date_histogram`` -> metrics/pipeline
+as above; sibling pipeline aggs avg_bucket / sum_bucket / min_bucket /
+max_bucket / stats_bucket reduce a preceding bucket agg via
+``buckets_path: "<agg>><metric>"``; ``stats``/``value_count`` accept a
+Catalyst ``script`` instead of ``field``, the runtime_mappings shape;
 ``significant_text`` re-analyzes sampled ``_source`` rows and needs the
 documents table passed as ``execute_search(..., docs=...)``). Unsupported constructs raise ``ValueError``
 naming the construct, never silently mis-execute.
@@ -50,6 +61,8 @@ adds only driver-side parsing.
 """
 
 from __future__ import annotations
+
+import re
 
 from ..functions.tokenizer import tokenize_text
 
@@ -806,7 +819,19 @@ def execute_search(reader, body: dict, docs=None) -> dict:
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         if terms_for_aggs is None:
-            raise ValueError("aggs need a term-resolvable query")
+            # one global-scope exception: rare_terms ranks the GLOBAL
+            # term dictionary, so match_all (the whole corpus) is
+            # exactly its scope — every other agg needs a matched set
+            def _agg_kind(spec):
+                b = {k: v for k, v in spec.items()
+                     if k not in ("aggs", "aggregations")}
+                return next(iter(b)) if len(b) == 1 else None
+
+            rare_only = kind == "match_all" and doc_filter is None and all(
+                _agg_kind(s) == "rare_terms" for s in aggs.values()
+            )
+            if not rare_only:
+                raise ValueError("aggs need a term-resolvable query")
         if not aggs_scope_exact:
             raise ValueError(
                 "aggs with must_not / minimum_should_match / fuzziness "
@@ -988,9 +1013,209 @@ def _sig_heuristic(name: str, a: dict, allowed_keys: frozenset) -> str:
     return "jlh"
 
 
+#: parent pipeline aggregations — nested inside a date_histogram's
+#: ``aggs``, computed driver-side over the REDUCED bucket list exactly
+#: where ES computes them (the coordinating node, after shard reduce);
+#: the bucket frame is bounded by timespan/interval, never doc count.
+_PARENT_PIPELINE = (
+    "derivative", "cumulative_sum", "moving_fn", "serial_diff",
+    "bucket_script", "bucket_selector",
+)
+#: sibling pipeline aggregations — top-level, referencing a preceding
+#: bucket agg via ``buckets_path: "<agg>><metric>"``.
+_SIBLING_PIPELINE = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+)
+#: metric sub-aggregations a date_histogram computes in its single
+#: groupBy pass (one extra map-side-combinable expression each).
+_DH_METRIC_KINDS = ("avg", "sum", "min", "max", "value_count")
+
+#: moving_fn scripts (ES MovingFunctions whitelist — anything else
+#: raises; there is no script interpreter here).
+_MOVING_FNS = {
+    "MovingFunctions.unweightedAvg(values)": lambda v: sum(v) / len(v),
+    "MovingFunctions.sum(values)": lambda v: float(sum(v)),
+    "MovingFunctions.min(values)": min,
+    "MovingFunctions.max(values)": max,
+}
+
+#: what a pipeline script may look like AFTER params substitution: pure
+#: float arithmetic plus comparisons (digits, e-notation, operators,
+#: parens — bucket_selector predicates need < > = !).
+_PIPE_EXPR_OK = re.compile(r"^[0-9.eE+\-*/()<>=! ]*$")
+
+
+def _only_keys(a: dict, allowed: frozenset | set, ctx: str) -> None:
+    unknown = set(a) - set(allowed)
+    if unknown:
+        raise ValueError(f"unsupported {ctx} option(s): {sorted(unknown)}")
+
+
+def _bucket_value(b: dict, path: str, ctx: str):
+    """Resolve an ES ``buckets_path`` leaf inside one response bucket:
+    ``_count`` or the name of a sibling metric sub-aggregation."""
+    if path == "_count":
+        return float(b["doc_count"])
+    v = b.get(path)
+    if isinstance(v, dict) and "value" in v:
+        return None if v["value"] is None else float(v["value"])
+    raise ValueError(
+        f"{ctx}: unknown buckets_path {path!r} "
+        "(use '_count' or a sibling metric sub-aggregation name)"
+    )
+
+
+def _pipe_script(script: str, names: dict, ctx: str):
+    """Evaluate an ES bucket_script/bucket_selector arithmetic script
+    (the ``params.x / params.y`` shape). STRICT surface: after
+    substituting each ``params.<name>`` with its resolved float, the
+    text may contain only arithmetic characters — identifiers, calls,
+    attribute access, and subscripts all fail validation, so this is a
+    pocket calculator, not an interpreter. Returns None (ES
+    gap_policy=skip) when any referenced value is None or the
+    expression divides by zero."""
+    if not isinstance(script, str):
+        raise ValueError(f"{ctx}: script must be a string")
+    expr = script
+    for k in sorted(names, key=len, reverse=True):
+        if f"params.{k}" in expr and names[k] is None:
+            return None
+        expr = expr.replace(f"params.{k}", repr(float(names[k] or 0.0)))
+    if "params." in expr:
+        raise ValueError(f"{ctx}: script references unbound params: {script!r}")
+    if not _PIPE_EXPR_OK.match(expr):
+        raise ValueError(f"{ctx}: unsupported script syntax: {script!r}")
+    try:
+        return float(eval(expr, {"__builtins__": {}}, {}))  # noqa: S307
+    except ZeroDivisionError:
+        return None
+    except SyntaxError:
+        raise ValueError(f"{ctx}: unsupported script syntax: {script!r}")
+
+
+def _apply_parent_pipe(buckets: list[dict], name: str, kind: str, a: dict):
+    """Apply one parent pipeline aggregation over a (already reduced)
+    bucket list, ES semantics: the first bucket carries no derivative,
+    ``serial_diff`` starts at index ``lag``, ``moving_fn``'s window is
+    ``[i - window + shift, i + shift)`` (shift=0, the ES default,
+    EXCLUDES the current bucket), None inputs are skipped
+    (gap_policy=skip), and ``bucket_selector`` REMOVES failing buckets
+    from the response."""
+    ctx = f"pipeline agg {name} ({kind})"
+    if kind in ("derivative", "cumulative_sum", "moving_fn", "serial_diff"):
+        allowed = {"buckets_path"}
+        if kind == "moving_fn":
+            allowed |= {"window", "script", "shift"}
+        elif kind == "serial_diff":
+            allowed |= {"lag"}
+        _only_keys(a, allowed, ctx)
+        vals = [_bucket_value(b, a["buckets_path"], ctx) for b in buckets]
+    if kind == "derivative":
+        for i, b in enumerate(buckets):
+            if i == 0 or vals[i] is None or vals[i - 1] is None:
+                continue  # ES: no derivative in the first bucket
+            b[name] = {"value": vals[i] - vals[i - 1]}
+        return buckets
+    if kind == "cumulative_sum":
+        run = 0.0
+        for i, b in enumerate(buckets):
+            if vals[i] is not None:
+                run += vals[i]
+            b[name] = {"value": run}
+        return buckets
+    if kind == "moving_fn":
+        window = int(a["window"])
+        if window < 1:
+            raise ValueError(f"{ctx}: window must be >= 1")
+        shift = int(a.get("shift", 0))
+        fn = _MOVING_FNS.get(a.get("script"))
+        if fn is None:
+            raise ValueError(
+                f"{ctx}: unsupported script {a.get('script')!r} "
+                f"(supported: {sorted(_MOVING_FNS)})"
+            )
+        for i, b in enumerate(buckets):
+            lo = max(0, i - window + shift)
+            hi = max(lo, min(len(vals), i + shift))
+            sl = [v for v in vals[lo:hi] if v is not None]
+            b[name] = {"value": fn(sl) if sl else None}
+        return buckets
+    if kind == "serial_diff":
+        lag = int(a.get("lag", 1))
+        if lag < 1:
+            raise ValueError(f"{ctx}: lag must be >= 1")
+        for i, b in enumerate(buckets):
+            if i < lag or vals[i] is None or vals[i - lag] is None:
+                continue
+            b[name] = {"value": vals[i] - vals[i - lag]}
+        return buckets
+    if kind in ("bucket_script", "bucket_selector"):
+        _only_keys(a, {"buckets_path", "script"}, ctx)
+        paths = a.get("buckets_path")
+        if not isinstance(paths, dict) or not paths:
+            raise ValueError(
+                f"{ctx}: buckets_path must be a non-empty "
+                "{{param: path}} dict"
+            )
+        kept = []
+        for b in buckets:
+            names = {p: _bucket_value(b, pth, ctx) for p, pth in paths.items()}
+            v = _pipe_script(a["script"], names, ctx)
+            if kind == "bucket_script":
+                if v is not None:
+                    b[name] = {"value": v}
+                kept.append(b)
+            elif v is not None and bool(v):
+                kept.append(b)
+        return kept
+    raise ValueError(f"unsupported pipeline aggregation: {kind}")
+
+
+def _run_sibling_pipe(out: dict, name: str, kind: str, a: dict) -> None:
+    """One sibling pipeline agg (``avg_bucket`` family) over a preceding
+    bucket aggregation's reduced buckets — driver-side, exactly ES's
+    coordinating-node reduce."""
+    ctx = f"sibling pipeline agg {name} ({kind})"
+    _only_keys(a, {"buckets_path"}, ctx)
+    path = a.get("buckets_path")
+    if not isinstance(path, str) or ">" not in path:
+        raise ValueError(f"{ctx}: buckets_path must be '<agg>><metric>'")
+    parent, leaf = path.split(">", 1)
+    pa = out.get(parent)
+    if not isinstance(pa, dict) or not isinstance(pa.get("buckets"), list):
+        raise ValueError(
+            f"{ctx}: buckets_path parent {parent!r} is not a preceding "
+            "list-bucket aggregation in this body"
+        )
+    vals = [
+        v for v in (_bucket_value(b, leaf, ctx) for b in pa["buckets"])
+        if v is not None
+    ]
+    if kind == "stats_bucket":
+        out[name] = {
+            "count": len(vals),
+            "min": min(vals) if vals else None,
+            "max": max(vals) if vals else None,
+            "avg": (sum(vals) / len(vals)) if vals else None,
+            "sum": float(sum(vals)),
+        }
+        return
+    if kind == "sum_bucket":
+        out[name] = {"value": float(sum(vals))}
+    elif kind == "avg_bucket":
+        out[name] = {"value": (sum(vals) / len(vals)) if vals else None}
+    elif kind == "min_bucket":
+        out[name] = {"value": min(vals) if vals else None}
+    elif kind == "max_bucket":
+        out[name] = {"value": max(vals) if vals else None}
+    else:  # pragma: no cover - guarded by _SIBLING_PIPELINE membership
+        raise ValueError(f"unsupported sibling pipeline aggregation: {kind}")
+
+
 def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
               runtime=None) -> dict:
     out = {}
+    siblings: list[tuple[str, str, dict]] = []
     for name, spec in aggs.items():
         sub = spec.get("aggs") or spec.get("aggregations")
         body = {k: v for k, v in spec.items()
@@ -998,7 +1223,14 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
         if len(body) != 1:
             raise ValueError(f"agg {name} must name exactly one agg type")
         [(kind, a)] = body.items()
-        if sub is not None and kind != "terms":
+        if kind in _SIBLING_PIPELINE:
+            # sibling pipeline aggs reduce a preceding agg's buckets —
+            # deferred until every bucket agg in the body has run
+            if sub is not None:
+                raise ValueError(f"agg {name}: sub-aggregations unsupported")
+            siblings.append((name, kind, a))
+            continue
+        if sub is not None and kind not in ("terms", "date_histogram"):
             raise ValueError(f"agg {name}: sub-aggregations unsupported")
         field = a.get("field")
         if runtime and field in runtime:
@@ -1136,6 +1368,24 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                     "date_histogram 'interval' (removed in ES 8) is "
                     "ambiguous: use fixed_interval or calendar_interval"
                 )
+            metrics: dict[str, tuple[str, str]] = {}
+            pipes: list[tuple[str, str, dict]] = []
+            for sname, sspec in (sub or {}).items():
+                skind, sa = _one(sspec, f"date_histogram sub-agg {sname}")
+                if skind in _DH_METRIC_KINDS:
+                    _only_keys(sa, {"field"},
+                               f"date_histogram metric sub-agg {sname}")
+                    if sname in ("key", "key_as_string", "doc_count"):
+                        raise ValueError(f"reserved sub-agg name: {sname!r}")
+                    metrics[sname] = (skind, sa["field"])
+                elif skind in _PARENT_PIPELINE:
+                    pipes.append((sname, skind, sa))
+                else:
+                    raise ValueError(
+                        f"unsupported date_histogram sub-agg: {skind} "
+                        f"(metrics {_DH_METRIC_KINDS} and pipeline aggs "
+                        f"{_PARENT_PIPELINE} only)"
+                    )
             rows = reader.date_histogram_agg(
                 terms, a["field"],
                 calendar_interval=a.get("calendar_interval"),
@@ -1143,14 +1393,23 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                 min_doc_count=int(a.get("min_doc_count", 0)),
                 extended_bounds=a.get("extended_bounds"),
                 mode=mode, doc_filter=doc_filter,
+                metrics=metrics or None,
             )
-            out[name] = {
-                "buckets": [
-                    {"key": _epoch_ms(ts), "key_as_string": ts.isoformat(),
+            buckets = []
+            for row in rows:
+                ts, n = row[0], row[1]
+                b = {"key": _epoch_ms(ts), "key_as_string": ts.isoformat(),
                      "doc_count": int(n)}
-                    for ts, n in rows
-                ]
-            }
+                if metrics:
+                    for mname, v in row[2].items():
+                        b[mname] = {"value": v}
+                buckets.append(b)
+            # parent pipeline aggs run in BODY ORDER over the reduced
+            # bucket list (tens of rows) — ES computes them in exactly
+            # this place, on the coordinating node after shard reduce
+            for pname, pkind, pa in pipes:
+                buckets = _apply_parent_pipe(buckets, pname, pkind, pa)
+            out[name] = {"buckets": buckets}
         elif kind == "histogram":
             out[name] = {
                 "buckets": [
@@ -1246,8 +1505,94 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                     )
                 }
             }
+        elif kind == "multi_terms":
+            _only_keys(a, {"terms", "size"}, "multi_terms agg")
+            specs = a.get("terms")
+            if not isinstance(specs, list) or len(specs) < 2:
+                raise ValueError(
+                    "multi_terms needs a list of 2+ {'field': ...} sources"
+                )
+            fields = []
+            for s in specs:
+                _only_keys(s, {"field"}, "multi_terms source")
+                fields.append(s["field"])
+            rows = reader.multi_terms_agg(
+                terms, fields, size=int(a.get("size", 10)),
+                mode=mode, doc_filter=doc_filter,
+            )
+            out[name] = {
+                "buckets": [
+                    {"key": list(r[:-1]),
+                     "key_as_string": "|".join(str(x) for x in r[:-1]),
+                     "doc_count": int(r[-1])}
+                    for r in rows
+                ]
+            }
+        elif kind == "rare_terms":
+            _only_keys(a, {"field", "max_doc_count", "size"}, "rare_terms agg")
+            if a.get("field") not in (None, "content"):
+                raise ValueError(
+                    "rare_terms supports the indexed field only ('content')"
+                )
+            if terms is not None or doc_filter:
+                # the kernel ranks by GLOBAL document frequency over the
+                # term dictionary (ES's CuckooFilter-bounded agg); a
+                # narrowed query would need per-query df recounting —
+                # refuse over silently mis-scoping
+                raise ValueError(
+                    "rare_terms is computed over the global term "
+                    "dictionary: only a match_all query (no filter) "
+                    "scopes to it"
+                )
+            rows = reader.rare_terms_agg(
+                max_doc_count=int(a.get("max_doc_count", 1)),
+                size=int(a.get("size", 10)),
+            )
+            out[name] = {
+                "buckets": [
+                    {"key": t, "doc_count": int(n)} for t, n in rows
+                ]
+            }
+        elif kind == "top_metrics":
+            _only_keys(a, {"metrics", "sort", "size"}, "top_metrics agg")
+            mspec = a.get("metrics")
+            if isinstance(mspec, dict):
+                mspec = [mspec]
+            if not isinstance(mspec, list) or not mspec:
+                raise ValueError(
+                    "top_metrics needs 'metrics': {'field': ...} or a "
+                    "list of those"
+                )
+            mfields = []
+            for m in mspec:
+                _only_keys(m, {"field"}, "top_metrics metric")
+                mfields.append(m["field"])
+            sspec = a.get("sort")
+            if isinstance(sspec, str):
+                sfield, sorder = sspec, "desc"
+            elif isinstance(sspec, dict) and len(sspec) == 1:
+                [(sfield, sorder)] = sspec.items()
+                if isinstance(sorder, dict):
+                    _only_keys(sorder, {"order"}, "top_metrics sort")
+                    sorder = sorder.get("order", "desc")
+            else:
+                raise ValueError(
+                    "top_metrics needs 'sort': {field: order} (one key)"
+                )
+            rows = reader.top_metrics_agg(
+                terms, mfields, sfield, size=int(a.get("size", 1)),
+                sort_order=sorder, mode=mode, doc_filter=doc_filter,
+            )
+            out[name] = {
+                "top": [
+                    {"sort": [sv], "metrics": dict(mv)}
+                    for sv, _doc, mv in rows
+                ]
+            }
         else:
             raise ValueError(f"unsupported aggregation: {kind}")
+    for name, kind, a in siblings:
+        _run_sibling_pipe(out, name, kind, a)
     return out
 
 

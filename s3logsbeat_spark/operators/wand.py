@@ -3356,6 +3356,54 @@ class IndexReader:
         )
         return [tuple(r[f] for f in fields) + (int(r["doc_count"]),) for r in rows]
 
+    def top_metrics_agg(
+        self,
+        terms: list[str],
+        metric_fields: list[str],
+        sort_field: str,
+        *,
+        size: int = 1,
+        sort_order: str = "desc",
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> list[tuple]:
+        """ES top_metrics aggregation on a query: the metric sidecar
+        values of the ``size`` matched docs with the largest (``desc``,
+        ES default) or smallest (``asc``) ``sort_field`` value — the
+        "value at the latest timestamp" panel shape. Deterministic
+        tie-break: doc_id ascending (ES leaves ties unspecified).
+
+        Scale shape: matched set joins the pruned sidecar, then
+        ``orderBy().limit(size)`` — TakeOrderedAndProject, a per-
+        partition heap + driver merge of size-row slices; no global
+        sort materialization. Returns [(sort_value, doc_id,
+        {metric_field: value})] in sort order."""
+        if sort_order not in ("asc", "desc"):
+            raise ValueError(f"unsupported sort order: {sort_order!r}")
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from .segments import load_doc_attrs
+
+        cols = sorted(set(metric_fields) | {sort_field})
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", *cols
+        )
+        key = (F.col(sort_field).desc() if sort_order == "desc"
+               else F.col(sort_field).asc())
+        rows = (
+            matched.join(attrs, ["bucket", "doc_id"])
+            .select("doc_id", *cols)
+            .orderBy(key, F.col("doc_id").asc())
+            .limit(int(size))
+            .collect()
+        )
+        return [
+            (r[sort_field], int(r["doc_id"]),
+             {m: r[m] for m in metric_fields})
+            for r in rows
+        ]
+
     def histogram_agg(
         self,
         terms: list[str],
@@ -3399,6 +3447,7 @@ class IndexReader:
         extended_bounds: dict | None = None,
         mode: str = "or",
         doc_filter: dict | None = None,
+        metrics: dict | None = None,
     ) -> list[tuple]:
         """ES date_histogram aggregation over a timestamp sidecar
         attribute — the primary Kibana dashboard panel. Exactly one of
@@ -3419,7 +3468,16 @@ class IndexReader:
         timespan/interval, never doc count; the dense frame is
         GENERATED from two driver scalars (min/max bucket) and
         left-joins the counts — no cross join, no full-range shuffle.
-        Returns [(bucket_start_ts, doc_count)] sorted by bucket."""
+        Returns [(bucket_start_ts, doc_count)] sorted by bucket.
+
+        ``metrics`` (optional): ``{name: (kind, attr_field)}`` with kind
+        in avg/sum/min/max/value_count — ES metric sub-aggregations of
+        the histogram, computed in the SAME single groupBy pass (one
+        extra agg expression each, still map-side combinable). With
+        metrics the return shape is [(bucket_ts, doc_count,
+        {name: value})]; empty (zero-filled) buckets follow ES empty-
+        bucket semantics: sum -> 0.0, value_count -> 0, avg/min/max ->
+        None."""
         if (calendar_interval is None) == (fixed_interval is None):
             raise ValueError(
                 "date_histogram needs exactly one of calendar_interval / "
@@ -3449,6 +3507,53 @@ class IndexReader:
                      * F.lit(ms)).cast("long")
                 )
 
+        _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count")
+        metric_items: list[tuple[str, str, str]] = []  # (name, kind, field)
+        if metrics:
+            for mname, (mkind, mfield) in metrics.items():
+                if mkind not in _METRIC_KINDS:
+                    raise ValueError(
+                        f"unsupported date_histogram metric kind: {mkind!r} "
+                        f"(supported: {_METRIC_KINDS})"
+                    )
+                if mname in ("key", "doc_count"):
+                    raise ValueError(f"reserved metric name: {mname!r}")
+                metric_items.append((mname, mkind, mfield))
+
+        def _metric_exprs():
+            fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+                   "value_count": F.count}
+            return [
+                fns[mkind](F.col(mfield)).alias(f"__m{i}")
+                for i, (_, mkind, mfield) in enumerate(metric_items)
+            ]
+
+        def _metric_of(r, i, mkind):
+            v = r[f"__m{i}"]
+            if v is None:
+                # ES empty-bucket semantics: sum -> 0.0, value_count -> 0
+                if mkind == "sum":
+                    return 0.0
+                if mkind == "value_count":
+                    return 0
+                return None
+            return int(v) if mkind == "value_count" else v
+
+        def _rows_out(rows):
+            if not metric_items:
+                return [(r["key"], int(r["doc_count"])) for r in rows]
+            return [
+                (
+                    r["key"],
+                    int(r["doc_count"]),
+                    {
+                        mname: _metric_of(r, i, mkind)
+                        for i, (mname, mkind, _) in enumerate(metric_items)
+                    },
+                )
+                for r in rows
+            ]
+
         matched = self._matched_docs_df(terms, mode, doc_filter)
         dense = int(min_doc_count) == 0
         if matched is None and not (dense and extended_bounds):
@@ -3456,25 +3561,28 @@ class IndexReader:
         from .segments import load_doc_attrs
 
         if matched is None:
-            counts = self.spark.createDataFrame(
-                [], "key timestamp, doc_count long"
+            schema = "key timestamp, doc_count long" + "".join(
+                f", __m{i} double" for i in range(len(metric_items))
             )
+            counts = self.spark.createDataFrame([], schema)
         else:
+            mfields = sorted({mf for _, _, mf in metric_items} - {field})
             attrs = load_doc_attrs(self.spark, self.out_dir).select(
-                "bucket", "doc_id", field
+                "bucket", "doc_id", field, *mfields
             )
             counts = (
                 matched.join(attrs, ["bucket", "doc_id"])
-                .select(bucket_of(F.col(field)).alias("key"))
+                .select(bucket_of(F.col(field)).alias("key"),
+                        *[F.col(mf) for mf in sorted({m for _, _, m in metric_items})])
                 .groupBy("key")
-                .agg(F.count("*").alias("doc_count"))
+                .agg(F.count("*").alias("doc_count"), *_metric_exprs())
             )
         if not dense:
             rows = (
                 counts.filter(F.col("doc_count") >= int(min_doc_count))
                 .orderBy("key").collect()
             )
-            return [(r["key"], int(r["doc_count"])) for r in rows]
+            return _rows_out(rows)
         # dense frame: bounds = data min/max widened by extended_bounds,
         # both run through the SAME bucketing expression so driver-side
         # calendar math can never drift from the executor's
@@ -3504,11 +3612,12 @@ class IndexReader:
         dims = self.spark.range(1).select(F.explode(seq).alias("key"))
         rows = (
             dims.join(counts, "key", "left")
-            .select("key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"))
+            .select("key", F.coalesce("doc_count", F.lit(0)).alias("doc_count"),
+                    *[F.col(f"__m{i}") for i in range(len(metric_items))])
             .orderBy("key")
             .collect()
         )
-        return [(r["key"], int(r["doc_count"])) for r in rows]
+        return _rows_out(rows)
 
     def range_agg(
         self,

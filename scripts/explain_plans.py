@@ -150,6 +150,25 @@ def _extra_frames(spark, E):
            j.groupBy("family").agg(F.count("*").alias("n"),
                                    F.avg("kv").alias("avg_k")))
 
+    # search_dsl_dh_metrics: metric sub-aggs ride the histogram's ONE
+    # groupBy pass (extra map-side-combinable agg expressions, no second
+    # scan); pipeline aggs then fold the REDUCED buckets driver-side
+    ts_bucket = F.date_trunc("day", F.col("ts").cast("timestamp"))
+    yield ("dh_metrics_frame (search_dsl_dh_metrics single-pass aggs)",
+           matched.join(attrs, ["bucket", "doc_id"])
+           .select(ts_bucket.alias("key"), "value")
+           .groupBy("key")
+           .agg(F.count("*").alias("doc_count"),
+                F.avg("value").alias("avg_v"),
+                F.sum("value").alias("sum_v")))
+
+    # search_dsl_top_metrics: matched ⨝ pruned sidecar -> TakeOrdered
+    # (per-partition heap + size-row driver merge, no global sort)
+    yield ("top_metrics_frame (search_dsl_top_metrics pre-collect)",
+           matched.join(attrs, ["bucket", "doc_id"])
+           .select("doc_id", "ts", "value")
+           .orderBy(F.col("ts").desc(), F.col("doc_id").asc()).limit(3))
+
 
 def main() -> int:
     import __spark_entry__ as entry_mod

@@ -1,0 +1,306 @@
+"""DSL pipeline aggregations + date_histogram metric sub-aggs +
+multi_terms / rare_terms / top_metrics front doors.
+
+ES semantics pinned here: first-bucket derivative omitted, moving_fn
+window [i-window+shift, i+shift) with shift=0 EXCLUDING the current
+bucket, gap/div-zero skip (key omitted), bucket_selector bucket
+removal, empty-bucket metric values (sum 0.0 / value_count 0 /
+avg,min,max None), sibling buckets_path "<agg>><metric>" resolution,
+and the refuse-over-mis-execute contract for every unsupported
+construct."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from s3logsbeat_spark.operators.dsl import execute_search
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+_ROWS = [
+    (0, "alpha", datetime(2024, 3, 1, 1), 10.0, "u1"),
+    (1, "alpha", datetime(2024, 3, 1, 13), 20.0, "u2"),
+    (2, "beta", datetime(2024, 3, 2, 2), 70.0, "u1"),
+    (3, "alpha", datetime(2024, 3, 3, 5), 30.0, "u1"),
+    (4, "alpha beta", datetime(2024, 3, 3, 23), 50.0, "u2"),
+    (5, "alpha", datetime(2024, 3, 4, 8), 40.0, "u3"),
+]
+
+
+@pytest.fixture(scope="module")
+def rdr(spark, tmp_path_factory):
+    df = spark.createDataFrame(
+        _ROWS, "doc_id long, content string, ts timestamp, v double, u string"
+    )
+    out = str(tmp_path_factory.mktemp("pipeidx"))
+    build_index(
+        df,
+        IndexConfig(out_dir=out, n_buckets=2, hot_df_threshold=10,
+                    attr_cols=("ts", "v", "u")),
+        lang_col=None,
+    )
+    return IndexReader(spark, out)
+
+
+def _dh(rdr, sub, **dh_opts):
+    body = {
+        "query": {"term": {"content": "alpha"}},
+        "size": 0,
+        "aggs": {"per_day": {
+            "date_histogram": {"field": "ts", "calendar_interval": "day",
+                               **dh_opts},
+            "aggs": sub,
+        }},
+    }
+    return execute_search(rdr, body)["aggregations"]["per_day"]["buckets"]
+
+
+# ---- metric sub-aggregations ------------------------------------------
+
+
+def test_dh_metric_subaggs_one_pass(rdr):
+    # alpha days: 3/1 (v 10,20), 3/2 ZERO bucket, 3/3 (v 30,50), 3/4 (40)
+    buckets = _dh(rdr, {
+        "avg_v": {"avg": {"field": "v"}},
+        "sum_v": {"sum": {"field": "v"}},
+        "min_v": {"min": {"field": "v"}},
+        "max_v": {"max": {"field": "v"}},
+        "n_v": {"value_count": {"field": "v"}},
+    })
+    assert [b["doc_count"] for b in buckets] == [2, 0, 2, 1]
+    assert [b["avg_v"]["value"] for b in buckets] == [15.0, None, 40.0, 40.0]
+    # ES empty-bucket semantics: sum -> 0.0, value_count -> 0
+    assert [b["sum_v"]["value"] for b in buckets] == [30.0, 0.0, 80.0, 40.0]
+    assert [b["min_v"]["value"] for b in buckets] == [10.0, None, 30.0, 40.0]
+    assert [b["max_v"]["value"] for b in buckets] == [20.0, None, 50.0, 40.0]
+    assert [b["n_v"]["value"] for b in buckets] == [2, 0, 2, 1]
+
+
+def test_dh_metric_unknown_option_raises(rdr):
+    with pytest.raises(ValueError, match="metric sub-agg"):
+        _dh(rdr, {"a": {"avg": {"field": "v", "missing": 0}}})
+
+
+def test_dh_unsupported_subagg_kind_raises(rdr):
+    with pytest.raises(ValueError, match="unsupported date_histogram sub-agg"):
+        _dh(rdr, {"a": {"cardinality": {"field": "v"}}})
+
+
+def test_histogram_subaggs_unsupported(rdr):
+    with pytest.raises(ValueError, match="sub-aggregations unsupported"):
+        execute_search(rdr, {
+            "query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"h": {"histogram": {"field": "v", "interval": 10},
+                           "aggs": {"d": {"derivative": {
+                               "buckets_path": "_count"}}}}},
+        })
+
+
+# ---- parent pipeline aggregations -------------------------------------
+
+
+def test_derivative_first_bucket_omitted(rdr):
+    buckets = _dh(rdr, {"d": {"derivative": {"buckets_path": "_count"}}})
+    assert "d" not in buckets[0]  # ES omits the first bucket's derivative
+    assert [b["d"]["value"] for b in buckets[1:]] == [-2.0, 2.0, -1.0]
+
+
+def test_cumulative_sum(rdr):
+    buckets = _dh(rdr, {"c": {"cumulative_sum": {"buckets_path": "_count"}}})
+    assert [b["c"]["value"] for b in buckets] == [2.0, 2.0, 4.0, 5.0]
+
+
+def test_moving_fn_shift_semantics(rdr):
+    # shift=0 (ES default): window [i-2, i-1] EXCLUDES the current bucket
+    buckets = _dh(rdr, {"m": {"moving_fn": {
+        "buckets_path": "_count", "window": 2,
+        "script": "MovingFunctions.unweightedAvg(values)"}}})
+    assert [b["m"]["value"] for b in buckets] == [None, 2.0, 1.0, 1.0]
+    # shift=1 includes the current bucket: [i-1, i]
+    buckets = _dh(rdr, {"m": {"moving_fn": {
+        "buckets_path": "_count", "window": 2, "shift": 1,
+        "script": "MovingFunctions.max(values)"}}})
+    assert [b["m"]["value"] for b in buckets] == [2.0, 2.0, 2.0, 2.0]
+
+
+def test_moving_fn_unknown_script_raises(rdr):
+    with pytest.raises(ValueError, match="unsupported script"):
+        _dh(rdr, {"m": {"moving_fn": {
+            "buckets_path": "_count", "window": 2,
+            "script": "MovingFunctions.linearWeightedAvg(values)"}}})
+
+
+def test_serial_diff_lag(rdr):
+    buckets = _dh(rdr, {"s": {"serial_diff": {
+        "buckets_path": "_count", "lag": 2}}})
+    assert "s" not in buckets[0] and "s" not in buckets[1]
+    assert [b["s"]["value"] for b in buckets[2:]] == [0.0, 1.0]
+
+
+def test_bucket_script_div_zero_skips_bucket(rdr):
+    buckets = _dh(rdr, {
+        "sum_v": {"sum": {"field": "v"}},
+        "mean": {"bucket_script": {
+            "buckets_path": {"c": "_count", "v": "sum_v"},
+            "script": "params.v / params.c"}},
+    })
+    # the zero bucket divides by zero -> ES gap skip, key omitted
+    assert [b.get("mean", {}).get("value") for b in buckets] == \
+        [15.0, None, 40.0, 40.0]
+    assert "mean" not in buckets[1]
+
+
+def test_bucket_script_refuses_non_arithmetic(rdr):
+    with pytest.raises(ValueError, match="unbound params"):
+        _dh(rdr, {"x": {"bucket_script": {
+            "buckets_path": {"c": "_count"},
+            "script": "params.c + params.missing"}}})
+    with pytest.raises(ValueError, match="unsupported script syntax"):
+        _dh(rdr, {"x": {"bucket_script": {
+            "buckets_path": {"c": "_count"},
+            "script": "params.c.__class__"}}})
+
+
+def test_bucket_selector_removes_buckets(rdr):
+    buckets = _dh(rdr, {"keep": {"bucket_selector": {
+        "buckets_path": {"c": "_count"}, "script": "params.c > 1"}}})
+    assert [b["doc_count"] for b in buckets] == [2, 2]
+
+
+def test_pipeline_unknown_buckets_path_raises(rdr):
+    with pytest.raises(ValueError, match="unknown buckets_path"):
+        _dh(rdr, {"d": {"derivative": {"buckets_path": "nope"}}})
+
+
+def test_pipeline_runs_in_body_order(rdr):
+    # cumulative_sum then derivative OVER the cumsum -> back to counts
+    buckets = _dh(rdr, {
+        "c": {"cumulative_sum": {"buckets_path": "_count"}},
+        "d": {"derivative": {"buckets_path": "c"}},
+    })
+    assert [b["d"]["value"] for b in buckets[1:]] == [0.0, 2.0, 1.0]
+
+
+# ---- sibling pipeline aggregations -------------------------------------
+
+
+def test_sibling_bucket_family(rdr):
+    body = {
+        "query": {"term": {"content": "alpha"}}, "size": 0,
+        "aggs": {
+            "per_day": {"date_histogram": {
+                "field": "ts", "calendar_interval": "day"}},
+            "a": {"avg_bucket": {"buckets_path": "per_day>_count"}},
+            "s": {"sum_bucket": {"buckets_path": "per_day>_count"}},
+            "lo": {"min_bucket": {"buckets_path": "per_day>_count"}},
+            "hi": {"max_bucket": {"buckets_path": "per_day>_count"}},
+            "st": {"stats_bucket": {"buckets_path": "per_day>_count"}},
+        },
+    }
+    out = execute_search(rdr, body)["aggregations"]
+    assert out["a"]["value"] == 1.25
+    assert out["s"]["value"] == 5.0
+    assert out["lo"]["value"] == 0.0
+    assert out["hi"]["value"] == 2.0
+    assert out["st"] == {"count": 4, "min": 0.0, "max": 2.0,
+                         "avg": 1.25, "sum": 5.0}
+
+
+def test_sibling_metric_path(rdr):
+    out = execute_search(rdr, {
+        "query": {"term": {"content": "alpha"}}, "size": 0,
+        "aggs": {
+            "per_day": {
+                "date_histogram": {"field": "ts",
+                                   "calendar_interval": "day"},
+                "aggs": {"avg_v": {"avg": {"field": "v"}}},
+            },
+            "m": {"max_bucket": {"buckets_path": "per_day>avg_v"}},
+        },
+    })["aggregations"]
+    # None (gap day) values are skipped, ES gap_policy
+    assert out["m"]["value"] == 40.0
+
+
+def test_sibling_unknown_parent_raises(rdr):
+    with pytest.raises(ValueError, match="not a preceding"):
+        execute_search(rdr, {
+            "query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"a": {"avg_bucket": {"buckets_path": "nope>_count"}}},
+        })
+    with pytest.raises(ValueError, match="buckets_path must be"):
+        execute_search(rdr, {
+            "query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"a": {"avg_bucket": {"buckets_path": "_count"}}},
+        })
+
+
+# ---- multi_terms / rare_terms / top_metrics front doors ----------------
+
+
+def test_dsl_multi_terms_matches_kernel(rdr):
+    body = {
+        "query": {"term": {"content": "alpha"}}, "size": 0,
+        "aggs": {"mt": {"multi_terms": {
+            "terms": [{"field": "u"}, {"field": "v"}], "size": 5}}},
+    }
+    got = execute_search(rdr, body)["aggregations"]["mt"]["buckets"]
+    direct = rdr.multi_terms_agg(["alpha"], ["u", "v"], size=5)
+    assert [(tuple(b["key"]), b["doc_count"]) for b in got] == \
+        [(r[:-1], r[-1]) for r in direct]
+    with pytest.raises(ValueError, match="2\\+"):
+        execute_search(rdr, {
+            "query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"mt": {"multi_terms": {"terms": [{"field": "u"}]}}},
+        })
+
+
+def test_dsl_rare_terms_match_all_only(rdr):
+    body = {
+        "query": {"match_all": {}}, "size": 0,
+        "aggs": {"rare": {"rare_terms": {
+            "field": "content", "max_doc_count": 2}}},
+    }
+    got = execute_search(rdr, body)["aggregations"]["rare"]["buckets"]
+    assert got == [{"key": "beta", "doc_count": 2}]
+    # a narrowing query cannot scope the global-dictionary kernel
+    with pytest.raises(ValueError, match="global term"):
+        execute_search(rdr, {
+            "query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"rare": {"rare_terms": {"max_doc_count": 2}}},
+        })
+    # the match_all exception is rare_terms-ONLY: other aggs still need
+    # a term-resolvable query
+    with pytest.raises(ValueError, match="term-resolvable"):
+        execute_search(rdr, {
+            "query": {"match_all": {}}, "size": 0,
+            "aggs": {"st": {"stats": {"field": "v"}}},
+        })
+
+
+def test_dsl_top_metrics_matches_kernel(rdr):
+    body = {
+        "query": {"term": {"content": "alpha"}}, "size": 0,
+        "aggs": {"tm": {"top_metrics": {
+            "metrics": [{"field": "v"}], "sort": {"ts": "desc"},
+            "size": 2}}},
+    }
+    got = execute_search(rdr, body)["aggregations"]["tm"]["top"]
+    assert [(t["sort"][0], t["metrics"]["v"]) for t in got] == [
+        (datetime(2024, 3, 4, 8), 40.0),
+        (datetime(2024, 3, 3, 23), 50.0),
+    ]
+    direct = rdr.top_metrics_agg(["alpha"], ["v"], "ts", size=2)
+    assert [(t["sort"][0], t["metrics"]) for t in got] == \
+        [(sv, mv) for sv, _d, mv in direct]
+    # asc order + single-metric dict form
+    got = execute_search(rdr, {
+        "query": {"term": {"content": "alpha"}}, "size": 0,
+        "aggs": {"tm": {"top_metrics": {
+            "metrics": {"field": "v"},
+            "sort": {"ts": {"order": "asc"}}, "size": 1}}},
+    })["aggregations"]["tm"]["top"]
+    assert got == [{"sort": [datetime(2024, 3, 1, 1)],
+                    "metrics": {"v": 10.0}}]

@@ -49,8 +49,11 @@ def test_batch_vs_streaming_twin(spark, tmp_path):
     )
     sink = str(tmp_path / "sink")
 
-    def _sink(batch_df, _epoch):
-        batch_df.write.mode("append").parquet(sink)
+    # one subdirectory PER EPOCH: back-to-back appends into a single
+    # directory share a _temporary staging dir and can clobber each
+    # other's staged part files under load (see the late-data test)
+    def _sink(batch_df, epoch):
+        batch_df.write.mode("append").parquet(f"{sink}/e{epoch}")
 
     q = (
         downsample_stream(stream, watermark="1 hour")
@@ -61,7 +64,7 @@ def test_batch_vs_streaming_twin(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    streamed = spark.read.parquet(sink)
+    streamed = spark.read.option("recursiveFileLookup", "true").parquet(sink)
     # append mode emits only watermark-closed buckets; compare on the
     # buckets the stream finalized
     closed = {r["bucket"] for r in streamed.select("bucket").collect()}
@@ -101,8 +104,12 @@ def test_streaming_drops_late_data(spark, tmp_path):
     )
     sink = str(tmp_path / "sink")
 
-    def _sink(batch_df, _epoch):
-        batch_df.write.mode("append").parquet(sink)
+    # per-epoch subdirectories, same rationale as the twin test above:
+    # concurrent commits into one dir can lose a batch's part files
+    # (observed under full-suite load as "batch N's buckets lost,
+    # batch N+1's present")
+    def _sink(batch_df, epoch):
+        batch_df.write.mode("append").parquet(f"{sink}/e{epoch}")
 
     q = (
         downsample_stream(stream, watermark="1 hour")
@@ -121,15 +128,19 @@ def test_streaming_drops_late_data(spark, tmp_path):
     for _ in range(60):
         q.processAllAvailable()
         try:
-            vals = [r["max_value"] for r in spark.read.parquet(sink).collect()]
+            vals = [
+                r["max_value"]
+                for r in spark.read.option("recursiveFileLookup", "true")
+                .parquet(sink).collect()
+            ]
         except Exception:
             vals = []
         # don't break on the FIRST rows seen: under load the sink read can
         # catch a partial append from the trailing micro-batch — wait for
-        # an on-time bucket (the asserted end state) to be visible
-        if {0.0, 1.0} & set(vals):
+        # BOTH on-time buckets (the asserted end state) to be visible
+        if {0.0, 1.0} <= set(vals):
             break
-        _time.sleep(0.25)
+        _time.sleep(0.5)
     q.stop()
     assert vals, "flush batch must finalize the on-time buckets"
     assert 99.0 not in vals  # the pre-watermark straggler is gone
