@@ -583,6 +583,29 @@ def q_search_dsl_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, df long")
 
 
+def q_search_dsl_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix through the DSL body (match_all — the agg
+    counts its OWN named filters and their pairwise intersections, so
+    whole-corpus scope is exactly its semantics; a narrowing query
+    raises). Same kernel and oracle as the direct adjacency_matrix
+    row."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match_all": {}},
+        "size": 0,
+        "aggs": {"adj": {"adjacency_matrix": {"filters": {
+            n: {"terms": {"content": ts}} for n, ts in ADJ_FILTERS.items()
+        }}}},
+    })
+    rows = [
+        (b["key"], int(b["doc_count"]))
+        for b in resp["aggregations"]["adj"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key string, doc_count long")
+
+
 def q_search_dsl_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES top_metrics aggregation through the DSL body: the value
     metric at the 3 latest-ts 'error' events (sort ts desc) — matched
@@ -4331,6 +4354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_avg_bucket": q_search_dsl_avg_bucket,
         "search_dsl_multi_terms": q_search_dsl_multi_terms,
         "search_dsl_rare_terms": q_search_dsl_rare_terms,
+        "search_dsl_adjacency": q_search_dsl_adjacency,
         "search_dsl_top_metrics": q_search_dsl_top_metrics,
         "search_dsl_filters": q_search_dsl_filters,
         "search_dsl_composite": q_search_dsl_composite,
@@ -7712,6 +7736,7 @@ ORDER BY doc_count DESC, event_type ASC, user_id ASC
 LIMIT 10
 """,
         "search_dsl_rare_terms": _RARE_TERMS_SQL,
+        "search_dsl_adjacency": _ADJ_SQL,
         "search_dsl_top_metrics": """
 SELECT ts::TIMESTAMP AS sort_ts, round(value, 6) AS metric_value
 FROM events WHERE event_type = 'error'

@@ -44,6 +44,8 @@ filters (named buckets, one conditional-sum pass) / composite (terms
 sources, key-ordered ``after`` paging) / range / cardinality /
 percentiles / value_count / multi_terms (composite-key counts) /
 rare_terms (global-dictionary long tail; match_all scope only) /
+adjacency_matrix (named filters + pairwise intersections; match_all
+scope only) /
 top_metrics (metric values at the sort-extreme matched docs)
 / significant_terms / significant_text — nesting supported:
 ``terms`` -> ``top_hits`` and ``date_histogram`` -> metrics/pipeline
@@ -819,18 +821,20 @@ def execute_search(reader, body: dict, docs=None) -> dict:
     aggs = body.get("aggs") or body.get("aggregations")
     if aggs:
         if terms_for_aggs is None:
-            # one global-scope exception: rare_terms ranks the GLOBAL
-            # term dictionary, so match_all (the whole corpus) is
-            # exactly its scope — every other agg needs a matched set
+            # global-scope exceptions: rare_terms ranks the GLOBAL term
+            # dictionary and adjacency_matrix counts its own named
+            # filters, so match_all (the whole corpus) is exactly their
+            # scope — every other agg needs a matched set
             def _agg_kind(spec):
                 b = {k: v for k, v in spec.items()
                      if k not in ("aggs", "aggregations")}
                 return next(iter(b)) if len(b) == 1 else None
 
-            rare_only = kind == "match_all" and doc_filter is None and all(
-                _agg_kind(s) == "rare_terms" for s in aggs.values()
+            global_ok = kind == "match_all" and doc_filter is None and all(
+                _agg_kind(s) in ("rare_terms", "adjacency_matrix")
+                for s in aggs.values()
             )
-            if not rare_only:
+            if not global_ok:
                 raise ValueError("aggs need a term-resolvable query")
         if not aggs_scope_exact:
             raise ValueError(
@@ -1551,6 +1555,33 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
             out[name] = {
                 "buckets": [
                     {"key": t, "doc_count": int(n)} for t, n in rows
+                ]
+            }
+        elif kind == "adjacency_matrix":
+            _only_keys(a, {"filters"}, "adjacency_matrix agg")
+            named = a.get("filters")
+            if not isinstance(named, dict) or not named:
+                raise ValueError(
+                    "adjacency_matrix needs a non-empty named 'filters' "
+                    "dict"
+                )
+            if terms is not None or doc_filter:
+                # the kernel intersects its OWN named filters; a
+                # narrowing outer query would need every matched set
+                # intersected with it — refuse over silently mis-scoping
+                raise ValueError(
+                    "adjacency_matrix counts its named filters over the "
+                    "whole corpus: only a match_all query (no filter) "
+                    "scopes to it"
+                )
+            translated = {
+                n: _clause_terms(q, f"adjacency_matrix filter {n}")
+                for n, q in named.items()
+            }
+            rows = reader.adjacency_matrix_agg(translated)
+            out[name] = {
+                "buckets": [
+                    {"key": kname, "doc_count": int(n)} for kname, n in rows
                 ]
             }
         elif kind == "top_metrics":

@@ -280,6 +280,28 @@ def test_dsl_rare_terms_match_all_only(rdr):
         })
 
 
+def test_dsl_adjacency_matrix_match_all_only(rdr):
+    body = {
+        "query": {"match_all": {}}, "size": 0,
+        "aggs": {"adj": {"adjacency_matrix": {"filters": {
+            "a": {"term": {"content": "alpha"}},
+            "b": {"term": {"content": "beta"}},
+        }}}},
+    }
+    got = execute_search(rdr, body)["aggregations"]["adj"]["buckets"]
+    direct = rdr.adjacency_matrix_agg({"a": ["alpha"], "b": ["beta"]})
+    assert [(b["key"], b["doc_count"]) for b in got] == \
+        [(k, int(n)) for k, n in direct]
+    # alpha docs 0,1,3,4,5; beta docs 2,4; intersection doc 4
+    assert dict(direct) == {"a": 5, "b": 2, "a&b": 1}
+    with pytest.raises(ValueError, match="whole corpus"):
+        execute_search(rdr, {
+            "query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"adj": {"adjacency_matrix": {"filters": {
+                "b": {"term": {"content": "beta"}}}}}},
+        })
+
+
 def test_dsl_top_metrics_matches_kernel(rdr):
     body = {
         "query": {"term": {"content": "alpha"}}, "size": 0,
