@@ -583,6 +583,31 @@ def q_search_dsl_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "term string, df long")
 
 
+HIST_M_INTERVAL = 50.0
+
+
+def q_search_dsl_hist_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric histogram with a metric sub-aggregation through the
+    DSL body: 'error' events bucketed by value (interval 50), avg
+    user_id per bucket computed inside the histogram's single groupBy
+    pass."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"by_value": {
+            "histogram": {"field": "value", "interval": HIST_M_INTERVAL},
+            "aggs": {"avg_u": {"avg": {"field": "user_id"}}},
+        }},
+    })
+    rows = [
+        (float(b["key"]), int(b["doc_count"]), b["avg_u"]["value"])
+        for b in aggs["by_value"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "key double, doc_count long, avg_u double"
+    ).select("key", "doc_count", F.round("avg_u", 6).alias("avg_u"))
+
+
 def q_search_dsl_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix through the DSL body (match_all — the agg
     counts its OWN named filters and their pairwise intersections, so
@@ -4355,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_multi_terms": q_search_dsl_multi_terms,
         "search_dsl_rare_terms": q_search_dsl_rare_terms,
         "search_dsl_adjacency": q_search_dsl_adjacency,
+        "search_dsl_hist_metrics": q_search_dsl_hist_metrics,
         "search_dsl_top_metrics": q_search_dsl_top_metrics,
         "search_dsl_filters": q_search_dsl_filters,
         "search_dsl_composite": q_search_dsl_composite,
@@ -7737,6 +7763,13 @@ LIMIT 10
 """,
         "search_dsl_rare_terms": _RARE_TERMS_SQL,
         "search_dsl_adjacency": _ADJ_SQL,
+        "search_dsl_hist_metrics": f"""
+SELECT floor(value / {HIST_M_INTERVAL}) * {HIST_M_INTERVAL} AS key,
+       count(*)::BIGINT AS doc_count,
+       round(avg(user_id), 6) AS avg_u
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY 1
+""",
         "search_dsl_top_metrics": """
 SELECT ts::TIMESTAMP AS sort_ts, round(value, 6) AS metric_value
 FROM events WHERE event_type = 'error'

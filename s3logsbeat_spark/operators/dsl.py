@@ -1216,6 +1216,30 @@ def _run_sibling_pipe(out: dict, name: str, kind: str, a: dict) -> None:
         raise ValueError(f"unsupported sibling pipeline aggregation: {kind}")
 
 
+def _split_hist_subaggs(sub: dict | None, ctx: str):
+    """Partition a histogram's sub-``aggs`` into metric sub-aggregations
+    (computed inside the histogram's groupBy pass) and parent pipeline
+    aggs (folded over the reduced buckets, in body order)."""
+    metrics: dict[str, tuple[str, str]] = {}
+    pipes: list[tuple[str, str, dict]] = []
+    for sname, sspec in (sub or {}).items():
+        skind, sa = _one(sspec, f"{ctx} sub-agg {sname}")
+        if skind in _DH_METRIC_KINDS:
+            _only_keys(sa, {"field"}, f"{ctx} metric sub-agg {sname}")
+            if sname in ("key", "key_as_string", "doc_count"):
+                raise ValueError(f"reserved sub-agg name: {sname!r}")
+            metrics[sname] = (skind, sa["field"])
+        elif skind in _PARENT_PIPELINE:
+            pipes.append((sname, skind, sa))
+        else:
+            raise ValueError(
+                f"unsupported {ctx} sub-agg: {skind} "
+                f"(metrics {_DH_METRIC_KINDS} and pipeline aggs "
+                f"{_PARENT_PIPELINE} only)"
+            )
+    return metrics, pipes
+
+
 def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
               runtime=None) -> dict:
     out = {}
@@ -1234,7 +1258,8 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                 raise ValueError(f"agg {name}: sub-aggregations unsupported")
             siblings.append((name, kind, a))
             continue
-        if sub is not None and kind not in ("terms", "date_histogram"):
+        if sub is not None and kind not in ("terms", "date_histogram",
+                                            "histogram"):
             raise ValueError(f"agg {name}: sub-aggregations unsupported")
         field = a.get("field")
         if runtime and field in runtime:
@@ -1372,24 +1397,7 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                     "date_histogram 'interval' (removed in ES 8) is "
                     "ambiguous: use fixed_interval or calendar_interval"
                 )
-            metrics: dict[str, tuple[str, str]] = {}
-            pipes: list[tuple[str, str, dict]] = []
-            for sname, sspec in (sub or {}).items():
-                skind, sa = _one(sspec, f"date_histogram sub-agg {sname}")
-                if skind in _DH_METRIC_KINDS:
-                    _only_keys(sa, {"field"},
-                               f"date_histogram metric sub-agg {sname}")
-                    if sname in ("key", "key_as_string", "doc_count"):
-                        raise ValueError(f"reserved sub-agg name: {sname!r}")
-                    metrics[sname] = (skind, sa["field"])
-                elif skind in _PARENT_PIPELINE:
-                    pipes.append((sname, skind, sa))
-                else:
-                    raise ValueError(
-                        f"unsupported date_histogram sub-agg: {skind} "
-                        f"(metrics {_DH_METRIC_KINDS} and pipeline aggs "
-                        f"{_PARENT_PIPELINE} only)"
-                    )
+            metrics, pipes = _split_hist_subaggs(sub, "date_histogram")
             rows = reader.date_histogram_agg(
                 terms, a["field"],
                 calendar_interval=a.get("calendar_interval"),
@@ -1415,15 +1423,21 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                 buckets = _apply_parent_pipe(buckets, pname, pkind, pa)
             out[name] = {"buckets": buckets}
         elif kind == "histogram":
-            out[name] = {
-                "buckets": [
-                    {"key": key, "doc_count": int(n)}
-                    for key, n in reader.histogram_agg(
-                        terms, field, float(a["interval"]),
-                        mode=mode, doc_filter=doc_filter,
-                    )
-                ]
-            }
+            metrics, pipes = _split_hist_subaggs(sub, "histogram")
+            rows = reader.histogram_agg(
+                terms, field, float(a["interval"]),
+                mode=mode, doc_filter=doc_filter, metrics=metrics or None,
+            )
+            buckets = []
+            for row in rows:
+                b = {"key": row[0], "doc_count": int(row[1])}
+                if metrics:
+                    for mname, v in row[2].items():
+                        b[mname] = {"value": v}
+                buckets.append(b)
+            for pname, pkind, pa in pipes:
+                buckets = _apply_parent_pipe(buckets, pname, pkind, pa)
+            out[name] = {"buckets": buckets}
         elif kind == "range":
             ranges = [
                 (r.get("from"), r.get("to")) for r in a["ranges"]

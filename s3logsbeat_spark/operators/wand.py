@@ -241,6 +241,49 @@ def _filter_fields(f: dict) -> set:
     return out
 
 
+#: metric sub-aggregation kinds a histogram computes inside its single
+#: groupBy pass (one extra map-side-combinable expression each).
+_METRIC_KINDS = ("avg", "sum", "min", "max", "value_count")
+
+
+def _check_metrics(metrics: dict | None) -> list[tuple[str, str, str]]:
+    """Validate a ``{name: (kind, field)}`` metric spec; returns
+    [(name, kind, field)] in insertion order."""
+    items: list[tuple[str, str, str]] = []
+    for mname, (mkind, mfield) in (metrics or {}).items():
+        if mkind not in _METRIC_KINDS:
+            raise ValueError(
+                f"unsupported histogram metric kind: {mkind!r} "
+                f"(supported: {_METRIC_KINDS})"
+            )
+        if mname in ("key", "doc_count"):
+            raise ValueError(f"reserved metric name: {mname!r}")
+        items.append((mname, mkind, mfield))
+    return items
+
+
+def _metric_exprs(metric_items: list[tuple[str, str, str]]):
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "value_count": F.count}
+    return [
+        fns[mkind](F.col(mfield)).alias(f"__m{i}")
+        for i, (_, mkind, mfield) in enumerate(metric_items)
+    ]
+
+
+def _metric_of(r, i: int, mkind: str):
+    """ES empty-bucket metric semantics: sum -> 0.0, value_count -> 0,
+    avg/min/max -> None."""
+    v = r[f"__m{i}"]
+    if v is None:
+        if mkind == "sum":
+            return 0.0
+        if mkind == "value_count":
+            return 0
+        return None
+    return int(v) if mkind == "value_count" else v
+
+
 def _parse_fixed_interval(s: str) -> int:
     """ES fixed_interval (``<n>(ms|s|m|h|d)``) -> milliseconds."""
     import re
@@ -3411,30 +3454,48 @@ class IndexReader:
         interval: float,
         mode: str = "or",
         doc_filter: dict | None = None,
-    ) -> list[tuple[float, int]]:
+        metrics: dict | None = None,
+    ) -> list[tuple]:
         """ES histogram aggregation on a query: matching-doc counts per
         fixed-width bucket of a numeric sidecar attribute (bucket key =
         floor(value / interval) * interval, ES semantics). Returns
-        [(key, doc_count)] sorted by key; empty buckets are omitted."""
+        [(key, doc_count)] sorted by key; empty buckets are omitted.
+
+        ``metrics`` (optional): ``{name: (kind, attr_field)}`` with kind
+        in avg/sum/min/max/value_count — metric sub-aggregations
+        computed in the SAME single groupBy pass (one extra map-side-
+        combinable expression each); return shape becomes
+        [(key, doc_count, {name: value})]."""
+        metric_items = _check_metrics(metrics)
         matched = self._matched_docs_df(terms, mode, doc_filter)
         if matched is None:
             return []
         from .segments import load_doc_attrs
 
+        mfields = sorted({mf for _, _, mf in metric_items})
         attrs = load_doc_attrs(self.spark, self.out_dir).select(
-            "bucket", "doc_id", field
+            "bucket", "doc_id", field, *[f for f in mfields if f != field]
         )
         rows = (
             matched.join(attrs, ["bucket", "doc_id"])
             .select(
-                (F.floor(F.col(field) / F.lit(interval)) * F.lit(interval)).alias("key")
+                (F.floor(F.col(field) / F.lit(interval))
+                 * F.lit(interval)).alias("key"),
+                *[F.col(mf) for mf in mfields],
             )
             .groupBy("key")
-            .agg(F.count("*").alias("doc_count"))
+            .agg(F.count("*").alias("doc_count"), *_metric_exprs(metric_items))
             .orderBy("key")
             .collect()
         )
-        return [(float(r["key"]), int(r["doc_count"])) for r in rows]
+        if not metric_items:
+            return [(float(r["key"]), int(r["doc_count"])) for r in rows]
+        return [
+            (float(r["key"]), int(r["doc_count"]),
+             {mname: _metric_of(r, i, mkind)
+              for i, (mname, mkind, _) in enumerate(metric_items)})
+            for r in rows
+        ]
 
     def date_histogram_agg(
         self,
@@ -3507,37 +3568,7 @@ class IndexReader:
                      * F.lit(ms)).cast("long")
                 )
 
-        _METRIC_KINDS = ("avg", "sum", "min", "max", "value_count")
-        metric_items: list[tuple[str, str, str]] = []  # (name, kind, field)
-        if metrics:
-            for mname, (mkind, mfield) in metrics.items():
-                if mkind not in _METRIC_KINDS:
-                    raise ValueError(
-                        f"unsupported date_histogram metric kind: {mkind!r} "
-                        f"(supported: {_METRIC_KINDS})"
-                    )
-                if mname in ("key", "doc_count"):
-                    raise ValueError(f"reserved metric name: {mname!r}")
-                metric_items.append((mname, mkind, mfield))
-
-        def _metric_exprs():
-            fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
-                   "value_count": F.count}
-            return [
-                fns[mkind](F.col(mfield)).alias(f"__m{i}")
-                for i, (_, mkind, mfield) in enumerate(metric_items)
-            ]
-
-        def _metric_of(r, i, mkind):
-            v = r[f"__m{i}"]
-            if v is None:
-                # ES empty-bucket semantics: sum -> 0.0, value_count -> 0
-                if mkind == "sum":
-                    return 0.0
-                if mkind == "value_count":
-                    return 0
-                return None
-            return int(v) if mkind == "value_count" else v
+        metric_items = _check_metrics(metrics)
 
         def _rows_out(rows):
             if not metric_items:
@@ -3575,7 +3606,8 @@ class IndexReader:
                 .select(bucket_of(F.col(field)).alias("key"),
                         *[F.col(mf) for mf in sorted({m for _, _, m in metric_items})])
                 .groupBy("key")
-                .agg(F.count("*").alias("doc_count"), *_metric_exprs())
+                .agg(F.count("*").alias("doc_count"),
+                     *_metric_exprs(metric_items))
             )
         if not dense:
             rows = (

@@ -88,11 +88,26 @@ def test_dh_unsupported_subagg_kind_raises(rdr):
         _dh(rdr, {"a": {"cardinality": {"field": "v"}}})
 
 
-def test_histogram_subaggs_unsupported(rdr):
+def test_numeric_histogram_subaggs(rdr):
+    # alpha v values: 10,20,30,50,40 -> interval 25 buckets 0,25,50
+    out = execute_search(rdr, {
+        "query": {"term": {"content": "alpha"}}, "size": 0,
+        "aggs": {"h": {"histogram": {"field": "v", "interval": 25},
+                       "aggs": {
+                           "avg_v": {"avg": {"field": "v"}},
+                           "c": {"cumulative_sum": {
+                               "buckets_path": "_count"}},
+                       }}},
+    })["aggregations"]["h"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in out] == \
+        [(0.0, 2), (25.0, 2), (50.0, 1)]
+    assert [b["avg_v"]["value"] for b in out] == [15.0, 35.0, 50.0]
+    assert [b["c"]["value"] for b in out] == [2.0, 4.0, 5.0]
+    # terms still refuses sub-aggs other than top_hits
     with pytest.raises(ValueError, match="sub-aggregations unsupported"):
         execute_search(rdr, {
             "query": {"term": {"content": "alpha"}}, "size": 0,
-            "aggs": {"h": {"histogram": {"field": "v", "interval": 10},
+            "aggs": {"s": {"stats": {"field": "v"},
                            "aggs": {"d": {"derivative": {
                                "buckets_path": "_count"}}}}},
         })
