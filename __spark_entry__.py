@@ -1355,6 +1355,163 @@ def q_search_dsl_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsl_hits_df(spark: SparkSession, resp: dict) -> DataFrame:
+    """(doc_id, score) frame from a _search response's hits page."""
+    return spark.createDataFrame(
+        [(int(h["_id"]), round(h["_score"], 6))
+         for h in resp["hits"]["hits"]],
+        "doc_id long, score double",
+    )
+
+
+def q_search_dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score (field_value_factor log1p, multiply) through the
+    _search body: the modifier re-ranks the FULL matched set, so the DSL
+    path runs the reader's distributed scored_frame (per-bucket TAAT,
+    no driver collect) -> broadcast attr join -> TakeOrdered k. Same
+    math as the direct q_function_score row; oracle is that row's SQL
+    on the index tokenizer."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"function_score": {
+            "query": {"match": {"content": " ".join(BM25_TERMS)}},
+            "functions": [{"field_value_factor": {
+                "field": "n_chars", "modifier": "log1p"}}],
+            "boost_mode": "multiply",
+        }},
+        "size": BM25_K,
+    })
+    return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded random_score through the _search body (deterministic
+    sha-hash randomness over (seed, doc_id) — reproducible across
+    cluster sizes, which is why the DSL REQUIRES an explicit seed)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"function_score": {
+            "query": {"match": {"content": " ".join(BM25_TERMS)}},
+            "functions": [{"random_score": {
+                "seed": RANDOM_SEED, "field": "_id"}}],
+        }},
+        "size": BM25_K,
+    })
+    return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_script_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """script_score through the _search body: the painless-ish source
+    (``_score``, ``doc['f'].value``, ``Math.log``) is translated to a
+    validated Catalyst expression and compiled into whole-stage codegen
+    — no interpreter in the scoring loop."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"script_score": {
+            "query": {"match": {"content": " ".join(BM25_TERMS)}},
+            "script": {"source":
+                       "_score * (1.0 + Math.log(1.0 + "
+                       "doc['n_chars'].value) / 10.0)"},
+        }},
+        "size": BM25_K,
+    })
+    return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pinned through the _search body: pins rank first in given order
+    (broadcast anti-join removes them from the organic top-k); hit order
+    IS the ranking, returned as (rank, doc_id)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    pins = [
+        r["doc_id"]
+        for r in _docs(spark, sf_dir)
+        .select("doc_id").orderBy("doc_id").limit(PIN_N).collect()
+    ]
+    resp = execute_search(rdr, {
+        "query": {"pinned": {
+            "ids": pins,
+            "organic": {"match": {"content": " ".join(BM25_TERMS)}},
+        }},
+        "size": BM25_K,
+    })
+    return spark.createDataFrame(
+        [(i + 1, int(h["_id"]))
+         for i, h in enumerate(resp["hits"]["hits"])],
+        "rank int, doc_id long",
+    )
+
+
+def q_search_dsl_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rescore through the _search body: top-RESCORE_WINDOW primary hits
+    re-ranked by a match_phrase containment bonus — the text probe
+    touches exactly window_size docs (broadcast window join), corpus
+    size notwithstanding."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match": {"content": " ".join(BM25_TERMS)}},
+        "rescore": {
+            "window_size": RESCORE_WINDOW,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": RESCORE_PHRASE}},
+                "query_weight": 1.0,
+                "rescore_query_weight": RESCORE_WEIGHT,
+            },
+        },
+        "size": BM25_K,
+    }, docs=_docs(spark, sf_dir))
+    return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature in bool.should through the _search body (the
+    canonical ES usage: must decides matching, the feature adds a
+    saturation bonus to every matched doc). Explicit pivot required —
+    ES's implicit default is a hidden corpus statistic."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"bool": {
+            "must": [{"match": {"content": " ".join(BM25_TERMS)}}],
+            "should": [{"rank_feature": {
+                "field": "n_chars", "saturation": {"pivot": RF_PIVOT}}}],
+        }},
+        "size": BM25_K,
+    })
+    return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_distance_feature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """distance_feature in bool.should through the _search body:
+    proximity-to-origin additive boost over the full matched set."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"bool": {
+            "must": [{"match": {"content": " ".join(BM25_TERMS)}}],
+            "should": [{"distance_feature": {
+                "field": "n_chars", "origin": DF_ORIGIN,
+                "pivot": DF_PIVOT}}],
+        }},
+        "size": BM25_K,
+    })
+    return _dsl_hits_df(spark, resp)
+
+
 def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-only phrase search (Lucene match_phrase analogue): a
     positional index (4th delta+varbyte stream of raw-token positions)
@@ -4202,6 +4359,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_template": q_search_template,
         "highlight": q_highlight,
         "search_dsl_highlight": q_search_dsl_highlight,
+        "search_dsl_function_score": q_search_dsl_function_score,
+        "search_dsl_random_score": q_search_dsl_random_score,
+        "search_dsl_script_score": q_search_dsl_script_score,
+        "search_dsl_pinned": q_search_dsl_pinned,
+        "search_dsl_rescore": q_search_dsl_rescore,
+        "search_dsl_rank_feature": q_search_dsl_rank_feature,
+        "search_dsl_distance_feature": q_search_dsl_distance_feature,
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
@@ -4521,6 +4685,18 @@ _MATCH_BOOL_PREFIX_SQL = _BM25_WAND_SQL.replace(
     f"  SELECT 'stream' AS term UNION\n"
     f"  SELECT DISTINCT term FROM postings WHERE term LIKE '{MBP_PREFIX}%'",
 )
+
+def _idx_toks(sql: str) -> str:
+    """Rewrite a naive-tokenizer oracle to the index's raw-token regex
+    (identifiers can't start with a digit) — identical output on the
+    word-soup corpus, index-exact by construction; the same transform
+    _BM25_WAND_SQL applies, shared by every reader-path DSL row whose
+    oracle derives from a direct-kernel SQL."""
+    return sql.replace(
+        "regexp_extract_all(lower(text), '[a-z0-9_]+')",
+        "regexp_extract_all(lower(text), '[a-z_][a-z0-9_]*')",
+    )
+
 
 # leading-wildcard '*er*': qterms = every vocabulary term containing
 # 'er' (customer/filter/merge/order/query on the word-soup vocab), BM25
@@ -6985,6 +7161,15 @@ FROM contrib c JOIN top1 USING (doc_id)
         "search_template": _BM25_WAND_SQL,
         "highlight": _HIGHLIGHT_SQL,
         "search_dsl_highlight": _HIGHLIGHT_SQL,
+        # score-modifier DSL rows: the direct kernels' oracles on the
+        # index tokenizer (translation must not change the math)
+        "search_dsl_function_score": _idx_toks(_FUNCTION_SCORE_SQL),
+        "search_dsl_random_score": _idx_toks(_RANDOM_SCORE_SQL),
+        "search_dsl_script_score": _idx_toks(_SCRIPT_SCORE_SQL),
+        "search_dsl_pinned": _idx_toks(_PINNED_SQL),
+        "search_dsl_rescore": _idx_toks(_RESCORE_SQL),
+        "search_dsl_rank_feature": _idx_toks(_RANK_FEATURE_SQL),
+        "search_dsl_distance_feature": _idx_toks(_DISTANCE_FEATURE_SQL),
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,

@@ -411,6 +411,295 @@ def _parse_runtime_mappings(rm) -> dict[str, str]:
     return out
 
 
+def _inner_scored(reader, q, role: str):
+    """Parse a score-modifier query's INNER query (match / term / terms,
+    OR or AND operator — the matched set a full-corpus scored frame can
+    reproduce exactly) and return ``(scored_frame, terms, mode)``.
+    ``scored_frame`` is the reader's distributed (doc_id, score)
+    DataFrame of EVERY matching doc (None when no term is present):
+    function_score / script_score / pinned / rescore re-rank the full
+    matched set, so the modifier must see all of it, not a page."""
+    if not isinstance(q, dict):
+        raise ValueError(f"{role} must be a query object")
+    kind, clause = _one(q, role)
+    if kind in ("term", "terms"):
+        terms, mode = _clause_terms(q, role), "or"
+    elif kind == "match":
+        _, spec = _one(clause, "match")
+        terms, mode, msm, fuzz = _match_terms(spec)
+        if msm or fuzz:
+            raise ValueError(
+                f"{role} supports plain match only (minimum_should_match "
+                "and fuzziness change the matched set in ways the scored "
+                "frame cannot reproduce)"
+            )
+    else:
+        raise ValueError(
+            f"{role} supports match/term/terms queries (got {kind!r})"
+        )
+    return reader.scored_frame(terms, mode=mode), terms, mode
+
+
+#: function whitelist for scoring scripts (all Catalyst builtins with
+#: identical DuckDB semantics on doubles)
+_SCRIPT_FUNCS = frozenset({"ln", "log1p", "sqrt", "abs", "pow", "exp"})
+
+
+def _script_expr(src: str, allowed_cols: set) -> str:
+    """Painless-ish scoring script -> validated Catalyst SQL expression.
+
+    Accepted input forms: ``_score``, ``doc['field'].value``, ``Math.log
+    / Math.log1p / Math.sqrt / Math.abs / Math.pow / Math.exp`` (or the
+    bare SQL function names), numeric literals, ``+ - * / ( ) ,``.
+    After rewriting, every identifier must be ``score``, a whitelisted
+    function, or a sidecar attribute — anything else raises (ES would
+    run arbitrary Painless; this engine compiles the script into
+    whole-stage codegen instead, so the grammar is a validated pocket
+    calculator, the same stance as the pipeline-agg scripts)."""
+    if not isinstance(src, str) or not src.strip():
+        raise ValueError("script_score: missing script source")
+    s = re.sub(r"doc\[['\"]([A-Za-z_][A-Za-z0-9_]*)['\"]\]\.value", r"\1", src)
+    s = s.replace("_score", "score")
+    s = re.sub(r"\bMath\.log1p\b", "log1p", s)
+    s = re.sub(r"\bMath\.log\b", "ln", s)
+    s = re.sub(r"\bMath\.(sqrt|abs|pow|exp)\b", r"\1", s)
+    for tok in set(re.findall(r"[A-Za-z_][A-Za-z0-9_.]*", s)):
+        if tok == "score" or tok in _SCRIPT_FUNCS or tok in allowed_cols:
+            continue
+        raise ValueError(f"script_score: unsupported script token {tok!r}")
+    if not re.fullmatch(r"[A-Za-z0-9_+\-*/().,\s]*", s):
+        raise ValueError("script_score: unsupported characters in script")
+    return s
+
+
+def _load_attrs(reader):
+    from .segments import load_doc_attrs
+
+    return load_doc_attrs(reader.spark, reader.out_dir)
+
+
+def _topk_pairs(rows) -> list[tuple[int, float]]:
+    return [(int(r["doc_id"]), float(r["score"])) for r in rows]
+
+
+def _function_score_query(reader, clause: dict, k: int):
+    """``function_score`` with ONE function — ``field_value_factor``
+    (modifier log1p, factor 1, multiply boost_mode: the shape of the
+    direct contract kernel) or seeded ``random_score`` — applied over
+    the full scored frame, then TakeOrdered k. Unsupported function
+    kinds / modifiers / boost_modes raise, never silently mis-score."""
+    unknown = set(clause) - {
+        "query", "functions", "boost_mode", "score_mode",
+        "field_value_factor", "random_score",
+    }
+    if unknown:
+        raise ValueError(
+            f"unsupported function_score option(s): {sorted(unknown)}"
+        )
+    if clause.get("boost_mode", "multiply") != "multiply":
+        raise ValueError(
+            "function_score supports boost_mode=multiply only"
+        )
+    fns = clause.get("functions")
+    if fns is None:
+        inline = [x for x in ("field_value_factor", "random_score")
+                  if x in clause]
+        if len(inline) != 1:
+            raise ValueError(
+                "function_score needs functions=[...] or exactly one "
+                "inline function"
+            )
+        fns = [{inline[0]: clause[inline[0]]}]
+    if not isinstance(fns, list) or len(fns) != 1:
+        raise ValueError(
+            "function_score supports exactly one function (score_mode "
+            "composition over several functions is not implemented)"
+        )
+    fn = dict(fns[0])
+    weight = float(fn.pop("weight", 1.0))
+    if len(fn) != 1:
+        raise ValueError("each function_score function names one kind")
+    [(fkind, fspec)] = fn.items()
+    if "query" not in clause:
+        raise ValueError("function_score needs an inner query")
+    scored, terms, mode = _inner_scored(
+        reader, clause["query"], "function_score.query"
+    )
+    if scored is None:
+        return [], 0, terms, mode
+    if fkind == "field_value_factor":
+        bad = set(fspec) - {"field", "modifier", "factor", "missing"}
+        if bad:
+            raise ValueError(
+                f"unsupported field_value_factor option(s): {sorted(bad)}"
+            )
+        if fspec.get("modifier") != "log1p":
+            raise ValueError(
+                "field_value_factor supports modifier=log1p only"
+            )
+        if float(fspec.get("factor", 1.0)) != 1.0:
+            raise ValueError("field_value_factor supports factor=1 only")
+        field = fspec.get("field")
+        attrs = _load_attrs(reader)
+        if field not in attrs.columns:
+            raise ValueError(f"unknown field_value_factor field: {field!r}")
+        from .searchext import function_score_topk
+
+        rows = function_score_topk(
+            scored, attrs, field, k=k, weight=weight
+        ).collect()
+    elif fkind == "random_score":
+        bad = set(fspec) - {"seed", "field"}
+        if bad:
+            raise ValueError(
+                f"unsupported random_score option(s): {sorted(bad)}"
+            )
+        if "seed" not in fspec:
+            raise ValueError(
+                "random_score needs an explicit seed (unseeded ES "
+                "randomness is irreproducible across runs)"
+            )
+        if fspec.get("field", "_id") != "_id":
+            raise ValueError("random_score supports field=_id only")
+        if weight != 1.0:
+            raise ValueError("random_score supports weight=1 only")
+        from .searchext import random_score_topk
+
+        rows = random_score_topk(scored, fspec["seed"], k=k).collect()
+    else:
+        raise ValueError(f"unsupported function_score function: {fkind!r}")
+    return _topk_pairs(rows), None, terms, mode
+
+
+def _script_score_query(reader, clause: dict, k: int):
+    """``script_score``: the script REPLACES the query score (ES
+    semantics); compiled to a validated Catalyst expression over
+    ``_score`` and sidecar attributes, evaluated on the full scored
+    frame, then TakeOrdered k."""
+    unknown = set(clause) - {"query", "script"}
+    if unknown:
+        raise ValueError(
+            f"unsupported script_score option(s): {sorted(unknown)}"
+        )
+    script = clause.get("script")
+    src = script.get("source") if isinstance(script, dict) else script
+    if "query" not in clause:
+        raise ValueError("script_score needs an inner query")
+    scored, terms, mode = _inner_scored(
+        reader, clause["query"], "script_score.query"
+    )
+    if scored is None:
+        return [], 0, terms, mode
+    attrs = _load_attrs(reader)
+    expr = _script_expr(src, set(attrs.columns) - {"bucket", "doc_id"})
+    from .searchext import script_score_topk
+
+    rows = script_score_topk(scored, attrs, expr, k=k).collect()
+    return _topk_pairs(rows), None, terms, mode
+
+
+def _pinned_query(reader, clause: dict, k: int):
+    """``pinned``: the given live ids rank first in the given order;
+    organic hits follow by score with pins removed. Hit ``_score`` is
+    None (position IS the ranking — the kernel returns ranks; ES uses a
+    sentinel float for pins, a number with no meaning to reproduce)."""
+    unknown = set(clause) - {"ids", "organic"}
+    if unknown:
+        raise ValueError(f"unsupported pinned option(s): {sorted(unknown)}")
+    ids = [int(x) for x in clause.get("ids") or []]
+    if not ids:
+        raise ValueError("pinned needs a non-empty ids list")
+    if len(ids) > 100:
+        raise ValueError("pinned supports at most 100 ids (the ES cap)")
+    blocked = set(int(x) for x in reader._blocked())
+    ids = [i for i in ids if i not in blocked]
+    if "organic" not in clause:
+        raise ValueError("pinned needs an organic query")
+    scored, _terms, _mode = _inner_scored(
+        reader, clause["organic"], "pinned.organic"
+    )
+    if scored is None:
+        return [(d, None) for d in ids[:k]], None
+    from .searchext import pinned_topk
+
+    rows = pinned_topk(scored, ids, k=k).collect()
+    return [(int(r["doc_id"]), None) for r in rows], None
+
+
+def _feature_bool_query(reader, clause: dict, feat: list, k: int):
+    """``bool`` whose ``should`` is a single ``rank_feature`` /
+    ``distance_feature`` clause beside one scoring ``must`` — the
+    canonical ES usage (the feature adds an additive bonus to every
+    matched doc's score; matching is decided by ``must`` alone). The
+    bonus re-ranks the full matched set, so it runs over the scored
+    frame. An explicit pivot (and origin) is required: ES's implicit
+    pivot default is a hidden corpus statistic, and an explicit one
+    keeps results deterministic and oracle-checkable."""
+    if len(feat) != 1:
+        raise ValueError("bool supports one rank/distance_feature should")
+    others = [c for c in _as_list(clause.get("should") or []) if c not in feat]
+    if others:
+        raise ValueError(
+            "a rank/distance_feature should must be the only should clause"
+        )
+    if clause.get("must_not") or clause.get("filter") \
+            or clause.get("minimum_should_match"):
+        raise ValueError(
+            "bool with a feature should supports must + should only"
+        )
+    must = _as_list(clause.get("must") or [])
+    if len(must) != 1:
+        raise ValueError(
+            "bool with a feature should needs exactly one scoring must"
+        )
+    scored, terms, mode = _inner_scored(reader, must[0], "bool.must")
+    if scored is None:
+        return [], 0, terms, mode
+    fkind, fspec = _one(feat[0], "bool.should")
+    if not isinstance(fspec, dict) or "field" not in fspec:
+        raise ValueError(f"{fkind} needs a field")
+    field = fspec["field"]
+    boost = float(fspec.get("boost", 1.0))
+    attrs = _load_attrs(reader)
+    if field not in attrs.columns:
+        raise ValueError(f"unknown {fkind} field: {field!r}")
+    if fkind == "rank_feature":
+        bad = set(fspec) - {"field", "saturation", "boost"}
+        if bad:
+            raise ValueError(
+                f"unsupported rank_feature option(s): {sorted(bad)}"
+            )
+        sat = fspec.get("saturation")
+        if not isinstance(sat, dict) or "pivot" not in sat \
+                or set(sat) - {"pivot"}:
+            raise ValueError(
+                "rank_feature needs an explicit saturation.pivot (the ES "
+                "implicit default is a hidden corpus statistic)"
+            )
+        from .searchext import rank_feature_topk
+
+        rows = rank_feature_topk(
+            scored, attrs, field, pivot=float(sat["pivot"]), k=k,
+            boost=boost,
+        ).collect()
+    else:
+        bad = set(fspec) - {"field", "origin", "pivot", "boost"}
+        if bad:
+            raise ValueError(
+                f"unsupported distance_feature option(s): {sorted(bad)}"
+            )
+        for req in ("origin", "pivot"):
+            if req not in fspec:
+                raise ValueError(f"distance_feature needs {req}")
+        from .searchext import distance_feature_topk
+
+        rows = distance_feature_topk(
+            scored, attrs, field, origin=float(fspec["origin"]),
+            pivot=float(fspec["pivot"]), k=k, boost=boost,
+        ).collect()
+    return _topk_pairs(rows), None, terms, mode
+
+
 def execute_search(reader, body: dict, docs=None) -> dict:
     """Run an ES ``_search`` request body; returns the ES response shape
     ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}]},
@@ -437,6 +726,10 @@ def execute_search(reader, body: dict, docs=None) -> dict:
     # aggs/track_total_hits then refuse instead of silently mis-scoping
     aggs_scope_exact = True
     explain_terms: list[str] | None = None  # scoring terms (explain=true)
+    # hit _score no longer equals the base BM25 value (function_score /
+    # script_score / pinned / rescore / feature-bool): explain=true
+    # refuses instead of returning a breakdown of the WRONG number
+    score_modified = False
 
     sort = body.get("sort")
     after = body.get("search_after")
@@ -462,6 +755,20 @@ def execute_search(reader, body: dict, docs=None) -> dict:
         ids = [r["doc_id"] for r in rows if r["doc_id"] not in blocked][:k]
         pairs = [(d, 1.0) for d in ids]
         total = reader.n_docs - len(blocked)
+    elif kind == "bool" and any(
+        isinstance(c, dict) and len(c) == 1
+        and next(iter(c)) in ("rank_feature", "distance_feature")
+        for c in _as_list(clause.get("should") or [])
+    ):
+        feat = [
+            c for c in _as_list(clause.get("should") or [])
+            if isinstance(c, dict) and len(c) == 1
+            and next(iter(c)) in ("rank_feature", "distance_feature")
+        ]
+        pairs, total, terms_for_aggs, agg_mode = _feature_bool_query(
+            reader, clause, feat, k
+        )
+        score_modified = True
     elif kind == "bool":
         must, should, must_not, doc_filter, msm = _parse_bool(clause)
         if not must and not should and not must_not and doc_filter:
@@ -630,8 +937,84 @@ def execute_search(reader, body: dict, docs=None) -> dict:
         sortable = True
         pairs = reader.query(terms, k)
         total = None
+    elif kind == "function_score":
+        pairs, total, terms_for_aggs, agg_mode = _function_score_query(
+            reader, clause, k
+        )
+        score_modified = True
+    elif kind == "script_score":
+        pairs, total, terms_for_aggs, agg_mode = _script_score_query(
+            reader, clause, k
+        )
+        score_modified = True
+    elif kind == "pinned":
+        # matched set = organic ∪ pins (not term-expressible): aggs /
+        # track_total_hits / highlight refuse rather than mis-scope
+        pairs, total = _pinned_query(reader, clause, k)
+        score_modified = True
     else:
         raise ValueError(f"unsupported query clause: {kind}")
+
+    rs = body.get("rescore")
+    if rs:
+        score_modified = True
+        if isinstance(rs, list):
+            if len(rs) != 1:
+                raise ValueError("rescore supports exactly one rescorer")
+            rs = rs[0]
+        unknown = set(rs) - {"window_size", "query"}
+        if unknown:
+            raise ValueError(
+                f"unsupported rescore option(s): {sorted(unknown)}"
+            )
+        if sort or after is not None or body.get("collapse"):
+            raise ValueError(
+                "rescore composes with a plain scored query (no sort / "
+                "search_after / collapse)"
+            )
+        if kind not in ("match", "term", "terms") or not sortable:
+            raise ValueError(
+                "rescore needs a plain match/term/terms primary query"
+            )
+        if docs is None:
+            raise ValueError(
+                "rescore re-reads _source: pass the documents table via "
+                "execute_search(..., docs=...)"
+            )
+        rq = rs.get("query") or {}
+        bad = set(rq) - {"rescore_query", "query_weight",
+                         "rescore_query_weight"}
+        if bad:
+            raise ValueError(
+                f"unsupported rescore.query option(s): {sorted(bad)}"
+            )
+        if "rescore_query" not in rq:
+            raise ValueError("rescore needs query.rescore_query")
+        rkind, rclause = _one(rq["rescore_query"], "rescore_query")
+        if rkind != "match_phrase":
+            raise ValueError(
+                "rescore supports a match_phrase rescore_query (the "
+                "expensive-second-pass shape; anything term-resolvable "
+                "belongs in the primary query)"
+            )
+        hfield, spec = _one(rclause, "rescore_query.match_phrase")
+        phrase = spec if isinstance(spec, str) else spec["query"]
+        if hfield not in docs.columns:
+            raise ValueError(f"rescore field not in docs: {hfield!r}")
+        scored = reader.scored_frame(terms_for_aggs, mode=agg_mode)
+        if scored is None:
+            pairs = []
+        else:
+            from .searchext import rescore_topk
+
+            rows = rescore_topk(
+                scored, docs, phrase,
+                window_size=int(rs.get("window_size", 10)), k=k,
+                query_weight=float(rq.get("query_weight", 1.0)),
+                rescore_weight=float(rq.get("rescore_query_weight", 1.0)),
+                text_col=hfield,
+            ).collect()
+            pairs = _topk_pairs(rows)
 
     # attribute sort (one key), ES sort-by-field semantics: score is null
     if sort and sort not in ("_score", ["_score"]):
@@ -796,6 +1179,12 @@ def execute_search(reader, body: dict, docs=None) -> dict:
     if body.get("explain"):
         # ES explain=true: per-hit score breakdown; only term-resolvable
         # queries carry one (the reader's per-term BM25 explanation)
+        if score_modified:
+            raise ValueError(
+                "explain=true is unsupported for score-modifier queries "
+                "(the reader explanation covers the base BM25 score only "
+                "— returning it against a modified _score would lie)"
+            )
         if terms_for_aggs is None:
             raise ValueError("explain=true needs a term-resolvable query")
         for h in resp["hits"]["hits"]:

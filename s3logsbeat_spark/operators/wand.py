@@ -4583,6 +4583,25 @@ class IndexReader:
         """Distribute a per-bucket scoring kernel (``score_rows(pdf, filt)
         -> pandas (doc_id, score)``) and k-row-merge the results. Buckets
         partition docs, so per-bucket top-k is exact."""
+        per_b = self._per_bucket_frame(
+            rows_df, score_rows, doc_filter, blocked_list
+        )
+        ordered = per_b.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        rows = (ordered if k is None else ordered.limit(k)).collect()
+        return [(r["doc_id"], r["score"]) for r in rows]
+
+    def _per_bucket_frame(
+        self,
+        rows_df,
+        score_rows,
+        doc_filter: dict | None,
+        blocked_list: list,
+    ):
+        """The distributed stage under :meth:`_run_per_bucket`, returned
+        as an UNCOLLECTED (doc_id, score) DataFrame — the building block
+        for composition paths (:meth:`scored_frame`) where downstream
+        operators join/re-rank in the cluster instead of paging to the
+        driver."""
         import os
 
         import pandas as pd
@@ -4645,9 +4664,78 @@ class IndexReader:
                 .cogroup(allowed_df.groupBy("bucket"))
                 .applyInPandas(per_bucket_cg, schema="doc_id long, score double")
             )
-        ordered = per_b.orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        rows = (ordered if k is None else ordered.limit(k)).collect()
-        return [(r["doc_id"], r["score"]) for r in rows]
+        return per_b
+
+    def scored_frame(
+        self,
+        terms: list[str],
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        min_should_match: int | None = None,
+        boosts: dict | None = None,
+    ):
+        """Distributed, unordered (doc_id, score) DataFrame of EVERY live
+        doc matching the term query — the composition input for the
+        score-modifier query family (``function_score`` /
+        ``script_score`` / ``pinned`` / ``rescore`` / ``rank_feature``):
+        a per-doc modifier can promote ANY matched doc into the top-k,
+        so ranking must happen AFTER the modifier, over the full matched
+        set, never over a pre-cut page.
+
+        Plan shape: the same per-bucket TAAT scorer as the distributed
+        query path, but with the per-bucket k set to the bucket's
+        posting total (score everything) and NO driver collect — the
+        frame stays in the cluster for the downstream broadcast join +
+        TakeOrdered. WAND is pointless here (k = everything prunes
+        nothing), so the exact TAAT kernel is used unconditionally.
+        Returns ``None`` when no query term is present in the corpus
+        (or an AND term is absent) — the caller's empty-result case.
+        """
+        if not terms:
+            return None
+        dfsum = self._df_of(terms)
+        if not dfsum:
+            return None
+        if mode == "and" and len(dfsum) < len(set(terms)):
+            return None
+        msm = min_should_match
+        if msm is not None:
+            if mode == "and":
+                raise ValueError("min_should_match conflicts with mode='and'")
+            if msm > 1 and len(dfsum) < msm:
+                return None
+            if msm <= 1:
+                msm = None
+        idf = {t: bm25_idf(self.n_docs, s) for t, s in dfsum.items()}
+        if boosts:
+            idf = {t: v * float(boosts.get(t, 1.0)) for t, v in idf.items()}
+        import pandas as pd
+
+        avgdl = self.avgdl
+        n_terms_global = len(idf)
+        blocked_list = [int(x) for x in self._blocked()]
+
+        def score_all(pdf: pd.DataFrame, filt: DocFilter | None):
+            lists = [
+                _row_to_plist(row, idf[row["term"]], avgdl)
+                for _, row in pdf.iterrows()
+            ]
+            # a bucket can never match more docs than it holds postings
+            kk = int(pdf["df"].sum())
+            if mode == "and" or msm is not None:
+                top = score_conjunctive(
+                    lists, list(pdf["term"]), kk, n_terms=n_terms_global,
+                    doc_filter=filt, min_match=msm,
+                )
+            else:
+                top = score_exact_taat(lists, kk, doc_filter=filt)
+            return pd.DataFrame(
+                {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
+            )
+
+        return self._per_bucket_frame(
+            self._segment_rows(terms), score_all, doc_filter, blocked_list
+        )
 
 
 def _row_payload(row) -> dict:

@@ -1,0 +1,283 @@
+"""Score-modifier queries through the _search body (function_score /
+script_score / pinned / rescore / rank_feature / distance_feature) and
+the reader's scored_frame they all ride on.
+
+scored_frame is pinned against reader.query (same kernels, full set vs
+top-k); each DSL body is pinned against the direct searchext kernel it
+translates to (translation adds no scoring paths — the kernels
+themselves are DuckDB-oracled by their contract rows)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.dsl import execute_search
+from s3logsbeat_spark.operators.segments import (
+    IndexConfig,
+    build_index,
+    load_doc_attrs,
+)
+from s3logsbeat_spark.operators.wand import IndexReader
+
+TERMS = ["hash", "merge"]
+MATCH = {"match": {"content": "merge hash"}}
+
+
+@pytest.fixture(scope="module")
+def rdr(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("scoremod_idx"))
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10)
+    build_index(corpus_df.withColumn("n_chars", F.length("content")), cfg)
+    return IndexReader(spark, out)
+
+
+@pytest.fixture(scope="module")
+def attrs(rdr):
+    return load_doc_attrs(rdr.spark, rdr.out_dir)
+
+
+@pytest.fixture(scope="module")
+def scored(rdr):
+    return rdr.scored_frame(TERMS)
+
+
+def _ids_scores(resp):
+    return [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+
+
+def _pairs(df):
+    return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+
+# ---------------------------------------------------------------- frame
+
+def test_scored_frame_matches_query_topk(rdr, scored):
+    top = _pairs(
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    )
+    assert top == rdr.query(TERMS, 10)
+
+
+def test_scored_frame_full_set_size(rdr, scored):
+    # every matched doc is present exactly once
+    n = scored.count()
+    assert n == scored.select("doc_id").distinct().count()
+    assert n == rdr.count(TERMS, mode="or")
+
+
+def test_scored_frame_and_mode(rdr):
+    fr = rdr.scored_frame(TERMS, mode="and")
+    top = _pairs(
+        fr.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    )
+    assert top == rdr.query(TERMS, 10, mode="and")
+
+
+def test_scored_frame_doc_filter(rdr, attrs):
+    langs = sorted(
+        r["lang"] for r in attrs.select("lang").distinct().collect()
+    )[:1]
+    fr = rdr.scored_frame(TERMS, doc_filter={"lang": langs[0]})
+    top = _pairs(
+        fr.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(10)
+    )
+    assert top == rdr.query(TERMS, 10, doc_filter={"lang": langs[0]})
+
+
+def test_scored_frame_absent_term_none(rdr):
+    assert rdr.scored_frame(["zzz_missing"]) is None
+    assert rdr.scored_frame(["merge", "zzz_missing"], mode="and") is None
+
+
+# ---------------------------------------------------- function_score
+
+def test_dsl_function_score_fvf(rdr, scored, attrs):
+    from s3logsbeat_spark.operators.searchext import function_score_topk
+
+    body = {"query": {"function_score": {
+        "query": MATCH,
+        "functions": [{
+            "field_value_factor": {"field": "n_chars", "modifier": "log1p"},
+            "weight": 1.5,
+        }],
+        "boost_mode": "multiply",
+    }}}
+    got = _ids_scores(execute_search(rdr, body))
+    want = _pairs(function_score_topk(scored, attrs, "n_chars", k=10,
+                                      weight=1.5))
+    assert got == want
+
+
+def test_dsl_function_score_inline_form(rdr, scored, attrs):
+    from s3logsbeat_spark.operators.searchext import function_score_topk
+
+    body = {"query": {"function_score": {
+        "query": MATCH,
+        "field_value_factor": {"field": "n_chars", "modifier": "log1p"},
+    }}}
+    got = _ids_scores(execute_search(rdr, body))
+    assert got == _pairs(function_score_topk(scored, attrs, "n_chars", k=10))
+
+
+def test_dsl_random_score(rdr, scored):
+    from s3logsbeat_spark.operators.searchext import random_score_topk
+
+    body = {"query": {"function_score": {
+        "query": MATCH,
+        "functions": [{"random_score": {"seed": 7, "field": "_id"}}],
+    }}}
+    got = _ids_scores(execute_search(rdr, body))
+    assert got == _pairs(random_score_topk(scored, 7, k=10))
+
+
+@pytest.mark.parametrize("body,msg", [
+    ({"query": {"function_score": {"query": MATCH,
+                                   "boost_mode": "sum"}}}, "boost_mode"),
+    ({"query": {"function_score": {"query": MATCH, "functions": [
+        {"field_value_factor": {"field": "n_chars",
+                                "modifier": "sqrt"}}]}}}, "log1p"),
+    ({"query": {"function_score": {"query": MATCH, "functions": [
+        {"random_score": {"field": "_id"}}]}}}, "seed"),
+    ({"query": {"function_score": {"query": MATCH, "functions": [
+        {"gauss": {"n_chars": {"origin": 0, "scale": 10}}}]}}}, "function"),
+    ({"query": {"function_score": {"query": MATCH, "functions": [
+        {"field_value_factor": {"field": "n_chars", "modifier": "log1p"}},
+        {"random_score": {"seed": 1}}]}}}, "exactly one"),
+])
+def test_dsl_function_score_refuses(rdr, body, msg):
+    with pytest.raises(ValueError, match=msg):
+        execute_search(rdr, body)
+
+
+# ------------------------------------------------------ script_score
+
+def test_dsl_script_score_painless_translation(rdr, scored, attrs):
+    from s3logsbeat_spark.operators.searchext import script_score_topk
+
+    body = {"query": {"script_score": {
+        "query": MATCH,
+        "script": {"source":
+                   "_score * (1.0 + Math.log(1.0 + doc['n_chars'].value)"
+                   " / 10.0)"},
+    }}}
+    got = _ids_scores(execute_search(rdr, body))
+    want = _pairs(script_score_topk(
+        scored, attrs, "score * (1.0 + ln(1.0 + n_chars) / 10.0)", k=10
+    ))
+    assert got == want
+
+
+def test_dsl_script_score_rejects_unknown_token(rdr):
+    with pytest.raises(ValueError, match="token"):
+        execute_search(rdr, {"query": {"script_score": {
+            "query": MATCH,
+            "script": {"source": "_score * params.w"},
+        }}})
+
+
+# ------------------------------------------------------------ pinned
+
+def test_dsl_pinned(rdr, scored, attrs):
+    from s3logsbeat_spark.operators.searchext import pinned_topk
+
+    pins = [r["doc_id"] for r in
+            attrs.select("doc_id").orderBy("doc_id").limit(2).collect()]
+    body = {"query": {"pinned": {"ids": pins, "organic": MATCH}}}
+    got = [h["_id"] for h in execute_search(rdr, body)["hits"]["hits"]]
+    want = [int(r["doc_id"]) for r in pinned_topk(scored, pins, k=10).collect()]
+    assert got == want
+    assert got[:2] == [int(p) for p in pins]
+    # pinned _score is None: rank IS the ordering
+    assert all(h["_score"] is None
+               for h in execute_search(rdr, body)["hits"]["hits"])
+
+
+def test_dsl_pinned_caps_ids(rdr):
+    with pytest.raises(ValueError, match="100"):
+        execute_search(rdr, {"query": {"pinned": {
+            "ids": list(range(101)), "organic": MATCH}}})
+
+
+# ----------------------------------------------------------- rescore
+
+def test_dsl_rescore(rdr, scored, corpus_df):
+    from s3logsbeat_spark.operators.searchext import rescore_topk
+
+    docs = corpus_df.withColumnRenamed("content", "text")
+    phrase = "merge hash"
+    body = {
+        "query": MATCH,
+        "rescore": {"window_size": 20, "query": {
+            "rescore_query": {"match_phrase": {"text": phrase}},
+            "query_weight": 1.0, "rescore_query_weight": 2.0}},
+    }
+    got = _ids_scores(execute_search(rdr, body, docs=docs))
+    want = _pairs(rescore_topk(scored, docs, phrase, window_size=20, k=10,
+                               rescore_weight=2.0))
+    assert got == want
+
+
+def test_dsl_rescore_needs_docs(rdr):
+    with pytest.raises(ValueError, match="docs"):
+        execute_search(rdr, {"query": MATCH, "rescore": {
+            "window_size": 5, "query": {
+                "rescore_query": {"match_phrase": {"text": "x y"}}}}})
+
+
+# ------------------------------------- rank_feature / distance_feature
+
+def test_dsl_rank_feature_in_should(rdr, scored, attrs):
+    from s3logsbeat_spark.operators.searchext import rank_feature_topk
+
+    body = {"query": {"bool": {
+        "must": [MATCH],
+        "should": [{"rank_feature": {"field": "n_chars",
+                                     "saturation": {"pivot": 50.0},
+                                     "boost": 2.0}}],
+    }}}
+    got = _ids_scores(execute_search(rdr, body))
+    want = _pairs(rank_feature_topk(scored, attrs, "n_chars", pivot=50.0,
+                                    k=10, boost=2.0))
+    assert got == want
+
+
+def test_dsl_distance_feature_in_should(rdr, scored, attrs):
+    from s3logsbeat_spark.operators.searchext import distance_feature_topk
+
+    body = {"query": {"bool": {
+        "must": [MATCH],
+        "should": [{"distance_feature": {"field": "n_chars",
+                                         "origin": 120.0, "pivot": 30.0}}],
+    }}}
+    got = _ids_scores(execute_search(rdr, body))
+    want = _pairs(distance_feature_topk(scored, attrs, "n_chars",
+                                        origin=120.0, pivot=30.0, k=10))
+    assert got == want
+
+
+def test_dsl_rank_feature_needs_pivot(rdr):
+    with pytest.raises(ValueError, match="pivot"):
+        execute_search(rdr, {"query": {"bool": {
+            "must": [MATCH],
+            "should": [{"rank_feature": {"field": "n_chars"}}]}}})
+
+
+def test_dsl_explain_refuses_on_modified_score(rdr):
+    with pytest.raises(ValueError, match="explain"):
+        execute_search(rdr, {
+            "query": {"script_score": {"query": MATCH,
+                                       "script": {"source": "_score"}}},
+            "explain": True,
+        })
+
+
+def test_dsl_aggs_still_run_on_function_score(rdr):
+    # matched set is the inner query's: aggs scope stays exact
+    body = {"query": {"function_score": {
+        "query": MATCH,
+        "field_value_factor": {"field": "n_chars", "modifier": "log1p"},
+    }}, "aggs": {"by_lang": {"terms": {"field": "lang"}}}, "size": 0}
+    got = execute_search(rdr, body)["aggregations"]["by_lang"]["buckets"]
+    want = rdr.facet_counts(TERMS, "lang", mode="or")
+    assert [(b["key"], b["doc_count"]) for b in got] == want
