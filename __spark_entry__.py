@@ -279,6 +279,14 @@ def _events_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("k"), F.get_json_object("props", "$.k")),
         ).alias("content"),
         "ts", "value", "user_id", "event_type",
+        # deterministic NULLABLE attr (testdata has no nullable column;
+        # derived like the geo rows' coordinates): null for every 4th
+        # event — the `missing` agg's oracle is event_id % 4 = 3
+        F.when(
+            F.col("event_id") % 4 == 3, F.lit(None).cast("long")
+        ).otherwise(
+            (200 + (F.col("event_id") % 3) * 100).cast("long")
+        ).alias("status"),
     )
 
 
@@ -299,10 +307,11 @@ def _events_index(spark: SparkSession, sf_dir: str):
 
     docs = _events_docs(spark, sf_dir)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"{tempfile.gettempdir()}/s3lb_evindex_v1_{tag}"
+    # v2: sidecar carries the nullable `status` attr (missing agg)
+    out = f"{tempfile.gettempdir()}/s3lb_evindex_v2_{tag}"
     cfg = IndexConfig(
         out_dir=out, n_buckets=8, hot_df_threshold=20_000,
-        attr_cols=("ts", "value", "user_id", "event_type"),
+        attr_cols=("ts", "value", "user_id", "event_type", "status"),
     )
     build_index(docs, cfg, lang_col=None)
     return IndexReader(spark, out)
@@ -1510,6 +1519,105 @@ def q_search_dsl_distance_feature(
         "size": BM25_K,
     })
     return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sampler agg through the _search body: the sub-agg (avg n_chars)
+    runs over the top-shard_size BEST-SCORING matched docs (ES keeps
+    best-scoring per shard — deterministic here, unlike ES's
+    arrival-order default the direct q_search_sampler row documents).
+    The sampled id list is shard_size-bounded, so the sub-agg pass is
+    one pruned sidecar read."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match": {"content": " ".join(BM25_TERMS)}},
+        "size": 0,
+        "aggs": {"sample": {
+            "sampler": {"shard_size": SAMPLER_SIZE},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+        }},
+    })
+    s = resp["aggregations"]["sample"]
+    return spark.createDataFrame(
+        [(int(s["doc_count"]), float(s["avg_chars"]["value"]))],
+        "doc_count long, avg_chars double",
+    )
+
+
+DSL_DIV_SHARD = 50
+
+
+def q_search_dsl_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diversified_sampler agg through the _search body: the sample is
+    de-clumped (at most DIV_MAX_PER_LANG docs per lang, best-scoring
+    first — the diversified_topk kernel over the distributed scored
+    frame), then the sub-agg runs on the bounded sample."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"match": {"content": " ".join(BM25_TERMS)}},
+        "size": 0,
+        "aggs": {"sample": {
+            "diversified_sampler": {
+                "shard_size": DSL_DIV_SHARD, "field": "lang",
+                "max_docs_per_value": DIV_MAX_PER_LANG,
+            },
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}},
+        }},
+    })
+    s = resp["aggregations"]["sample"]
+    return spark.createDataFrame(
+        [(int(s["doc_count"]), float(s["avg_chars"]["value"]))],
+        "doc_count long, avg_chars double",
+    )
+
+
+def q_search_dsl_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """missing agg through the _search body (events log index): matched
+    docs whose nullable sidecar attr is null — one count over the
+    matched-set/sidecar join."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"no_status": {"missing": {"field": "status"}}},
+    })
+    return spark.createDataFrame(
+        [(int(resp["aggregations"]["no_status"]["doc_count"]),)],
+        "doc_count long",
+    )
+
+
+def q_search_dsl_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_range agg through the _search body (events log index): from
+    inclusive / to exclusive / open ends, named keys, buckets counted in
+    ONE conditional-sum pass (reader.filters_agg), never a per-range
+    scan."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"periods": {"date_range": {
+            "field": "ts",
+            "ranges": [
+                {"key": "early", "to": "2024-01-10"},
+                {"key": "mid", "from": "2024-01-10", "to": "2024-01-20"},
+                {"key": "late", "from": "2024-01-20"},
+            ],
+        }}},
+    })
+    rows = [
+        (b["key"], int(b["doc_count"]))
+        for b in resp["aggregations"]["periods"]["buckets"]
+    ]
+    return spark.createDataFrame(rows, "key string, doc_count long")
 
 
 def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4366,6 +4474,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_rescore": q_search_dsl_rescore,
         "search_dsl_rank_feature": q_search_dsl_rank_feature,
         "search_dsl_distance_feature": q_search_dsl_distance_feature,
+        "search_dsl_sampler": q_search_dsl_sampler,
+        "search_dsl_diversified": q_search_dsl_diversified,
+        "search_dsl_missing": q_search_dsl_missing,
+        "search_dsl_date_range": q_search_dsl_date_range,
         "bm25_filtered": q_bm25_filtered,
         "phrase_indexed": q_phrase_indexed,
         "bm25_msm": q_bm25_msm,
@@ -7170,6 +7282,46 @@ FROM contrib c JOIN top1 USING (doc_id)
         "search_dsl_rescore": _idx_toks(_RESCORE_SQL),
         "search_dsl_rank_feature": _idx_toks(_RANK_FEATURE_SQL),
         "search_dsl_distance_feature": _idx_toks(_DISTANCE_FEATURE_SQL),
+        "search_dsl_sampler": _idx_toks(f"""
+{_BM25_PREFIX}, pick AS (
+  SELECT doc_id FROM scored
+  ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT {SAMPLER_SIZE}
+)
+SELECT count(*)::BIGINT AS doc_count,
+       round(avg(d.n_chars), 6) AS avg_chars
+FROM pick JOIN documents d USING (doc_id)
+"""),
+        "search_dsl_diversified": _idx_toks(f"""
+{_BM25_PREFIX}, j AS (
+  SELECT s.doc_id, d.lang, s.raw,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY round(s.raw, 9) DESC, s.doc_id ASC)
+           AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+),
+pick AS (
+  SELECT doc_id FROM j WHERE rn <= {DIV_MAX_PER_LANG}
+  ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT {DSL_DIV_SHARD}
+)
+SELECT count(*)::BIGINT AS doc_count,
+       round(avg(d.n_chars), 6) AS avg_chars
+FROM pick JOIN documents d USING (doc_id)
+"""),
+        "search_dsl_missing": """
+SELECT count(*)::BIGINT AS doc_count FROM events
+WHERE event_type = 'error' AND event_id % 4 = 3
+""",
+        "search_dsl_date_range": """
+SELECT 'early' AS key, count(*)::BIGINT AS doc_count FROM events
+WHERE event_type = 'error' AND ts < '2024-01-10'::TIMESTAMP
+UNION ALL
+SELECT 'mid', count(*)::BIGINT FROM events
+WHERE event_type = 'error' AND ts >= '2024-01-10'::TIMESTAMP
+  AND ts < '2024-01-20'::TIMESTAMP
+UNION ALL
+SELECT 'late', count(*)::BIGINT FROM events
+WHERE event_type = 'error' AND ts >= '2024-01-20'::TIMESTAMP
+""",
         "bm25_filtered": _BM25_FILTERED_SQL,
         "phrase_indexed": _PHRASE_IDX_SQL,
         "bm25_msm": _BM25_MSM_SQL,

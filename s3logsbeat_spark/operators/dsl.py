@@ -1629,6 +1629,88 @@ def _split_hist_subaggs(sub: dict | None, ctx: str):
     return metrics, pipes
 
 
+def _sample_subaggs(reader, ids: list[int], sub: dict) -> dict:
+    """Sub-aggregations over a sampler's bounded doc set: one pruned
+    sidecar read filtered to the (shard_size-bounded) sampled ids, then
+    per-sub-agg expressions. Supported kinds: avg / min / max / sum /
+    value_count / stats / terms — the metric shapes ES runs inside a
+    sampler. Values round to 6 dp (the cross-engine float rule)."""
+    from pyspark.sql import functions as F
+
+    from .segments import load_doc_attrs
+
+    out: dict = {}
+    attrs = load_doc_attrs(reader.spark, reader.out_dir)
+    sdf = attrs.filter(F.col("doc_id").isin([int(i) for i in ids]))
+    for sname, sspec in sub.items():
+        if not isinstance(sspec, dict) or len(sspec) != 1:
+            raise ValueError(f"sampler sub-agg {sname} must name one kind")
+        [(skind, sa)] = sspec.items()
+        allowed = {"field", "size"} if skind == "terms" else {"field"}
+        unknown = set(sa) - allowed
+        if unknown:
+            raise ValueError(
+                f"unsupported sampler sub-agg {sname} option(s): "
+                f"{sorted(unknown)}"
+            )
+        field = sa.get("field")
+        if field not in attrs.columns:
+            raise ValueError(
+                f"unknown sampler sub-agg field: {field!r}"
+            )
+        if not ids:
+            if skind == "terms":
+                out[sname] = {"buckets": []}
+            elif skind == "value_count":
+                out[sname] = {"value": 0}
+            elif skind == "stats":
+                out[sname] = {"count": 0, "min": None, "max": None,
+                              "avg": None, "sum": 0.0}
+            else:
+                out[sname] = {"value": None}
+            continue
+        if skind in ("avg", "min", "max", "sum"):
+            v = sdf.agg(
+                F.round(getattr(F, skind)(field), 6).alias("v")
+            ).collect()[0]["v"]
+            out[sname] = {"value": None if v is None else float(v)}
+        elif skind == "value_count":
+            v = sdf.agg(F.count(field).alias("v")).collect()[0]["v"]
+            out[sname] = {"value": int(v)}
+        elif skind == "stats":
+            r = sdf.agg(
+                F.count(field).alias("count"),
+                F.round(F.min(field), 6).alias("min"),
+                F.round(F.max(field), 6).alias("max"),
+                F.round(F.avg(field), 6).alias("avg"),
+                F.round(F.sum(field), 6).alias("sum"),
+            ).collect()[0]
+            out[sname] = {
+                "count": int(r["count"]),
+                "min": None if r["min"] is None else float(r["min"]),
+                "max": None if r["max"] is None else float(r["max"]),
+                "avg": None if r["avg"] is None else float(r["avg"]),
+                "sum": 0.0 if r["sum"] is None else float(r["sum"]),
+            }
+        elif skind == "terms":
+            size = int(sa.get("size", 10))
+            rows = (
+                sdf.groupBy(field)
+                .agg(F.count("*").cast("long").alias("c"))
+                .orderBy(F.col("c").desc(), F.col(field).asc())
+                .limit(size)
+                .collect()
+            )
+            out[sname] = {"buckets": [
+                {"key": r[field], "doc_count": int(r["c"])} for r in rows
+            ]}
+        else:
+            raise ValueError(
+                f"unsupported sampler sub-agg kind: {skind!r}"
+            )
+    return out
+
+
 def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
               runtime=None) -> dict:
     out = {}
@@ -1648,7 +1730,8 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
             siblings.append((name, kind, a))
             continue
         if sub is not None and kind not in ("terms", "date_histogram",
-                                            "histogram"):
+                                            "histogram", "sampler",
+                                            "diversified_sampler"):
             raise ValueError(f"agg {name}: sub-aggregations unsupported")
         field = a.get("field")
         if runtime and field in runtime:
@@ -1741,6 +1824,126 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
             # ES keyed-bucket response shape for named filters
             out[name] = {
                 "buckets": {n: {"doc_count": c} for n, c in counts.items()}
+            }
+        elif kind == "missing":
+            # ES missing agg: matched docs whose sidecar field is null
+            # — one count over the matched-set/sidecar join, no extra
+            # shuffle beyond the shared candidate stage
+            unknown = set(a) - {"field"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported missing agg option(s): {sorted(unknown)}"
+                )
+            field = a.get("field")
+            from pyspark.sql import functions as F
+
+            from .segments import load_doc_attrs
+
+            attrs = load_doc_attrs(reader.spark, reader.out_dir)
+            if field not in attrs.columns:
+                raise ValueError(f"unknown missing agg field: {field!r}")
+            m = reader._matched_docs_df(terms, mode, doc_filter)
+            cnt = 0 if m is None else (
+                m.join(attrs.select("bucket", "doc_id", field),
+                       ["bucket", "doc_id"])
+                .filter(F.col(field).isNull())
+                .count()
+            )
+            out[name] = {"doc_count": int(cnt)}
+        elif kind == "date_range":
+            # ES date_range agg: from inclusive, to exclusive, open ends
+            # allowed; buckets in input order (ES keeps declaration
+            # order). Translated onto the reader's one-pass
+            # conditional-sum filters_agg — never a scan per range.
+            unknown = set(a) - {"field", "ranges"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported date_range option(s): {sorted(unknown)}"
+                )
+            field = a.get("field")
+            ranges = a.get("ranges")
+            if not isinstance(ranges, list) or not ranges:
+                raise ValueError("date_range needs a non-empty ranges list")
+            named, meta = {}, []
+            for r in ranges:
+                bad = set(r) - {"from", "to", "key"}
+                if bad:
+                    raise ValueError(
+                        f"unsupported date_range range option(s): "
+                        f"{sorted(bad)}"
+                    )
+                if "from" not in r and "to" not in r:
+                    raise ValueError("date_range range needs from and/or to")
+                spec = {}
+                if "from" in r:
+                    spec["gte"] = r["from"]
+                if "to" in r:
+                    spec["lt"] = r["to"]
+                key = r.get("key") or (
+                    f"{r.get('from', '*')}-{r.get('to', '*')}"
+                )
+                if key in named:
+                    raise ValueError(f"duplicate date_range key: {key!r}")
+                named[key] = {field: spec}
+                meta.append((key, r.get("from"), r.get("to")))
+            counts = reader.filters_agg(
+                terms, named, mode=mode, doc_filter=doc_filter
+            )
+            out[name] = {"buckets": [
+                {"key": key,
+                 **({"from": frm_} if frm_ is not None else {}),
+                 **({"to": to_} if to_ is not None else {}),
+                 "doc_count": counts[key]}
+                for key, frm_, to_ in meta
+            ]}
+        elif kind in ("sampler", "diversified_sampler"):
+            # ES sampler family: sub-aggs run over a bounded sample of
+            # the BEST-SCORING matched docs (ES keeps top shard_size by
+            # score per shard). The sample ids are shard_size-bounded by
+            # construction, so the id list is page-sized — the sub-agg
+            # pass is one pruned sidecar read.
+            allowed = {"shard_size"} if kind == "sampler" else {
+                "shard_size", "field", "max_docs_per_value"}
+            unknown = set(a) - allowed
+            if unknown:
+                raise ValueError(
+                    f"unsupported {kind} option(s): {sorted(unknown)}"
+                )
+            if not sub:
+                raise ValueError(f"{kind} needs sub-aggregations")
+            shard_size = int(a.get("shard_size", 100))
+            if kind == "sampler":
+                pairs = reader.query(
+                    terms, shard_size, mode=mode, doc_filter=doc_filter
+                )
+                ids = [int(d) for d, _s in pairs]
+            else:
+                div_field = a.get("field")
+                if not isinstance(div_field, str):
+                    raise ValueError("diversified_sampler needs a field")
+                scored = reader.scored_frame(
+                    terms, mode=mode, doc_filter=doc_filter
+                )
+                if scored is None:
+                    ids = []
+                else:
+                    from .searchext import diversified_topk
+
+                    attrs = _load_attrs(reader)
+                    if div_field not in attrs.columns:
+                        raise ValueError(
+                            f"unknown diversified_sampler field: "
+                            f"{div_field!r}"
+                        )
+                    rows = diversified_topk(
+                        scored, attrs, div_field,
+                        max_per_key=int(a.get("max_docs_per_value", 1)),
+                        k=shard_size,
+                    ).collect()
+                    ids = [int(r["doc_id"]) for r in rows]
+            out[name] = {
+                "doc_count": len(ids),
+                **_sample_subaggs(reader, ids, sub),
             }
         elif kind == "composite":
             unknown = set(a) - {"sources", "size", "after"}

@@ -1,0 +1,162 @@
+"""sampler / diversified_sampler / missing / date_range aggregations
+through the _search body, pinned against the direct kernels and brute
+python oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.dsl import execute_search
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+TERMS = ["hash", "merge"]
+MATCH = {"match": {"content": "merge hash"}}
+
+
+@pytest.fixture(scope="module")
+def rdr(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("sampler_idx"))
+    docs = corpus_df.withColumn("n_chars", F.length("content")).withColumn(
+        # nullable attr for the missing agg: null for every 3rd doc
+        "flag",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.lit(1)),
+    )
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=4, hot_df_threshold=10,
+        attr_cols=("lang", "repo", "n_chars", "flag"),
+    )
+    build_index(docs, cfg)
+    return IndexReader(spark, out)
+
+
+def _agg(rdr, aggs, query=MATCH):
+    return execute_search(
+        rdr, {"query": query, "size": 0, "aggs": aggs}
+    )["aggregations"]
+
+
+def test_sampler_avg_matches_topk(rdr):
+    got = _agg(rdr, {"s": {
+        "sampler": {"shard_size": 15},
+        "aggs": {"a": {"avg": {"field": "n_chars"}}},
+    }})["s"]
+    ids = [d for d, _ in rdr.query(TERMS, 15)]
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    attrs = load_doc_attrs(rdr.spark, rdr.out_dir)
+    want = attrs.filter(F.col("doc_id").isin(ids)).agg(
+        F.round(F.avg("n_chars"), 6)
+    ).collect()[0][0]
+    assert got["doc_count"] == len(ids)
+    assert got["a"]["value"] == float(want)
+
+
+def test_sampler_terms_and_stats_subaggs(rdr):
+    got = _agg(rdr, {"s": {
+        "sampler": {"shard_size": 10},
+        "aggs": {"by_lang": {"terms": {"field": "lang"}},
+                 "st": {"stats": {"field": "n_chars"}},
+                 "vc": {"value_count": {"field": "flag"}}},
+    }})["s"]
+    ids = [d for d, _ in rdr.query(TERMS, 10)]
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    attrs = load_doc_attrs(rdr.spark, rdr.out_dir)
+    rows = attrs.filter(F.col("doc_id").isin(ids)).collect()
+    langs = {}
+    for r in rows:
+        langs[r["lang"]] = langs.get(r["lang"], 0) + 1
+    want = sorted(langs.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert [(b["key"], b["doc_count"]) for b in got["by_lang"]["buckets"]] \
+        == want
+    assert got["st"]["count"] == len(ids)
+    assert got["vc"]["value"] == sum(1 for r in rows
+                                     if r["flag"] is not None)
+
+
+def test_diversified_matches_kernel(rdr):
+    from s3logsbeat_spark.operators.searchext import diversified_topk
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    got = _agg(rdr, {"s": {
+        "diversified_sampler": {"shard_size": 12, "field": "lang",
+                                "max_docs_per_value": 2},
+        "aggs": {"a": {"avg": {"field": "n_chars"}}},
+    }})["s"]
+    scored = rdr.scored_frame(TERMS)
+    attrs = load_doc_attrs(rdr.spark, rdr.out_dir)
+    ids = [int(r["doc_id"]) for r in
+           diversified_topk(scored, attrs, "lang", 2, k=12).collect()]
+    assert got["doc_count"] == len(ids)
+    want = attrs.filter(F.col("doc_id").isin(ids)).agg(
+        F.round(F.avg("n_chars"), 6)
+    ).collect()[0][0]
+    assert got["a"]["value"] == float(want)
+
+
+def test_sampler_needs_subaggs(rdr):
+    with pytest.raises(ValueError, match="sub-agg"):
+        _agg(rdr, {"s": {"sampler": {"shard_size": 5}}})
+
+
+def test_missing_agg(rdr):
+    got = _agg(rdr, {"m": {"missing": {"field": "flag"}}})["m"]
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    m = rdr._matched_docs_df(TERMS, "or", None)
+    attrs = load_doc_attrs(rdr.spark, rdr.out_dir)
+    want = (
+        m.join(attrs.select("bucket", "doc_id", "flag"),
+               ["bucket", "doc_id"])
+        .filter(F.col("flag").isNull()).count()
+    )
+    assert want > 0  # every 3rd doc is null: the test must bite
+    assert got["doc_count"] == want
+
+
+def test_date_range_agg_numeric_bounds(rdr):
+    # same grammar as ts ranges; numeric bounds keep the oracle exact
+    got = _agg(rdr, {"r": {"date_range": {
+        "field": "n_chars",
+        "ranges": [{"key": "lo", "to": 120},
+                   {"key": "mid", "from": 120, "to": 200},
+                   {"key": "hi", "from": 200}],
+    }}})["r"]["buckets"]
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    m = rdr._matched_docs_df(TERMS, "or", None)
+    attrs = load_doc_attrs(rdr.spark, rdr.out_dir)
+    vals = [r["n_chars"] for r in
+            m.join(attrs, ["bucket", "doc_id"]).select("n_chars").collect()]
+    want = {"lo": sum(1 for v in vals if v < 120),
+            "mid": sum(1 for v in vals if 120 <= v < 200),
+            "hi": sum(1 for v in vals if v >= 200)}
+    assert {b["key"]: b["doc_count"] for b in got} == want
+    # declaration order preserved (ES keeps range order)
+    assert [b["key"] for b in got] == ["lo", "mid", "hi"]
+
+
+def test_date_range_open_and_key_defaults(rdr):
+    got = _agg(rdr, {"r": {"date_range": {
+        "field": "n_chars", "ranges": [{"from": 150}],
+    }}})["r"]["buckets"]
+    assert got[0]["key"] == "150-*"
+    assert got[0]["from"] == 150
+
+
+def test_date_range_refuses_bad_range(rdr):
+    with pytest.raises(ValueError, match="from and/or to"):
+        _agg(rdr, {"r": {"date_range": {"field": "n_chars",
+                                        "ranges": [{"key": "x"}]}}})
+    with pytest.raises(ValueError, match="duplicate"):
+        _agg(rdr, {"r": {"date_range": {
+            "field": "n_chars",
+            "ranges": [{"from": 1}, {"from": 1}]}}})
+
+
+def test_missing_unknown_field_refuses(rdr):
+    with pytest.raises(ValueError, match="unknown missing"):
+        _agg(rdr, {"m": {"missing": {"field": "nope"}}})
