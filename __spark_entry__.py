@@ -1620,6 +1620,62 @@ def q_search_dsl_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, doc_count long")
 
 
+def q_search_dsl_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string through the _search body (the Kibana search bar):
+    same mini-language compile as the direct q_query_string row — one
+    bool kernel pass + index-only phrase verify on the positional
+    index."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_pos_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"query_string": {"query": QS_STRING,
+                                   "max_expansions": 50}},
+        "size": BM25_K,
+    })
+    return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """multi_match (most_fields, per-field ^boosts) through the _search
+    body: per-field BM25 subplans + union + one doc_id agg — needs
+    docs= (cross-field scoring reads the source table; the index stores
+    one content field)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"multi_match": {
+            "query": " ".join(MM_TERMS),
+            "fields": ["text", "lang^2"],
+            "type": "most_fields",
+        }},
+        "size": BM25_K,
+    }, docs=_docs(spark, sf_dir))
+    return _dsl_hits_df(spark, resp)
+
+
+def q_search_dsl_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dis_max through the _search body (one text, many fields):
+    max + tie_breaker * (sum - max) over per-field scores — Lucene's
+    DisjunctionMaxQuery combine."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    text = " ".join(MM_TERMS)
+    resp = execute_search(rdr, {
+        "query": {"dis_max": {
+            "queries": [
+                {"match": {"text": text}},
+                {"match": {"lang": {"query": text, "boost": 2.0}}},
+            ],
+            "tie_breaker": DIS_MAX_TIE,
+        }},
+        "size": BM25_K,
+    }, docs=_docs(spark, sf_dir))
+    return _dsl_hits_df(spark, resp)
+
+
 def q_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-only phrase search (Lucene match_phrase analogue): a
     positional index (4th delta+varbyte stream of raw-token positions)
@@ -4476,6 +4532,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_distance_feature": q_search_dsl_distance_feature,
         "search_dsl_sampler": q_search_dsl_sampler,
         "search_dsl_diversified": q_search_dsl_diversified,
+        "search_dsl_query_string": q_search_dsl_query_string,
+        "search_dsl_multi_match": q_search_dsl_multi_match,
+        "search_dsl_dis_max": q_search_dsl_dis_max,
         "search_dsl_missing": q_search_dsl_missing,
         "search_dsl_date_range": q_search_dsl_date_range,
         "bm25_filtered": q_bm25_filtered,
@@ -7307,6 +7366,11 @@ SELECT count(*)::BIGINT AS doc_count,
        round(avg(d.n_chars), 6) AS avg_chars
 FROM pick JOIN documents d USING (doc_id)
 """),
+        # translation-only DSL rows: identical engine path as the direct
+        # kernels, so the oracles are reused verbatim
+        "search_dsl_query_string": _QUERY_STRING_SQL,
+        "search_dsl_multi_match": _MULTI_MATCH_SQL,
+        "search_dsl_dis_max": _DIS_MAX_SQL,
         "search_dsl_missing": """
 SELECT count(*)::BIGINT AS doc_count FROM events
 WHERE event_type = 'error' AND event_id % 4 = 3

@@ -700,6 +700,117 @@ def _feature_bool_query(reader, clause: dict, feat: list, k: int):
     return _topk_pairs(rows), None, terms, mode
 
 
+def _mm_fields(fields) -> dict[str, float]:
+    """ES ``"field^boost"`` list -> {field: boost}."""
+    if not isinstance(fields, list) or not fields:
+        raise ValueError("multi_match needs a non-empty fields list")
+    out: dict[str, float] = {}
+    for f in fields:
+        if not isinstance(f, str):
+            raise ValueError(f"multi_match field must be a string: {f!r}")
+        if "^" in f:
+            name, b = f.split("^", 1)
+            out[name] = float(b)
+        else:
+            out[f] = 1.0
+    return out
+
+
+def _multi_match_query(clause: dict, docs, k: int):
+    """``multi_match`` over stored fields (type best_fields /
+    most_fields, per-field ^boosts, dis_max tie_breaker): per-field
+    BM25 subplans + union + ONE doc_id agg — the multi_match_topk
+    kernel. Needs ``docs=`` (the index stores one content field; cross-
+    field scoring reads the source table)."""
+    if docs is None:
+        raise ValueError(
+            "multi_match scores stored fields: pass the documents table "
+            "via execute_search(..., docs=...)"
+        )
+    unknown = set(clause) - {"query", "fields", "type", "tie_breaker"}
+    if unknown:
+        raise ValueError(
+            f"unsupported multi_match option(s): {sorted(unknown)}"
+        )
+    mtype = clause.get("type", "best_fields")
+    if mtype not in ("best_fields", "most_fields"):
+        raise ValueError(
+            f"unsupported multi_match type: {mtype!r} (best_fields / "
+            "most_fields)"
+        )
+    text = clause.get("query")
+    if not isinstance(text, str) or not text:
+        raise ValueError("multi_match needs a query string")
+    terms = analyze_ordered(text)
+    fields = _mm_fields(clause.get("fields"))
+    for f in fields:
+        if f not in docs.columns:
+            raise ValueError(f"multi_match field not in docs: {f!r}")
+    tie = float(clause.get("tie_breaker", 0.0))
+    from .multifield import multi_match_topk
+
+    rows = multi_match_topk(
+        docs, sorted(set(terms)), fields, k=k, mode=mtype, tie_breaker=tie
+    ).collect()
+    return _topk_pairs(rows), None
+
+
+def _dis_max_query(clause: dict, docs, k: int):
+    """``dis_max`` whose sub-queries are per-field match/term clauses of
+    the SAME query text (the canonical one-text-many-fields shape) —
+    Lucene's DisjunctionMaxQuery: max + tie_breaker * (sum - max) over
+    per-field scores. Differing sub-query texts raise: the per-field
+    kernel scores one term set, and silently scoring the wrong text
+    would mis-rank."""
+    if docs is None:
+        raise ValueError(
+            "dis_max scores stored fields: pass the documents table via "
+            "execute_search(..., docs=...)"
+        )
+    unknown = set(clause) - {"queries", "tie_breaker"}
+    if unknown:
+        raise ValueError(f"unsupported dis_max option(s): {sorted(unknown)}")
+    queries = clause.get("queries")
+    if not isinstance(queries, list) or not queries:
+        raise ValueError("dis_max needs a non-empty queries list")
+    fields: dict[str, float] = {}
+    texts = set()
+    for sq in queries:
+        skind, sclause = _one(sq, "dis_max.queries")
+        if skind not in ("match", "term"):
+            raise ValueError(
+                f"unsupported dis_max sub-query: {skind} (match/term)"
+            )
+        field, spec = _one(sclause, f"dis_max {skind}")
+        if isinstance(spec, str):
+            text, boost = spec, 1.0
+        else:
+            text = spec.get("query") if skind == "match" else spec.get("value")
+            boost = float(spec.get("boost", 1.0))
+        if not isinstance(text, str) or not text:
+            raise ValueError(f"dis_max {skind} on {field!r} needs text")
+        if field in fields:
+            raise ValueError(f"duplicate dis_max field: {field!r}")
+        if field not in docs.columns:
+            raise ValueError(f"dis_max field not in docs: {field!r}")
+        fields[field] = boost
+        texts.add(tuple(sorted(set(analyze_ordered(text)))))
+    if len(texts) != 1:
+        raise ValueError(
+            "dis_max sub-queries must share one query text (per-field "
+            "texts would need per-field term sets the combine rule "
+            "doesn't model — refusing beats mis-ranking)"
+        )
+    [terms] = texts
+    from .multifield import multi_match_topk
+
+    rows = multi_match_topk(
+        docs, list(terms), fields, k=k, mode="best_fields",
+        tie_breaker=float(clause.get("tie_breaker", 0.0)),
+    ).collect()
+    return _topk_pairs(rows), None
+
+
 def execute_search(reader, body: dict, docs=None) -> dict:
     """Run an ES ``_search`` request body; returns the ES response shape
     ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}]},
@@ -951,6 +1062,35 @@ def execute_search(reader, body: dict, docs=None) -> dict:
         # matched set = organic ∪ pins (not term-expressible): aggs /
         # track_total_hits / highlight refuse rather than mis-scope
         pairs, total = _pinned_query(reader, clause, k)
+        score_modified = True
+    elif kind == "query_string":
+        # the Kibana search-bar mini-language: compiles to ONE bool
+        # kernel pass + index-only phrase verifies (querystring module)
+        from .querystring import execute_query_string
+
+        if isinstance(clause, str):
+            src, maxex = clause, 50
+        else:
+            unknown = set(clause) - {"query", "max_expansions",
+                                     "default_field"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported query_string option(s): {sorted(unknown)}"
+                )
+            if clause.get("default_field", "content") not in ("content", "*"):
+                raise ValueError(
+                    "query_string supports the indexed content field only"
+                )
+            src = clause.get("query")
+            maxex = int(clause.get("max_expansions", 50))
+        pairs = execute_query_string(reader, src, k=k, max_expansions=maxex)
+        total = None
+        score_modified = True  # bool-composed score: explain refuses
+    elif kind == "multi_match":
+        pairs, total = _multi_match_query(clause, docs, k)
+        score_modified = True
+    elif kind == "dis_max":
+        pairs, total = _dis_max_query(clause, docs, k)
         score_modified = True
     else:
         raise ValueError(f"unsupported query clause: {kind}")

@@ -281,3 +281,64 @@ def test_dsl_aggs_still_run_on_function_score(rdr):
     got = execute_search(rdr, body)["aggregations"]["by_lang"]["buckets"]
     want = rdr.facet_counts(TERMS, "lang", mode="or")
     assert [(b["key"], b["doc_count"]) for b in got] == want
+
+
+# --------------------------- multi_match / dis_max / query_string
+
+def test_dsl_multi_match(rdr, corpus_df):
+    from s3logsbeat_spark.operators.multifield import multi_match_topk
+
+    docs = corpus_df.withColumnRenamed("content", "text")
+    body = {"query": {"multi_match": {
+        "query": "merge hash", "fields": ["text", "lang^2"],
+        "type": "most_fields"}}}
+    got = _ids_scores(execute_search(rdr, body, docs=docs))
+    want = _pairs(multi_match_topk(
+        docs, ["hash", "merge"], {"text": 1.0, "lang": 2.0},
+        k=10, mode="most_fields"))
+    assert got == want
+
+
+def test_dsl_dis_max(rdr, corpus_df):
+    from s3logsbeat_spark.operators.multifield import multi_match_topk
+
+    docs = corpus_df.withColumnRenamed("content", "text")
+    body = {"query": {"dis_max": {
+        "queries": [{"match": {"text": "merge hash"}},
+                    {"match": {"lang": {"query": "merge hash",
+                                        "boost": 2.0}}}],
+        "tie_breaker": 0.3}}}
+    got = _ids_scores(execute_search(rdr, body, docs=docs))
+    want = _pairs(multi_match_topk(
+        docs, ["hash", "merge"], {"text": 1.0, "lang": 2.0},
+        k=10, mode="best_fields", tie_breaker=0.3))
+    assert got == want
+
+
+def test_dsl_dis_max_refuses_mixed_texts(rdr, corpus_df):
+    docs = corpus_df.withColumnRenamed("content", "text")
+    with pytest.raises(ValueError, match="share one query text"):
+        execute_search(rdr, {"query": {"dis_max": {"queries": [
+            {"match": {"text": "merge"}},
+            {"match": {"lang": "hash"}}]}}}, docs=docs)
+
+
+def test_dsl_multi_match_needs_docs(rdr):
+    with pytest.raises(ValueError, match="docs"):
+        execute_search(rdr, {"query": {"multi_match": {
+            "query": "merge", "fields": ["text"]}}})
+
+
+def test_dsl_query_string(spark, corpus_df, tmp_path_factory):
+    from s3logsbeat_spark.operators.querystring import execute_query_string
+
+    out = str(tmp_path_factory.mktemp("qs_idx"))
+    cfg = IndexConfig(out_dir=out, n_buckets=4, hot_df_threshold=10,
+                      with_positions=True)
+    build_index(corpus_df.withColumn("n_chars", F.length("content")), cfg)
+    r = IndexReader(spark, out)
+    qs = "+merge -stream hash"
+    got = _ids_scores(execute_search(
+        r, {"query": {"query_string": {"query": qs}}}))
+    want = execute_query_string(r, qs, k=10, max_expansions=50)
+    assert got == [(int(d), float(s)) for d, s in want]
