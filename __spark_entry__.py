@@ -772,6 +772,28 @@ def q_esql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL RENAME + DROP after STATS: later pipes (SORT, DROP) resolve
+    the NEW names — pipe order is semantics, and the parse refuses
+    orderings it can't honor (RENAME after SORT/KEEP/DROP, WHERE after
+    RENAME). Column ops on the reduced frame: zero extra work."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        " | STATS n = COUNT(*), avg_chars = AVG(n_chars) BY lang"
+        " | RENAME lang AS language | SORT language ASC"
+        " | DROP avg_chars | LIMIT 100",
+    )
+    assert [c["name"] for c in resp["columns"]] == ["language", "n"]
+    return spark.createDataFrame(
+        [(r[0], int(r[1])) for r in resp["values"]],
+        "language string, n long",
+    )
+
+
 def q_esql_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES|QL time bucketing: EVAL DATE_TRUNC + STATS BY — the pipe-form
     date_histogram every observability query uses (`STATS count BY
@@ -4725,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_query": q_esql_query,
         "esql_where_range": q_esql_where_range,
         "esql_having": q_esql_having,
+        "esql_rename": q_esql_rename,
         "esql_time_bucket": q_esql_time_bucket,
         "terms_enum": q_terms_enum,
         "esql_dissect": q_esql_dissect,
@@ -8183,6 +8206,11 @@ SELECT lang, count(*)::BIGINT AS n, round(avg(n_chars), 6) AS avg_chars
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
 GROUP BY lang HAVING count(*) >= {ESQL_HAVING_MIN}
 ORDER BY lang
+""",
+        "esql_rename": f"""
+SELECT lang AS language, count(*)::BIGINT AS n
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY lang ORDER BY lang
 """,
         "esql_time_bucket": """
 SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS day,

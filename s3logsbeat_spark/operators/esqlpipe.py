@@ -121,7 +121,7 @@ def parse_esql(stmt: str) -> dict:
         "index": m.group(1), "terms": [], "mode": "or", "required": None,
         "filters": None, "stats": None, "by": None, "sort": None,
         "limit": 10, "keep": None, "eval": [], "having": [],
-        "extract": [], "enrich": [],
+        "extract": [], "enrich": [], "rename": [], "drop": None,
     }
     for p in pipes[1:]:
         head = p.split(None, 1)[0].upper() if p else ""
@@ -130,6 +130,12 @@ def parse_esql(stmt: str) -> dict:
             if plan["stats"] is not None:
                 # pipe order is semantics: WHERE after STATS filters the
                 # aggregated frame (the SQL HAVING shape)
+                if plan["rename"]:
+                    raise ValueError(
+                        "WHERE after RENAME is unsupported (the HAVING "
+                        "filter runs on pre-rename columns: filter "
+                        "before renaming)"
+                    )
                 _parse_having(body, plan)
             else:
                 _parse_where(body, plan)
@@ -191,6 +197,29 @@ def parse_esql(stmt: str) -> dict:
             plan["limit"] = int(body)
         elif head == "KEEP":
             plan["keep"] = [c.strip() for c in body.split(",")]
+        elif head == "RENAME":
+            # pipe order is semantics: later pipes see the NEW names, so
+            # RENAME is applied to the aggregated frame first and must
+            # textually precede SORT/KEEP/DROP (refusing beats silently
+            # resolving a stale name)
+            if plan["stats"] is None:
+                raise ValueError("RENAME is supported after STATS only")
+            if plan["sort"] or plan["keep"] or plan["drop"]:
+                raise ValueError("RENAME must precede SORT/KEEP/DROP")
+            for part in body.split(","):
+                rm = re.fullmatch(
+                    r"([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+"
+                    r"([A-Za-z_][A-Za-z0-9_]*)",
+                    part.strip(), re.IGNORECASE)
+                if not rm:
+                    raise ValueError(
+                        f"unsupported RENAME clause: {part.strip()!r}"
+                    )
+                plan["rename"].append((rm.group(1), rm.group(2)))
+        elif head == "DROP":
+            if plan["stats"] is None:
+                raise ValueError("DROP is supported after STATS only")
+            plan["drop"] = [c.strip() for c in body.split(",")]
         else:
             raise ValueError(f"unsupported pipe command: {p!r}")
     if not plan["terms"] and not plan["required"]:
@@ -488,6 +517,11 @@ def execute_esql(reader, stmt: str, docs=None, enrich=None) -> dict:
     if plan["stats"] is not None:
         return _run_stats(reader, plan, docs, enrich)
     # hits path
+    if plan["rename"] or plan["drop"]:
+        raise ValueError(
+            "RENAME/DROP are supported with STATS only (hits carry the "
+            "fixed doc_id/_score shape)"
+        )
     if plan["required"] and plan["terms"]:
         if plan["sort"] and plan["sort"][0] != "_score":
             raise ValueError(
@@ -662,12 +696,29 @@ def _run_stats(reader, plan: dict, docs=None, enrich=None) -> dict:
              "type": "long" if fn == "count" else "double"}
             for fn, arg, alias in plan["stats"]
         ]
+        # same RENAME / KEEP / DROP shaping as the non-empty path
+        enames = [c["name"] for c in empty_types]
+        for old, new in plan["rename"]:
+            if old not in enames:
+                raise ValueError(
+                    f"RENAME references unknown column: {old!r}"
+                )
+            if new in enames:
+                raise ValueError(f"RENAME target already exists: {new!r}")
+            enames[enames.index(old)] = new
+        empty_types = [
+            {**c, "name": n} for c, n in zip(empty_types, enames)
+        ]
+        ekeep = _resolve_keep(enames, plan)
+        eidx = {n: i for i, n in enumerate(enames)}
+        ecols = [empty_types[eidx[c]] for c in ekeep]
         if by_cols:
-            return {"columns": empty_types, "values": []}
+            return {"columns": ecols, "values": []}
         row = [0 if fn == "count" else None for fn, _a, _al in plan["stats"]]
         if not _having_row(dict(zip(names, row)), plan["having"]):
-            return {"columns": empty_types, "values": []}
-        return {"columns": empty_types, "values": [row]}
+            return {"columns": ecols, "values": []}
+        full = dict(zip(enames, row))
+        return {"columns": ecols, "values": [[full[c] for c in ekeep]]}
     joined = matched.join(attrs, ["bucket", "doc_id"])
     if needs_content:
         joined = joined.join(docs.select("doc_id", "content"), "doc_id")
@@ -692,6 +743,17 @@ def _run_stats(reader, plan: dict, docs=None, enrich=None) -> dict:
                if by_cols else joined.agg(*exprs))
     for c, op, v in plan["having"]:
         grouped = grouped.filter(_CMP[op](F.col(c), F.lit(v)))
+    # RENAME before SORT/KEEP/DROP (the parse enforces that textual
+    # order): later pipes resolve the NEW names, incl. the BY tie-break
+    out_by = list(by_cols)
+    for old, new in plan["rename"]:
+        if old not in names:
+            raise ValueError(f"RENAME references unknown column: {old!r}")
+        if new in names:
+            raise ValueError(f"RENAME target already exists: {new!r}")
+        grouped = grouped.withColumnRenamed(old, new)
+        names[names.index(old)] = new
+        out_by = [new if b == old else b for b in out_by]
     types = [{"name": n, "type": _ES_TYPE.get(t, t)}
              for n, t in grouped.dtypes]
     if plan["sort"]:
@@ -701,15 +763,29 @@ def _run_stats(reader, plan: dict, docs=None, enrich=None) -> dict:
         c = F.col(field)
         grouped = grouped.orderBy(c.desc() if direction == "DESC" else c.asc())
     elif by_cols:
-        grouped = grouped.orderBy(*by_cols)
+        grouped = grouped.orderBy(*out_by)
     rows = grouped.limit(plan["limit"]).collect()
-    keep = plan["keep"] or names
-    missing = [c for c in keep if c not in names]
-    if missing:
-        raise ValueError(f"KEEP references unknown columns: {missing}")
+    keep = _resolve_keep(names, plan)
     # build cols in KEEP order (like _hits_response) so a reordering KEEP
     # pairs each header with its own value column
     by_name = {t["name"]: t for t in types}
     cols = [by_name[c] for c in keep]
     vals = [[row[c] for c in keep] for row in rows]
     return {"columns": cols, "values": vals}
+
+
+def _resolve_keep(names: list[str], plan: dict) -> list[str]:
+    """Final output columns: KEEP order (or all), minus DROP — both
+    validated against the (post-RENAME) frame columns."""
+    keep = plan["keep"] or list(names)
+    missing = [c for c in keep if c not in names]
+    if missing:
+        raise ValueError(f"KEEP references unknown columns: {missing}")
+    drop = plan["drop"] or []
+    missing = [c for c in drop if c not in names]
+    if missing:
+        raise ValueError(f"DROP references unknown columns: {missing}")
+    keep = [c for c in keep if c not in drop]
+    if not keep:
+        raise ValueError("no output columns remain after DROP")
+    return keep

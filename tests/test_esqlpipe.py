@@ -562,3 +562,92 @@ def test_enrich_refusals(logidx, spark):
                 [("ERROR", "x")], "level string, level2 string")
                 .withColumnRenamed("level2", "level")},
         )
+
+
+# ----------------------------------------------------- RENAME / DROP
+
+def test_rename_and_drop_after_stats(rdr):
+    base = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS n = COUNT(*), a = AVG(n_chars) BY lang'
+        ' | SORT lang ASC | LIMIT 100',
+    )
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | STATS n = COUNT(*), a = AVG(n_chars) BY lang'
+        ' | RENAME lang AS language | SORT language ASC'
+        ' | DROP a | LIMIT 100',
+    )
+    assert [c["name"] for c in got["columns"]] == ["language", "n"]
+    assert _vals(got) == [(r[0], r[1]) for r in base["values"]]
+
+
+def test_rename_keeps_later_keep_on_new_name(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge")'
+        ' | STATS n = COUNT(*) BY lang'
+        ' | RENAME n AS total | KEEP total | LIMIT 100',
+    )
+    assert [c["name"] for c in got["columns"]] == ["total"]
+
+
+def test_rename_must_precede_sort(rdr):
+    with pytest.raises(ValueError, match="RENAME must precede"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge")'
+            ' | STATS n = COUNT(*) BY lang | SORT lang ASC'
+            ' | RENAME lang AS language',
+        )
+
+
+def test_where_after_rename_refuses(rdr):
+    with pytest.raises(ValueError, match="WHERE after RENAME"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge")'
+            ' | STATS n = COUNT(*) BY lang'
+            ' | RENAME n AS total | WHERE total > 1',
+        )
+
+
+def test_drop_unknown_column_refuses(rdr):
+    with pytest.raises(ValueError, match="DROP references unknown"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge")'
+            ' | STATS n = COUNT(*) BY lang | DROP nope',
+        )
+
+
+def test_drop_everything_refuses(rdr):
+    with pytest.raises(ValueError, match="no output columns"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge")'
+            ' | STATS n = COUNT(*) | DROP n',
+        )
+
+
+def test_rename_on_hits_refuses(rdr):
+    with pytest.raises(ValueError, match="STATS only"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge")'
+            ' | RENAME doc_id AS id | LIMIT 5',
+        )
+
+
+def test_rename_drop_on_empty_match(rdr):
+    # absent term: the empty-shape path applies the same shaping
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "zzz_missing")'
+        ' | STATS n = COUNT(*), a = AVG(n_chars)'
+        ' | RENAME n AS total | DROP a | LIMIT 10',
+    )
+    assert [c["name"] for c in got["columns"]] == ["total"]
+    assert _vals(got) == [(0,)]
