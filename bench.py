@@ -164,6 +164,19 @@ def run_default() -> dict:
         hlat.append(time.perf_counter() - t0)
     highlight_p50 = round(statistics.median(hlat), 4)
 
+    # score-modifier body (r5): the FULL matched set re-ranked in-cluster
+    # (scored_frame per-bucket TAAT -> broadcast attr join -> TakeOrdered)
+    # — NOT in the headline sum
+    t0 = time.perf_counter()
+    execute_search(rdr, {
+        "query": {"function_score": {
+            "query": {"match": {"content": "merge window spark"}},
+            "field_value_factor": {"field": "n_chars", "modifier": "log1p"},
+        }},
+        "size": 10,
+    })
+    fscore_sec = round(time.perf_counter() - t0, 4)
+
     t0 = time.perf_counter()
     bm25_topk_naive(docs, ["merge", "window", "spark"], 10).collect()
     times["bm25_naive"] = round(time.perf_counter() - t0, 3)
@@ -187,6 +200,7 @@ def run_default() -> dict:
         "index_build_docs_per_sec": round(docs_per_sec, 1),
         "bm25_range_filtered_p50": range_p50,
         "dsl_highlight_p50": highlight_p50,
+        "dsl_function_score_sec": fscore_sec,
         "cores": CPUS,
     }
     ev_path = os.path.join(SF_DIR, "events.parquet")
