@@ -4733,8 +4733,14 @@ class IndexReader:
                 {"doc_id": [d for d, _ in top], "score": [s for _, s in top]}
             )
 
+        # scoring reads the three varbyte streams + block meta only —
+        # prune poss/pos_offs so a positional index's (large) position
+        # bytes never leave the parquet scan
+        rows_df = self._segment_rows(terms).select(
+            "bucket", "term", "df", "docs", "tfs", "dls", "blocks"
+        )
         return self._per_bucket_frame(
-            self._segment_rows(terms), score_all, doc_filter, blocked_list
+            rows_df, score_all, doc_filter, blocked_list
         )
 
 

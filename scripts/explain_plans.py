@@ -169,6 +169,18 @@ def _extra_frames(spark, E):
            .select("doc_id", "ts", "value")
            .orderBy(F.col("ts").desc(), F.col("doc_id").asc()).limit(3))
 
+    # score-modifier family (r5): the full matched set scored in-cluster
+    # (scored_frame: per-bucket exact-TAAT applyInPandas, no driver
+    # collect), modifier = doc_id join + row-local codegen expression,
+    # then TakeOrdered k — the re-rank never pages through the driver
+    from s3logsbeat_spark.operators.searchext import function_score_topk
+
+    dattrs = load_doc_attrs(spark, rdr.out_dir)
+    yield ("function_score_frame (search_dsl_function_score pre-collect)",
+           function_score_topk(
+               rdr.scored_frame(E.BM25_TERMS), dattrs, "n_chars",
+               k=E.BM25_K))
+
 
 def main() -> int:
     import __spark_entry__ as entry_mod
