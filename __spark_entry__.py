@@ -464,9 +464,13 @@ def q_search_dsl_moving_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_bucket_ts(b), int(b["doc_count"]), b["avg7"]["value"])
         for b in aggs["per_day"]["buckets"]
     ]
+    # Column named mv_avg7 (not avg7) so the unique non-null `bucket`
+    # sorts first in the driver's name-ordered row sort — the first
+    # bucket's value is NULL (empty trailing window) and None cannot
+    # be compared against floats.
     return spark.createDataFrame(
         rows, "bucket timestamp, doc_count long, avg7 double"
-    ).select("bucket", "doc_count", F.round("avg7", 6).alias("avg7"))
+    ).select("bucket", "doc_count", F.round("avg7", 6).alias("mv_avg7"))
 
 
 def q_search_dsl_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8137,7 +8141,7 @@ SELECT bucket, doc_count,
        round(avg(doc_count) OVER (
          ORDER BY bucket
          ROWS BETWEEN {MVFN_WINDOW} PRECEDING AND 1 PRECEDING
-       ), 6) AS avg7
+       ), 6) AS mv_avg7
 FROM b ORDER BY bucket
 """,
         "search_dsl_cumsum": """
