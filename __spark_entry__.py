@@ -371,6 +371,28 @@ def q_search_dsl_date_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataF
     return _dh_frame(spark, resp["aggregations"]["per6h"]["buckets"])
 
 
+ADH_DSL_BUCKETS = 40  # events span ~30 days -> 'day' unit at every SF
+
+
+def q_search_dsl_auto_dh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES auto_date_histogram through the DSL agg front door: the
+    ENGINE picks the finest ladder unit (minute->hour->day->week->
+    month->year) whose bucket count over the matched span stays <=
+    ``buckets`` — the agg Kibana Lens sends when the user says "auto".
+    Two bounded passes: a min/max span probe (two driver scalars), then
+    the dense date_histogram kernel at the chosen unit."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"auto": {"auto_date_histogram": {
+            "field": "ts", "buckets": ADH_DSL_BUCKETS}}},
+    })
+    return _dh_frame(spark, resp["aggregations"]["auto"]["buckets"])
+
+
 def _ev_dsl_aggs(spark: SparkSession, sf_dir: str, body: dict) -> dict:
     """Run a ``_search`` body on the events log index; return the
     aggregations section."""
@@ -3553,6 +3575,85 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq_topk(emb, list(q), k=10, rescore_depth=SQ_RESCORE_DEPTH)
 
 
+def q_search_dsl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 kNN through the ``_search`` body (the top-level ``knn`` key
+    every vector-search client sends): translation onto the green
+    sq_topk kernel — int8 scalar-quantized scan + exact rescore of
+    ``num_candidates`` candidates (ES ``int8_hnsw`` + rescore_vector
+    oversample semantics). ``_score`` follows the ES cosine rule
+    ``(1 + cosine) / 2`` (no extra rounding — monotone over the
+    kernel's 6dp cosine, so rank and tie-break are the kernel's)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    resp = execute_search(rdr, {
+        "knn": {"field": "embedding",
+                "query_vector": [float(x) for x in q],
+                "k": 10, "num_candidates": SQ_RESCORE_DEPTH},
+    }, emb=emb)
+    return spark.createDataFrame(
+        [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]],
+        "vec_id long, knn_score double",
+    )
+
+
+KNN_FILTER_LABEL = 3  # every label holds 40-65 vectors at all SFs
+
+
+def q_search_dsl_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8 filtered kNN through the ``_search`` body: the ``filter``
+    compiles through the shared spark_filter_cond and is PUSHED to the
+    vector scan before scoring (ES pre-filter semantics; with a
+    restrictive filter ES itself falls back to exact search over the
+    matched set — this engine does exactly that via cosine_topk_exact
+    on the filtered frame, so non-matching vectors cost zero)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    resp = execute_search(rdr, {
+        "knn": {"field": "embedding",
+                "query_vector": [float(x) for x in q],
+                "k": 10, "num_candidates": 100,
+                "filter": {"term": {"label": KNN_FILTER_LABEL}}},
+    }, emb=emb)
+    return spark.createDataFrame(
+        [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]],
+        "vec_id long, knn_score double",
+    )
+
+
+def q_search_dsl_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES 8.14 ``retriever.rrf`` through the ``_search`` body: fuses a
+    BM25 standard retriever with an attribute-sorted standard retriever
+    by Reciprocal Rank Fusion — the declarative front door onto the
+    same rankings as q_hybrid_rrf (translation must not change the
+    fused order, so the oracle is hybrid_rrf's)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _driver_index(spark, sf_dir)
+    text = " ".join(BM25_TERMS)
+    resp = execute_search(rdr, {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"content": text}}}},
+                {"standard": {"query": {"match": {"content": text}},
+                              "sort": [{"n_chars": "desc"}]}},
+            ],
+            "rank_constant": 60,
+            "rank_window_size": BM25_K,
+        }},
+        "size": BM25_K,
+    })
+    return spark.createDataFrame(
+        [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]],
+        "doc_id long, rrf_score double",
+    )
+
+
 PQ_RESCORE_DEPTH = 100
 
 
@@ -4673,6 +4774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus": q_clean_corpus,
         "ann_cosine": q_ann_cosine,
         "ann_sq": q_ann_sq,
+        "search_dsl_knn": q_search_dsl_knn,
+        "search_dsl_knn_filtered": q_search_dsl_knn_filtered,
+        "search_dsl_rrf": q_search_dsl_rrf,
         "ann_pq": q_ann_pq,
         "dsir_weights": q_dsir_weights,
         "search_global": q_search_global,
@@ -4730,6 +4834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_not_filter": q_search_dsl_not_filter,
         "search_dsl_or_filter": q_search_dsl_or_filter,
         "search_dsl_date_histogram": q_search_dsl_date_histogram,
+        "search_dsl_auto_dh": q_search_dsl_auto_dh,
         "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
         "search_dsl_dh_metrics": q_search_dsl_dh_metrics,
         "search_dsl_derivative": q_search_dsl_derivative,
@@ -5794,6 +5899,64 @@ FROM embeddings
 WHERE vec_id % 5 = 0
 ORDER BY score DESC, vec_id ASC
 LIMIT 10
+"""
+
+# DSL knn body: ann_sq's SQ+rescore pipeline, _score = (1+cos)/2 (ES
+# cosine rule) applied WITHOUT re-rounding — monotone over the 6dp
+# cosine, and re-rounding a .xxxxxx5 midpoint would hit the
+# banker's-vs-half-up divergence between engines
+_DSL_KNN_SQL = f"""
+WITH prm AS (
+  SELECT dim, min(v)::DOUBLE AS lo, max(v)::DOUBLE AS hi FROM (
+    SELECT unnest(embedding)::DOUBLE AS v,
+           generate_subscripts(embedding, 1) AS dim
+    FROM embeddings) GROUP BY 1
+),
+lsts AS (
+  SELECT (SELECT list(lo ORDER BY dim) FROM prm) AS lo_l,
+         (SELECT list(CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END ORDER BY dim)
+          FROM prm) AS sp_l
+),
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+deq AS (
+  SELECT e.vec_id,
+         [lsts.lo_l[i]
+            + least(greatest(floor((e.embedding[i]::DOUBLE - lsts.lo_l[i])
+                                   * 255.0 / lsts.sp_l[i] + 0.5), 0.0), 255.0)
+              * lsts.sp_l[i] / 255.0
+          for i in generate_series(1, len(e.embedding))] AS vhat
+  FROM embeddings e, lsts
+),
+approx AS (
+  SELECT vec_id,
+         round(list_cosine_similarity(vhat, (SELECT q FROM qv)), 6)
+           AS approx_score
+  FROM deq
+),
+cand AS (
+  SELECT * FROM approx
+  ORDER BY approx_score DESC, vec_id ASC LIMIT {SQ_RESCORE_DEPTH}
+)
+SELECT vec_id, (1.0 + score) / 2.0 AS knn_score FROM (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+               (SELECT q FROM qv)), 6) AS score
+  FROM cand c JOIN embeddings e USING (vec_id)
+  ORDER BY score DESC, vec_id ASC LIMIT 10
+)
+ORDER BY knn_score DESC, vec_id ASC
+"""
+
+_DSL_KNN_FILTERED_SQL = f"""
+SELECT vec_id, (1.0 + score) / 2.0 AS knn_score FROM (
+  SELECT vec_id,
+         round(list_cosine_similarity(embedding::DOUBLE[],
+               (SELECT embedding::DOUBLE[] FROM embeddings
+                WHERE vec_id = 0)), 6) AS score
+  FROM embeddings WHERE label = {KNN_FILTER_LABEL}
+  ORDER BY score DESC, vec_id ASC LIMIT 10
+)
+ORDER BY knn_score DESC, vec_id ASC
 """
 
 _SEARCH_HIST_SQL = f"""
@@ -7487,6 +7650,9 @@ FROM b GROUP BY 1
         "search_dsl_suggest": _DSL_SUGGEST_SQL,
         "suggest_complete": _SUGGEST_COMPLETE_SQL,
         "hybrid_rrf": _HYBRID_RRF_SQL,
+        "search_dsl_knn": _DSL_KNN_SQL,
+        "search_dsl_knn_filtered": _DSL_KNN_FILTERED_SQL,
+        "search_dsl_rrf": _HYBRID_RRF_SQL,
         "sparse_vector": _SPARSE_VECTOR_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,
         "multi_match": _MULTI_MATCH_SQL,
@@ -8080,6 +8246,42 @@ SELECT d.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count
 FROM (
   SELECT unnest(generate_series(
     (SELECT lo FROM bounds), (SELECT hi FROM bounds), INTERVAL 1 DAY
+  )) AS bucket
+) d
+LEFT JOIN b USING (bucket)
+ORDER BY bucket
+""",
+        "search_dsl_auto_dh": f"""
+WITH m AS (
+  SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error'
+), span AS (
+  SELECT epoch(max(ts)) - epoch(min(ts)) AS s FROM m
+), u AS (
+  SELECT CASE WHEN s / 60.0 <= {ADH_DSL_BUCKETS} THEN 'minute'
+              WHEN s / 3600.0 <= {ADH_DSL_BUCKETS} THEN 'hour'
+              WHEN s / 86400.0 <= {ADH_DSL_BUCKETS} THEN 'day'
+              WHEN s / 604800.0 <= {ADH_DSL_BUCKETS} THEN 'week'
+              END AS unit,
+         CASE WHEN s / 60.0 <= {ADH_DSL_BUCKETS} THEN 60
+              WHEN s / 3600.0 <= {ADH_DSL_BUCKETS} THEN 3600
+              WHEN s / 86400.0 <= {ADH_DSL_BUCKETS} THEN 86400
+              WHEN s / 604800.0 <= {ADH_DSL_BUCKETS} THEN 604800
+              END AS step
+  FROM span
+), b AS (
+  SELECT CASE (SELECT unit FROM u)
+           WHEN 'minute' THEN date_trunc('minute', ts)
+           WHEN 'hour' THEN date_trunc('hour', ts)
+           WHEN 'day' THEN date_trunc('day', ts)
+           ELSE date_trunc('week', ts) END::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS doc_count
+  FROM m GROUP BY 1
+), bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b)
+SELECT d.bucket, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM (
+  SELECT unnest(generate_series(
+    (SELECT lo FROM bounds), (SELECT hi FROM bounds),
+    to_seconds((SELECT step FROM u))
   )) AS bucket
 ) d
 LEFT JOIN b USING (bucket)

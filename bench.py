@@ -177,6 +177,25 @@ def run_default() -> dict:
     })
     fscore_sec = round(time.perf_counter() - t0, 4)
 
+    # ES 8 knn body (r5): int8-SQ quantized scan + exact rescore of 50
+    # candidates through the DSL front door — NOT in the headline sum
+    knn_p50 = None
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    if os.path.exists(emb_path):
+        emb = spark.read.parquet(emb_path).cache()
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        klat = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            execute_search(rdr, {
+                "knn": {"field": "embedding", "query_vector": qv,
+                        "k": 10, "num_candidates": 50},
+            }, emb=emb)
+            klat.append(time.perf_counter() - t0)
+        knn_p50 = round(statistics.median(klat), 4)
+        emb.unpersist()
+
     t0 = time.perf_counter()
     bm25_topk_naive(docs, ["merge", "window", "spark"], 10).collect()
     times["bm25_naive"] = round(time.perf_counter() - t0, 3)
@@ -203,6 +222,8 @@ def run_default() -> dict:
         "dsl_function_score_sec": fscore_sec,
         "cores": CPUS,
     }
+    if knn_p50 is not None:
+        out["dsl_knn_p50"] = knn_p50
     ev_path = os.path.join(SF_DIR, "events.parquet")
     if os.path.exists(ev_path):
         # events log index (the reference deployment shape, r5): build +

@@ -19,7 +19,13 @@ with the field missing survives, ES semantics) and cross-field
 ``should`` (OR), both evaluated identically on the pyarrow driver read
 and the distributed Spark reroute via the shared condition builders) /
 bool (must, should, must_not, filter, minimum_should_match) /
-constant_score / boosting; top-level ``size``, ``from``, ``sort`` (one
+constant_score / boosting; top-level ``knn`` (ES 8 vector search over
+the embeddings sidecar passed as ``emb=`` — int8-SQ scan + exact
+rescore of ``num_candidates``, or with ``filter`` an exact scan over
+the pushed-predicate matched set; ``_score`` = (1+cosine)/2) and
+``retriever`` (ES 8.14: ``standard`` passthrough and ``rrf``
+Reciprocal Rank Fusion of child retrievers sharing one id space);
+top-level ``size``, ``from``, ``sort`` (one
 key: ``_score`` or a sidecar attribute), ``search_after``, ``explain``,
 ``highlight`` (one field, fragment window around the earliest query-term
 occurrence — content read for the page's k docs only; needs ``docs=``),
@@ -32,7 +38,9 @@ grouped-top-1 kernel, so only per-group winners reach the driver),
 sort key, in ``docvalue_fields``, and as the ``field`` of
 stats/value_count aggs; may shadow a stored attribute, ES precedence),
 and ``aggs``
-(terms / stats / histogram / date_histogram (fixed_interval /
+(terms / stats / histogram / auto_date_histogram (engine-chosen ladder
+unit whose bucket count fits ``buckets``; dense) / date_histogram
+(fixed_interval /
 calendar_interval, min_doc_count=0 dense zero-fill, extended_bounds;
 sub-``aggs``: avg/sum/min/max/value_count metric sub-aggregations
 computed in the histogram's single groupBy pass, plus parent pipeline
@@ -811,14 +819,212 @@ def _dis_max_query(clause: dict, docs, k: int):
     return _topk_pairs(rows), None
 
 
-def execute_search(reader, body: dict, docs=None) -> dict:
+_KNN_KEYS = frozenset({"field", "query_vector", "k", "num_candidates", "filter"})
+
+
+def _knn_search(reader, body: dict, emb) -> dict:
+    """ES 8 approximate-kNN ``_search`` body (top-level ``knn`` key,
+    the shape every vector-search client sends). ``_score`` follows the
+    ES cosine rule ``(1 + cosine) / 2``.
+
+    Two physical paths, both onto already-green kernels:
+
+    - no ``filter``: int8 scalar-quantized scan + full-precision
+      rescore of ``num_candidates`` candidates (``similarity.sq_topk``)
+      — the ES ``int8_hnsw`` + ``rescore_vector`` oversample semantics.
+      The quantized scan reads 4x fewer bytes than the raw vectors; the
+      exact pass touches num_candidates rows only.
+    - with ``filter``: ES pre-filters kNN, and with a restrictive
+      filter falls back to an exact scan over the matched set — this
+      engine does exactly that: the filter compiles through the shared
+      ``spark_filter_cond`` and is PUSHED to the vector scan
+      (``cosine_topk_exact`` over the filtered frame), so non-matching
+      vectors cost zero.
+
+    The vector sidecar (``emb=``) is its own index — a separate id
+    space from the text index — so ``knn`` alongside ``query`` refuses
+    instead of summing scores across unrelated ids."""
+    if emb is None:
+        raise ValueError(
+            "knn scans the vector index: pass the embeddings table via emb="
+        )
+    extra = set(body) - {"knn", "size", "from"}
+    if extra:
+        raise ValueError(
+            f"knn cannot be combined with: {sorted(extra)} (the vector "
+            "sidecar is a separate id space from the text index here; "
+            "fuse rankings within one id space via retriever.rrf)"
+        )
+    spec = body["knn"]
+    if not isinstance(spec, dict):
+        raise ValueError("multiple knn clauses are unsupported")
+    unknown = set(spec) - _KNN_KEYS
+    if unknown:
+        raise ValueError(f"unsupported knn option(s): {sorted(unknown)}")
+    field = spec.get("field")
+    qv = spec.get("query_vector")
+    if not isinstance(field, str) or qv is None:
+        raise ValueError("knn requires field and query_vector")
+    if field not in emb.columns:
+        raise ValueError(f"knn field not in the vector index: {field!r}")
+    if "k" not in spec or "num_candidates" not in spec:
+        raise ValueError("knn requires k and num_candidates (ES 8 rule)")
+    k = int(spec["k"])
+    nc = int(spec["num_candidates"])
+    if not (1 <= k <= nc):
+        raise ValueError("knn requires 1 <= k <= num_candidates")
+    if nc > 10000:
+        raise ValueError("num_candidates is capped at 10000 (ES rule)")
+    qvec = [float(x) for x in qv]
+    flt = spec.get("filter")
+    if flt is not None:
+        from .wand import spark_filter_cond
+
+        df = _filter_to_doc_filter(flt if isinstance(flt, list) else [flt])
+        cols = set(emb.columns)
+        bad = sorted(c for c in (df or {}) if c not in cols | {"_not", "_or"})
+        if bad:
+            raise ValueError(f"knn filter field(s) not in the vector index: {bad}")
+        from .similarity import cosine_topk_exact
+
+        frame = cosine_topk_exact(
+            emb.filter(spark_filter_cond(df)), qvec, k=k, vec_col=field
+        )
+    else:
+        from .similarity import sq_topk
+
+        frame = sq_topk(
+            emb, qvec, k=k, rescore_depth=nc, vec_col=field
+        ).select("vec_id", "score")
+    rows = frame.collect()
+    size = int(body.get("size", k))
+    frm = int(body.get("from", 0))
+    # ES cosine rule; no extra rounding on the transform — the kernel's
+    # 6dp-rounded cosine maps monotonically (6dp values stay distinct
+    # through (1+s)/2), and re-rounding a .xxxxxx5 midpoint would hit
+    # the banker's-vs-half-up divergence between engines
+    hits = [
+        {"_id": int(r["vec_id"]),
+         "_score": (1.0 + float(r["score"])) / 2.0}
+        for r in rows
+    ][frm:frm + size]
+    return {
+        "hits": {"total": {"value": len(rows), "relation": "eq"},
+                 "hits": hits}
+    }
+
+
+_RRF_KEYS = frozenset({"retrievers", "rank_constant", "rank_window_size"})
+_STANDARD_RET_KEYS = frozenset({"query", "sort"})
+
+
+def _retriever_ranking(reader, rkind: str, rspec: dict, window: int,
+                       docs=None, emb=None) -> list[int]:
+    """One retriever -> its top-``window`` ids in rank order, through
+    the SAME query machinery as a standalone ``_search`` (translation
+    must not change ranking)."""
+    if rkind == "standard":
+        unknown = set(rspec) - _STANDARD_RET_KEYS
+        if unknown:
+            raise ValueError(
+                f"unsupported standard-retriever option(s): {sorted(unknown)}"
+            )
+        sub = {"query": rspec.get("query", {"match_all": {}}), "size": window}
+        if "sort" in rspec:
+            sub["sort"] = rspec["sort"]
+        resp = execute_search(reader, sub, docs=docs)
+    elif rkind == "knn":
+        resp = execute_search(reader, {"knn": rspec, "size": window}, emb=emb)
+    else:
+        raise ValueError(f"unsupported retriever: {rkind}")
+    return [int(h["_id"]) for h in resp["hits"]["hits"]]
+
+
+def _retriever_search(reader, body: dict, docs=None, emb=None) -> dict:
+    """ES 8.14 ``retriever`` tree (top-level ``retriever`` key).
+
+    ``standard`` passes through to the normal query machinery; ``rrf``
+    runs each child retriever at ``rank_window_size`` and fuses by
+    Reciprocal Rank Fusion (``fusion.rrf_fuse`` — the ES hybrid-search
+    reduce). Every child ranking is ``rank_window_size`` rows, so the
+    fusion cost is independent of corpus size regardless of how
+    expensive the child retrievers were.
+
+    Children must share one id space: all ``standard`` (text-index doc
+    ids) or all ``knn`` (vector ids) — mixing would fuse rankings over
+    unrelated ids, so it refuses."""
+    extra = set(body) - {"retriever", "size"}
+    if extra:
+        raise ValueError(f"retriever cannot be combined with: {sorted(extra)}")
+    size = int(body.get("size", 10))
+    kind, spec = _one(body["retriever"], "retriever")
+    if kind == "standard":
+        # passthrough: a lone standard retriever IS the normal query
+        # machinery (scores included)
+        unknown = set(spec) - _STANDARD_RET_KEYS
+        if unknown:
+            raise ValueError(
+                f"unsupported standard-retriever option(s): {sorted(unknown)}"
+            )
+        sub = {"query": spec.get("query", {"match_all": {}}), "size": size}
+        if "sort" in spec:
+            sub["sort"] = spec["sort"]
+        return execute_search(reader, sub, docs=docs)
+    if kind != "rrf":
+        raise ValueError(f"unsupported retriever: {kind}")
+    unknown = set(spec) - _RRF_KEYS
+    if unknown:
+        raise ValueError(f"unsupported rrf option(s): {sorted(unknown)}")
+    rets = spec.get("retrievers")
+    if not isinstance(rets, list) or len(rets) < 2:
+        raise ValueError("rrf needs a list of >= 2 retrievers")
+    window = int(spec.get("rank_window_size", max(size, 10)))
+    if window < size:
+        raise ValueError("rank_window_size must be >= size (ES rule)")
+    parsed = [_one(r, "retrievers[]") for r in rets]
+    kinds = {rk for rk, _ in parsed}
+    if len(kinds) > 1:
+        raise ValueError(
+            "rrf cannot mix standard and knn retrievers here: text-index "
+            "doc ids and vector ids are separate id spaces"
+        )
+    from .fusion import ranked, rrf_fuse
+
+    rankings = [
+        ranked(
+            [(d,) for d in _retriever_ranking(
+                reader, rk, rs, window, docs=docs, emb=emb)],
+            reader.spark,
+        )
+        for rk, rs in parsed
+    ]
+    fused = rrf_fuse(rankings, k=int(spec.get("rank_constant", 60)), topn=size)
+    rows = fused.collect()
+    hits = [
+        {"_id": int(r["doc_id"]), "_score": float(r["rrf_score"])}
+        for r in rows
+    ]
+    return {
+        "hits": {"total": {"value": len(hits), "relation": "eq"},
+                 "hits": hits}
+    }
+
+
+def execute_search(reader, body: dict, docs=None, emb=None) -> dict:
     """Run an ES ``_search`` request body; returns the ES response shape
     ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}]},
     "aggregations": {...}}``.
 
     ``docs`` (optional): the source-documents DataFrame — required only
     by the ``significant_text`` aggregation, whose foreground re-analyzes
-    ``_source`` content the index itself doesn't store."""
+    ``_source`` content the index itself doesn't store.
+
+    ``emb`` (optional): the vector sidecar (embeddings table) — required
+    only by the top-level ``knn`` body and ``knn`` retrievers."""
+    if "retriever" in body:
+        return _retriever_search(reader, body, docs=docs, emb=emb)
+    if "knn" in body:
+        return _knn_search(reader, body, emb)
     size = int(body.get("size", 10))
     frm = int(body.get("from", 0))
     q = body.get("query", {"match_all": {}})
@@ -2116,6 +2322,28 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
             out[name] = {"buckets": buckets}
             if after_key is not None:
                 out[name]["after_key"] = after_key
+        elif kind == "auto_date_histogram":
+            unknown = set(a) - {"field", "buckets"}
+            if unknown:
+                raise ValueError(
+                    f"unsupported auto_date_histogram option(s): "
+                    f"{sorted(unknown)}"
+                )
+            rows, unit = reader.auto_date_histogram_agg(
+                terms, a["field"], buckets=int(a.get("buckets", 10)),
+                mode=mode, doc_filter=doc_filter,
+            )
+            out[name] = {
+                "buckets": [
+                    {"key": _epoch_ms(ts), "key_as_string": ts.isoformat(),
+                     "doc_count": int(n)}
+                    for ts, n in rows
+                ],
+                # the ES response names the interval the engine chose
+                "interval": {"minute": "1m", "hour": "1h", "day": "1d",
+                             "week": "1w", "month": "1M",
+                             "year": "1y"}[unit],
+            }
         elif kind == "date_histogram":
             allowed = {"field", "fixed_interval", "calendar_interval",
                        "min_doc_count", "extended_bounds"}
@@ -2406,7 +2634,8 @@ def execute_count(reader, body: dict | None = None) -> dict:
     return {"count": int(reader.count(terms, mode=mode, doc_filter=doc_filter))}
 
 
-def execute_msearch(reader, bodies: list[dict], docs=None) -> list[dict]:
+def execute_msearch(reader, bodies: list[dict], docs=None,
+                    emb=None) -> list[dict]:
     """ES ``_msearch``: a batch of ``_search`` bodies. Term-resolvable
     bodies (plain match/term/terms without sort/paging/aggs/extras)
     route together through the reader's batched msearch kernel — ONE
@@ -2456,5 +2685,5 @@ def execute_msearch(reader, bodies: list[dict], docs=None) -> list[dict]:
                 }
             })
         else:
-            out.append(execute_search(reader, body, docs=docs))
+            out.append(execute_search(reader, body, docs=docs, emb=emb))
     return out

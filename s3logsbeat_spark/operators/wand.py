@@ -3651,6 +3651,61 @@ class IndexReader:
         )
         return _rows_out(rows)
 
+    def auto_date_histogram_agg(
+        self,
+        terms: list[str],
+        field: str,
+        *,
+        buckets: int = 10,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+    ) -> tuple[list[tuple], str]:
+        """ES auto_date_histogram: the ENGINE, not the caller, picks the
+        interval — the finest calendar unit from the fixed ladder
+        minute -> hour -> day -> week -> month -> year whose bucket
+        count over the matched data's time span stays <= ``buckets``
+        (ES default 10). Returns (rows, unit) with rows shaped like
+        :meth:`date_histogram_agg` (dense, min_doc_count=0).
+
+        Scale shape: two bounded passes, both scale-safe — a min/max
+        span probe over the matched-set/sidecar join (one map-side-
+        combinable agg producing two driver scalars), then the dense
+        date_histogram kernel at the chosen unit. ES's adaptive
+        single-pass collector exists to avoid re-reading shards; here
+        the probe is a pruned columnar scan, so two passes beat
+        carrying every rounding's buckets through one."""
+        _adh_ladder = (
+            ("minute", 60.0), ("hour", 3600.0), ("day", 86400.0),
+            ("week", 604800.0), ("month", 2629800.0), ("year", 31557600.0),
+        )
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return [], _adh_ladder[0][0]
+        from .segments import load_doc_attrs
+
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field
+        )
+        ts = F.col(field).cast("timestamp")
+        b = (
+            matched.join(attrs, ["bucket", "doc_id"])
+            .agg(F.min(ts).alias("lo"), F.max(ts).alias("hi"))
+            .collect()[0]
+        )
+        if b["lo"] is None:
+            return [], _adh_ladder[0][0]
+        span = (b["hi"] - b["lo"]).total_seconds()
+        unit = _adh_ladder[-1][0]
+        for u, secs in _adh_ladder:
+            if span / secs <= float(buckets):
+                unit = u
+                break
+        rows = self.date_histogram_agg(
+            terms, field, calendar_interval=unit, min_doc_count=0,
+            mode=mode, doc_filter=doc_filter,
+        )
+        return rows, unit
+
     def range_agg(
         self,
         terms: list[str],

@@ -181,6 +181,18 @@ def _extra_frames(spark, E):
                rdr.scored_frame(E.BM25_TERMS), dattrs, "n_chars",
                k=E.BM25_K))
 
+    # search_dsl_knn (r5): int8-SQ quantized mapInPandas scan ->
+    # TakeOrdered num_candidates -> broadcast rescore join over the
+    # candidates only -> TakeOrdered k; the full-precision vectors are
+    # read just for the num_candidates rows
+    from s3logsbeat_spark.operators.similarity import sq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q0 = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    yield ("dsl_knn_frame (search_dsl_knn pre-collect)",
+           sq_topk(emb, q0, k=10, rescore_depth=50))
+
 
 def main() -> int:
     import __spark_entry__ as entry_mod

@@ -154,3 +154,35 @@ def test_parse_fixed_interval():
     for bad in ("0s", "1w", "h", "", None):
         with pytest.raises(ValueError):
             _parse_fixed_interval(bad)
+
+
+def test_auto_date_histogram_picks_unit(dh_rdr):
+    # alpha span ~2.9 days: 10 buckets -> 'day'; 80 -> 'hour'
+    rows, unit = dh_rdr.auto_date_histogram_agg(["alpha"], "ts", buckets=10)
+    assert unit == "day"
+    assert rows == dh_rdr.date_histogram_agg(
+        ["alpha"], "ts", calendar_interval="day")
+    rows, unit = dh_rdr.auto_date_histogram_agg(["alpha"], "ts", buckets=80)
+    assert unit == "hour"
+    assert rows == dh_rdr.date_histogram_agg(
+        ["alpha"], "ts", calendar_interval="hour")
+
+
+def test_auto_date_histogram_dsl_matches_direct(dh_rdr):
+    resp = execute_search(dh_rdr, {
+        "query": {"term": {"content": "alpha"}}, "size": 0,
+        "aggs": {"auto": {"auto_date_histogram": {
+            "field": "ts", "buckets": 10}}},
+    })
+    got = resp["aggregations"]["auto"]
+    want, unit = dh_rdr.auto_date_histogram_agg(["alpha"], "ts", buckets=10)
+    assert got["interval"] == "1d" and unit == "day"
+    assert [(b["key_as_string"], b["doc_count"]) for b in got["buckets"]] == [
+        (t.isoformat(), n) for t, n in want
+    ]
+    with pytest.raises(ValueError, match="auto_date_histogram option"):
+        execute_search(dh_rdr, {
+            "query": {"term": {"content": "alpha"}}, "size": 0,
+            "aggs": {"auto": {"auto_date_histogram": {
+                "field": "ts", "minimum_interval": "hour"}}},
+        })

@@ -1,0 +1,214 @@
+"""ES 8 kNN (top-level ``knn``) and ES 8.14 ``retriever`` trees through
+the _search body, pinned against the direct vector kernels
+(similarity.sq_topk / cosine_topk_exact) and fusion.rrf_fuse."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.dsl import execute_msearch, execute_search
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import IndexReader
+
+TERMS = ["hash", "merge"]
+MATCH = {"match": {"content": "merge hash"}}
+DIM = 8
+N_VECS = 60
+
+
+def _vec(i: int) -> list[float]:
+    # deterministic, non-degenerate unit-ish vectors
+    return [math.sin(0.7 * i + 1.3 * j) + 0.01 * j for j in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [(i, [float(x) for x in _vec(i)], i % 4) for i in range(N_VECS)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def rdr(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("knn_idx"))
+    docs = corpus_df.withColumn("n_chars", F.length("content"))
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=4, hot_df_threshold=10,
+        attr_cols=("lang", "repo", "n_chars"),
+    )
+    build_index(docs, cfg)
+    return IndexReader(spark, out)
+
+
+def _knn_body(qv, **kw):
+    spec = {"field": "embedding", "query_vector": qv,
+            "k": 5, "num_candidates": 20, **kw}
+    return {"knn": spec}
+
+
+def test_knn_matches_sq_topk(rdr, emb):
+    from s3logsbeat_spark.operators.similarity import sq_topk
+
+    qv = _vec(0)
+    resp = execute_search(rdr, _knn_body(qv), emb=emb)
+    want = sq_topk(emb, qv, k=5, rescore_depth=20).collect()
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [
+        r["vec_id"] for r in want
+    ]
+    for h, r in zip(resp["hits"]["hits"], want):
+        assert h["_score"] == (1.0 + r["score"]) / 2.0
+        assert 0.0 <= h["_score"] <= 1.0
+
+
+def test_knn_filter_matches_exact_on_filtered_frame(rdr, emb):
+    from s3logsbeat_spark.operators.similarity import cosine_topk_exact
+
+    qv = _vec(0)
+    resp = execute_search(
+        rdr, _knn_body(qv, filter={"term": {"label": 2}}), emb=emb
+    )
+    want = cosine_topk_exact(emb.filter(F.col("label") == 2), qv, k=5).collect()
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [
+        r["vec_id"] for r in want
+    ]
+    assert all(h["_id"] % 4 == 2 for h in resp["hits"]["hits"])
+
+
+def test_knn_range_filter_and_size_slice(rdr, emb):
+    resp = execute_search(
+        rdr,
+        {**_knn_body(_vec(3), filter={"range": {"vec_id": {"lt": 30}}}),
+         "size": 3},
+        emb=emb,
+    )
+    hits = resp["hits"]["hits"]
+    assert len(hits) == 3  # size slices the k=5 pool
+    assert all(h["_id"] < 30 for h in hits)
+    assert resp["hits"]["total"]["value"] == 5
+
+
+def test_knn_refusals(rdr, emb):
+    qv = _vec(0)
+    with pytest.raises(ValueError, match="emb="):
+        execute_search(rdr, _knn_body(qv))
+    with pytest.raises(ValueError, match="cannot be combined"):
+        execute_search(rdr, {**_knn_body(qv), "query": MATCH}, emb=emb)
+    with pytest.raises(ValueError, match="unsupported knn option"):
+        execute_search(rdr, {"knn": {**_knn_body(qv)["knn"],
+                                     "similarity": 0.5}}, emb=emb)
+    with pytest.raises(ValueError, match="requires k and num_candidates"):
+        execute_search(
+            rdr, {"knn": {"field": "embedding", "query_vector": qv}}, emb=emb
+        )
+    with pytest.raises(ValueError, match="1 <= k <= num_candidates"):
+        execute_search(
+            rdr, {"knn": {"field": "embedding", "query_vector": qv,
+                          "k": 30, "num_candidates": 20}}, emb=emb)
+    with pytest.raises(ValueError, match="capped at 10000"):
+        execute_search(
+            rdr, {"knn": {"field": "embedding", "query_vector": qv,
+                          "k": 5, "num_candidates": 20000}}, emb=emb)
+    with pytest.raises(ValueError, match="field not in the vector index"):
+        execute_search(
+            rdr, {"knn": {"field": "vectors", "query_vector": qv,
+                          "k": 5, "num_candidates": 20}}, emb=emb)
+    with pytest.raises(ValueError, match="filter field"):
+        execute_search(
+            rdr, _knn_body(qv, filter={"term": {"lang": "py"}}), emb=emb)
+
+
+def test_rrf_matches_manual_fusion(rdr):
+    from s3logsbeat_spark.operators.fusion import ranked, rrf_fuse
+
+    body = {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": MATCH}},
+                {"standard": {"query": MATCH,
+                              "sort": [{"n_chars": "desc"}]}},
+            ],
+            "rank_constant": 60, "rank_window_size": 8,
+        }},
+        "size": 8,
+    }
+    resp = execute_search(rdr, body)
+    ra = ranked(rdr.query(TERMS, k=8), rdr.spark)
+    rb = ranked(rdr.sort_by_field(TERMS, "n_chars", k=8), rdr.spark)
+    want = rrf_fuse([ra, rb], k=60, topn=8).collect()
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == [
+        (r["doc_id"], r["rrf_score"]) for r in want
+    ]
+
+
+def test_rrf_all_knn_retrievers(rdr, emb):
+    from s3logsbeat_spark.operators.fusion import ranked, rrf_fuse
+    from s3logsbeat_spark.operators.similarity import sq_topk
+
+    body = {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"knn": {"field": "embedding", "query_vector": _vec(0),
+                         "k": 5, "num_candidates": 20}},
+                {"knn": {"field": "embedding", "query_vector": _vec(7),
+                         "k": 5, "num_candidates": 20}},
+            ],
+            "rank_window_size": 5,
+        }},
+        "size": 5,
+    }
+    resp = execute_search(rdr, body, emb=emb)
+    ra = ranked([(r["vec_id"],) for r in
+                 sq_topk(emb, _vec(0), k=5, rescore_depth=20).collect()],
+                rdr.spark)
+    rb = ranked([(r["vec_id"],) for r in
+                 sq_topk(emb, _vec(7), k=5, rescore_depth=20).collect()],
+                rdr.spark)
+    want = rrf_fuse([ra, rb], k=60, topn=5).collect()
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == [
+        (r["doc_id"], r["rrf_score"]) for r in want
+    ]
+
+
+def test_standard_retriever_passthrough(rdr):
+    direct = execute_search(rdr, {"query": MATCH, "size": 5})
+    via = execute_search(
+        rdr, {"retriever": {"standard": {"query": MATCH}}, "size": 5}
+    )
+    assert via["hits"]["hits"] == direct["hits"]["hits"]
+
+
+def test_retriever_refusals(rdr, emb):
+    knn_ret = {"knn": {"field": "embedding", "query_vector": _vec(0),
+                       "k": 5, "num_candidates": 20}}
+    with pytest.raises(ValueError, match="cannot mix"):
+        execute_search(rdr, {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": MATCH}}, knn_ret]}}}, emb=emb)
+    with pytest.raises(ValueError, match=">= 2 retrievers"):
+        execute_search(rdr, {"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": MATCH}}]}}})
+    with pytest.raises(ValueError, match="rank_window_size must be >= size"):
+        execute_search(rdr, {"retriever": {"rrf": {
+            "retrievers": [{"standard": {"query": MATCH}}] * 2,
+            "rank_window_size": 3}}, "size": 8})
+    with pytest.raises(ValueError, match="unsupported retriever"):
+        execute_search(rdr, {"retriever": {"linear": {}}})
+    with pytest.raises(ValueError, match="cannot be combined"):
+        execute_search(
+            rdr, {"retriever": {"standard": {"query": MATCH}},
+                  "aggs": {"a": {"avg": {"field": "n_chars"}}}})
+    with pytest.raises(ValueError, match="standard-retriever option"):
+        execute_search(
+            rdr, {"retriever": {"standard": {"query": MATCH,
+                                             "min_score": 2.0}}})
+
+
+def test_msearch_threads_emb(rdr, emb):
+    solo = execute_search(rdr, _knn_body(_vec(0)), emb=emb)
+    out = execute_msearch(
+        rdr, [{"query": MATCH, "size": 3}, _knn_body(_vec(0))], emb=emb
+    )
+    assert out[1]["hits"]["hits"] == solo["hits"]["hits"]
