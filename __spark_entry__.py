@@ -317,6 +317,34 @@ def _events_index(spark: SparkSession, sf_dir: str):
     return IndexReader(spark, out)
 
 
+def q_search_dsl_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``exists`` query in filter context (the field-present filter
+    Kibana attaches whenever a panel references an optional field),
+    AND-composed with a term filter: filter-only body -> the
+    distributed _range_page path (predicate pushed to the sidecar scan,
+    TakeOrdered paging, in-cluster count). ``_exists`` evaluates
+    identically on the pyarrow driver read (is_valid) and the Spark
+    reroute (isNotNull) via the shared condition builders."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"bool": {"filter": [
+            {"term": {"event_type": "error"}},
+            {"exists": {"field": "status"}},
+        ]}},
+        "size": BM25_K,
+    })
+    return spark.createDataFrame(
+        [
+            (int(h["_id"]), float(h["_score"]),
+             int(resp["hits"]["total"]["value"]))
+            for h in resp["hits"]["hits"]
+        ],
+        "doc_id long, score double, total long",
+    )
+
+
 def _dh_frame(spark: SparkSession, buckets: list[dict]) -> DataFrame:
     """DSL date_histogram response buckets -> (bucket ts, doc_count)."""
     from datetime import datetime, timezone
@@ -1014,6 +1042,28 @@ def q_esql_eval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r[0], r[1], int(r[2]), round(float(r[3]), 6))
          for r in resp["values"]],
         "lang string, repo string, doc_count long, avg_weight double",
+    )
+
+
+def q_esql_eval_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL string functions in EVAL (CONCAT with a literal separator,
+    LENGTH chained on the EVAL'd name): each a full-match whitelist
+    translated to the equivalent Catalyst expression — withColumn
+    codegen on the sidecar, never a UDF, pruned if unused."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        ' | EVAL tag = CONCAT(lang, "-", repo)'
+        " | EVAL tlen = LENGTH(tag)"
+        " | STATS n = COUNT(*) BY tag, tlen"
+        " | SORT tag ASC | LIMIT 1000",
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), int(r[2])) for r in resp["values"]],
+        "tag string, tlen long, n long",
     )
 
 
@@ -4835,6 +4885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_or_filter": q_search_dsl_or_filter,
         "search_dsl_date_histogram": q_search_dsl_date_histogram,
         "search_dsl_auto_dh": q_search_dsl_auto_dh,
+        "search_dsl_exists_filter": q_search_dsl_exists_filter,
         "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
         "search_dsl_dh_metrics": q_search_dsl_dh_metrics,
         "search_dsl_derivative": q_search_dsl_derivative,
@@ -4865,6 +4916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats": q_esql_stats,
         "esql_stats_global": q_esql_stats_global,
         "esql_eval_stats": q_esql_eval_stats,
+        "esql_eval_strings": q_esql_eval_strings,
         "scripted_metric": q_scripted_metric,
         "span_within": q_span_within,
         "span_containing": q_span_containing,
@@ -7653,6 +7705,15 @@ FROM b GROUP BY 1
         "search_dsl_knn": _DSL_KNN_SQL,
         "search_dsl_knn_filtered": _DSL_KNN_FILTERED_SQL,
         "search_dsl_rrf": _HYBRID_RRF_SQL,
+        "search_dsl_exists_filter": f"""
+WITH m AS (
+  SELECT event_id FROM events
+  WHERE event_type = 'error' AND event_id % 4 != 3
+)
+SELECT event_id AS doc_id, 0.0 AS score,
+       (SELECT count(*) FROM m)::BIGINT AS total
+FROM m ORDER BY event_id ASC LIMIT {BM25_K}
+""",
         "sparse_vector": _SPARSE_VECTOR_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,
         "multi_match": _MULTI_MATCH_SQL,
@@ -8465,6 +8526,13 @@ SELECT lang, source AS repo, count(*)::BIGINT AS doc_count,
        round(avg(n_chars * 2 + 7), 6) AS avg_weight
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
 GROUP BY lang, source ORDER BY lang, source
+""",
+        "esql_eval_strings": f"""
+SELECT lang || '-' || source AS tag,
+       length(lang || '-' || source)::BIGINT AS tlen,
+       count(*)::BIGINT AS n
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY 1, 2 ORDER BY tag
 """,
         "span_within": _SPAN_WITHIN_SQL,
         "span_containing": _SPAN_CONTAINING_SQL,

@@ -135,7 +135,7 @@ def _merge_filter(out: dict, add: dict | None) -> dict:
         cur = out.get(f)
         if f not in out:
             out[f] = v
-        elif f in ("_not", "_or"):
+        elif f in ("_not", "_or", "_exists"):
             # boolean nodes AND-compose by construction: concatenating
             # the lists is exactly ANDing the clauses
             out[f] = list(cur) + list(v)
@@ -153,9 +153,14 @@ def _merge_filter(out: dict, add: dict | None) -> dict:
 
 
 def _filter_leaf(sub: dict, role: str) -> dict:
-    """One term/terms/range clause in filter context -> a one-field
-    doc_filter dict."""
+    """One term/terms/range/exists clause in filter context -> a
+    one-field doc_filter dict."""
     kind, clause = _one(sub, role)
+    if kind == "exists":
+        if not isinstance(clause, dict) or not isinstance(
+                clause.get("field"), str):
+            raise ValueError("exists needs {'field': <name>}")
+        return {"_exists": [clause["field"]]}
     if kind not in ("term", "terms", "range"):
         raise ValueError(f"unsupported {role} clause: {kind}")
     field, value = _one(clause, kind)
@@ -195,7 +200,7 @@ def _bool_filter_ctx(b: dict) -> dict:
             )
         leaves = [_filter_leaf(sub, "filter.bool.should") for sub in sh]
         fields = {f for leaf in leaves for f in leaf}
-        if len(fields) == 1 and all(
+        if len(fields) == 1 and "_exists" not in fields and all(
             not isinstance(v, dict) for leaf in leaves for v in leaf.values()
         ):
             # same-field term/terms disjunction -> plain isin (pyarrow
@@ -215,8 +220,8 @@ def _bool_filter_ctx(b: dict) -> dict:
 
 def _filter_to_doc_filter(filters) -> dict | None:
     """bool.filter clauses -> the reader's sidecar doc_filter dict
-    (term / terms / range — the Kibana time-picker shape — plus one
-    level of nested ``bool``)."""
+    (term / terms / range / exists — the Kibana time-picker + field-
+    present shapes — plus one level of nested ``bool``)."""
     if not filters:
         return None
     if isinstance(filters, dict):
@@ -227,13 +232,7 @@ def _filter_to_doc_filter(filters) -> dict | None:
         if kind == "bool":
             out = _merge_filter(out, _bool_filter_ctx(clause))
             continue
-        if kind not in ("term", "terms", "range"):
-            raise ValueError(f"unsupported filter clause: {kind}")
-        field, value = _one(clause, kind)
-        out = _merge_filter(
-            out,
-            {field: _range_spec(field, value) if kind == "range" else value},
-        )
+        out = _merge_filter(out, _filter_leaf(f, "filter"))
     return out or None
 
 
@@ -882,7 +881,8 @@ def _knn_search(reader, body: dict, emb) -> dict:
 
         df = _filter_to_doc_filter(flt if isinstance(flt, list) else [flt])
         cols = set(emb.columns)
-        bad = sorted(c for c in (df or {}) if c not in cols | {"_not", "_or"})
+        bad = sorted(c for c in (df or {})
+                     if c not in cols | {"_not", "_or", "_exists"})
         if bad:
             raise ValueError(f"knn filter field(s) not in the vector index: {bad}")
         from .similarity import cosine_topk_exact

@@ -12,12 +12,18 @@ Grammar (the useful fulltext+analytics core, one statement):
               | <attr> IN ("v1", "v2", ...)
               | <attr> >= n | > n | <= n | < n    -- range filter
                 (numbers or "strings"; same-column bounds AND-merge)
-    | EVAL <name> = <arith | DATE_TRUNC(1 <unit>, <attr>)>
+    | EVAL <name> = <arith | DATE_TRUNC(1 <unit>, <attr>) | strfn>
         arith := +|-|*|/|% over sidecar attrs, EVAL'd names, numeric
                  literals, and parentheses (no other function calls);
         DATE_TRUNC (before STATS only) buckets a timestamp attr to
         minute/hour/day/week/month/quarter/year — `STATS ... BY hour`
-        is the ES|QL histogram shape
+        is the ES|QL histogram shape;
+        strfn := TO_UPPER(c) | TO_LOWER(c) | LENGTH(c) | TRIM(c)
+               | SUBSTRING(c, start, len)      -- 1-based, ES|QL rule
+               | CONCAT(arg, arg, ...)         -- idents or "literals"
+        (each a full-match whitelist like DATE_TRUNC: only validated
+        column names and charset-checked literals reach the Catalyst
+        expression — still codegen, never a UDF)
     | DISSECT <col> "<pattern>"                   -- before STATS only
         pattern := literal delimiters around %{name} fields (%{} skips);
         full-string match, non-matching rows yield null fields; outputs
@@ -255,6 +261,63 @@ _DT = re.compile(
     re.IGNORECASE | re.VERBOSE,
 )
 
+#: whitelisted ES|QL string functions (full-match on the EVAL RHS, like
+#: DATE_TRUNC): one validated column each, nothing user-controlled
+#: reaches the Spark expression string
+_FN1 = re.compile(
+    r"(?P<fn>TO_UPPER|TO_LOWER|LENGTH|TRIM)"
+    r"\(\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*\)",
+    re.IGNORECASE,
+)
+_FN1_SQL = {"to_upper": "upper", "to_lower": "lower",
+            "length": "length", "trim": "trim"}
+_SUBSTR = re.compile(
+    r"SUBSTRING\(\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*,"
+    r"\s*(?P<start>-?\d+)\s*,\s*(?P<len>\d+)\s*\)",
+    re.IGNORECASE,
+)
+_CONCAT = re.compile(r"CONCAT\((?P<args>[^()]*)\)", re.IGNORECASE)
+_CONCAT_ARG = re.compile(
+    r'(?:(?P<id>[A-Za-z_][A-Za-z0-9_]*)|"(?P<lit>[A-Za-z0-9_\- .:/]*)")'
+)
+
+
+def _parse_str_fn(rhs: str) -> tuple[str, list[str]] | None:
+    """ES|QL string function RHS -> (spark_expr, referenced_idents), or
+    None if ``rhs`` is not one of the whitelisted shapes. Literal args
+    (CONCAT) are charset-validated (no quotes/backslashes can appear),
+    so re-emitting them single-quoted into the expression is safe."""
+    m = _FN1.fullmatch(rhs)
+    if m:
+        fn = _FN1_SQL[m.group("fn").lower()]
+        col = m.group("col")
+        return f"{fn}({col})", [col]
+    m = _SUBSTR.fullmatch(rhs)
+    if m:
+        col = m.group("col")
+        # ES|QL SUBSTRING(str, start, length): 1-based, negative start
+        # counts from the end — Spark's substring has the same contract
+        return (f"substring({col}, {int(m.group('start'))}, "
+                f"{int(m.group('len'))})", [col])
+    m = _CONCAT.fullmatch(rhs)
+    if m:
+        # the literal charset excludes commas and quotes, so splitting
+        # on "," cannot cut through an argument
+        parts, idents = [], []
+        for a in m.group("args").split(","):
+            am = _CONCAT_ARG.fullmatch(a.strip())
+            if not am:
+                return None
+            if am.group("id") is not None:
+                parts.append(am.group("id"))
+                idents.append(am.group("id"))
+            else:
+                parts.append(f"'{am.group('lit')}'")
+        if len(parts) < 2:
+            raise ValueError("CONCAT needs at least two arguments")
+        return f"concat({', '.join(parts)})", idents
+    return None
+
 
 def _parse_eval(body: str, plan: dict) -> tuple[str, str, list[str]]:
     """``EVAL name = arith`` -> (name, validated_expr, referenced_idents).
@@ -270,13 +333,21 @@ def _parse_eval(body: str, plan: dict) -> tuple[str, str, list[str]]:
         body.strip(), re.DOTALL,
     )
     if g:
-        dm = _DT.fullmatch(g.group("rhs").strip())
+        rhs = g.group("rhs").strip()
+        dm = _DT.fullmatch(rhs)
         if dm:
             name = g.group("name")
             if name in {n for n, _e, _r in plan["eval"]}:
                 raise ValueError(f"duplicate EVAL name: {name}")
             unit, col = dm.group("unit").lower(), dm.group("col")
             return name, f"date_trunc('{unit}', cast({col} as timestamp))", [col]
+        sf = _parse_str_fn(rhs)
+        if sf:
+            name = g.group("name")
+            if name in {n for n, _e, _r in plan["eval"]}:
+                raise ValueError(f"duplicate EVAL name: {name}")
+            expr, idents = sf
+            return name, expr, idents
     m = _EVAL.fullmatch(body.strip())
     if not m:
         raise ValueError(f"unsupported EVAL clause: {body!r}")

@@ -85,6 +85,14 @@ def _check_sub_filter(key: str, sub) -> dict:
     return sub
 
 
+def _check_exists_fields(v) -> list[str]:
+    """Validate an ``_exists`` node: a non-empty list of field names."""
+    if (not isinstance(v, (list, tuple)) or not v
+            or not all(isinstance(x, str) for x in v)):
+        raise ValueError('doc_filter "_exists" needs a list of field names')
+    return list(v)
+
+
 def spark_filter_cond(doc_filter: dict):
     """doc_filter dict -> one Spark Column: AND across columns of
     equality (scalar), membership (list), or range compare (dict with
@@ -99,12 +107,21 @@ def spark_filter_cond(doc_filter: dict):
     semantics match ES: a positive predicate never matches a null
     value, so NOT/OR coalesce null to false before negating/or-ing —
     ``must_not {term: {lang: x}}`` KEEPS docs whose lang is null,
-    exactly like ES must_not on a missing field."""
+    exactly like ES must_not on a missing field.
+
+    ``"_exists"`` holds a list of field names, each required non-null
+    (ES ``exists`` query in filter context); under ``_not`` it is the
+    ES ``missing``-field idiom (isNull)."""
     from pyspark.sql import functions as F
 
     cond = None
     for c, v in doc_filter.items():
-        if c == "_not":
+        if c == "_exists":
+            e = None
+            for fname in _check_exists_fields(v):
+                n = F.col(fname).isNotNull()
+                e = n if e is None else e & n
+        elif c == "_not":
             e = None
             for sub in _check_filter_nodes(c, v):
                 n = ~F.coalesce(
@@ -154,7 +171,12 @@ def arrow_filter_expr(doc_filter: dict):
 
     expr = None
     for c, v in doc_filter.items():
-        if c == "_not":
+        if c == "_exists":
+            e = None
+            for fname in _check_exists_fields(v):
+                n = ds.field(fname).is_valid()
+                e = n if e is None else e & n
+        elif c == "_not":
             e = None
             for sub in _check_filter_nodes(c, v):
                 n = ~_coalesce_false(
@@ -229,7 +251,9 @@ def _filter_fields(f: dict) -> set:
     ``_not``/``_or`` nodes too) — for column-pruned attr reads."""
     out: set = set()
     for k, v in f.items():
-        if k == "_not":
+        if k == "_exists":
+            out |= set(v)
+        elif k == "_not":
             for sub in v:
                 out |= _filter_fields(sub)
         elif k == "_or":

@@ -651,3 +651,65 @@ def test_rename_drop_on_empty_match(rdr):
     )
     assert [c["name"] for c in got["columns"]] == ["total"]
     assert _vals(got) == [(0,)]
+
+
+def test_eval_string_functions(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        ' | EVAL tag = CONCAT(lang, "-", repo)'
+        " | EVAL tlen = LENGTH(tag)"
+        " | STATS n = COUNT(*) BY tag, tlen | SORT tag ASC | LIMIT 100",
+    )
+    assert [c["name"] for c in got["columns"]] == ["tag", "tlen", "n"]
+    for tag, tlen, _n in _vals(got):
+        lang, _, repo = tag.partition("-")
+        assert tag == f"{lang}-{repo}" and tlen == len(tag)
+    upper = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        " | EVAL ulang = TO_UPPER(lang)"
+        " | STATS n = COUNT(*) BY ulang | SORT ulang ASC | LIMIT 100",
+    )
+    base = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        " | STATS n = COUNT(*) BY lang | SORT lang ASC | LIMIT 100",
+    )
+    assert [(u, n) for u, n in _vals(upper)] == [
+        (l.upper(), n) for l, n in _vals(base)
+    ]
+
+
+def test_eval_substring_es_semantics(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        " | EVAL pre = SUBSTRING(lang, 1, 2)"
+        " | EVAL suf = SUBSTRING(lang, -2, 2)"
+        " | STATS n = COUNT(*) BY lang, pre, suf | SORT lang ASC | LIMIT 100",
+    )
+    for lang, pre, suf, _n in _vals(got):
+        assert pre == lang[:2]          # 1-based start
+        assert suf == lang[-2:]         # negative start counts from end
+
+
+def test_eval_string_refusals(rdr):
+    with pytest.raises(ValueError, match="EVAL"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge hash")'
+            " | EVAL x = REVERSE(lang) | STATS n = COUNT(*) BY x | LIMIT 5",
+        )
+    with pytest.raises(ValueError, match="at least two"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge hash")'
+            " | EVAL x = CONCAT(lang) | STATS n = COUNT(*) BY x | LIMIT 5",
+        )
+    with pytest.raises(ValueError, match="unknown columns"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge hash")'
+            " | EVAL x = TO_UPPER(nope) | STATS n = COUNT(*) BY x | LIMIT 5",
+        )

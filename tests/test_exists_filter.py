@@ -1,0 +1,123 @@
+"""ES `exists` query in filter context: the `_exists` doc_filter node
+through the shared condition builders (Spark isNotNull / pyarrow
+is_valid), the DSL translation, and ES missing-field semantics under
+must_not."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3logsbeat_spark.operators.dsl import (
+    _bool_filter_ctx,
+    _filter_to_doc_filter,
+    execute_search,
+)
+from s3logsbeat_spark.operators.segments import IndexConfig, build_index
+from s3logsbeat_spark.operators.wand import (
+    IndexReader,
+    arrow_filter_expr,
+    spark_filter_cond,
+)
+
+TERMS = ["merge"]
+MATCH = {"match": {"content": "merge"}}
+
+
+@pytest.fixture(scope="module")
+def xrdr(spark, corpus_df, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("exists_idx"))
+    docs = corpus_df.withColumn("n_chars", F.length("content")).withColumn(
+        # nullable attr: null for every 3rd doc
+        "flag",
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") % 7),
+    )
+    cfg = IndexConfig(
+        out_dir=out, n_buckets=4, hot_df_threshold=10,
+        attr_cols=("lang", "repo", "n_chars", "flag"),
+    )
+    build_index(docs, cfg)
+    return IndexReader(spark, out)
+
+
+def test_translation_shapes():
+    assert _filter_to_doc_filter([{"exists": {"field": "flag"}}]) == {
+        "_exists": ["flag"]
+    }
+    got = _bool_filter_ctx({
+        "filter": [{"term": {"lang": "py"}}, {"exists": {"field": "flag"}}],
+        "must_not": [{"exists": {"field": "gone"}}],
+    })
+    assert got == {"lang": "py", "_exists": ["flag"],
+                   "_not": [{"_exists": ["gone"]}]}
+    # two exists clauses AND-compose by list concat
+    two = _filter_to_doc_filter(
+        [{"exists": {"field": "a"}}, {"exists": {"field": "b"}}])
+    assert two == {"_exists": ["a", "b"]}
+    with pytest.raises(ValueError, match="exists needs"):
+        _filter_to_doc_filter([{"exists": {"fields": ["flag"]}}])
+
+
+def test_condition_builders_parity(spark, tmp_path):
+    import pyarrow.dataset as ds
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 5), (2, None), (3, 7)], "id long, flag long"
+    )
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    flt = {"_exists": ["flag"]}
+    got = sorted(r["id"] for r in
+                 spark.read.parquet(p).filter(spark_filter_cond(flt))
+                 .collect())
+    assert got == [1, 3]
+    tbl = ds.dataset(p, format="parquet").to_table(
+        filter=arrow_filter_expr(flt))
+    assert sorted(tbl.column("id").to_pylist()) == [1, 3]
+    # must_not exists == the ES `missing` idiom: only null-valued rows
+    miss = {"_not": [{"_exists": ["flag"]}]}
+    got = sorted(r["id"] for r in
+                 spark.read.parquet(p).filter(spark_filter_cond(miss))
+                 .collect())
+    assert got == [0, 2]
+    tbl = ds.dataset(p, format="parquet").to_table(
+        filter=arrow_filter_expr(miss))
+    assert sorted(tbl.column("id").to_pylist()) == [0, 2]
+
+
+def test_dsl_exists_matches_direct(xrdr):
+    body = {"query": {"bool": {
+        "must": [MATCH],
+        "filter": [{"exists": {"field": "flag"}}],
+    }}, "size": 500}
+    resp = execute_search(xrdr, body)
+    want = xrdr.query(TERMS, k=500, doc_filter={"_exists": ["flag"]})
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == [
+        (d, s) for d, s in want
+    ]
+    assert all(h["_id"] % 3 != 0 for h in resp["hits"]["hits"])
+    # must_not exists keeps exactly the docs the filter dropped: with k
+    # above the matched-set size the two filtered sets partition it
+    miss = execute_search(xrdr, {"query": {"bool": {
+        "must": [MATCH],
+        "filter": [{"bool": {"must_not": [{"exists": {"field": "flag"}}]}}],
+    }}, "size": 500})
+    assert all(h["_id"] % 3 == 0 for h in miss["hits"]["hits"])
+    both = {h["_id"] for h in resp["hits"]["hits"]} | {
+        h["_id"] for h in miss["hits"]["hits"]}
+    assert both == {d for d, _ in xrdr.query(TERMS, k=500)}
+
+
+def test_exists_in_should_takes_or_path(xrdr):
+    # cross-field OR with an exists leaf must use the _or node, never
+    # the same-field isin fast path
+    got = _bool_filter_ctx({"should": [
+        {"exists": {"field": "flag"}}, {"term": {"lang": "py"}},
+    ]})
+    assert got == {"_or": [[{"_exists": ["flag"]}, {"lang": "py"}]]}
+    # and two exists-only should leaves are OR, not AND
+    got = _bool_filter_ctx({"should": [
+        {"exists": {"field": "a"}}, {"exists": {"field": "b"}},
+    ]})
+    assert got == {"_or": [[{"_exists": ["a"]}, {"_exists": ["b"]}]]}
