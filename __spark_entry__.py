@@ -317,6 +317,30 @@ def _events_index(spark: SparkSession, sf_dir: str):
     return IndexReader(spark, out)
 
 
+def q_search_dsl_terms_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation ``missing`` + ``order`` options through the
+    DSL: docs whose attr is null count under the substitute value (one
+    coalesce in the kernel's pruned projection), and ``order:
+    {"_key": "asc"}`` reorders the reduced bucket list before the size
+    cut — exactly ES's coordinating-node reduce."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"by_status": {"terms": {
+            "field": "status", "missing": 0, "size": 10,
+            "order": {"_key": "asc"},
+        }}},
+    })
+    b = resp["aggregations"]["by_status"]["buckets"]
+    return spark.createDataFrame(
+        [(int(x["key"]), int(x["doc_count"])) for x in b],
+        "key long, doc_count long",
+    )
+
+
 def q_search_dsl_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``exists`` query in filter context (the field-present filter
     Kibana attaches whenever a panel references an optional field),
@@ -4886,6 +4910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_date_histogram": q_search_dsl_date_histogram,
         "search_dsl_auto_dh": q_search_dsl_auto_dh,
         "search_dsl_exists_filter": q_search_dsl_exists_filter,
+        "search_dsl_terms_missing": q_search_dsl_terms_missing,
         "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
         "search_dsl_dh_metrics": q_search_dsl_dh_metrics,
         "search_dsl_derivative": q_search_dsl_derivative,
@@ -7713,6 +7738,13 @@ WITH m AS (
 SELECT event_id AS doc_id, 0.0 AS score,
        (SELECT count(*) FROM m)::BIGINT AS total
 FROM m ORDER BY event_id ASC LIMIT {BM25_K}
+""",
+        "search_dsl_terms_missing": """
+SELECT coalesce(CASE WHEN event_id % 4 = 3 THEN NULL
+                     ELSE 200 + (event_id % 3) * 100 END, 0)::BIGINT AS key,
+       count(*)::BIGINT AS doc_count
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY key
 """,
         "sparse_vector": _SPARSE_VECTOR_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,

@@ -2118,9 +2118,54 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                 )
             out[name] = {"buckets": list(buckets.values())}
         elif kind == "terms":
-            buckets = reader.facet_counts(
-                terms, field, mode=mode, doc_filter=doc_filter
+            _only_keys(
+                a, {"field", "size", "order", "missing", "min_doc_count"},
+                "terms agg",
             )
+            buckets = reader.facet_counts(
+                terms, field, mode=mode, doc_filter=doc_filter,
+                missing=a.get("missing"),
+            )
+            mdc = int(a.get("min_doc_count", 1))
+            if mdc > 1:
+                buckets = [(kv, n) for kv, n in buckets if n >= mdc]
+            order = a.get("order")
+            if order is not None:
+                # ES terms order: {"_count"|"_key": "asc"|"desc"} —
+                # applied over the FULL reduced bucket list before the
+                # size cut, exactly ES's coordinating-node reduce (the
+                # kernel's default is ES's default: _count desc, key asc)
+                if not isinstance(order, dict) or len(order) != 1:
+                    raise ValueError("terms order needs one {path: dir}")
+                [(opath, odir)] = order.items()
+                if opath not in ("_count", "_key") or odir not in (
+                        "asc", "desc"):
+                    raise ValueError(
+                        f"unsupported terms order: {opath}:{odir} "
+                        "(_count/_key asc|desc)"
+                    )
+                rev = odir == "desc"
+
+                def _key_val(v):
+                    # the kernel returns attr values stringified; ES
+                    # sorts numeric fields numerically — numeric-looking
+                    # keys sort as numbers, everything else as text
+                    # (mixed sets group by class, deterministic)
+                    try:
+                        return (0, float(v), "")
+                    except (TypeError, ValueError):
+                        return (1, 0.0, str(v))
+
+                if opath == "_key":
+                    buckets = sorted(buckets, key=lambda b: _key_val(b[0]),
+                                     reverse=rev)
+                else:
+                    # deterministic tie-break on key, ES-style: key asc
+                    # within equal counts regardless of count direction
+                    buckets = sorted(
+                        sorted(buckets, key=lambda b: _key_val(b[0])),
+                        key=lambda b: b[1], reverse=rev,
+                    )
             size = int(a.get("size", 10))
             out[name] = {
                 "buckets": [

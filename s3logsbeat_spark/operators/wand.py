@@ -2973,6 +2973,7 @@ class IndexReader:
         field: str,
         mode: str = "or",
         doc_filter: dict | None = None,
+        missing=None,
     ) -> list[tuple[str, int]]:
         """Search facets (the ES terms-aggregation-on-a-query analogue):
         how many matching docs have each value of a sidecar attribute.
@@ -2980,7 +2981,12 @@ class IndexReader:
         matching all. Executed per bucket: matched doc_ids from decoded
         postings cogrouped with the bucket's attrs slice, partial counts
         summed by Spark — the matched set never leaves the executors.
-        Returns [(value, doc_count)] sorted by count desc, value asc."""
+        Returns [(value, doc_count)] sorted by count desc, value asc.
+
+        ``missing``: ES terms-agg ``missing`` parameter — docs whose
+        attr is null count under this substitute value (one coalesce in
+        the pruned projection; without it null-attr docs drop out, the
+        ES default)."""
         if not terms:
             return []
         import pandas as pd
@@ -3007,6 +3013,10 @@ class IndexReader:
         if doc_filter:
             attrs = attrs.filter(spark_filter_cond(doc_filter))
         attrs = attrs.select("bucket", "doc_id", field)
+        if missing is not None:
+            attrs = attrs.withColumn(
+                field, F.coalesce(F.col(field), F.lit(missing))
+            )
         if big_tomb:
             # counting happens against the cogrouped attrs slice, so
             # anti-joining tombstones out of it is exact
@@ -3036,6 +3046,12 @@ class IndexReader:
             a_ids = attr_pdf["doc_id"].to_numpy(np.int64)
             keep = np.isin(a_ids, matched)
             vals = attr_pdf[field].to_numpy(dtype=object)[keep]
+            # ES terms agg: docs with a missing (null) field are NOT
+            # bucketed unless ``missing`` substitutes a value upstream —
+            # stringifying them would have minted a 'None' bucket
+            vals = vals[~pd.isna(vals)]
+            if vals.size == 0:
+                return empty
             v, c = np.unique(vals.astype(str), return_counts=True)
             return pd.DataFrame({"value": v, "doc_count": c.astype("int64")})
 

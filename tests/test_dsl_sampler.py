@@ -160,3 +160,35 @@ def test_date_range_refuses_bad_range(rdr):
 def test_missing_unknown_field_refuses(rdr):
     with pytest.raises(ValueError, match="unknown missing"):
         _agg(rdr, {"m": {"missing": {"field": "nope"}}})
+
+
+def test_terms_agg_missing_and_order(rdr):
+    # flag is null for every 3rd doc: `missing` buckets them under -1
+    got = _agg(rdr, {"t": {"terms": {
+        "field": "flag", "missing": -1, "order": {"_key": "asc"},
+        "size": 10,
+    }}})["t"]["buckets"]
+    keys = [int(b["key"]) for b in got]
+    assert keys == sorted(keys) and -1 in keys
+    ids = [d for d, _ in rdr.query(TERMS, 10_000)]
+    n_null = sum(1 for d in ids if d % 3 == 0)
+    assert next(b for b in got
+                if int(b["key"]) == -1)["doc_count"] == n_null
+    # without `missing`, null-attr docs drop out (ES default)
+    plain = _agg(rdr, {"t": {"terms": {"field": "flag"}}})["t"]["buckets"]
+    assert sum(b["doc_count"] for b in plain) == len(ids) - n_null
+    # _count asc reverses the kernel's count-desc default
+    asc = _agg(rdr, {"t": {"terms": {
+        "field": "lang", "order": {"_count": "asc"}}}})["t"]["buckets"]
+    counts = [b["doc_count"] for b in asc]
+    assert counts == sorted(counts)
+
+
+def test_terms_agg_option_refusals(rdr):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="terms agg"):
+        _agg(rdr, {"t": {"terms": {"field": "lang", "include": "py.*"}}})
+    with _pytest.raises(ValueError, match="unsupported terms order"):
+        _agg(rdr, {"t": {"terms": {"field": "lang",
+                                   "order": {"avg_x": "desc"}}}})
