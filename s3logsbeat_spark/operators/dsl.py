@@ -818,7 +818,9 @@ def _dis_max_query(clause: dict, docs, k: int):
     return _topk_pairs(rows), None
 
 
-_KNN_KEYS = frozenset({"field", "query_vector", "k", "num_candidates", "filter"})
+_KNN_KEYS = frozenset(
+    {"field", "query_vector", "k", "num_candidates", "filter", "similarity"}
+)
 
 
 def _knn_search(reader, body: dict, emb) -> dict:
@@ -897,6 +899,12 @@ def _knn_search(reader, body: dict, emb) -> dict:
             emb, qvec, k=k, rescore_depth=nc, vec_col=field
         ).select("vec_id", "score")
     rows = frame.collect()
+    if "similarity" in spec:
+        # ES knn `similarity`: the minimum RAW metric value (cosine
+        # here, not the transformed _score) a doc must reach — applied
+        # after the (exact) rescore, docs below the floor drop out
+        floor = float(spec["similarity"])
+        rows = [r for r in rows if float(r["score"]) >= floor]
     size = int(body.get("size", k))
     frm = int(body.get("from", 0))
     # ES cosine rule; no extra rounding on the transform — the kernel's
@@ -1008,6 +1016,108 @@ def _retriever_search(reader, body: dict, docs=None, emb=None) -> dict:
         "hits": {"total": {"value": len(hits), "relation": "eq"},
                  "hits": hits}
     }
+
+
+#: query clause kinds execute_search dispatches (keep in sync with the
+#: elif chain — test_dsl_knn pins a sample)
+_QUERY_KINDS = frozenset({
+    "match_all", "match", "term", "terms", "match_phrase",
+    "match_phrase_prefix", "prefix", "wildcard", "fuzzy", "ids",
+    "more_like_this", "range", "bool", "constant_score", "boosting",
+    "dis_max", "multi_match", "query_string", "function_score",
+    "script_score", "pinned",
+})
+
+#: TOP-LEVEL aggregation kinds _run_aggs dispatches (sibling pipeline
+#: aggs included; parent pipeline aggs are valid only INSIDE a
+#: histogram's sub-aggs, so they are deliberately absent here)
+_AGG_KINDS = frozenset({
+    "terms", "stats", "histogram", "date_histogram",
+    "auto_date_histogram", "range", "date_range", "cardinality",
+    "percentiles", "value_count", "multi_terms", "rare_terms",
+    "adjacency_matrix", "top_metrics", "significant_terms",
+    "significant_text", "filters", "composite", "missing", "sampler",
+    "diversified_sampler",
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+    "stats_bucket",
+})
+
+_BODY_KEYS = frozenset({
+    "query", "knn", "retriever", "size", "from", "sort", "search_after",
+    "explain", "highlight", "collapse", "suggest", "runtime_mappings",
+    "aggs", "aggregations", "rescore", "docvalue_fields",
+    "track_total_hits",
+})
+
+
+def execute_validate(reader, body: dict, docs=None, emb=None) -> dict:
+    """ES ``_validate/query``: dry-run a request body through the SAME
+    parse/translation helpers ``execute_search`` uses — valid iff the
+    engine could execute it exactly. The engine's refuse-over-
+    mis-execute contract becomes the validate surface: any construct
+    the front door would refuse reports ``valid: false`` with the
+    refusal message as the explanation, without touching the index.
+
+    Parse-level validation only, like ES (which validates on the
+    coordinating node without running shards): clause shapes, filter
+    grammar (term/terms/range/exists/nested bool), knn spec, body and
+    agg-kind whitelists. Refusals that can only be decided during
+    execution (e.g. a pipeline agg's buckets_path resolution) surface
+    at search time, exactly as ES shard failures do."""
+    try:
+        unknown = set(body) - _BODY_KEYS
+        if unknown:
+            raise ValueError(f"unknown body key(s): {sorted(unknown)}")
+        if "knn" in body:
+            spec = body["knn"]
+            if not isinstance(spec, dict):
+                raise ValueError("multiple knn clauses are unsupported")
+            bad = set(spec) - _KNN_KEYS
+            if bad:
+                raise ValueError(f"unsupported knn option(s): {sorted(bad)}")
+            if "k" not in spec or "num_candidates" not in spec:
+                raise ValueError(
+                    "knn requires k and num_candidates (ES 8 rule)")
+            if not (1 <= int(spec["k"]) <= int(spec["num_candidates"])):
+                raise ValueError("knn requires 1 <= k <= num_candidates")
+            if spec.get("filter") is not None:
+                flt = spec["filter"]
+                _filter_to_doc_filter(
+                    flt if isinstance(flt, list) else [flt])
+        q = body.get("query")
+        if q is not None:
+            kind, clause = _one(q, "query")
+            if kind not in _QUERY_KINDS:
+                raise ValueError(f"unsupported query clause: {kind}")
+            if kind == "bool":
+                _parse_bool(clause)
+            elif kind == "range":
+                field, spec = _one(clause, "range")
+                spec = dict(spec) if isinstance(spec, dict) else spec
+                if isinstance(spec, dict):
+                    spec.pop("boost", None)
+                _range_spec(field, spec)
+            elif kind == "match":
+                _, spec = _one(clause, "match")
+                _match_terms(spec)
+            elif kind in ("term", "terms"):
+                _clause_terms(q, "query")
+        for name, a in (body.get("aggs")
+                        or body.get("aggregations") or {}).items():
+            b = {k: v for k, v in a.items()
+                 if k not in ("aggs", "aggregations")}
+            akind = next(iter(b)) if len(b) == 1 else None
+            if akind is None or akind not in _AGG_KINDS:
+                raise ValueError(
+                    f"unsupported aggregation {name!r}: "
+                    f"{akind or sorted(b)}"
+                )
+    except (ValueError, TypeError, KeyError, AttributeError) as e:
+        return {
+            "valid": False,
+            "explanations": [{"valid": False, "error": str(e) or repr(e)}],
+        }
+    return {"valid": True}
 
 
 def execute_search(reader, body: dict, docs=None, emb=None) -> dict:

@@ -99,7 +99,7 @@ def test_knn_refusals(rdr, emb):
         execute_search(rdr, {**_knn_body(qv), "query": MATCH}, emb=emb)
     with pytest.raises(ValueError, match="unsupported knn option"):
         execute_search(rdr, {"knn": {**_knn_body(qv)["knn"],
-                                     "similarity": 0.5}}, emb=emb)
+                                     "boost": 2.0}}, emb=emb)
     with pytest.raises(ValueError, match="requires k and num_candidates"):
         execute_search(
             rdr, {"knn": {"field": "embedding", "query_vector": qv}}, emb=emb
@@ -212,3 +212,55 @@ def test_msearch_threads_emb(rdr, emb):
         rdr, [{"query": MATCH, "size": 3}, _knn_body(_vec(0))], emb=emb
     )
     assert out[1]["hits"]["hits"] == solo["hits"]["hits"]
+
+
+def test_knn_similarity_floor(rdr, emb):
+    from s3logsbeat_spark.operators.similarity import sq_topk
+
+    qv = _vec(0)
+    want = sq_topk(emb, qv, k=5, rescore_depth=20).collect()
+    floor = float(want[2]["score"])  # keep exactly the top 3
+    resp = execute_search(
+        rdr, {"knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                      "num_candidates": 20, "similarity": floor}},
+        emb=emb,
+    )
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [
+        r["vec_id"] for r in want[:3]
+    ]
+    # the floor compares the RAW cosine, not the transformed _score
+    assert all(h["_score"] >= (1.0 + floor) / 2.0
+               for h in resp["hits"]["hits"])
+
+
+def test_validate_query(rdr, emb):
+    from s3logsbeat_spark.operators.dsl import execute_validate
+
+    ok = [
+        {"query": MATCH, "size": 5},
+        {"query": {"bool": {"must": [MATCH], "filter": [
+            {"exists": {"field": "n_chars"}},
+            {"range": {"n_chars": {"gte": 10}}},
+        ]}}},
+        {"query": MATCH, "aggs": {"l": {"terms": {"field": "lang"}}}},
+        {"knn": {"field": "embedding", "query_vector": _vec(0),
+                 "k": 5, "num_candidates": 20}},
+    ]
+    for body in ok:
+        assert execute_validate(rdr, body, emb=emb) == {"valid": True}, body
+    bad = [
+        ({"query": {"nested": {"path": "p"}}}, "unsupported query clause"),
+        ({"query": {"range": {"n_chars": {"from": 1}}}}, "range"),
+        ({"query": MATCH, "profile": True}, "unknown body key"),
+        ({"query": MATCH, "aggs": {"g": {"geo_grid": {"field": "x"}}}},
+         "unsupported aggregation"),
+        ({"knn": {"field": "embedding", "query_vector": _vec(0)}},
+         "requires k and num_candidates"),
+        ({"query": {"bool": {"filter": [{"script": {"source": "x"}}]}}},
+         "unsupported"),
+    ]
+    for body, frag in bad:
+        got = execute_validate(rdr, body, emb=emb)
+        assert got["valid"] is False, body
+        assert frag in got["explanations"][0]["error"], (
+            body, got["explanations"][0]["error"])
