@@ -168,6 +168,18 @@ def _cmd_search(args) -> int:
     return 0
 
 
+def _cmd_validate(args) -> int:
+    """ES ``_validate/query``: parse-level dry run, no index touched —
+    no SparkSession is started, so it answers in milliseconds."""
+    from .operators.dsl import execute_validate
+
+    body = json.loads(
+        sys.stdin.read() if args.body == "-" else args.body
+    )
+    print(json.dumps(execute_validate(None, body)))
+    return 0
+
+
 def _cmd_delete_by_query(args) -> int:
     from .operators.mutate import delete_by_query
     from .operators.wand import IndexReader
@@ -290,6 +302,12 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument("--count", action="store_true",
                     help="run as _count instead of _search")
     se.set_defaults(fn=_cmd_search)
+
+    va = sub.add_parser(
+        "validate", help="ES _validate/query: parse-level body dry run"
+    )
+    va.add_argument("body", help="JSON request body, or - for stdin")
+    va.set_defaults(fn=_cmd_validate)
 
     d = sub.add_parser(
         "delete-by-query", help="tombstone every doc matching the terms"

@@ -193,6 +193,14 @@ def _extra_frames(spark, E):
     yield ("dsl_knn_frame (search_dsl_knn pre-collect)",
            sq_topk(emb, q0, k=10, rescore_depth=50))
 
+    # search_dsl_exists_filter (r5): the _exists node compiles to
+    # isNotNull in the pushed sidecar predicate — the scan's
+    # PushedFilters must show IsNotNull alongside the term equality
+    yield ("exists_filter_frame (search_dsl_exists_filter pre-page)",
+           _range_frame(ev, {"event_type": "error",
+                             "_exists": ["status"]})
+           .select("doc_id").orderBy("doc_id").limit(E.BM25_K))
+
 
 def main() -> int:
     import __spark_entry__ as entry_mod

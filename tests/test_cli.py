@@ -213,3 +213,13 @@ def test_terms_enum_cli(spark, tmp_path, capsys):
                  "--search-after", "madly"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["terms"] == ["merge"] and not out["complete"]
+
+
+def test_validate_cli(capsys):
+    assert main(["validate",
+                 '{"query": {"match": {"content": "merge"}}}']) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"valid": True}
+    assert main(["validate", '{"query": {"nested": {"path": "p"}}}']) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["valid"] is False
+    assert "unsupported query clause" in out["explanations"][0]["error"]
