@@ -341,6 +341,38 @@ def q_search_dsl_terms_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_search_dsl_terms_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES terms aggregation with metric sub-aggregations through the
+    DSL — the standard Kibana data-table panel ("top users by error
+    count, with avg value"). Every metric rides the terms groupBy's
+    ONE pass as an extra map-side-combinable expression; the bucket
+    list is TakeOrdered to size (_count desc, key asc, ES order)."""
+    from s3logsbeat_spark.operators.dsl import execute_search
+
+    rdr = _events_index(spark, sf_dir)
+    resp = execute_search(rdr, {
+        "query": {"term": {"content": "error"}},
+        "size": 0,
+        "aggs": {"by_user": {
+            "terms": {"field": "user_id", "size": 10},
+            "aggs": {"avg_v": {"avg": {"field": "value"}},
+                     "sum_v": {"sum": {"field": "value"}}},
+        }},
+    })
+    rows = [
+        (int(b["key"]), int(b["doc_count"]),
+         float(b["avg_v"]["value"]), float(b["sum_v"]["value"]))
+        for b in resp["aggregations"]["by_user"]["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, doc_count long, avg_v double, sum_v double"
+    ).select(
+        "user_id", "doc_count",
+        F.round("avg_v", 6).alias("avg_v"),
+        F.round("sum_v", 6).alias("sum_v"),
+    )
+
+
 def q_search_dsl_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``exists`` query in filter context (the field-present filter
     Kibana attaches whenever a panel references an optional field),
@@ -4911,6 +4943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_auto_dh": q_search_dsl_auto_dh,
         "search_dsl_exists_filter": q_search_dsl_exists_filter,
         "search_dsl_terms_missing": q_search_dsl_terms_missing,
+        "search_dsl_terms_avg": q_search_dsl_terms_avg,
         "search_dsl_date_histogram_fixed": q_search_dsl_date_histogram_fixed,
         "search_dsl_dh_metrics": q_search_dsl_dh_metrics,
         "search_dsl_derivative": q_search_dsl_derivative,
@@ -7745,6 +7778,13 @@ SELECT coalesce(CASE WHEN event_id % 4 = 3 THEN NULL
        count(*)::BIGINT AS doc_count
 FROM events WHERE event_type = 'error'
 GROUP BY 1 ORDER BY key
+""",
+        "search_dsl_terms_avg": """
+SELECT user_id, count(*)::BIGINT AS doc_count,
+       round(avg(value), 6) AS avg_v,
+       round(sum(value), 6) AS sum_v
+FROM events WHERE event_type = 'error'
+GROUP BY 1 ORDER BY doc_count DESC, user_id ASC LIMIT 10
 """,
         "sparse_vector": _SPARSE_VECTOR_SQL,
         "ann_filtered": _ANN_FILTERED_SQL,

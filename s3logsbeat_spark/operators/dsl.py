@@ -2203,16 +2203,44 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                     f"agg {name}: runtime field {field!r} is supported "
                     "by stats/value_count aggregations only"
                 )
-        if kind == "terms" and sub is not None:
-            # the one supported nesting: terms -> top_hits, the grouped
-            # best-docs shape top_hits_by computes in a single pass
+        if kind == "terms" and sub is not None and all(
+            next(iter(s)) in _DH_METRIC_KINDS
+            for s in sub.values() if isinstance(s, dict) and len(s) == 1
+        ) and all(isinstance(s, dict) and len(s) == 1 for s in sub.values()):
+            # terms -> metric sub-aggs (the Kibana data-table panel):
+            # every metric rides the terms groupBy's single pass as one
+            # extra map-side-combinable expression; TakeOrdered size
+            _only_keys(a, {"field", "size"},
+                       "terms agg (with metric sub-aggs)")
+            metrics: dict[str, tuple[str, str]] = {}
+            for sname, sspec in sub.items():
+                skind, sa = _one(sspec, f"terms sub-agg {sname}")
+                _only_keys(sa, {"field"}, f"terms metric sub-agg {sname}")
+                if sname in ("key", "doc_count"):
+                    raise ValueError(f"reserved sub-agg name: {sname!r}")
+                metrics[sname] = (skind, sa["field"])
+            rows = reader.terms_metrics_agg(
+                terms, a["field"], metrics, mode=mode,
+                doc_filter=doc_filter, size=int(a.get("size", 10)),
+            )
+            buckets = []
+            for key, n, mvals in rows:
+                b = {"key": key, "doc_count": n}
+                for mname, v in mvals.items():
+                    b[mname] = {"value": v}
+                buckets.append(b)
+            out[name] = {"buckets": buckets}
+        elif kind == "terms" and sub is not None:
+            # the other supported nesting: terms -> top_hits, the
+            # grouped best-docs shape top_hits_by computes in one pass
             if len(sub) != 1:
                 raise ValueError("terms supports exactly one sub-agg")
             [(sname, sspec)] = sub.items()
             [(skind, sa)] = sspec.items()
             if skind != "top_hits":
                 raise ValueError(
-                    f"unsupported terms sub-agg: {skind} (top_hits only)"
+                    f"unsupported terms sub-agg: {skind} "
+                    "(top_hits or metric sub-aggs)"
                 )
             per = int(sa.get("size", 3))
             rows = reader.top_hits_by(

@@ -3068,6 +3068,56 @@ class IndexReader:
         )
         return [(r["value"], r["doc_count"]) for r in out]
 
+    def terms_metrics_agg(
+        self,
+        terms: list[str],
+        field: str,
+        metrics: dict,
+        mode: str = "or",
+        doc_filter: dict | None = None,
+        size: int = 10,
+    ) -> list[tuple]:
+        """ES terms aggregation WITH metric sub-aggregations — the
+        standard Kibana data-table panel ("top N <field> by count, with
+        avg/sum of <metric>"). ONE groupBy pass over the matched-set/
+        sidecar join: each metric is one extra map-side-combinable agg
+        expression, exactly like date_histogram's metrics; the bucket
+        list is TakeOrdered to ``size`` (_count desc, key asc — the ES
+        default order), so only ``size`` rows reach the driver. Docs
+        with a null group value drop out (ES terms default). Returns
+        [(key, doc_count, {name: value})]."""
+        metric_items = _check_metrics(metrics)
+        matched = self._matched_docs_df(terms, mode, doc_filter)
+        if matched is None:
+            return []
+        from .segments import load_doc_attrs
+
+        mfields = sorted({mf for _, _, mf in metric_items} - {field})
+        attrs = load_doc_attrs(self.spark, self.out_dir).select(
+            "bucket", "doc_id", field, *mfields
+        )
+        rows = (
+            matched.join(attrs, ["bucket", "doc_id"])
+            .filter(F.col(field).isNotNull())
+            .groupBy(F.col(field).alias("key"))
+            .agg(F.count("*").alias("doc_count"),
+                 *_metric_exprs(metric_items))
+            .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+            .limit(int(size))
+            .collect()
+        )
+        return [
+            (
+                r["key"],
+                int(r["doc_count"]),
+                {
+                    mname: _metric_of(r, i, mkind)
+                    for i, (mname, mkind, _) in enumerate(metric_items)
+                },
+            )
+            for r in rows
+        ]
+
     def _matched_docs_df(
         self, terms: list[str], mode: str, doc_filter: dict | None
     ):

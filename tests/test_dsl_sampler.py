@@ -192,3 +192,43 @@ def test_terms_agg_option_refusals(rdr):
     with _pytest.raises(ValueError, match="unsupported terms order"):
         _agg(rdr, {"t": {"terms": {"field": "lang",
                                    "order": {"avg_x": "desc"}}}})
+
+
+def test_terms_metric_subaggs(rdr):
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    got = _agg(rdr, {"by_lang": {
+        "terms": {"field": "lang", "size": 5},
+        "aggs": {"avg_n": {"avg": {"field": "n_chars"}},
+                 "n_vals": {"value_count": {"field": "flag"}}},
+    }})["by_lang"]["buckets"]
+    ids = [d for d, _ in rdr.query(TERMS, 10_000)]
+    attrs = load_doc_attrs(rdr.spark, rdr.out_dir)
+    rows = attrs.filter(F.col("doc_id").isin(ids)).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    want = sorted(
+        ((k, len(v)) for k, v in by_lang.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [(b["key"], b["doc_count"]) for b in got] == want
+    for b in got:
+        grp = by_lang[b["key"]]
+        assert b["avg_n"]["value"] == (
+            sum(r["n_chars"] for r in grp) / len(grp))
+        assert b["n_vals"]["value"] == sum(
+            1 for r in grp if r["flag"] is not None)
+
+
+def test_terms_metric_subagg_refusals(rdr):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sub-agg"):
+        _agg(rdr, {"t": {"terms": {"field": "lang"},
+                         "aggs": {"p": {"percentiles": {"field": "flag"}},
+                                  "a": {"avg": {"field": "flag"}}}}})
+    with _pytest.raises(ValueError, match="with metric sub-aggs"):
+        _agg(rdr, {"t": {"terms": {"field": "lang",
+                                   "order": {"_key": "asc"}},
+                         "aggs": {"a": {"avg": {"field": "flag"}}}}})
