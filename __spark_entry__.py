@@ -727,6 +727,30 @@ def q_search_dsl_hist_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("key", "doc_count", F.round("avg_u", 6).alias("avg_u"))
 
 
+HIST_DENSE_INTERVAL = 10  # purchase@10 has genuine gaps at every SF
+
+
+def q_search_dsl_hist_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES numeric histogram with its DEFAULT min_doc_count=0 through
+    the DSL: the bucket frame is DENSE between the first and last
+    non-empty bucket, zero-filled — the continuous-axis contract Kibana
+    value-distribution charts need. The fill is a driver-side fold over
+    the already-reduced bucket list (bounded by span/interval), exactly
+    ES's coordinating-node reduce. 'purchase' values at interval 10
+    leave genuine gaps at every SF, so the zero buckets bite."""
+    aggs = _ev_dsl_aggs(spark, sf_dir, {
+        "query": {"term": {"content": "purchase"}},
+        "size": 0,
+        "aggs": {"by_value": {"histogram": {
+            "field": "value", "interval": HIST_DENSE_INTERVAL}}},
+    })
+    return spark.createDataFrame(
+        [(float(b["key"]), int(b["doc_count"]))
+         for b in aggs["by_value"]["buckets"]],
+        "key double, doc_count long",
+    )
+
+
 def q_search_dsl_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES adjacency_matrix through the DSL body (match_all — the agg
     counts its OWN named filters and their pairwise intersections, so
@@ -4956,6 +4980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_dsl_rare_terms": q_search_dsl_rare_terms,
         "search_dsl_adjacency": q_search_dsl_adjacency,
         "search_dsl_hist_metrics": q_search_dsl_hist_metrics,
+        "search_dsl_hist_dense": q_search_dsl_hist_dense,
         "search_dsl_top_metrics": q_search_dsl_top_metrics,
         "search_dsl_filters": q_search_dsl_filters,
         "search_dsl_composite": q_search_dsl_composite,
@@ -8532,6 +8557,22 @@ SELECT floor(value / {HIST_M_INTERVAL}) * {HIST_M_INTERVAL} AS key,
        round(avg(user_id), 6) AS avg_u
 FROM events WHERE event_type = 'error'
 GROUP BY 1 ORDER BY 1
+""",
+        "search_dsl_hist_dense": f"""
+WITH b AS (
+  SELECT floor(value / {HIST_DENSE_INTERVAL}) * {HIST_DENSE_INTERVAL} AS key,
+         count(*)::BIGINT AS doc_count
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), bounds AS (SELECT min(key) AS lo, max(key) AS hi FROM b)
+SELECT d.key, coalesce(b.doc_count, 0)::BIGINT AS doc_count
+FROM (
+  SELECT unnest(generate_series(
+    (SELECT lo FROM bounds)::BIGINT, (SELECT hi FROM bounds)::BIGINT,
+    {HIST_DENSE_INTERVAL}
+  ))::DOUBLE AS key
+) d
+LEFT JOIN b USING (key)
+ORDER BY key
 """,
         "search_dsl_top_metrics": """
 SELECT ts::TIMESTAMP AS sort_ts, round(value, 6) AS metric_value

@@ -2566,10 +2566,15 @@ def _run_aggs(reader, terms, mode, doc_filter, aggs: dict, docs=None,
                 buckets = _apply_parent_pipe(buckets, pname, pkind, pa)
             out[name] = {"buckets": buckets}
         elif kind == "histogram":
+            _only_keys(a, {"field", "interval", "min_doc_count"},
+                       "histogram agg")
             metrics, pipes = _split_hist_subaggs(sub, "histogram")
             rows = reader.histogram_agg(
                 terms, field, float(a["interval"]),
                 mode=mode, doc_filter=doc_filter, metrics=metrics or None,
+                # ES default min_doc_count=0: dense zero-filled frame
+                # between the first and last non-empty bucket
+                min_doc_count=int(a.get("min_doc_count", 0)),
             )
             buckets = []
             for row in rows:

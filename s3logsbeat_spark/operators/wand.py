@@ -3545,11 +3545,22 @@ class IndexReader:
         mode: str = "or",
         doc_filter: dict | None = None,
         metrics: dict | None = None,
+        min_doc_count: int = 1,
     ) -> list[tuple]:
         """ES histogram aggregation on a query: matching-doc counts per
         fixed-width bucket of a numeric sidecar attribute (bucket key =
         floor(value / interval) * interval, ES semantics). Returns
-        [(key, doc_count)] sorted by key; empty buckets are omitted.
+        [(key, doc_count)] sorted by key.
+
+        ``min_doc_count``: this method's default (1, empty buckets
+        omitted) is the historical direct-call contract; the DSL front
+        door passes ES's default 0 — a DENSE frame between the first
+        and last non-empty bucket, zero-filled with ES empty-bucket
+        metric semantics. The fill is a driver-side fold over the
+        already-reduced bucket list (bounded by value-span/interval,
+        the same boundedness as the groupBy output), exactly where ES's
+        coordinating node does it — no extra cluster work. Values >= 2
+        drop buckets below the count.
 
         ``metrics`` (optional): ``{name: (kind, attr_field)}`` with kind
         in avg/sum/min/max/value_count — metric sub-aggregations
@@ -3579,13 +3590,37 @@ class IndexReader:
             .collect()
         )
         if not metric_items:
-            return [(float(r["key"]), int(r["doc_count"])) for r in rows]
-        return [
-            (float(r["key"]), int(r["doc_count"]),
-             {mname: _metric_of(r, i, mkind)
-              for i, (mname, mkind, _) in enumerate(metric_items)})
-            for r in rows
-        ]
+            out = [(float(r["key"]), int(r["doc_count"])) for r in rows]
+        else:
+            out = [
+                (float(r["key"]), int(r["doc_count"]),
+                 {mname: _metric_of(r, i, mkind)
+                  for i, (mname, mkind, _) in enumerate(metric_items)})
+                for r in rows
+            ]
+        mdc = int(min_doc_count)
+        if mdc >= 2:
+            return [t for t in out if t[1] >= mdc]
+        if mdc == 0 and out:
+            lo = out[0][0]
+            have = {int(round((t[0] - lo) / interval)): t for t in out}
+            empty_metrics = {
+                mname: (0.0 if mkind == "sum"
+                        else 0 if mkind == "value_count" else None)
+                for mname, mkind, _ in metric_items
+            }
+            filled: list[tuple] = []
+            for j in range(int(round((out[-1][0] - lo) / interval)) + 1):
+                t = have.get(j)
+                if t is not None:
+                    filled.append(t)
+                elif not metric_items:
+                    filled.append((lo + j * interval, 0))
+                else:
+                    filled.append((lo + j * interval, 0,
+                                   dict(empty_metrics)))
+            return filled
+        return out
 
     def date_histogram_agg(
         self,

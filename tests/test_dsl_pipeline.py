@@ -341,3 +341,36 @@ def test_dsl_top_metrics_matches_kernel(rdr):
     })["aggregations"]["tm"]["top"]
     assert got == [{"sort": [datetime(2024, 3, 1, 1)],
                     "metrics": {"v": 10.0}}]
+
+
+def test_histogram_dense_zero_fill(rdr):
+    # ES default min_doc_count=0: contiguous keys, gaps zero-filled —
+    # beta docs have v 50 and 70, so interval 10 leaves a 60-gap
+    sparse = rdr.histogram_agg(["beta"], "v", 10.0)
+    assert sparse == [(50.0, 1), (70.0, 1)]
+    dense = rdr.histogram_agg(["beta"], "v", 10.0, min_doc_count=0)
+    assert dense == [(50.0, 1), (60.0, 0), (70.0, 1)]
+    # metric empty-bucket semantics on the filled row
+    dm = rdr.histogram_agg(
+        ["beta"], "v", 10.0, min_doc_count=0,
+        metrics={"a": ("avg", "v"), "s": ("sum", "v"),
+                 "c": ("value_count", "v")},
+    )
+    assert dm[1] == (60.0, 0, {"a": None, "s": 0.0, "c": 0})
+    # min_doc_count >= 2 drops buckets below the count
+    assert rdr.histogram_agg(["beta"], "v", 10.0, min_doc_count=2) == []
+    # the DSL front door defaults to the ES dense frame
+    got = execute_search(rdr, {
+        "query": {"term": {"content": "beta"}}, "size": 0,
+        "aggs": {"h": {"histogram": {"field": "v", "interval": 10}}},
+    })["aggregations"]["h"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in got] == dense
+
+
+def test_histogram_dsl_option_whitelist(rdr):
+    with pytest.raises(ValueError, match="histogram agg"):
+        execute_search(rdr, {
+            "query": {"term": {"content": "beta"}}, "size": 0,
+            "aggs": {"h": {"histogram": {
+                "field": "v", "interval": 10, "offset": 5}}},
+        })
