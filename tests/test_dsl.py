@@ -209,9 +209,10 @@ def test_aggregations(rdr):
     assert got["len"] == st
     assert got["nv"] == {"value": st["count"]}
     assert got["card"]["value"] == rdr.cardinality_agg(t, "repo")
+    # the DSL defaults to ES's min_doc_count=0 (dense zero-filled frame)
     assert got["hist"]["buckets"] == [
         {"key": k, "doc_count": n}
-        for k, n in rdr.histogram_agg(t, "n_chars", 500.0)
+        for k, n in rdr.histogram_agg(t, "n_chars", 500.0, min_doc_count=0)
     ]
     assert got["pct"]["values"] == {
         str(p): v
