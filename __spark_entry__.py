@@ -1147,6 +1147,26 @@ def q_esql_eval_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_esql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES|QL COUNT_DISTINCT + MEDIAN aggregate functions: exact
+    (countDistinct / interpolated median) where ES approximates (HLL /
+    TDigest) — a deterministic superset of the ES contract, computed in
+    the same bounded STATS groupBy."""
+    from s3logsbeat_spark.operators.esqlpipe import execute_esql
+
+    rdr = _driver_index(spark, sf_dir)
+    resp = execute_esql(
+        rdr,
+        f'FROM documents | WHERE MATCH(content, "{" ".join(BM25_TERMS)}")'
+        " | STATS repos = COUNT_DISTINCT(repo), med = MEDIAN(n_chars)"
+        " BY lang | SORT lang ASC | LIMIT 100",
+    )
+    return spark.createDataFrame(
+        [(r[0], int(r[1]), round(float(r[2]), 6)) for r in resp["values"]],
+        "lang string, repos long, med double",
+    )
+
+
 def q_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES JSON query DSL (POST _search with a request body) — the
     surface every ES client library speaks. The body routes through
@@ -5000,6 +5020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "esql_stats_global": q_esql_stats_global,
         "esql_eval_stats": q_esql_eval_stats,
         "esql_eval_strings": q_esql_eval_strings,
+        "esql_count_distinct": q_esql_count_distinct,
         "scripted_metric": q_scripted_metric,
         "span_within": q_span_within,
         "span_containing": q_span_containing,
@@ -8646,6 +8667,12 @@ SELECT lang || '-' || source AS tag,
        count(*)::BIGINT AS n
 FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
 GROUP BY 1, 2 ORDER BY tag
+""",
+        "esql_count_distinct": f"""
+SELECT lang, count(DISTINCT source)::BIGINT AS repos,
+       round(median(n_chars)::DOUBLE, 6) AS med
+FROM documents WHERE doc_id IN ({_MATCHING_DOCS})
+GROUP BY lang ORDER BY lang
 """,
         "span_within": _SPAN_WITHIN_SQL,
         "span_containing": _SPAN_CONTAINING_SQL,

@@ -47,6 +47,8 @@ Grammar (the useful fulltext+analytics core, one statement):
         non-key policy column
     | STATS [<name> =] <agg>[, ...] [BY <attr>[, <attr>]...]
         agg  := COUNT(*) | AVG(f) | SUM(f) | MIN(f) | MAX(f)
+              | COUNT_DISTINCT(f)   -- exact (ES's is approximate HLL)
+              | MEDIAN(f)           -- exact interpolated (ES: TDigest)
         (no BY = one global row; f may be an EVAL'd or DISSECT/GROK'd
         name; the optional alias names the output column — referenced
         by later pipes)
@@ -83,7 +85,8 @@ _RANGE_KEY = {">=": "gte", ">": "gt", "<=": "lte", "<": "lt"}
 
 _AGG = re.compile(
     r"""(?:(?P<alias>[A-Za-z_][A-Za-z0-9_]*)\s*=\s*)?
-    (?P<fn>COUNT|AVG|SUM|MIN|MAX)\s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)""",
+    (?P<fn>COUNT_DISTINCT|COUNT|AVG|SUM|MIN|MAX|MEDIAN)
+    \s*\(\s*(?P<arg>\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)""",
     re.IGNORECASE | re.VERBOSE,
 )
 
@@ -93,8 +96,13 @@ _HAVING = re.compile(
     re.IGNORECASE | re.VERBOSE,
 )
 
+#: COUNT_DISTINCT is EXACT here (Spark countDistinct) where ES computes
+#: an approximate HLL cardinality — a deterministic superset of the ES
+#: contract; MEDIAN is the exact interpolated median (Spark `median`)
+#: where ES returns the TDigest 50th percentile.
 _AGG_FN = {"count": F.count, "avg": F.avg, "sum": F.sum,
-           "min": F.min, "max": F.max}
+           "min": F.min, "max": F.max,
+           "count_distinct": F.countDistinct, "median": F.median}
 
 
 def _split_pipes(stmt: str) -> list[str]:
@@ -742,7 +750,7 @@ def _run_stats(reader, plan: dict, docs=None, enrich=None) -> dict:
         if arg != "*" and arg not in known:
             raise ValueError(f"aggregate over unknown column: {arg}")
         col = _AGG_FN[fn]("*" if arg == "*" else arg)
-        if fn == "count":
+        if fn in ("count", "count_distinct"):
             col = col.cast("long")
         exprs.append(col.alias(name))
     missing_by = [c for c in by_cols if c not in known]
@@ -764,7 +772,8 @@ def _run_stats(reader, plan: dict, docs=None, enrich=None) -> dict:
             for c in by_cols
         ] + [
             {"name": alias or f"{fn}({arg})",
-             "type": "long" if fn == "count" else "double"}
+             "type": ("long" if fn in ("count", "count_distinct")
+                      else "double")}
             for fn, arg, alias in plan["stats"]
         ]
         # same RENAME / KEEP / DROP shaping as the non-empty path

@@ -713,3 +713,36 @@ def test_eval_string_refusals(rdr):
             'FROM code | WHERE MATCH(content, "merge hash")'
             " | EVAL x = TO_UPPER(nope) | STATS n = COUNT(*) BY x | LIMIT 5",
         )
+
+
+def test_count_distinct_and_median(rdr):
+    got = execute_esql(
+        rdr,
+        'FROM code | WHERE MATCH(content, "merge hash")'
+        " | STATS r = COUNT_DISTINCT(repo), m = MEDIAN(n_chars)"
+        " BY lang | SORT lang ASC | LIMIT 100",
+    )
+    assert [c["name"] for c in got["columns"]] == ["lang", "r", "m"]
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from s3logsbeat_spark.operators.segments import load_doc_attrs
+
+    ids = [d for d, _ in rdr.query(["hash", "merge"], 10_000)]
+    attrs = load_doc_attrs(rdr.spark, rdr.out_dir)
+    rows = attrs.filter(F.col("doc_id").isin(ids)).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, r, m in _vals(got):
+        grp = by_lang[lang]
+        assert r == len({x["repo"] for x in grp})
+        assert m == statistics.median(x["n_chars"] for x in grp)
+    # the parser rejects star args for every fn but COUNT
+    with pytest.raises(ValueError, match=r"COUNT_DISTINCT\(\*\) unsupported"):
+        execute_esql(
+            rdr,
+            'FROM code | WHERE MATCH(content, "merge hash")'
+            " | STATS r = COUNT_DISTINCT(*) BY lang | LIMIT 5",
+        )
